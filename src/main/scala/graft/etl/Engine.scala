@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.dsl.{Ast, Compiler, Parser}
+import graft.functions.GraftFunctions
+
+/** The core ETL pipeline: read → compile rules → filter → project →
+  * (write). Spark-first rendering of `/root/reference/main.gs:38-139`
+  * (`runMapping`).
+  *
+  * Scale notes (100 TB posture):
+  *   - Rule compilation is driver-side and O(rules); the produced plan
+  *     is a single Filter + Project over the scan — embarrassingly
+  *     parallel, no shuffle, fully whole-stage-codegen'd. Filters on
+  *     typed sources push down to the scan.
+  *   - ONLY when a mapping uses `self[]` (output-row A1 addressing) do
+  *     we need a global row number, which is inherently sequential
+  *     (spreadsheet row position is a global property). That path uses
+  *     a single-partition window — correct but bounded; mappings
+  *     without `self[]` never pay it.
+  */
+object Engine {
+
+  private val IngestCol = "__graft_ingest"
+
+  /** Apply a Map-sheet rule list to a source table.
+    *
+    * @param source    any DataFrame; converted to the display-string
+    *                  view (all columns cast to string, null → "",
+    *                  duplicate headers last-wins) per `main.gs:52-59`
+    * @param mapRules  (output header | `_filter:` tag, instruction)
+    *                  pairs in Map-sheet order, header row excluded
+    * @param ingestOrder expressions defining "spreadsheet row order"
+    *                  for `self[]` addressing and order-preserving
+    *                  sinks. Defaults to an ingest index stamped at
+    *                  scan time. Must be provided (e.g. a key column)
+    *                  when deterministic cross-engine row numbering is
+    *                  required.
+    */
+  def transform(source: DataFrame, mapRules: Seq[(String, String)],
+      ingestOrder: Seq[Column] = Nil): DataFrame = {
+    val display = GraftFunctions.displayString(source)
+    if (display.columns.isEmpty)
+      throw Ast.DslError("Source has no header row.")
+    val rules = Parser.parse(mapRules, display.columns.toSeq)
+
+    val needsIngestStamp = rules.usesSelf && ingestOrder.isEmpty
+    val ordered =
+      if (needsIngestStamp)
+        display.withColumn(IngestCol, monotonically_increasing_id())
+      else display
+
+    val orderCols: Seq[Column] =
+      if (ingestOrder.nonEmpty) ingestOrder else Seq(col(IngestCol))
+    // 1-based POST-filter row position (main.gs:69): numbers the rows
+    // that survived the filter, in ingest order. Evaluated lazily —
+    // only `self[]` mappings build the window.
+    val compiled = Compiler.compile(rules, display.columns.toSeq,
+      row_number().over(Window.orderBy(orderCols: _*)))
+    ordered.filter(compiled.filter).select(compiled.projections: _*)
+  }
+
+  /** Full three-sheet run over CSV "sheets" in a directory:
+    * `<dir>/<config.source>.csv` + `<dir>/<config.map>.csv` →
+    * overwrite `<dir>/<config.output>` (CSV, header) —
+    * clear-then-write ≙ `mode("overwrite")` (`main.gs:124-129`).
+    */
+  def runMapping(spark: SparkSession, dir: String,
+      config: EngineConfig = EngineConfig()): Long = {
+    val source = readSheetCsv(spark, s"$dir/${config.source}.csv")
+    val mapDf = readSheetCsv(spark, s"$dir/${config.map}.csv")
+    val rules = mapDf.collect().toSeq.map { r =>
+      (Option(r.get(0)).map(_.toString).getOrElse(""),
+       if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("") else "")
+    }
+    val out = transform(source, rules)
+    out.write.mode("overwrite").option("header", true)
+      .csv(s"$dir/${config.output}")
+    out.count()
+  }
+
+  /** All-string CSV read — the file text IS the display value
+    * (`inferSchema=false` keeps getDisplayValues semantics).
+    */
+  def readSheetCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).option("inferSchema", false)
+      .csv(path)
+}

@@ -1,0 +1,39 @@
+package graft.etl
+
+import graft.etl.dsl.Ast.DslError
+
+/** Dashboard config (`/root/reference/main.gs:144-165`): key/value
+  * rows, lowercased/trimmed keys, only `source`/`map`/`output`
+  * accepted, defaults applied when the sheet or a key is absent, and
+  * all three names must be non-empty.
+  */
+final case class EngineConfig(
+    source: String = "Source",
+    map: String = "Map",
+    output: String = "Output") {
+  Seq("source" -> source, "map" -> map, "output" -> output).foreach {
+    case (k, v) =>
+      if (v == null || v.trim.isEmpty)
+        throw DslError(s"""Config name "$k" must be non-empty.""")
+  }
+}
+
+object EngineConfig {
+  /** Parse from key/value pairs (a 2-column Dashboard CSV). Unknown
+    * keys ignored; later duplicates overwrite (`main.gs:150-156`).
+    */
+  def fromKeyValues(kvs: Seq[(String, String)]): EngineConfig = {
+    var (s, m, o) = ("Source", "Map", "Output")
+    kvs.foreach { case (k, v) =>
+      val key = Option(k).getOrElse("").trim.toLowerCase
+      val value = Option(v).getOrElse("").trim
+      if (value.nonEmpty) key match {
+        case "source" => s = value
+        case "map"    => m = value
+        case "output" => o = value
+        case _        => ()
+      }
+    }
+    EngineConfig(s, m, o)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.etl.dsl
+
+import scala.util.matching.Regex
+import Ast._
+
+/** Rule parser + validator: Map-sheet rows → `RuleSet`.
+  *
+  * Faithful to `/root/reference/main.gs:186-249` (classification),
+  * `172-184` (delimiter validation), `204-219` (column existence),
+  * `266-271` (operator-syntax validation — the reference checks per
+  * row at eval time; rules are static so we hoist it to parse time,
+  * same abort-the-run effect). Everything is validated BEFORE any
+  * Spark job launches — analysis-phase fail-fast.
+  */
+object Parser {
+
+  private val SrcToken  = new Regex("src\\[([^\\]]+)\\]")
+  private val SelfToken = new Regex("self\\[([^\\]]+)\\]")
+  private val BadOp     = new Regex("[=><!]{3,}|[><]{2,}")
+
+  /** @param rules   (col A, col B) pairs, Map-sheet order, header row
+    *                already removed
+    * @param sourceHeaders source column names for existence validation
+    */
+  def parse(rules: Seq[(String, String)], sourceHeaders: Seq[String]): RuleSet = {
+    val headers = sourceHeaders.toSet
+    val kept = rules
+      .map { case (a, b) => (Option(a).getOrElse("").trim, Option(b).getOrElse("").trim) }
+      .filter { case (a, _) => a.nonEmpty && !a.startsWith("//") }
+
+    val filters = Vector.newBuilder[FilterRule]
+    val outputs = Vector.newBuilder[OutputCol]
+
+    kept.foreach { case (header, rawInstruction) =>
+      validateDelimiters(rawInstruction, header)
+      validateColumns(rawInstruction, header, headers)
+
+      if (header.startsWith("_filter:")) {
+        if (rawInstruction.startsWith("eval:")) {
+          val expr = rawInstruction.replaceFirst("eval:", "").trim
+          filters += EvalFilter(header, parsePredicate(expr, header))
+        } else filters += NoopFilter(header)
+      } else if (rawInstruction.startsWith("constant:")) {
+        outputs += ConstantCol(header,
+          splitParts(rawInstruction.replaceFirst("constant:", "").trim))
+      } else if (rawInstruction.startsWith("formula:")) {
+        outputs += FormulaCol(header,
+          splitParts(rawInstruction.replaceFirst("formula:", "").trim))
+      } else {
+        outputs += DirectCol(header, splitParts(rawInstruction))
+      }
+    }
+
+    val rs = RuleSet(filters.result(), outputs.result())
+    if (rs.outputs.isEmpty)
+      throw DslError("No valid output columns found in mapping rules.")
+    rs
+  }
+
+  /** Linear bracket-balance scan (`main.gs:172-184`): depth goes
+    * negative or ends nonzero → contextual error.
+    */
+  def validateDelimiters(text: String, ruleHeader: String): Unit = {
+    var depth = 0
+    text.foreach { ch =>
+      if (ch == '[') depth += 1
+      else if (ch == ']') depth -= 1
+      if (depth < 0)
+        throw DslError(s"""Unbalanced "]" in rule "$ruleHeader".""")
+    }
+    if (depth != 0)
+      throw DslError(s"""Unbalanced "[" in rule "$ruleHeader".""")
+  }
+
+  /** Every `src[Col]` token must name a source column (`main.gs:204-219`). */
+  private def validateColumns(text: String, ruleHeader: String,
+      headers: Set[String]): Unit =
+    SrcToken.findAllMatchIn(text).foreach { m =>
+      val c = m.group(1)
+      if (!headers.contains(c))
+        throw DslError(
+          s"""Column "$c" does not exist in source (rule: "$ruleHeader").""")
+    }
+
+  /** Filter expression → Predicate. Split on `||` (only connector),
+    * per condition: malformed-operator check, first-match operator
+    * detection in priority order, split-on-operator with !=2 parts or
+    * no operator → AlwaysFalse (`main.gs:251-289`).
+    */
+  def parsePredicate(expr: String, ruleHeader: String): Predicate = {
+    val disjuncts = splitLiteral(expr, "||").map { raw =>
+      val cond = raw.trim
+      BadOp.findFirstIn(cond).foreach { bad =>
+        throw DslError(s"""Invalid operator "$bad" in "$ruleHeader".""")
+      }
+      CmpOp.all.find(op => cond.contains(op.symbol)) match {
+        case None => AlwaysFalse
+        case Some(op) =>
+          val parts = splitLiteral(cond, op.symbol)
+            .map(p => stripQuotes(p.trim))
+          if (parts.length != 2) AlwaysFalse
+          else Comparison(op, splitSrcOnly(parts(0)), splitSrcOnly(parts(1)))
+      }
+    }
+    Predicate(disjuncts.toVector)
+  }
+
+  /** JS `String.split(sep)` on a literal separator (keeps empties). */
+  private def splitLiteral(s: String, sep: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var from = 0
+    var i = s.indexOf(sep, from)
+    while (i >= 0) {
+      out += s.substring(from, i)
+      from = i + sep.length
+      i = s.indexOf(sep, from)
+    }
+    out += s.substring(from)
+    out.result()
+  }
+
+  /** `/^"|"$/g` — strips a leading and a trailing quote independently
+    * (`main.gs:284`).
+    */
+  private def stripQuotes(s: String): String = {
+    val a = if (s.startsWith("\"")) s.substring(1) else s
+    if (a.endsWith("\"")) a.substring(0, a.length - 1) else a
+  }
+
+  /** Template → parts. Filter operands only splice `src[]`
+    * (`main.gs:74-77`); `self[...]` text stays literal there.
+    */
+  private def splitSrcOnly(template: String): Vector[Part] =
+    tokenize(template, withSelf = false)
+
+  /** Output-column instructions splice both `src[]` and `self[]`
+    * (`main.gs:86-104`).
+    */
+  def splitParts(template: String): Vector[Part] =
+    tokenize(template, withSelf = true)
+
+  private def tokenize(template: String, withSelf: Boolean): Vector[Part] = {
+    val token = if (withSelf) new Regex("(src|self)\\[([^\\]]+)\\]")
+                else new Regex("(src)\\[([^\\]]+)\\]")
+    val parts = Vector.newBuilder[Part]
+    var last = 0
+    token.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += LitPart(template.substring(last, m.start))
+      parts += (if (m.group(1) == "src") SrcPart(m.group(2))
+                else SelfPart(m.group(2)))
+      last = m.end
+    }
+    if (last < template.length) parts += LitPart(template.substring(last))
+    val r = parts.result()
+    if (r.isEmpty) Vector(LitPart("")) else r
+  }
+}

@@ -1,0 +1,154 @@
+package graft.etl
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+/** Golden end-to-end semantics tests — the FIXTURES.md people/Map
+  * fixture plus every verified evaluator edge case (SURVEY.md §5.2).
+  */
+class EngineSpec extends SparkSpec {
+
+  private lazy val people = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("Ana", "25", "Cali", "10", "50%"),
+      ("Bob", "17", "Lima", "10.0", "7%"),
+      ("Cleo", "abc", "", "3", "110%"),
+      ("Dan", "30", "Cali", "B", "0%")
+    ).toDF("Name", "Age", "City", "Score", "Pct")
+  }
+
+  private def run(rules: (String, String)*): Seq[Row] =
+    Engine.transform(people.coalesce(1), rules).collect().toSeq
+
+  test("FIXTURES.md golden output (filters, direct, constant, formula, self)") {
+    val out = Engine.transform(people.coalesce(1), Seq(
+      "// demographics block" -> "",
+      "_filter:adults" -> "eval: src[Age] >= 18 || src[City] == Cali",
+      "_filter:note"   -> "anything",
+      "Name"     -> "src[Name]",
+      "City"     -> "src[City]",
+      "Status"   -> "constant:Active",
+      "Doubled"  -> "formula:=src[Score]*2",
+      "Combined" -> "formula:=self[Doubled]&\" in \"&src[City]"
+    ))
+    assert(out.columns.toSeq ==
+      Seq("Name", "City", "Status", "Doubled", "Combined"))
+    val rows = out.collect().sortBy(_.getString(0)).toSeq
+    assert(rows == Seq(
+      Row("Ana", "Cali", "Active", "=10*2", "=D2&\" in \"&\"Cali\""),
+      Row("Dan", "Cali", "Active", "=\"B\"*2", "=D3&\" in \"&\"Cali\"")))
+  }
+
+  test("loose equality is string equality: 10 == 10.0 is false") {
+    val rows = run("_filter:x" -> "eval: src[Score] == 10", "N" -> "src[Name]")
+    assert(rows.map(_.getString(0)) == Seq("Ana"))
+  }
+
+  test("!= on strings") {
+    val rows = run("_filter:x" -> "eval: src[City] != Cali", "N" -> "src[Name]")
+    assert(rows.map(_.getString(0)).sorted == Seq("Bob", "Cleo"))
+  }
+
+  test("parseFloat prefix: '50%' >= 18 is true, 'abc' relational is false") {
+    val rows = run("_filter:x" -> "eval: src[Pct] >= 18", "N" -> "src[Name]")
+    assert(rows.map(_.getString(0)).sorted == Seq("Ana", "Cleo"))
+  }
+
+  test("NaN comparisons are false, not errors") {
+    val rows = run("_filter:x" -> "eval: src[Age] < 100", "N" -> "src[Name]")
+    // Cleo: parseFloat("abc") = NaN → false
+    assert(rows.map(_.getString(0)).sorted == Seq("Ana", "Bob", "Dan"))
+  }
+
+  test("op-less / mis-arity condition → false (drops all rows here)") {
+    assert(run("_filter:x" -> "eval: nothing", "N" -> "src[Name]").isEmpty)
+    assert(run("_filter:x" -> "eval: a==b==c", "N" -> "src[Name]").isEmpty)
+  }
+
+  test("AND across filter rules, OR within") {
+    val rows = run(
+      "_filter:a" -> "eval: src[Age] >= 18",
+      "_filter:b" -> "eval: src[City] == Cali || src[City] == Lima",
+      "N" -> "src[Name]")
+    assert(rows.map(_.getString(0)).sorted == Seq("Ana", "Dan"))
+  }
+
+  test("NaN disjunct ORs correctly with a true disjunct") {
+    val rows = run(
+      "_filter:x" -> "eval: src[Age] >= 18 || src[City] == \"\"",
+      "N" -> "src[Name]")
+    // Cleo passes via empty City even though Age is NaN
+    assert(rows.map(_.getString(0)).sorted == Seq("Ana", "Cleo", "Dan"))
+  }
+
+  test("direct: bare header resolves to column; non-header is literal") {
+    val rows = run("N" -> "Name", "L" -> "NotAHeader")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("Ana", "NotAHeader"), ("Bob", "NotAHeader"),
+          ("Cleo", "NotAHeader"), ("Dan", "NotAHeader")))
+  }
+
+  test("formula quoting: empty cell splices unquoted (isNaN('') is false)") {
+    val rows = run("_filter:x" -> "eval: src[Name] == Cleo",
+      "F" -> "formula:=+src[City]")
+    assert(rows.map(_.getString(0)) == Seq("=+"))
+  }
+
+  test("formula quoting: percent stays bare, text gets quoted") {
+    val rows = run("_filter:x" -> "eval: src[Name] == Dan",
+      "P" -> "formula:=src[Pct]", "B" -> "formula:=src[Score]")
+    assert(rows.head.getString(0) == "=0%")
+    assert(rows.head.getString(1) == "=\"B\"")
+  }
+
+  test("unresolved self[] passes through literally") {
+    val rows = run("_filter:x" -> "eval: src[Name] == Ana",
+      "F" -> "formula:=self[Later]+1")
+    assert(rows.head.getString(0) == "=self[Later]+1")
+  }
+
+  test("self[] sees only earlier columns; duplicate header: latest wins") {
+    val rows = run("_filter:x" -> "eval: src[Name] == Ana",
+      "X" -> "constant:1",
+      "X" -> "constant:2",
+      "R" -> "formula:=self[X]")
+    // two X columns at letters A and B; latest earlier = B; row 2
+    assert(rows.head.getString(2) == "=B2")
+  }
+
+  test("duplicate source headers: last wins") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("l", "r")).toDF("D", "D")
+    val out = Engine.transform(df, Seq("V" -> "src[D]"))
+    assert(out.collect().head.getString(0) == "r")
+  }
+
+  test("null cells read as empty strings") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some("a"), None: Option[String]), (Some("b"), Some("x")))
+      .toDF("K", "V")
+    val rows = Engine.transform(df, Seq(
+      "_filter:x" -> "eval: src[V] == \"\"", "K" -> "src[K]")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("typed source is viewed through display strings") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 2.5, true)).toDF("i", "d", "b")
+    val rows = Engine.transform(df,
+      Seq("I" -> "src[i]", "D" -> "src[d]", "B" -> "src[b]")).collect()
+    assert(rows.head == Row("1", "2.5", "true"))
+  }
+
+  test("config parsing: defaults, unknown keys, case/trim") {
+    val c = EngineConfig.fromKeyValues(Seq(
+      (" SOURCE ", " S1 "), ("bogus", "x"), ("map", "")))
+    assert(c == EngineConfig("S1", "Map", "Output"))
+    intercept[graft.etl.dsl.Ast.DslError] { EngineConfig("", "m", "o") }
+  }
+}

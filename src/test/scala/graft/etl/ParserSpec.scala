@@ -1,0 +1,129 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.dsl.{Ast, Parser}
+import graft.etl.dsl.Ast._
+
+/** Pure (no-Spark) grammar/validation tests against the BNF and the
+  * reference's verified edge cases (SURVEY.md §5.1).
+  */
+class ParserSpec extends AnyFunSuite {
+  private val headers = Seq("Name", "Age", "City", "Score", "Pct")
+
+  test("classification: filter / direct / constant / formula / comment") {
+    val rs = Parser.parse(Seq(
+      "// demographics"   -> "ignored",
+      "_filter:adults"    -> "eval: src[Age] >= 18",
+      "_filter:note"      -> "anything",
+      "Name"              -> "src[Name]",
+      "Status"            -> "constant:Active",
+      "Doubled"           -> "formula:=src[Score]*2"
+    ), headers)
+    assert(rs.filters.length == 2)
+    assert(rs.filters(0).isInstanceOf[EvalFilter])
+    assert(rs.filters(1) == NoopFilter("_filter:note"))
+    assert(rs.outputs.map(_.header) == Vector("Name", "Status", "Doubled"))
+    assert(rs.outputs(0) == DirectCol("Name", Vector(SrcPart("Name"))))
+    assert(rs.outputs(1) == ConstantCol("Status", Vector(LitPart("Active"))))
+    assert(rs.outputs(2).isInstanceOf[FormulaCol])
+  }
+
+  test("empty col A rows and comments are skipped") {
+    val rs = Parser.parse(Seq("" -> "x", "  " -> "y", "//c" -> "z",
+      "Keep" -> "v"), headers)
+    assert(rs.outputs.map(_.header) == Vector("Keep"))
+  }
+
+  test("no output columns → error") {
+    val e = intercept[DslError] {
+      Parser.parse(Seq("_filter:a" -> "eval: src[Age] > 1"), headers)
+    }
+    assert(e.message.contains("output columns"))
+  }
+
+  test("unknown src column → contextual error") {
+    val e = intercept[DslError] {
+      Parser.parse(Seq("Bad" -> "src[Nope]"), headers)
+    }
+    assert(e.message.contains("Nope") && e.message.contains("Bad"))
+  }
+
+  test("delimiter imbalance → error (both directions)") {
+    intercept[DslError] { Parser.parse(Seq("Bad" -> "src[Name"), headers) }
+    intercept[DslError] { Parser.parse(Seq("Bad" -> "src[Name]]"), headers) }
+    // balanced nested is fine per the linear counter
+    Parser.parse(Seq("Ok" -> "a[[b]]c"), headers)
+  }
+
+  test("malformed operators in eval filters → error") {
+    Seq("src[Age] === 18", "src[Age] >> 2", "a <=> b").foreach { bad =>
+      val e = intercept[DslError] {
+        Parser.parse(Seq("_filter:x" -> s"eval: $bad", "K" -> "k"), headers)
+      }
+      assert(e.message.contains("_filter:x"))
+    }
+    // `===` in a FORMULA is fine — op validation is eval-path only
+    Parser.parse(Seq("F" -> "formula:=A1===2"), headers)
+  }
+
+  test("operator priority: == found before >=") {
+    val rs = Parser.parse(
+      Seq("_filter:x" -> "eval: src[Age]>=1 == src[Name]", "K" -> "k"), headers)
+    val EvalFilter(_, p) = rs.filters.head: @unchecked
+    val Comparison(op, lhs, _) = p.disjuncts.head: @unchecked
+    assert(op == CmpOp.Eq)
+    assert(lhs == Vector(SrcPart("Age"), LitPart(">=1")))
+  }
+
+  test("op-less and mis-arity conditions compile to AlwaysFalse") {
+    val rs = Parser.parse(Seq(
+      "_filter:a" -> "eval: no operator here",
+      "_filter:b" -> "eval: a==b==c",
+      "K" -> "k"), headers)
+    val ds = rs.filters.collect { case EvalFilter(_, p) => p.disjuncts }
+    assert(ds(0) == Vector(AlwaysFalse))
+    assert(ds(1) == Vector(AlwaysFalse))
+  }
+
+  test("OR chain splits and quote stripping") {
+    val rs = Parser.parse(Seq(
+      "_filter:x" -> "eval: src[City] == \"Cali\" || src[Age] >= 18",
+      "K" -> "k"), headers)
+    val EvalFilter(_, p) = rs.filters.head: @unchecked
+    assert(p.disjuncts.length == 2)
+    val Comparison(op, _, rhs) = p.disjuncts(0): @unchecked
+    assert(op == CmpOp.Eq && rhs == Vector(LitPart("Cali")))
+  }
+
+  test("self tokens parse in outputs but stay literal in filters") {
+    val rs = Parser.parse(Seq(
+      "_filter:x" -> "eval: self[A] == b",
+      "F" -> "formula:=self[F2]&src[Name]"), headers)
+    val EvalFilter(_, p) = rs.filters.head: @unchecked
+    val Comparison(_, lhs, _) = p.disjuncts.head: @unchecked
+    assert(lhs == Vector(LitPart("self[A]")))
+    val f = rs.outputs.head
+    assert(f.parts == Vector(LitPart("="), SelfPart("F2"), LitPart("&"),
+      SrcPart("Name")))
+  }
+
+  test("prefix stripping trims instruction bodies") {
+    val rs = Parser.parse(Seq("C" -> "constant:  padded  "), headers)
+    assert(rs.outputs.head.parts == Vector(LitPart("padded")))
+  }
+}
+
+class ColumnLetterSpec extends AnyFunSuite {
+  import graft.functions.GraftFunctions.columnLetter
+  test("bijective base-26 (verified reference values)") {
+    assert(columnLetter(1) == "A")
+    assert(columnLetter(26) == "Z")
+    assert(columnLetter(27) == "AA")
+    assert(columnLetter(52) == "AZ")
+    assert(columnLetter(703) == "AAA")
+  }
+  test("round-trip 1..2000") {
+    def decode(s: String): Int = s.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1))
+    (1 to 2000).foreach(i => assert(decode(columnLetter(i)) == i))
+  }
+}
