@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Engine
+import Tables._
+
+/** Faithful-surface queries: every operator of the reference DSL
+  * exercised through `Engine.transform` on the (all-string view of
+  * the) testdata tables, each with an ANSI-SQL oracle encoding the
+  * same semantics for DuckDB.
+  *
+  * Cross-engine determinism notes:
+  *   - double → string casts agree between Spark and DuckDB for the
+  *     value ranges here (plain decimal notation, no exponent);
+  *   - row-order-sensitive output (`self[]`) pins ingest order to a
+  *     key column so the oracle's `row_number() OVER (ORDER BY ...)`
+  *     sees the same order.
+  */
+object EtlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §7.2 minimum slice: ops 4,10,11,13,14,15,16,19.
+    "etl_filter_project" -> ((s, d) =>
+      Engine.transform(customer(s, d), Seq(
+        "// adult active customers" -> "",
+        "_filter:bal" -> "eval: src[c_acctbal] >= 0 || src[c_mktsegment] == BUILDING",
+        "Name"    -> "src[c_name]",
+        "Balance" -> "src[c_acctbal]",
+        "Status"  -> "constant:Active"))),
+
+    // Loose string equality + OR chain on lineitem flags.
+    "etl_loose_eq_or" -> ((s, d) =>
+      Engine.transform(lineitem(s, d), Seq(
+        "_filter:f" -> "eval: src[l_returnflag] == R || src[l_linestatus] == O",
+        "OrderKey" -> "src[l_orderkey]",
+        "Line"     -> "src[l_linenumber]",
+        "Flag"     -> "src[l_returnflag]",
+        "Stat"     -> "src[l_linestatus]"))),
+
+    // parseFloat-prefix coercion: '123%' compares as 123.
+    "etl_relational_pct" -> ((s, d) => {
+      val src = customer(s, d).select(col("c_custkey"),
+        concat((col("c_custkey") % 150).cast("string"), lit("%")).as("pct"))
+      Engine.transform(src, Seq(
+        "_filter:p" -> "eval: src[pct] > 50",
+        "Key" -> "src[c_custkey]",
+        "Pct" -> "src[pct]"))
+    }),
+
+    // Formula text + self[] A1 addressing with post-filter row
+    // numbers; ingest order pinned to c_custkey for the oracle.
+    "etl_formula_self" -> ((s, d) =>
+      Engine.transform(customer(s, d), Seq(
+        "_filter:pos" -> "eval: src[c_acctbal] >= 0",
+        "Name" -> "src[c_name]",
+        "Bal"  -> "formula:=src[c_acctbal]*2",
+        "Ref"  -> "formula:=self[Bal]&\"!\""),
+        ingestOrder = Seq(col("c_custkey").cast("long")))),
+
+    // DIRECT bare-header resolution, literal passthrough, constants
+    // with src splices.
+    "etl_direct_constant" -> ((s, d) =>
+      Engine.transform(nation(s, d), Seq(
+        "NationName" -> "n_name",
+        "Literal"    -> "NotAColumn",
+        "Tag"        -> "constant:v1",
+        "Mixed"      -> "constant:nation-src[n_nationkey]"))),
+
+    // No-op non-eval filter; op-less and mis-arity disjuncts fold to
+    // false inside an OR chain.
+    "etl_noop_malformed" -> ((s, d) =>
+      Engine.transform(nation(s, d), Seq(
+        "_filter:note" -> "anything",
+        "_filter:x" -> "eval: junk || src[n_name] == NATION_7 || a==b==c",
+        "Name" -> "src[n_name]")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_filter_project" ->
+      """SELECT c_name AS Name, CAST(c_acctbal AS VARCHAR) AS Balance,
+         'Active' AS Status
+         FROM customer
+         WHERE c_acctbal >= 0 OR c_mktsegment = 'BUILDING'""",
+
+    "etl_loose_eq_or" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS OrderKey,
+         CAST(l_linenumber AS VARCHAR) AS Line,
+         l_returnflag AS Flag, l_linestatus AS Stat
+         FROM lineitem
+         WHERE l_returnflag = 'R' OR l_linestatus = 'O'""",
+
+    "etl_relational_pct" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS Key,
+         CAST(c_custkey % 150 AS VARCHAR) || '%' AS Pct
+         FROM customer WHERE (c_custkey % 150) > 50""",
+
+    "etl_formula_self" ->
+      """SELECT c_name AS Name,
+         '=' || CAST(c_acctbal AS VARCHAR) || '*2' AS Bal,
+         '=B' || CAST(rn + 1 AS VARCHAR) || '&"!"' AS Ref
+         FROM (SELECT c_name, c_acctbal,
+                      row_number() OVER (ORDER BY c_custkey) AS rn
+               FROM customer WHERE c_acctbal >= 0)""",
+
+    "etl_direct_constant" ->
+      """SELECT n_name AS NationName, 'NotAColumn' AS Literal,
+         'v1' AS Tag,
+         'nation-' || CAST(n_nationkey AS VARCHAR) AS Mixed
+         FROM nation""",
+
+    "etl_noop_malformed" ->
+      "SELECT n_name AS Name FROM nation WHERE n_name = 'NATION_7'"
+  )
+}

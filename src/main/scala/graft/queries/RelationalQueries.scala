@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/** Extended relational surface (SURVEY §2.2): aggregation, joins of
+  * every flavor, windows, sorts/top-k, set ops, rollup, distinct —
+  * phrased TPC-H-style over the testdata.
+  *
+  * Cross-engine float determinism: double SUMs are order-dependent,
+  * so every aggregated measure is cast to DECIMAL before SUM (exact,
+  * associative) and the final result cast back to DOUBLE — DuckDB
+  * oracles do the same. Per-row double arithmetic (e.g.
+  * `price * (1 - discount)`) is identical IEEE in both engines.
+  *
+  * Scale posture: dimension joins broadcast (region/nation/customer
+  * are orders-of-magnitude smaller than lineitem); fact-fact joins
+  * shuffle on their keys and AQE handles skew; aggregations are
+  * partial (map-side combine) by construction of groupBy().agg().
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def decSum(c: org.apache.spark.sql.Column, alias: String) =
+    sum(dec(c)).cast("double").as(alias)
+  /** Per-row product in double (IEEE-identical cross-engine), then
+    * exact decimal sum.
+    */
+  private def revenueSum(alias: String) =
+    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 10))).cast("double").as(alias)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy partial aggregation.
+    "q1_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity"), "sum_qty"),
+          decSum(col("l_extendedprice"), "sum_base_price"),
+          revenueSum("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: selective dim filter → broadcast → top-k.
+    "q3_join_topk" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(revenueSum("revenue"),
+          max(unix_timestamp(col("o_orderdate"))).as("o_date_epoch"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: snowflake join chain, broadcast dims, one fact
+    // shuffle join (orders⋈lineitem), supplier-nation co-location
+    // condition.
+    "q5_multi_join" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d).join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey")).select("n_nationkey", "n_name")
+      val c = customer(s, d).join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val o = orders(s, d).select("o_orderkey", "o_custkey")
+      val l = lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(revenueSum("revenue"))
+    }),
+
+    // Window: top-3 orders per customer.
+    "window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }),
+
+    // Running aggregate window over a partition.
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d).filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity"))).over(w).cast("double")
+            .as("running_qty"))
+    }),
+
+    // Global sort + limit with a total tiebreak.
+    "sort_limit" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(25)),
+
+    // Set operations: UNION ∪, then EXCEPT.
+    "set_ops" -> ((s, d) => {
+      val building = customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val bigSpenders = orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("key")).distinct()
+      val negative = customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("key"))
+      building.union(bigSpenders).distinct().except(negative)
+    }),
+
+    // Intersection.
+    "set_intersect" -> ((s, d) => {
+      val building = customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val withOrders = orders(s, d).select(col("o_custkey").as("key"))
+      building.intersect(withOrders)
+    }),
+
+    // ROLLUP grouping sets.
+    "rollup_agg" -> ((s, d) =>
+      orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice"), "sum_price"))),
+
+    // CUBE grouping sets.
+    "cube_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))),
+
+    // Exact distinct aggregation (shuffle-dedup under the hood).
+    "distinct_agg" -> ((s, d) =>
+      lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))),
+
+    // Approximate distinct (HLL) — scale path; no exact SQL oracle,
+    // rows-only check.
+    "approx_distinct" -> ((s, d) =>
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
+
+    // Semi join (EXISTS): customers having ≥1 big order.
+    "join_semi" -> ((s, d) => {
+      val big = orders(s, d).filter(col("o_totalprice") > 300000)
+      customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no high-value orders.
+    "join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // Outer join with null handling.
+    "join_outer" -> ((s, d) => {
+      val perCust = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // JSON extraction (scalar functions over semi-structured data).
+    "events_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // Time-bucketed aggregation (the batch face of the streaming
+    // pipeline — same expressions run under readStream).
+    "events_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("value"), "sum_value")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_join_topk" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+         CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS o_date_epoch
+         FROM lineitem, orders, customer
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name""",
+
+    "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_qty
+         FROM lineitem WHERE l_orderkey < 1000""",
+
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 25""",
+
+    "set_ops" ->
+      """(SELECT c_custkey AS key FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT DISTINCT o_custkey AS key FROM orders
+          WHERE o_totalprice > 400000)
+         EXCEPT
+         SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0""",
+
+    "set_intersect" ->
+      """SELECT c_custkey AS key FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS key FROM orders""",
+
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "distinct_agg" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         FROM lineitem""",
+
+    "join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         GROUP BY c_mktsegment""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+
+    "join_outer" ->
+      """SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+           GROUP BY o_custkey) ON c_custkey = o_custkey""",
+
+    "events_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events""",
+
+    "events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
+}
