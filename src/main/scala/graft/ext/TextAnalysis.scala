@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, marker-based language ID, fingerprinting. All
+  * pure built-in expressions — per-document work is map-side,
+  * codegen'd, and shuffle-free.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and
+    * single other non-space chars — a cheap proxy for tokenizer cost.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
+      lit(0)))
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on")
+
+  /** Fraction of tokens that are stopwords (0 when no tokens). */
+  def stopwordRatio(ws: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      size(filter(ws, t => array_contains(stops, t))).cast("double") /
+        size(ws))
+  }
+
+  /** Mean token length (integer sums divided in double — exact
+    * cross-engine).
+    */
+  def avgTokenLength(ws: Column): Column =
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      aggregate(ws, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        size(ws))
+
+  /** Composite quality score in [0,1]: rewards mid-length documents,
+    * lexical diversity, and a sane stopword rate. Heuristic — the
+    * point is the shape (pure column expression, trivially
+    * distributable), thresholds are tunable.
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = tokens(text)
+    val lenScore = least(size(ws).cast("double") / 100.0, lit(1.0))
+    val diversity = size(array_distinct(ws)).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+    val stopOk = lit(1.0) - stopwordRatio(ws)
+    (lenScore * 0.4 + diversity * 0.3 + stopOk * 0.3)
+  }
+
+  /** Marker-word language/domain ID: score = marker occurrences per
+    * class, argmax with a fixed precedence order on ties. The pattern
+    * (tiny broadcast lexicon + argmax, one map-side pass) is the same
+    * one a real n-gram language profile uses.
+    */
+  def markerLangId(text: Column): Column = {
+    val ws = tokens(text)
+    def score(markers: Seq[String]): Column = {
+      val m = array(markers.map(lit): _*)
+      size(filter(ws, t => array_contains(m, t)))
+    }
+    val sEng = score(Seq("the", "a", "big", "small", "fast", "slow"))
+    val sDb = score(Seq("query", "table", "join", "sort", "merge", "scan"))
+    val sMl = score(Seq("spark", "vector", "stream", "batch", "data"))
+    when(sEng >= sDb && sEng >= sMl, lit("eng"))
+      .when(sDb >= sMl, lit("db"))
+      .otherwise(lit("ml"))
+  }
+
+  /** Canonical text form for fingerprinting: lowercase, collapse
+    * whitespace, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 128-bit content fingerprint (hex) of the normalized text. md5 is
+    * available in DuckDB too → oracle-checkable.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, RollingHash64, Similarity, TextAnalysis}
+import Tables._
+
+/** LLM-training-data pipeline operators (driver mandate): dedup,
+  * similarity search, text analysis, multimodal columns — over the
+  * `documents` and `embeddings` tables.
+  *
+  * Oracle strategy: everything whose arithmetic is reproducible
+  * cross-engine gets DuckDB SQL (md5-based MinHash, set Jaccard,
+  * double-fold cosine rounded to 6dp); ops tied to Spark-internal
+  * hashing (xxhash64 SimHash) or sign-threshold LSH bucketing are
+  * rows-only here and verified in ScalaTest against independent
+  * reimplementations / brute-force baselines.
+  */
+object PipelineQueries {
+
+  // MinHash parameters: 32 hashes = 8 bands × 4 rows → candidate
+  // probability ≈ 1-(1-s⁴)⁸: >0.99 at s=0.9, ~0.004 at s=0.15 —
+  // matches the corpus structure (planted dups ≥0.9, noise <0.2).
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+  private val JaccardThreshold = 0.6
+  private val CosineThreshold = 0.45
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup ---
+    "dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))),
+
+    "dedup_key" -> ((s, d) =>
+      documents(s, d).groupBy("lang", "source")
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))),
+
+    "dedup_tokenset" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(concat_ws(" ",
+          array_sort(array_distinct(Dedup.tokens(col("text")))))
+          .as("token_key"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+        NumHashes, Bands, JaccardThreshold)),
+
+    // Spark-native xxhash64 → no SQL oracle (rows-only; ScalaTest
+    // verifies against brute-force Hamming pairs).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(documents(s, d), "doc_id", "text",
+        maxHamming = 8)),
+
+    "dedup_embed" -> ((s, d) =>
+      Similarity.cosinePairs(embeddings(s, d), "vec_id", "embedding",
+          CosineThreshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
+
+    // --- similarity search ---
+    "sim_topk" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.topK(embeddings(s, d), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // Sign-LSH pruned ANN — bucket bits are sign thresholds (not
+    // reproducible bit-exactly in another engine) → rows-only;
+    // recall vs sim_topk asserted in ScalaTest.
+    "sim_ann_lsh" -> ((s, d) => {
+      val planes = embeddings(s, d).filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Float](0).toSeq).toSeq
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.annTopK(embeddings(s, d), "vec_id", "embedding", q,
+          planes, 10, probeHamming = 2)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // --- text analysis ---
+    "text_stats" -> ((s, d) => {
+      val ws = Dedup.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(ws).as("n_tokens"),
+        size(array_distinct(ws)).as("n_uniq"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+        TextAnalysis.avgTokenLength(ws).as("avg_len"),
+        TextAnalysis.stopwordRatio(ws).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    "text_langid" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.markerLangId(col("text")).as("pred_lang"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Custom Catalyst Expression (codegen'd rolling hash) — Spark
+    // only, rows-only check; ScalaTest compares against the Scala
+    // reference implementation.
+    "text_rollhash" -> ((s, d) => {
+      RollingHash64.register(s)
+      documents(s, d).select(col("doc_id"),
+        RollingHash64.rolling_hash64(TextAnalysis.normalized(col("text")))
+          .as("rh"))
+    }),
+
+    // --- multimodal (binary columns; decode is a marked stub) ---
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload").toDF()),
+
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload", frameBytes = 64).toDF())
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val NormText =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val Toks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Generated MinHash oracle mirroring Dedup.minhashPairs. */
+  private def minhashOracle: String = {
+    val sig = (0 until NumHashes)
+      .map(i => s"list_min([md5(t || ':$i') FOR t IN ts])")
+      .mkString("[", ", ", "]")
+    val bands = (0 until Bands).map { j =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig[${j * RowsPerBand + r + 1}]").mkString(" || '|' || ")
+      s"md5($parts)"
+    }.mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
+       sh AS (SELECT doc_id, list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               FOR i IN range(0, greatest(len(ws)-2, 0))]) AS ts FROM w),
+       sh2 AS (SELECT doc_id, ts FROM sh WHERE len(ts) > 0),
+       sg AS (SELECT doc_id, ts, $sig AS sig FROM sh2),
+       bd AS (SELECT doc_id, ts, unnest($bands) AS bk,
+              unnest(range(0, $Bands)) AS band FROM sg),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.ts AS ts_a, b.ts AS ts_b
+                FROM bd a JOIN bd b
+                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b,
+         CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE) /
+           len(list_distinct(ts_a || ts_b)) AS jaccard
+       FROM cand WHERE jaccard >= $JaccardThreshold"""
+  }
+
+  private val VecD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def normSql(v: String) =
+    s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5($NormText) AS fp, MIN(doc_id) AS doc_id,
+          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+
+    "dedup_key" ->
+      """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY lang, source""",
+
+    "dedup_tokenset" ->
+      s"""SELECT array_to_string(list_sort(list_distinct($Toks)), ' ')
+            AS token_key,
+          MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          FROM documents GROUP BY 1""",
+
+    "dedup_minhash" -> minhashOracle,
+
+    "dedup_embed" ->
+      s"""WITH n AS (SELECT vec_id, $VecD AS v,
+            ${normSql(VecD)} AS nrm FROM embeddings)
+          SELECT id_a, id_b, round(cs, 6) AS cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          WHERE cs >= $CosineThreshold""",
+
+    "sim_topk" ->
+      s"""WITH q AS (SELECT $VecD AS qv FROM embeddings WHERE vec_id = 0),
+          s AS (SELECT vec_id, $VecD AS v FROM embeddings)
+          SELECT vec_id, round(score_raw, 6) AS score FROM (
+            SELECT vec_id,
+              ${dotSql("v", "qv")} / (${normSql("v")} * ${normSql("qv")})
+                AS score_raw
+            FROM s, q)
+          ORDER BY score_raw DESC, vec_id LIMIT 10""",
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+          len(ws) AS n_tokens,
+          len(list_distinct(ws)) AS n_uniq,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS n_bpeish,
+          CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE CAST(list_sum([length(t) FOR t IN ws]) AS DOUBLE) / len(ws)
+          END AS avg_len,
+          CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE CAST(len([t FOR t IN ws
+              IF list_contains(['the','a','of','and','in','to','is','on'], t)])
+              AS DOUBLE) / len(ws) END AS stop_ratio,
+          (least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + CAST(len(list_distinct(ws)) AS DOUBLE)
+             / CAST(greatest(len(ws), 1) AS DOUBLE) * 0.3
+           + (1.0 - CASE WHEN len(ws) = 0 THEN 0.0
+               ELSE CAST(len([t FOR t IN ws
+                 IF list_contains(['the','a','of','and','in','to','is','on'], t)])
+                 AS DOUBLE) / len(ws) END) * 0.3) AS quality
+          FROM (SELECT doc_id, text, $Toks AS ws FROM documents)""",
+
+    "text_langid" ->
+      s"""SELECT doc_id,
+          CASE
+            WHEN s_eng >= s_db AND s_eng >= s_ml THEN 'eng'
+            WHEN s_db >= s_ml THEN 'db'
+            ELSE 'ml' END AS pred_lang
+          FROM (SELECT doc_id,
+            len([t FOR t IN ws IF list_contains(
+              ['the','a','big','small','fast','slow'], t)]) AS s_eng,
+            len([t FOR t IN ws IF list_contains(
+              ['query','table','join','sort','merge','scan'], t)]) AS s_db,
+            len([t FOR t IN ws IF list_contains(
+              ['spark','vector','stream','batch','data'], t)]) AS s_ml
+            FROM (SELECT doc_id, $Toks AS ws FROM documents))""",
+
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($NormText) AS fp FROM documents",
+
+    "mm_features" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         md5(text) AS fp,
+         CAST(ascii(substr(text, 1, 1)) % 640 AS INTEGER) AS width,
+         CAST(ascii(substr(text, 2, 1)) % 480 AS INTEGER) AS height
+         FROM documents""",
+
+    "mm_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_fp
+         FROM documents
+         CROSS JOIN unnest(range(0, octet_length(encode(text)) // 64))
+           AS r(i)"""
+  )
+}

@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RollingHashSpec extends SparkSpec {
+  test("rolling_hash64 column matches the Scala reference implementation") {
+    val s = spark
+    import s.implicits._
+    RollingHash64.register(spark)
+    val strs = Seq("", "a", "hello world", "ünïcødé ✓", "x" * 1000)
+    val df = strs.toDF("t")
+    val got = df.select(col("t"),
+      RollingHash64.rolling_hash64(col("t")).as("h")).collect()
+    got.foreach { r =>
+      val expected = RollingHash64.hash(
+        r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(r.getLong(1) == expected, s"for '${r.getString(0).take(20)}'")
+    }
+  }
+
+  test("rolling_hash64 works via SQL and inside codegen'd pipelines") {
+    RollingHash64.register(spark)
+    val n = spark.sql(
+      """SELECT rolling_hash64(c) AS h FROM VALUES ('abc'), ('abd') t(c)""")
+      .distinct().count()
+    assert(n == 2)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhashPairs finds planted near-dups with exact jaccard") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different text about spark shuffles and joins here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    // identical docs are guaranteed LSH candidates (same signature);
+    // the dog→cat pair sits at jaccard≈0.54 where candidacy is
+    // probabilistic — may or may not surface, but never doc 3.
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    pairs.foreach(p => assert(p._3 >= 0.5))
+  }
+
+  test("simhash banding: complete for hamming<=3, correct distances") {
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet").limit(200).cache()
+    // brute-force ground truth from the signatures themselves
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = ham(sa, sb) if h <= 8
+    } yield ((ia, ib), h)).toMap
+
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+
+    // every found pair is real with the right distance
+    got.foreach { case (k, h) => assert(brute.get(k).contains(h)) }
+    // pigeonhole guarantee: h<=3 pairs can't be missed by 4x16 banding
+    brute.filter(_._2 <= 3).foreach { case (k, h) =>
+      assert(got.get(k).contains(h), s"missed close pair $k (h=$h)")
+    }
+  }
+
+  test("hamming64 and jaccard helpers") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((0xFFL, 0x0FL)).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b"))).head()
+    assert(r.getInt(0) == 4)
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def queryVec: Seq[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+  test("brute-force topK matches a driver-side recomputation") {
+    val q = queryVec.map(_.toDouble)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+      dot / (na * nb)
+    }
+    val expected = all.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).toSeq
+    val got = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("annTopK returns exact scores, always finds the query itself") {
+    val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", queryVec,
+      planes, 10, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.nonEmpty)
+    // the query vector itself lives in the probed bucket, score 1.0
+    assert(ann.head._1 == 0L && math.abs(ann.head._2 - 1.0) < 1e-12)
+    // ANN scores are exact cosine (same expression as brute force)
+    val brute = Similarity.topK(emb, "vec_id", "embedding", queryVec, 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    ann.foreach { case (id, sc) => assert(brute(id) == sc) }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("extractFeatures: byte-derived stub features, null/empty safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abcd"), (2L, ""), (3L, "z")
+    ).toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 4)
+    assert(feats(1L).width == 'a'.toInt % 640)
+    assert(feats(1L).height == 'b'.toInt % 480)
+    assert(feats(2L).n_bytes == 0 && feats(2L).width == 0)
+    assert(feats(3L).height == 0)
+    assert(feats(1L).fp ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abcd".getBytes).map("%02x".format(_)).mkString)
+  }
+
+  test("sampleFrames: 64-byte frame boundaries") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x" * 63), (2L, "y" * 64), (3L, "z" * 129)
+    ).toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val counts = Multimodal.sampleFrames(df, "doc_id", "payload")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.get(1L).isEmpty) // 63 bytes -> 0 frames
+    assert(counts(2L) == 1)
+    assert(counts(3L) == 2)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  test("token stats edge cases") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("the the a spark", "SOLO").toDF("text")
+    val rows = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("sr"),
+      TextAnalysis.avgTokenLength(TextAnalysis.tokens(col("text"))).as("al"),
+      TextAnalysis.markerLangId(col("text")).as("lang")).collect()
+    assert(rows(0).getInt(0) == 4)
+    assert(rows(0).getDouble(1) == 0.75)
+    assert(rows(0).getDouble(2) == 3.0) // (3+3+1+5)/4
+    assert(rows(0).getString(3) == "eng") // 3 eng markers vs 1 ml
+    assert(rows(1).getString(3) == "eng") // all-zero tie -> eng precedence
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val s = spark
+    import s.implicits._
+    val fps = Seq("Hello  World", "hello world", "other")
+      .toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect()
+      .map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("bpeish count splits letter runs, digit runs, punctuation") {
+    val s = spark
+    import s.implicits._
+    val n = Seq("ab12 cd!").toDF("text")
+      .select(TextAnalysis.bpeishCount(col("text"))).head().getInt(0)
+    assert(n == 4) // "ab" "12" "cd" "!"
+  }
+}
