@@ -1,63 +1,100 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
   *
-  * All built-in expressions (codegen'd, shuffle-minimal):
-  *   - exact dedup: one hash-aggregate shuffle on the dedup key;
-  *   - MinHash LSH: signatures computed map-side per document, then
-  *     ONE shuffle on (band, bucket-key) — candidate verification only
-  *     touches same-bucket pairs, never the O(n²) cross product. At
-  *     cluster scale the band join partitions by bucket and skewed
-  *     buckets are handled by AQE; a connected-components pass over
-  *     the emitted pair list yields dedup groups.
-  *   - SimHash: 64-bit signature map-side; banded bucket join for
-  *     Hamming-neighbor candidates.
+  * Design rules learned the hard way (all measured on the bench):
   *
-  * The MinHash family uses md5 (same function exists in DuckDB) so the
-  * whole pipeline is oracle-checkable cross-engine; lexicographic MIN
-  * over fixed-width hex strings equals numeric MIN of the hashes.
+  *   1. NO higher-order functions (`transform`/`aggregate`) on hot
+  *      paths: they are interpreted (outside whole-stage codegen) and
+  *      have no common-subexpression elimination, so nested uses
+  *      re-evaluate their inputs per element — a 30x+ blowup.
+  *   2. NO document-sized arrays through shuffles or filters: the
+  *      optimizer (filter pushdown, InferFiltersFromGenerate) freely
+  *      duplicates projection expressions into scan filters, so an
+  *      "array of shingles" column gets recomputed per predicate.
+  *      Shingles are plain ROWS here; sets are (id, shingle) relations.
+  *   3. Self-joins ship skinny keys only; verification joins back via
+  *      the (tiny) candidate pair list — broadcast by AQE.
+  *
+  * Hashing policy: ONE md5 per shingle/token (md5 exists in DuckDB, so
+  * the whole pipeline is oracle-checkable cross-engine); the hash
+  * family is derived from two 32-bit slices of the digest by double
+  * hashing h_i = (h1 + i·h2) mod P (Kirsch–Mitzenmacher) — `numHashes`
+  * functions for the price of one digest.
   */
 object Dedup {
+
+  /** Prime just above 2^32: keeps h1 + i·h2 (< 2^38) well inside Long. */
+  final val MinhashPrime = 4294967311L
 
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct 3-gram word shingles — the dedup unit. Much more
-    * discriminative than unigrams on small vocabularies.
+  /** (h1, h2) 32-bit hash pair of a string: the first/second 8 hex chars
+    * of its md5 digest, as longs. DuckDB: ('0x'||substr(md5(t),1,8))::BIGINT.
     */
-  def shingles3(ws: Column): Column =
-    when(size(ws) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ",
-          element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3)))))
+  private def h32(t: Column, offset: Int): Column =
+    conv(substring(md5(t), offset, 8), 16, 10).cast("long")
 
-  /** MinHash signature: `numHashes` independent hash functions
-    * h_i(s) = md5(s + ":" + i); the signature component is the MIN
-    * over the shingle set (32-hex-char strings compare like the
-    * underlying 128-bit integers).
+  /** Distinct 3-gram word shingles as ROWS: (id, shingle).
+    *
+    * posexplode + windowed `lead` — fully codegen'd, no arrays survive
+    * past the generator, so no optimizer rule can duplicate expensive
+    * array expressions into filters. The window shuffles by document
+    * id, which every downstream aggregation reuses.
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleSet, t => md5(concat(t, lit(s":$i")))))
-    }: _*)
+  def shingleRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition(par)
+      .select(col("id"), posexplode(tokens(col("txt"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    tok
+      .select(col("id"), col("w"),
+        lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), concat_ws(" ", col("w"), col("w1"), col("w2"))
+        .as("shingle"))
+      .distinct()
+  }
 
-  /** LSH band keys: signature split into `bands` groups of `rowsPerBand`
-    * components, each group hashed to one bucket key.
+  /** MinHash signature table (id, m0..m{n-1}): component i is
+    * min over shingles of (h1 + i·h2) mod P — ONE codegen'd
+    * hash-aggregate with `numHashes` MIN columns, map-side partial, so
+    * the only shuffled payload is one already-minimized row of
+    * `numHashes` longs per document.
     */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val hx = md5(col("shingle"))
+    val hashed = shingles.select(col("id"),
+      conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"),
+        lit(MinhashPrime))).as(s"m$i"))
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band keys over a signature table's m0..m{n-1} columns:
+    * `bands` groups of `rowsPerBand` components, each group joined
+    * into one bucket-key string.
+    */
+  def bandKeys(bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { j =>
-      md5(concat_ws("|",
+      concat_ws("|",
         (0 until rowsPerBand).map(r =>
-          element_at(sig, j * rowsPerBand + r + 1)): _*))
+          col(s"m${j * rowsPerBand + r}")): _*)
     }: _*)
 
   /** Exact Jaccard similarity of two (distinct-element) arrays —
     * integer set sizes divided in double, deterministic cross-engine.
+    * (Column-level utility; the pair-mining path below counts
+    * intersections relationally instead.)
     */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -65,8 +102,15 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pair mining.
     *
+    * Plan shape (the 100 TB path): the band self-join ships only
+    * (id, band, bk); candidate id-pairs come out of the bucket join,
+    * are de-duplicated, and verified by counting shared (id, shingle)
+    * ROWS — jaccard = |A∩B| / (|A| + |B| − |A∩B|) — never by moving
+    * shingle arrays. AQE broadcasts the tiny candidate list into the
+    * verify joins; skewed buckets are AQE skew-join territory.
+    *
     * @return (id_a, id_b, jaccard) for candidate pairs (same LSH
-    *         bucket in ≥1 band) whose EXACT shingle Jaccard ≥ threshold;
+    *         bucket in >=1 band) whose EXACT shingle Jaccard >= threshold;
     *         id_a < id_b.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -74,75 +118,94 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes)
-    val sh = df.select(col(idCol).as("id"),
-        shingles3(tokens(col(textCol))).as("ts"))
-      .filter(size(col("ts")) > 0)
-    val banded = sh
-      .select(col("id"), col("ts"),
-        posexplode(bandKeys(minhashSignature(col("ts"), numHashes),
-          bands, rowsPerBand)).as(Seq("band", "bk")))
-    val a = banded.select(col("band"), col("bk"),
-      col("id").as("id_a"), col("ts").as("ts_a"))
-    val b = banded.select(col("band"), col("bk"),
-      col("id").as("id_b"), col("ts").as("ts_b"))
-    a.join(b, Seq("band", "bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+    val shd = shingleRows(df, idCol, textCol)
+    val banded = minhashSignatures(shd, numHashes).select(col("id"),
+      posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
+    // |A∩B| by joining the candidate pairs through the shingle relation.
+    val inter = cand
+      .join(shd.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(shd.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val cnt = shd.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(cnt.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("ts_a"), col("ts_b")).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of a token array: per token a 64-bit hash
-    * (xxhash64, Spark-native); each signature bit is the sign of the
-    * ±1 vote sum across tokens. Built-in higher-order functions only.
+  /** SimHash signature table: (id, sig_hi, sig_lo) — the 64-bit SimHash
+    * split into two 32-bit words (each stored in a long), so that every
+    * intermediate (shifts, masks, ORs) stays within signed 64-bit range
+    * in Spark AND in the DuckDB oracle.
+    *
+    * Token hash: md5 slices as in MinHash — hi = hex[1..8], lo = hex[9..16].
+    * Vote b = sum over tokens of +-1 by bit b; signature bit b = [vote > 0].
+    *
+    * Implementation is explode + one codegen'd hash-aggregate with 64
+    * SUM columns — no interpreted higher-order functions on the hot path.
     */
-  def simhash64(ws: Column): Column = {
-    // votes[b] = Σ_tokens (bit b set ? 1 : -1), b = 0..63
-    val votes = aggregate(
-      ws,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, bitVector(xxhash64(t)),
-        (a, v) => a + v))
-    // pack sign bits into a long (shift amount is a column → SQL fn)
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) =>
-          when(v > 0, call_function("shiftleft", lit(1L), i))
-            .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition(par)
+      .select(col("id"), explode(tokens(col("txt"))).as("t"))
+    val hashed = tok.select(col("id"),
+      h32(col("t"), 1).as("hi"), h32(col("t"), 9).as("lo"))
+    def vote(word: Column, b: Int): Column =
+      sum(when(shiftright(word, b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1))
+    val votes =
+      (0 until 32).map(b => vote(col("lo"), b).as(s"v$b")) ++
+      (0 until 32).map(b => vote(col("hi"), b).as(s"v${b + 32}"))
+    val agg = hashed.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    def pack(base: Int): Column =
+      (0 until 32).map(b =>
+        when(col(s"v${base + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), pack(32).as("sig_hi"), pack(0).as("sig_lo"))
   }
 
-  /** 64-element ±1 vector from the bits of a long. */
-  private def bitVector(h: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      i => when(call_function("shiftright", h, i)
-          .bitwiseAND(lit(1L)) === 1L, lit(1))
-        .otherwise(lit(-1)))
+  /** 16-bit chunks of the (hi, lo) signature for LSH banding
+    * (pigeonhole: Hamming distance <= 3 implies >=1 identical chunk).
+    */
+  def simhashChunks(hi: Column, lo: Column): Column = array(
+    lo.bitwiseAND(lit(0xFFFFL)),
+    shiftright(lo, 16).bitwiseAND(lit(0xFFFFL)),
+    hi.bitwiseAND(lit(0xFFFFL)),
+    shiftright(hi, 16).bitwiseAND(lit(0xFFFFL)))
 
-  /** SimHash near-dup candidates: band the 64-bit signature into four
-    * 16-bit chunks (pigeonhole: Hamming distance ≤ 3 ⇒ at least one
-    * identical chunk), bucket-join, verify exact Hamming distance.
+  /** SimHash near-dup candidates: chunk-bucket self-join (skinny: ids and
+    * two longs only), then exact Hamming distance on the candidate pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+    val sig = simhashSignatures(df, idCol, textCol)
+    val banded = sig.select(col("id"),
+      posexplode(simhashChunks(col("sig_hi"), col("sig_lo")))
         .as(Seq("band", "chunk")))
-    val a = banded.select(col("band"), col("chunk"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    val ham =
+      bit_count(col("sa.sig_hi").bitwiseXOR(col("sb.sig_hi"))) +
+      bit_count(col("sa.sig_lo").bitwiseXOR(col("sb.sig_lo")))
+    cand
+      .join(sig.as("sa"), col("id_a") === col("sa.id"))
+      .join(sig.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

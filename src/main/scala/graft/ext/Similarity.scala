@@ -3,17 +3,21 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotDouble
+
 /** Embedding similarity search over `array<float>` columns.
   *
-  * Arithmetic policy: cast each element to DOUBLE before multiplying,
-  * then left-fold the sum — both Spark's `aggregate` HOF and DuckDB's
-  * `list_sum(list_transform(...))` evaluate in list order, so scores
-  * are bit-identical cross-engine (oracle-checkable).
+  * Arithmetic policy: every dot product is a strict left fold in double
+  * (`graft.functions.DotDouble`, a codegen'd Catalyst expression) —
+  * the same element-order fold DuckDB's `list_sum(list_transform(...))`
+  * performs, so scores are oracle-checkable cross-engine.
   *
   * Scale paths:
   *   - brute-force top-k: one scan, per-row score, ORDER BY LIMIT k —
   *     Spark's TakeOrdered keeps only k rows per partition; fine for a
   *     single query vector even on huge tables.
+  *   - all-pairs: norms computed once per row BEFORE the pair join
+  *     (never per pair), then a codegen'd 64-step loop per pair.
   *   - LSH ANN: sign-bit bucketing against fixed hyperplanes prunes
   *     the scan to matching buckets; the bucket id is computed
   *     map-side and can back a partition/bucket layout at rest, so a
@@ -21,24 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise double view of a float vector. */
-  def vecD(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Codegen'd left-fold dot product in double (mixed float/double ok). */
+  def dot(df: DataFrame, a: Column, b: Column): Column = {
+    DotDouble.register(df.sparkSession)
+    DotDouble.dot_double(a, b)
+  }
 
-  /** Left-fold dot product in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  def l2norm(df: DataFrame, a: Column): Column = sqrt(dot(df, a, a))
 
   /** Brute-force cosine top-k against one query vector. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(x => lit(x.toDouble)): _*)
+    val v = col(vecCol)
     df.select(col(idCol),
-        cosine(vecD(col(vecCol)), q).as("score"))
+        (dot(df, v, q) / (l2norm(df, v) * l2norm(df, q))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -47,10 +48,11 @@ object Similarity {
     * caller-supplied fixed vectors (deterministic — e.g. the first
     * `nPlanes` corpus vectors), broadcast as literals.
     */
-  def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column =
+  def lshBucket(df: DataFrame, vec: Column,
+      planes: Seq[Seq[Float]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val pl = array(p.map(x => lit(x.toDouble)): _*)
-      when(dot(vec, pl) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(df, vec, pl) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN top-k: restrict the scan to vectors whose LSH bucket is
@@ -62,26 +64,35 @@ object Similarity {
       query: Seq[Float], planes: Seq[Seq[Float]], k: Int,
       probeHamming: Int = 1): DataFrame = {
     val qd = array(query.map(x => lit(x.toDouble)): _*)
-    val qBucket = lshBucket(qd, planes)
-    df.select(col(idCol), vecD(col(vecCol)).as("v"),
-        lshBucket(vecD(col(vecCol)), planes).as("bucket"))
+    val qBucket = lshBucket(df, qd, planes)
+    val v = col(vecCol)
+    df.select(col(idCol), v.as("v"),
+        lshBucket(df, v, planes).as("bucket"))
       .filter(Dedup.hamming64(col("bucket"), qBucket) <= probeHamming)
-      .select(col(idCol), cosine(col("v"), qd).as("score"))
+      .select(col(idCol),
+        (dot(df, col("v"), qd) /
+          (l2norm(df, col("v")) * l2norm(df, qd))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
 
-  /** All pairs with cosine ≥ threshold. Brute force O(n²) — correct
-    * baseline and the oracle target; the LSH path above is the scale
-    * variant. Keep for small/verification inputs.
+  /** All pairs with cosine >= threshold. Brute force O(n^2) pairs, but:
+    * norms are computed once per ROW before the join (not per pair), and
+    * the per-pair work is a single codegen'd dot-product loop. The LSH
+    * path above is the scale variant for pruning candidates.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), vecD(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), vecD(col(vecCol)).as("vb"))
+    val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(df, col(vecCol)).as("nrm"))
+    val a = n.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = n.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("cos"))
+        (dot(df, col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

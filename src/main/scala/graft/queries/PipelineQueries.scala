@@ -11,11 +11,12 @@ import Tables._
   * `documents` and `embeddings` tables.
   *
   * Oracle strategy: everything whose arithmetic is reproducible
-  * cross-engine gets DuckDB SQL (md5-based MinHash, set Jaccard,
-  * double-fold cosine rounded to 6dp); ops tied to Spark-internal
-  * hashing (xxhash64 SimHash) or sign-threshold LSH bucketing are
-  * rows-only here and verified in ScalaTest against independent
-  * reimplementations / brute-force baselines.
+  * cross-engine gets DuckDB SQL (md5-derived MinHash AND SimHash, set
+  * Jaccard, double-fold cosine rounded to 6dp); ops that are inherently
+  * sketch/approximate (HLL approx_distinct, sign-LSH ANN) or tied to a
+  * custom codegen expression (rolling hash) are rows-only here and
+  * verified in ScalaTest against independent reimplementations /
+  * brute-force baselines.
   */
 object PipelineQueries {
 
@@ -53,8 +54,6 @@ object PipelineQueries {
       Dedup.minhashPairs(documents(s, d), "doc_id", "text",
         NumHashes, Bands, JaccardThreshold)),
 
-    // Spark-native xxhash64 → no SQL oracle (rows-only; ScalaTest
-    // verifies against brute-force Hamming pairs).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text",
         maxHamming = 8)),
@@ -137,31 +136,74 @@ object PipelineQueries {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val Toks = "string_split_regex(lower(trim(text)), '\\s+')"
 
-  /** Generated MinHash oracle mirroring Dedup.minhashPairs. */
+  /** Generated MinHash oracle mirroring Dedup.minhashPairs: one md5 per
+    * shingle, double hashing h_i = (h1 + i*h2) mod P over its two 32-bit
+    * hex slices, skinny band join, then exact Jaccard on candidates.
+    */
   private def minhashOracle: String = {
+    val P = graft.ext.Dedup.MinhashPrime
     val sig = (0 until NumHashes)
-      .map(i => s"list_min([md5(t || ':$i') FOR t IN ts])")
+      .map(i => s"list_min([(h[1] + $i * h[2]) % $P FOR h IN hs])")
       .mkString("[", ", ", "]")
     val bands = (0 until Bands).map { j =>
-      val parts = (0 until RowsPerBand)
+      (0 until RowsPerBand)
         .map(r => s"sig[${j * RowsPerBand + r + 1}]").mkString(" || '|' || ")
-      s"md5($parts)"
     }.mkString("[", ", ", "]")
     s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
        sh AS (SELECT doc_id, list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
                FOR i IN range(0, greatest(len(ws)-2, 0))]) AS ts FROM w),
        sh2 AS (SELECT doc_id, ts FROM sh WHERE len(ts) > 0),
-       sg AS (SELECT doc_id, ts, $sig AS sig FROM sh2),
-       bd AS (SELECT doc_id, ts, unnest($bands) AS bk,
+       hx AS (SELECT doc_id, [[('0x' || substr(md5(t), 1, 8))::BIGINT,
+                               ('0x' || substr(md5(t), 9, 8))::BIGINT]
+                              FOR t IN ts] AS hs FROM sh2),
+       sg AS (SELECT doc_id, $sig AS sig FROM hx),
+       bd AS (SELECT doc_id, unnest($bands) AS bk,
               unnest(range(0, $Bands)) AS band FROM sg),
-       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                a.ts AS ts_a, b.ts AS ts_b
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bd a JOIN bd b
                 ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
        SELECT id_a, id_b,
-         CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE) /
-           len(list_distinct(ts_a || ts_b)) AS jaccard
-       FROM cand WHERE jaccard >= $JaccardThreshold"""
+         CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
+           len(list_distinct(sa.ts || sb.ts)) AS jaccard
+       FROM cand JOIN sh2 sa ON cand.id_a = sa.doc_id
+                 JOIN sh2 sb ON cand.id_b = sb.doc_id
+       WHERE jaccard >= $JaccardThreshold"""
+  }
+
+  /** Generated SimHash oracle mirroring Dedup.simhashPairs: md5-sliced
+    * token hashes, 64 +-1 bit votes, signature packed as two 32-bit
+    * words, 16-bit chunk banding, exact Hamming on candidates.
+    */
+  private def simhashOracle: String = {
+    val votes = (0 until 64).map { b =>
+      val w = if (b < 32) "lo" else "hi"
+      val s = if (b < 32) b else b - 32
+      s"sum(CASE WHEN (($w >> $s) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    def pack(base: Int) = (0 until 32).map { b =>
+      s"(CASE WHEN v${base + b} > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(" | ")
+    s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+       h AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo FROM tok),
+       v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       s AS (SELECT doc_id, ${pack(32)} AS sig_hi, ${pack(0)} AS sig_lo
+             FROM v),
+       bd AS (SELECT doc_id,
+              unnest([sig_lo & 65535, (sig_lo >> 16) & 65535,
+                      sig_hi & 65535, (sig_hi >> 16) & 65535]) AS chunk,
+              unnest(range(0, 4)) AS band FROM s),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bd a JOIN bd b
+                ON a.band = b.band AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b,
+         CAST(bit_count(xor(sa.sig_hi, sb.sig_hi)) +
+              bit_count(xor(sa.sig_lo, sb.sig_lo)) AS INTEGER) AS hamming
+       FROM cand JOIN s sa ON cand.id_a = sa.doc_id
+                 JOIN s sb ON cand.id_b = sb.doc_id
+       WHERE hamming <= 8"""
   }
 
   private val VecD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -186,6 +228,8 @@ object PipelineQueries {
           FROM documents GROUP BY 1""",
 
     "dedup_minhash" -> minhashOracle,
+
+    "dedup_simhash" -> simhashOracle,
 
     "dedup_embed" ->
       s"""WITH n AS (SELECT vec_id, $VecD AS v,

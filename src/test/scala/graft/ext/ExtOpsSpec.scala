@@ -56,10 +56,11 @@ class DedupSpec extends SparkSpec {
     val docs = spark.read
       .parquet(s"$sf/documents.parquet").limit(200).cache()
     // brute-force ground truth from the signatures themselves
-    val sigs = docs.select(col("doc_id"),
-        Dedup.simhash64(Dedup.tokens(col("text"))).as("sig"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
       h = ham(sa, sb) if h <= 8
