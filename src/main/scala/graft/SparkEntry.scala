@@ -20,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ RelationalQueries.queries ++
-      PipelineQueries.queries
+      ExtendedQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      ExtendedQueries.oracleSql ++ PipelineQueries.oracleSql
 }

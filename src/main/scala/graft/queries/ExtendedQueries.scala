@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.AsOfJoin
+import Tables._
+
+/** Second wave of the extended relational surface (SURVEY §2.2):
+  * as-of + range joins, lag/lead/ntile windows, pivot, exact
+  * percentiles, moment statistics, grouping sets, having, explode,
+  * and scalar-function batteries (string/date).
+  *
+  * Cross-engine determinism notes:
+  *   - timestamps compare/export via `unix_micros` (DuckDB `epoch_us`);
+  *   - double aggregates whose merge order varies (corr/stddev/var,
+  *     percentile interpolation) are rounded to 6 dp in BOTH engines;
+  *   - DATE-typed outputs are cast to DATE on both sides (Spark
+  *     `add_months` returns DATE, DuckDB `+ INTERVAL` a TIMESTAMP);
+  *   - Spark `dayofweek` is 1=Sunday..7; DuckDB `dayofweek` 0=Sunday..6.
+  */
+object ExtendedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each purchase picks the user's most recent earlier
+    // click (union + window; see graft.operators.AsOfJoin).
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.lastEarlier(purchases, clicks, "user_id", "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof.ts")).as("click_us"),
+          col("asof.value").as("click_value"))
+    }),
+
+    // Range join: click->purchase conversions within one hour, same
+    // user. Equi key (user) + range predicate: shuffles once on the
+    // key, the range filter applies inside the joined partitions.
+    "join_range" -> ((s, d) => {
+      val ev = events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      c.join(p, "user_id")
+        .filter(col("p_us") > col("c_us") &&
+          col("p_us") - col("c_us") <= 3600000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("p_us") - col("c_us")).cast("double") / count(lit(1)))
+            .as("avg_gap_us"))
+    }),
+
+    // lag/lead offsets within a partition.
+    "window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      events(s, d).select(col("event_id"), col("event_type"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        (col("value") - coalesce(lag("value", 1).over(w), lit(0.0)))
+          .as("delta"))
+    }),
+
+    // Ranking family: ntile/rank/percent_rank over a deterministic
+    // (unique-tiebreak) ordering, partitioned so no global sort.
+    "window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(10).over(w).as("decile"),
+        rank().over(w).as("rnk"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+    }),
+
+    // Pivot: one count column per order priority (explicit value list
+    // -> stable schema; missing combos coalesced to 0 on both sides).
+    "pivot_agg" -> ((s, d) => {
+      val pv = orders(s, d).groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+      pv.select(col("o_orderstatus"),
+        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`), rounded 6dp for merge-order noise.
+    "percentile_agg" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))),
+
+    // Moment statistics (single-pass co-moment aggregates).
+    "stats_agg" -> ((s, d) =>
+      lineitem(s, d).agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("covar_qty_disc"))),
+
+    // Explicit GROUPING SETS (beyond rollup/cube).
+    "grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+               FROM gs_orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    // Aggregate + HAVING (post-aggregation filter).
+    "having_agg" -> ((s, d) =>
+      orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_spend"))
+        .filter(col("n_orders") >= 8)),
+
+    // Generator/UDTF surface: token stream with positions.
+    "explode_tokens" -> ((s, d) =>
+      documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(graft.ext.Dedup.tokens(col("text")))
+            .as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token"))),
+
+    // String scalar-function battery.
+    "string_funcs" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("len"),
+        substring(col("c_name"), 10, 5).as("sub"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        reverse(col("c_mktsegment")).as("rseg"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+        instr(col("c_name"), "1").as("pos1"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"))),
+
+    // Date/time scalar-function battery.
+    "date_funcs" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        datediff(lit("1999-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_99"),
+        unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("month_epoch")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+         epoch_us(c.ts) AS click_us, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    "join_range" ->
+      """SELECT user_id, COUNT(*) AS n_pairs,
+         CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_us
+         FROM (SELECT c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap
+               FROM (SELECT * FROM events WHERE event_type = 'click') c
+               JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+               ON c.user_id = p.user_id
+               WHERE epoch_us(p.ts) > epoch_us(c.ts)
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
+         GROUP BY user_id""",
+
+    "window_lag" ->
+      """SELECT event_id, event_type, value,
+         LAG(value) OVER w AS prev_value,
+         LEAD(value) OVER w AS next_value,
+         value - COALESCE(LAG(value) OVER w, 0.0) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""",
+
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+         ntile(10) OVER w AS decile,
+         rank() OVER w AS rnk,
+         round(percent_rank() OVER w, 6) AS pct_rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)""",
+
+    "pivot_agg" ->
+      """SELECT o_orderstatus,
+         COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+         COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+         COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+         COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+         COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+         FROM orders GROUP BY o_orderstatus""",
+
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+         round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "stats_agg" ->
+      """SELECT round(stddev_samp(l_quantity), 6) AS sd_qty,
+         round(var_samp(l_quantity), 6) AS var_qty,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+         FROM lineitem""",
+
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "having_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""",
+
+    "explode_tokens" ->
+      """SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS token
+         FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS ws
+               FROM documents WHERE doc_id < 50)""",
+
+    "string_funcs" ->
+      """SELECT c_custkey,
+         upper(c_name) AS uname,
+         length(c_name) AS len,
+         substr(c_name, 10, 5) AS sub,
+         regexp_replace(c_name, 'Customer', 'Cust') AS repl,
+         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+         reverse(c_mktsegment) AS rseg,
+         levenshtein(c_mktsegment, 'BUILDING') AS lev,
+         strpos(c_name, '1') AS pos1,
+         concat_ws('-', c_mktsegment, c_name) AS joined
+         FROM customer""",
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS y,
+         quarter(o_orderdate) AS q,
+         month(o_orderdate) AS m,
+         day(o_orderdate) AS dom,
+         dayofweek(o_orderdate) + 1 AS dow,
+         last_day(o_orderdate) AS month_end,
+         CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+           AS days_to_99,
+         CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+           AS month_epoch
+         FROM orders"""
+  )
+}

@@ -106,9 +106,10 @@ object PipelineQueries {
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
-    // Custom Catalyst Expression (codegen'd rolling hash) — Spark
-    // only, rows-only check; ScalaTest compares against the Scala
-    // reference implementation.
+    // Custom Catalyst Expression (codegen'd rolling hash). Oracle
+    // emulates the 64-bit wrap-around polynomial in DuckDB HUGEINT
+    // arithmetic over codepoints (== UTF-8 bytes for this pure-ASCII
+    // corpus; ScalaTest additionally covers the unicode byte path).
     "text_rollhash" -> ((s, d) => {
       RollingHash64.register(s)
       documents(s, d).select(col("doc_id"),
@@ -230,6 +231,24 @@ object PipelineQueries {
     "dedup_minhash" -> minhashOracle,
 
     "dedup_simhash" -> simhashOracle,
+
+    // 64-bit wrapping polynomial hash h = h*B + byte, emulated with
+    // 128-bit HUGEINT + explicit mod 2^64 and a signed reinterpretation
+    // at the end. Codepoints == bytes only for ASCII; the sf corpus is
+    // ASCII (verified), non-ASCII coverage lives in ScalaTest.
+    "text_rollhash" ->
+      s"""SELECT doc_id,
+          CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT
+                    ELSE h END AS BIGINT) AS rh
+          FROM (SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                [unicode(c)::HUGEINT FOR c IN string_split($NormText, '')
+                 IF c != '']),
+              (a, x) -> (a * ${graft.ext.RollingHash64.Base} + x)
+                        % 18446744073709551616::HUGEINT) AS h
+            FROM documents)""",
 
     "dedup_embed" ->
       s"""WITH n AS (SELECT vec_id, $VecD AS v,

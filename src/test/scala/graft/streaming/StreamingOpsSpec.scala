@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class RawEvent(event_id: Long, ts: Timestamp, event_type: String,
+    value: Double)
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("reference RuleSet runs unchanged over a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[RawEvent]
+    val out = StreamingOps.transformStream(in.toDF(),
+      Seq(("_filter:big", "eval: src[value] >= 10"),
+          ("Id", "src[event_id]"),
+          ("Kind", "constant:stream")))
+    val q = out.writeStream.format("memory").queryName("etl_stream")
+      .outputMode("append").start()
+    in.addData(RawEvent(1, t(0), "click", 5.0),
+      RawEvent(2, t(1), "view", 15.0))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT Id, Kind FROM etl_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(rows.toSet == Set(("2", "stream")))
+  }
+
+  test("watermarked windowed aggregation emits per-window counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = StreamingOps.windowedCounts(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("update").start()
+    in.addData(
+      RawEvent(1, t(0), "click", 1.0),
+      RawEvent(2, t(3), "click", 2.0),
+      RawEvent(3, t(12), "view", 4.0))
+    q.processAllAvailable()
+    val rows = s.sql(
+        "SELECT event_type, n, sum_value FROM win_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
+  }
+
+  test("stream dedup drops repeated event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[RawEvent]
+    val q = StreamingOps.dedupStream(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    in.addData(RawEvent(1, t(0), "click", 1.0),
+      RawEvent(1, t(1), "click", 1.0), RawEvent(2, t(2), "view", 2.0))
+    q.processAllAvailable()
+    in.addData(RawEvent(1, t(3), "click", 1.0)) // still a dup
+    q.processAllAvailable()
+    val n = s.sql("SELECT count(*) FROM dedup_stream").head().getLong(0)
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("flatMapGroupsWithState keeps running totals across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("state_stream")
+      .outputMode("update").start()
+    in.addData(StreamingOps.Event(1, 10, 1.0), StreamingOps.Event(2, 10, 2.0))
+    q.processAllAvailable()
+    in.addData(StreamingOps.Event(3, 10, 4.0), StreamingOps.Event(4, 20, 8.0))
+    q.processAllAvailable()
+    // memory sink in update mode appends each emitted update; the
+    // LAST row per user carries the final running total.
+    val last = s.sql(
+        """SELECT user_id, n, total FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY n DESC) AS rn FROM state_stream) WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(last == Set((10L, 3L, 7.0), (20L, 1L, 8.0)))
+  }
+}
