@@ -100,7 +100,25 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b)))
 
-  /** MinHash+LSH near-duplicate pair mining.
+  /** Character n-gram shingles as ROWS: (id, gram) over the normalized
+    * text — the char-level analogue of `shingleRows` (robust to word
+    * re-segmentation; the usual unit for code/short-text dedup).
+    */
+  def charGramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("id"),
+        TextAnalysis.normalized(col(textCol)).as("nt"))
+      .repartition(par)
+      .filter(length(col("nt")) >= n)
+      .select(col("id"), col("nt"),
+        explode(sequence(lit(1), length(col("nt")) - (n - 1))).as("p"))
+      .select(col("id"), col("nt").substr(col("p"), lit(n)).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pair mining over ANY (id, shingle)
+    * relation (word 3-grams, char n-grams, ...).
     *
     * Plan shape (the 100 TB path): the band self-join ships only
     * (id, band, bk); candidate id-pairs come out of the bucket join,
@@ -113,13 +131,18 @@ object Dedup {
     *         bucket in >=1 band) whose EXACT shingle Jaccard >= threshold;
     *         id_a < id_b.
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+  def minhashPairsFromShingles(shingles: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes)
-    val shd = shingleRows(df, idCol, textCol)
-    val banded = minhashSignatures(shd, numHashes).select(col("id"),
+    // The shingle relation feeds FIVE plan legs (both sides of the
+    // band self-join via the signature table, two verify joins, set
+    // sizes); the signature table feeds two. Materialize each once —
+    // lazy executor-local checkpoint, computed on first use — instead
+    // of re-running the explode/distinct/aggregate per leg.
+    val shd = shingles.localCheckpoint(false)
+    val banded = minhashSignatures(shd, numHashes)
+      .localCheckpoint(false).select(col("id"),
       posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -142,6 +165,25 @@ object Dedup {
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Word-3-gram MinHash near-dup pairs (the default corpus config). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame =
+    minhashPairsFromShingles(shingleRows(df, idCol, textCol),
+      numHashes, bands, threshold)
+
+  /** Char-n-gram Jaccard near-dup pairs (same LSH scaffold, char
+    * shingles). Default 8 ROWS per band (vs 4 for word shingles):
+    * char grams of same-language text overlap heavily, so background
+    * pair similarity is much higher — r=8 keeps the candidate rate at
+    * s~0.35 below 0.2% while still surfacing s>=0.9 dups with p=0.99.
+    */
+  def ngramPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame =
+    minhashPairsFromShingles(charGramRows(df, idCol, textCol, n),
+      numHashes, bands, threshold)
 
   /** SimHash signature table: (id, sig_hi, sig_lo) — the 64-bit SimHash
     * split into two 32-bit words (each stored in a long), so that every
@@ -190,7 +232,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+    // sig feeds 4 plan legs (self-join sides + hamming backjoins).
+    val sig = simhashSignatures(df, idCol, textCol).localCheckpoint(false)
     val banded = sig.select(col("id"),
       posexplode(simhashChunks(col("sig_hi"), col("sig_lo")))
         .as(Seq("band", "chunk")))

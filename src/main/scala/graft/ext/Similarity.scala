@@ -76,6 +76,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k: a deterministic coarse quantizer
+    * (the first `nCentroids` corpus vectors by id), each vector
+    * assigned map-side to its max-dot-product cell, the query probing
+    * only the `probes` closest cells, exact cosine inside them.
+    *
+    * Scale path: the cell id is a plain column — the corpus can be
+    * WRITTEN partitioned/bucketed by cell, so a query scans `probes`
+    * cells instead of the full table. Cell assignment is one codegen'd
+    * projection (nCentroids dot products per row), no shuffle.
+    * Approximate — recall vs `topK` asserted in tests.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], nCentroids: Int = 16, probes: Int = 2,
+      k: Int = 10): DataFrame = {
+    val cents = df.orderBy(idCol).limit(nCentroids)
+      .select(vecCol).collect().map(_.getSeq[Float](0)).toSeq
+    val dots = cents.zipWithIndex.map { case (c, j) =>
+      dot(df, col(vecCol), array(c.map(x => lit(x.toDouble)): _*)).as(s"d$j")
+    }
+    val g = greatest(cents.indices.map(j => col(s"d$j")): _*)
+    val cell = cents.indices.drop(1).foldLeft(
+        when(col("d0") === col("__g"), lit(0))) { (acc, j) =>
+      acc.when(col(s"d$j") === col("__g"), lit(j))
+    }
+    // driver-side: the query's closest cells
+    val qd = query.map(_.toDouble)
+    def sdot(c: Seq[Float]): Double =
+      qd.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, j) => (sdot(c), j) }
+      .sortBy { case (d, j) => (-d, j) }.take(probes).map(_._2)
+    val qlit = array(query.map(x => lit(x.toDouble)): _*)
+    df.select((col(idCol) +: col(vecCol).as("v") +: dots): _*)
+      .withColumn("__g", g)
+      .withColumn("__cell", cell)
+      .filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol),
+        (dot(df, col("v"), qlit) /
+          (l2norm(df, col("v")) * l2norm(df, qlit))).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine >= threshold. Brute force O(n^2) pairs, but:
     * norms are computed once per ROW before the join (not per pair), and
     * the per-pair work is a single codegen'd dot-product loop. The LSH

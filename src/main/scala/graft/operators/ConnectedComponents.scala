@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the pass
+  * that turns a near-duplicate PAIR list into dedup GROUPS (each doc
+  * labeled with the smallest id reachable from it).
+  *
+  * Each round: (1) one-hop propagation — every node takes the min of
+  * its own and its neighbors' labels (one keyed join + partial
+  * aggregate); (2) pointer jumping — every node re-reads its LABEL's
+  * label, doubling propagation distance, so convergence is O(log
+  * diameter) rounds, not O(diameter) (a 30-node chain converges in ~5
+  * rounds). `localCheckpoint` truncates lineage so plans stay O(1) per
+  * round instead of nesting. Label state is (id, label) longs —
+  * negligible shuffle payload at any scale.
+  */
+object ConnectedComponents {
+
+  /** @param edges (id_a, id_b) undirected edge list
+    * @return (id, label) for every endpoint id; label = min id of its
+    *         component (deterministic).
+    */
+  def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Symmetrized edges PLUS self-loops: every node then receives its
+    // own label in the propagation join, so each round is a pure
+    // join + aggregate — no in-loop Union (Union over join-derived
+    // children trips Catalyst's union constraint rewriting).
+    val bidir = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val sym = bidir
+      .union(bidir.select(col("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prop = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label"))
+      // pointer jump: follow one more level of indirection (labels are
+      // themselves node ids, so every label has a row in `prop`).
+      val jumped = prop.as("p")
+        .join(prop.select(col("id").as("lid"), col("label").as("llab"))
+          .as("q"), col("p.label") === col("lid"))
+        .select(col("p.id").as("id"),
+          least(col("p.label"), col("llab")).as("label"))
+        .localCheckpoint(true)
+      val improved = jumped.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label")).count()
+      labels = jumped
+      done = improved == 0
+      iter += 1
+    }
+    labels
+  }
+}

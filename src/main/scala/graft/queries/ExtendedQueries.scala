@@ -138,6 +138,29 @@ object ExtendedQueries {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("token"))),
 
+    // Gap-based sessionization: a new session starts after >30 min of
+    // user inactivity; session ids via a running sum of session-start
+    // flags — one shuffle by user, two window passes, then a keyed
+    // aggregate. The batch face of streaming session windows.
+    "events_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess", sum("is_new").over(wRun))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // String scalar-function battery.
     "string_funcs" -> ((s, d) =>
       customer(s, d).select(col("c_custkey"),
@@ -242,6 +265,24 @@ object ExtendedQueries {
          FROM (SELECT doc_id,
                  string_split_regex(lower(trim(text)), '\s+') AS ws
                FROM documents WHERE doc_id < 50)""",
+
+    "events_sessionize" ->
+      """SELECT user_id, sess, COUNT(*) AS n_events,
+         MIN(us) AS start_us, MAX(us) AS end_us,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT user_id, value, us,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+           FROM (
+             SELECT user_id, event_id, value, epoch_us(ts) AS us,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS gap
+             FROM events))
+         GROUP BY user_id, sess""",
 
     "string_funcs" ->
       """SELECT c_custkey,

@@ -58,6 +58,20 @@ object PipelineQueries {
       Dedup.simhashPairs(documents(s, d), "doc_id", "text",
         maxHamming = 8)),
 
+    // Char-5-gram Jaccard near-dups (same LSH scaffold, char shingles).
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramPairs(documents(s, d), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 8, threshold = 0.7)),
+
+    // Pair list → dedup GROUPS: iterative min-label connected
+    // components; each doc labeled with its group's min doc_id.
+    "dedup_groups" -> ((s, d) =>
+      graft.operators.ConnectedComponents.labels(
+          Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+            NumHashes, Bands, JaccardThreshold)
+            .select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label").as("group_id"))),
+
     "dedup_embed" -> ((s, d) =>
       Similarity.cosinePairs(embeddings(s, d), "vec_id", "embedding",
           CosineThreshold)
@@ -68,6 +82,17 @@ object PipelineQueries {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       Similarity.topK(embeddings(s, d), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // IVF ANN — deterministic coarse cells, probe-2 search; exact
+    // scores within probed cells. Approximate retrieval → rows-only;
+    // recall vs sim_topk asserted in ScalaTest.
+    "sim_ann_ivf" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding", q,
+          nCentroids = 16, probes = 2, k = 10)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -137,29 +162,30 @@ object PipelineQueries {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val Toks = "string_split_regex(lower(trim(text)), '\\s+')"
 
-  /** Generated MinHash oracle mirroring Dedup.minhashPairs: one md5 per
-    * shingle, double hashing h_i = (h1 + i*h2) mod P over its two 32-bit
-    * hex slices, skinny band join, then exact Jaccard on candidates.
+  /** Shared MinHash-LSH oracle scaffold over any shingle-set CTE
+    * `sh2(doc_id, ts)`: one md5 per shingle, double hashing
+    * h_i = (h1 + i*h2) mod P over its two 32-bit hex slices, skinny
+    * band join, then exact Jaccard on candidates — mirrors
+    * Dedup.minhashPairsFromShingles.
     */
-  private def minhashOracle: String = {
+  private def minhashOracleFrom(shingleCtes: String, threshold: Double,
+      numHashes: Int = NumHashes, nBands: Int = Bands): String = {
     val P = graft.ext.Dedup.MinhashPrime
-    val sig = (0 until NumHashes)
+    val rpb = numHashes / nBands
+    val sig = (0 until numHashes)
       .map(i => s"list_min([(h[1] + $i * h[2]) % $P FOR h IN hs])")
       .mkString("[", ", ", "]")
-    val bands = (0 until Bands).map { j =>
-      (0 until RowsPerBand)
-        .map(r => s"sig[${j * RowsPerBand + r + 1}]").mkString(" || '|' || ")
+    val bands = (0 until nBands).map { j =>
+      (0 until rpb)
+        .map(r => s"sig[${j * rpb + r + 1}]").mkString(" || '|' || ")
     }.mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
-       sh AS (SELECT doc_id, list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-               FOR i IN range(0, greatest(len(ws)-2, 0))]) AS ts FROM w),
-       sh2 AS (SELECT doc_id, ts FROM sh WHERE len(ts) > 0),
+    s"""WITH $shingleCtes,
        hx AS (SELECT doc_id, [[('0x' || substr(md5(t), 1, 8))::BIGINT,
                                ('0x' || substr(md5(t), 9, 8))::BIGINT]
                               FOR t IN ts] AS hs FROM sh2),
        sg AS (SELECT doc_id, $sig AS sig FROM hx),
        bd AS (SELECT doc_id, unnest($bands) AS bk,
-              unnest(range(0, $Bands)) AS band FROM sg),
+              unnest(range(0, $nBands)) AS band FROM sg),
        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bd a JOIN bd b
                 ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
@@ -168,8 +194,42 @@ object PipelineQueries {
            len(list_distinct(sa.ts || sb.ts)) AS jaccard
        FROM cand JOIN sh2 sa ON cand.id_a = sa.doc_id
                  JOIN sh2 sb ON cand.id_b = sb.doc_id
-       WHERE jaccard >= $JaccardThreshold"""
+       WHERE jaccard >= $threshold"""
   }
+
+  /** Word-3-gram shingle CTEs (mirrors Dedup.shingleRows). */
+  private val Word3Ctes =
+    s"""w AS (SELECT doc_id, $Toks AS ws FROM documents),
+       sh AS (SELECT doc_id, list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               FOR i IN range(0, greatest(len(ws)-2, 0))]) AS ts FROM w),
+       sh2 AS (SELECT doc_id, ts FROM sh WHERE len(ts) > 0)"""
+
+  /** Char-5-gram shingle CTEs (mirrors Dedup.charGramRows, n=5). */
+  private val Char5Ctes =
+    s"""w AS (SELECT doc_id, $NormText AS nt FROM documents),
+       sh2 AS (SELECT doc_id,
+               list_distinct([substr(nt, i, 5) FOR i IN range(1, len(nt) - 3)]) AS ts
+               FROM w WHERE len(nt) >= 5)"""
+
+  private def minhashOracle: String =
+    minhashOracleFrom(Word3Ctes, JaccardThreshold)
+
+  /** Connected components over the minhash pair list via a recursive
+    * transitive-closure CTE, labeling each doc with the min id of its
+    * near-dup group — mirrors graft.operators.ConnectedComponents.
+    */
+  private def dedupGroupsOracle: String =
+    s"""WITH RECURSIVE edges AS (SELECT id_a, id_b FROM ($minhashOracle)),
+       nodes AS (SELECT DISTINCT id FROM
+         (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT s.dst AS id, reach.r FROM reach
+         JOIN sym s ON reach.id = s.src)
+       SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"""
 
   /** Generated SimHash oracle mirroring Dedup.simhashPairs: md5-sliced
     * token hashes, 64 +-1 bit votes, signature packed as two 32-bit
@@ -229,6 +289,11 @@ object PipelineQueries {
           FROM documents GROUP BY 1""",
 
     "dedup_minhash" -> minhashOracle,
+
+    "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
+      numHashes = 64, nBands = 8),
+
+    "dedup_groups" -> dedupGroupsOracle,
 
     "dedup_simhash" -> simhashOracle,
 

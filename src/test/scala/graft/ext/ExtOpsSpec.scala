@@ -114,6 +114,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ivfTopK returns exact scores within probed cells, finds query") {
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queryVec,
+        nCentroids = 16, probes = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.nonEmpty)
+    // vec 0 assigns to its own argmax cell, which the query probes
+    assert(ivf.head._1 == 0L && math.abs(ivf.head._2 - 1.0) < 1e-12)
+    val brute = Similarity.topK(emb, "vec_id", "embedding", queryVec, 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    ivf.foreach { case (id, sc) => assert(brute(id) == sc) }
+  }
+
+  test("ngramPairs finds char-level near-dups") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonite"),
+      (3L, "spark shuffles partition data across the cluster nodes")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramPairs(docs, "doc_id", "text", n = 5,
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
