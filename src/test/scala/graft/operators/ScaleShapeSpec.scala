@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewJoinSpec extends SparkSpec {
+  test("saltedJoin equals the plain join on skewed data") {
+    val s = spark
+    import s.implicits._
+    // one hot key (0) with 10k rows, a long tail, plus keys with no match
+    val big = ((1 to 10000).map(i => (0L, i.toLong)) ++
+      (1 to 500).map(i => (i.toLong % 7, i.toLong)) ++
+      Seq((99L, 1L))).toDF("k", "payload")
+    val small = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSeq
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSeq
+    assert(salted.sortBy(_.toString) == plain.sortBy(_.toString))
+    assert(salted.size == 10500)
+  }
+
+  test("salted big side spreads a hot key over many salt values") {
+    val s = spark
+    import s.implicits._
+    val big = (1 to 1000).map(i => (0L, i.toLong)).toDF("k", "payload")
+    val nSalts = big.withColumn("__salt",
+        pmod(xxhash64(col("payload")), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(nSalts >= 6) // hot key fans out over most of the 8 buckets
+  }
+}
+
+/** Bucketed tables co-locate join keys at REST: a join of two tables
+  * bucketed by the same key into the same bucket count needs NO
+  * shuffle — the core 100 TB layout technique for fact-fact joins.
+  */
+class BucketingSpec extends SparkSpec {
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val orders = (1L to 1000L).map(k => (k, s"o$k")).toDF("key", "o")
+    val items = (1L to 3000L).map(i => (i % 1000 + 1, s"i$i"))
+      .toDF("key", "i")
+    orders.write.mode("overwrite").bucketBy(4, "key")
+      .saveAsTable("b_orders")
+    items.write.mode("overwrite").bucketBy(4, "key")
+      .saveAsTable("b_items")
+    // Force the shuffle-join planner path (broadcast would hide the
+    // bucketing benefit on toy-sized data).
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("b_orders").join(s.table("b_items"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free co-bucketed join, got:\n$plan")
+      assert(joined.count() == 3000)
+
+      // contrast: the same join over plain (unbucketed) data shuffles
+      val plain = orders.join(items, "key")
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
