@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.ext.RollingHash64
+import graft.functions.DotDouble
+
+/** Spark extensions entry point: registers the library's native
+  * Catalyst expressions as SQL functions. Enable with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or programmatically via `SparkSession.builder.withExtensions`) —
+  * the idiomatic installation path for a Spark-native library; the
+  * per-session `register(spark)` helpers remain for ad-hoc use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (children: Seq[Expression]) => RollingHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
+      (children: Seq[Expression]) => DotDouble(children(0), children(1))))
+  }
+}
