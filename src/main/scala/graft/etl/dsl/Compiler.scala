@@ -61,7 +61,11 @@ object Compiler {
     p.disjuncts.map {
       case AlwaysFalse => lit(false)
       case Comparison(op, lhs, rhs) =>
-        val (l, r) = (operand(lhs), operand(rhs))
+        // The reference trims each operand AFTER substitution
+        // (`safeEval` splits, then trims the spliced text), so cell
+        // values compare whitespace-trimmed. parseFloat is trim-
+        // insensitive; ==/!= are not — trim both uniformly.
+        val (l, r) = (trim(operand(lhs)), trim(operand(rhs)))
         op match {
           case CmpOp.Eq => l === r
           case CmpOp.Ne => l =!= r

@@ -68,6 +68,20 @@ object EtlQueries {
         "Tag"        -> "constant:v1",
         "Mixed"      -> "constant:nation-src[n_nationkey]"))),
 
+    // Formula splice quoting heuristic (main.gs:90-95): non-numeric
+    // values quoted as string literals, numeric and percent values
+    // bare, empty cells bare (isNaN("") is false — verified corner).
+    "etl_formula_quote" -> ((s, d) => {
+      val src = nation(s, d).select(col("n_nationkey"), col("n_name"),
+        concat((col("n_nationkey") % 97).cast("string"), lit("%"))
+          .as("pct"),
+        lit("").as("emptycell"))
+      Engine.transform(src, Seq(
+        "F" -> "formula:=CONCAT(src[n_name],src[n_nationkey])",
+        "P" -> "formula:=src[pct]*2",
+        "E" -> "formula:=+src[emptycell]"))
+    }),
+
     // No-op non-eval filter; op-less and mis-arity disjuncts fold to
     // false inside an OR chain.
     "etl_noop_malformed" -> ((s, d) =>
@@ -108,6 +122,14 @@ object EtlQueries {
       """SELECT n_name AS NationName, 'NotAColumn' AS Literal,
          'v1' AS Tag,
          'nation-' || CAST(n_nationkey AS VARCHAR) AS Mixed
+         FROM nation""",
+
+    "etl_formula_quote" ->
+      """SELECT
+         '=CONCAT("' || n_name || '",' || CAST(n_nationkey AS VARCHAR)
+           || ')' AS F,
+         '=' || CAST(n_nationkey % 97 AS VARCHAR) || '%*2' AS P,
+         '=+' AS E
          FROM nation""",
 
     "etl_noop_malformed" ->

@@ -182,8 +182,8 @@ object Xlsx {
     out.result()
   }
 
-  /** "BC42" → 0-based column 54. */
-  private[sources] def colIndex(ref: String): Int = {
+  /** "BC42" → 0-based column 54 (inverse of GraftFunctions.columnLetter). */
+  def colIndex(ref: String): Int = {
     var i = 0
     var acc = 0
     while (i < ref.length && ref.charAt(i).isLetter) {
