@@ -85,9 +85,10 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
-    // IVF ANN — deterministic coarse cells, probe-2 search; exact
-    // scores within probed cells. Approximate retrieval → rows-only;
-    // recall vs sim_topk asserted in ScalaTest.
+    // IVF ANN — deterministic coarse cells (first 16 vectors), probe-2
+    // search, exact scores within probed cells. Fully deterministic
+    // (tie-breaks pinned) → SQL oracle below replicates cell
+    // assignment, probing, and scoring.
     "sim_ann_ivf" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
@@ -96,9 +97,10 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
-    // Sign-LSH pruned ANN — bucket bits are sign thresholds (not
-    // reproducible bit-exactly in another engine) → rows-only;
-    // recall vs sim_topk asserted in ScalaTest.
+    // Sign-LSH pruned ANN — bucket bit j = [dot(v, plane_j) > 0] with
+    // the first 8 vectors as planes; multi-probe Hamming <= 2. The
+    // dot-product fold is bit-identical cross-engine, so the sign
+    // thresholds (and thus buckets) reproduce exactly → SQL oracle.
     "sim_ann_lsh" -> ((s, d) => {
       val planes = embeddings(s, d).filter(col("vec_id") < 8)
         .orderBy("vec_id").select("embedding")
@@ -323,6 +325,46 @@ object PipelineQueries {
               ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
             FROM n a JOIN n b ON a.vec_id < b.vec_id)
           WHERE cs >= $CosineThreshold""",
+
+    "sim_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          pl AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 8),
+          q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+          bk AS (SELECT a.vec_id,
+                 CAST(SUM(CASE WHEN ${dotSql("a.v", "p.pv")} > 0
+                          THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT)
+                   AS bucket
+                 FROM v a CROSS JOIN pl p GROUP BY a.vec_id),
+          qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+          cand AS (SELECT v.vec_id, v.v FROM v
+                   JOIN bk ON v.vec_id = bk.vec_id CROSS JOIN qb
+                   WHERE bit_count(xor(bk.bucket, qb.qbucket)) <= 2)
+          SELECT vec_id, round(s, 6) AS score FROM (
+            SELECT c.vec_id,
+              ${dotSql("c.v", "q.qv")} /
+                (${normSql("c.v")} * ${normSql("q.qv")}) AS s
+            FROM cand c CROSS JOIN q)
+          ORDER BY s DESC, vec_id LIMIT 10""",
+
+    "sim_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+          q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+          d AS (SELECT a.vec_id, a.v, c.cid,
+                ${dotSql("a.v", "c.cv")} AS dp FROM v a CROSS JOIN c),
+          cell AS (SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cid) AS rn
+            FROM d) WHERE rn = 1),
+          qc AS (SELECT c.cid FROM c CROSS JOIN q
+                 ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid LIMIT 2)
+          SELECT vec_id, round(s, 6) AS score FROM (
+            SELECT cell.vec_id,
+              ${dotSql("cell.v", "q.qv")} /
+                (${normSql("cell.v")} * ${normSql("q.qv")}) AS s
+            FROM cell JOIN qc ON cell.cid = qc.cid CROSS JOIN q)
+          ORDER BY s DESC, vec_id LIMIT 10""",
 
     "sim_topk" ->
       s"""WITH q AS (SELECT $VecD AS qv FROM embeddings WHERE vec_id = 0),
