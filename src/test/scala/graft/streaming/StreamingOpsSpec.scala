@@ -33,6 +33,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSet == Set(("2", "stream")))
   }
 
+  test("file-source stream: RuleSet over a growing CSV directory") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("fstream")
+    def drop(name: String, rows: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        s"id,amount\n$rows".getBytes)
+    drop("b1.csv", "1,5\n2,20")
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("id", "amount").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema).option("header", true)
+      .csv(dir.toString)
+    val q = StreamingOps.transformStream(stream,
+        Seq(("_filter:big", "eval: src[amount] >= 10"),
+            ("Id", "src[id]")))
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    drop("b2.csv", "3,30\n4,1")
+    q.processAllAvailable()
+    val ids = s.sql("SELECT Id FROM file_stream").collect()
+      .map(_.getString(0)).toSet
+    q.stop()
+    assert(ids == Set("2", "3"))
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val s = spark
     import s.implicits._
