@@ -174,6 +174,32 @@ object ExtendedQueries {
         instr(col("c_name"), "1").as("pos1"),
         concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"))),
 
+    // Map/JSON functions: parse the props JSON object into a typed
+    // map, then key/size/lookup operations on it.
+    "map_funcs" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+            .as("m"))
+        .select(col("event_id"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+          size(col("m")).as("n_keys"),
+          col("m").getItem("k").as("k"))),
+
+    // Array functions over the token array: slice, negative index,
+    // position (0 when absent), min element, membership.
+    "array_funcs" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.ext.Dedup.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("ws"), 1, 3)).as("first3"),
+          element_at(col("ws"), -1).as("last_tok"),
+          array_position(col("ws"), "the").as("the_pos"),
+          array_min(col("ws")).as("min_tok"),
+          array_contains(col("ws"), "data").as("has_data"))),
+
     // Date/time scalar-function battery.
     "date_funcs" -> ((s, d) =>
       orders(s, d).select(col("o_orderkey"),
@@ -296,6 +322,24 @@ object ExtendedQueries {
          strpos(c_name, '1') AS pos1,
          concat_ws('-', c_mktsegment, c_name) AS joined
          FROM customer""",
+
+    "map_funcs" ->
+      """SELECT event_id,
+         array_to_string(list_sort(json_keys(props)), ',') AS keys,
+         len(json_keys(props)) AS n_keys,
+         CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events""",
+
+    "array_funcs" ->
+      """SELECT doc_id,
+         array_to_string(ws[1:3], ' ') AS first3,
+         ws[-1] AS last_tok,
+         COALESCE(list_position(ws, 'the'), 0) AS the_pos,
+         list_min(ws) AS min_tok,
+         list_contains(ws, 'data') AS has_data
+         FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS ws
+               FROM documents)""",
 
     "date_funcs" ->
       """SELECT o_orderkey,
