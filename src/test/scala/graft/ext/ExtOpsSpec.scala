@@ -52,7 +52,7 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 >= 0.5))
   }
 
-  test("simhash banding: complete for hamming<=3, correct distances") {
+  test("simhash banding: COMPLETE for the advertised radius (ham<=8)") {
     val docs = spark.read
       .parquet(s"$sf/documents.parquet").limit(200).cache()
     // brute-force ground truth from the signatures themselves
@@ -69,12 +69,66 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
 
-    // every found pair is real with the right distance
-    got.foreach { case (k, h) => assert(brute.get(k).contains(h)) }
-    // pigeonhole guarantee: h<=3 pairs can't be missed by 4x16 banding
-    brute.filter(_._2 <= 3).foreach { case (k, h) =>
-      assert(got.get(k).contains(h), s"missed close pair $k (h=$h)")
+    // maxHamming+1 chunks → pigeonhole: EXACT equality with brute force
+    assert(got == brute,
+      s"missed=${(brute.keySet -- got.keySet).take(5)} " +
+        s"spurious=${(got.keySet -- brute.keySet).take(5)}")
+  }
+
+  test("chunkLayout: n chunks cover 64 bits; ham<=n-1 shares a chunk") {
+    val s = spark
+    import s.implicits._
+    for (n <- Seq(1, 4, 9, 13, 64)) {
+      val layout = Dedup.chunkLayout(n)
+      assert(layout.map(_._2).sum == 64 && layout.head._1 == 0)
+      assert(layout.zip(layout.tail).forall {
+        case ((o, w), (o2, _)) => o + w == o2
+      })
     }
+    // property: flip <= 8 random bits of a random signature — the
+    // 9-chunk banding must leave at least one chunk identical, and
+    // each extracted chunk must equal the pure-Scala bit slice.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val sig = rnd.nextLong()
+      val flipped = (0 until rnd.nextInt(9))
+        .foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      def hi(x: Long) = (x >>> 32) & 0xFFFFFFFFL
+      def lo(x: Long) = x & 0xFFFFFFFFL
+      (hi(sig), lo(sig), hi(flipped), lo(flipped), sig, flipped)
+    }
+    val df = rows.toDF("ha", "la", "hb", "lb", "siga", "sigb")
+    val chunked = df.select(
+      Dedup.simhashChunks(col("ha"), col("la"), 9).as("ca"),
+      Dedup.simhashChunks(col("hb"), col("lb"), 9).as("cb"),
+      col("siga"), col("sigb")).collect()
+    val layout = Dedup.chunkLayout(9)
+    chunked.foreach { r =>
+      val ca = r.getSeq[Long](0); val cb = r.getSeq[Long](1)
+      val (siga, sigb) = (r.getLong(2), r.getLong(3))
+      layout.zipWithIndex.foreach { case ((off, w), i) =>
+        val mask = (1L << w) - 1
+        assert(ca(i) == ((siga >>> off) & mask), s"chunk $i of $siga")
+        assert(cb(i) == ((sigb >>> off) & mask))
+      }
+      assert(ca.indices.exists(i => ca(i) == cb(i)),
+        s"ham=${java.lang.Long.bitCount(siga ^ sigb)} pair shares no chunk")
+    }
+  }
+
+  test("bucketPairs: planted mega-bucket → salted join, identical output") {
+    val s = spark
+    import s.implicits._
+    // one degenerate bucket with 300 members (44850 pairs) + cold ones
+    val hotRows = (0L until 300L).map(i => (i, 0, "MEGA"))
+    val coldRows = (1000L until 1200L).map(i => (i, 1, s"b${i % 40}"))
+    val banded = (hotRows ++ coldRows).toDF("id", "band", "bk")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairSet(Dedup.bucketPairs(banded, hotCap = 1000000))
+    val salted = pairSet(Dedup.bucketPairs(banded, hotCap = 50, salts = 8))
+    assert(salted == unsalted)
+    assert(unsalted.size == 300 * 299 / 2 + 40 * (5 * 4 / 2))
   }
 
   test("hamming64 and jaccard helpers") {
@@ -141,6 +195,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cosinePairsLsh: subset of brute force with exact scores, " +
+      "recall >= 0.5 even at the weak 0.45 threshold") {
+    val brute = Similarity.cosinePairsBrute(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45,
+        bands = 24, rowsPerBand = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // every mined pair is a true pair with the exact same cosine
+    lsh.foreach { case (k, c) => assert(brute.get(k).contains(c)) }
+    assert(brute.nonEmpty)
+    // deterministic banding → recall is a fixed measurable number; at
+    // this near-background threshold the S-curve gives ~0.57 here
+    // (rises above 0.999 at production thresholds like cos>=0.9)
+    assert(lsh.size.toDouble / brute.size >= 0.5,
+      s"recall ${lsh.size}/${brute.size}")
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
@@ -190,6 +263,34 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.get(1L).isEmpty) // 63 bytes -> 0 frames
     assert(counts(2L) == 1)
     assert(counts(3L) == 2)
+  }
+
+  test("sampleFrames fingerprints the right byte ranges") {
+    val s = spark
+    import s.implicits._
+    val payload = ("a" * 64) + ("b" * 64) + "tail ignored"
+    val df = Seq((7L, payload)).toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val got = Multimodal.sampleFrames(df, "doc_id", "payload")
+      .collect().sortBy(_.frame_idx)
+    def md5(sub: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes).map("%02x".format(_)).mkString
+    assert(got.map(f => (f.frame_idx, f.frame_fp)).toSeq ==
+      Seq((0, md5("a" * 64)), (1, md5("b" * 64))))
+  }
+
+  test("decodeWithCodec (mapPartitions seam) agrees with built-in path") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcd"), (2L, ""), (3L, "z" * 200))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val builtins = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id).toSeq
+    val codec = Multimodal.decodeWithCodec(df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id).toSeq
+    assert(builtins == codec)
   }
 }
 

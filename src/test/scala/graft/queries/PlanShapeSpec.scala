@@ -58,4 +58,17 @@ class PlanShapeSpec extends SparkSpec {
     // shingle/array column appears in any exchange
     assert(!p.contains("ts_a") && !p.contains("ts_b"))
   }
+
+  test("dedup pipelines: no round-robin reshuffle of the raw corpus") {
+    // the only shuffles should be keyed (window/agg/join) — a
+    // RoundRobinPartitioning exchange would mean the corpus text is
+    // shipped once wholesale before any size reduction
+    for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash"))
+      assert(!plan(q).contains("RoundRobinPartitioning"), q)
+  }
+
+  test("dedup_embed: LSH-bucketed pair mining, no cartesian product") {
+    val p = plan("dedup_embed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
