@@ -58,7 +58,7 @@ object Xlsx {
   /** Write a DataFrame as one xlsx workbook (driver-side collect —
     * the sink mirrors the reference's single-sheet bulk write,
     * `main.gs:124-129`; xlsx caps at ~1M rows by format anyway. Large
-    * results should use the parquet/csv sinks).
+    * results should use `writeSharded` or the parquet/csv sinks).
     */
   def write(df: DataFrame, path: String): Unit = {
     val display = GraftFunctions.displayString(df)
@@ -66,6 +66,38 @@ object Xlsx {
     val rows = display.collect().map(_.toSeq.map(String.valueOf)).toSeq
     val bytes = workbookBytes(header +: rows)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  /** Distributed sink: one workbook PER PARTITION, written by the
+    * executors through the Hadoop FileSystem API (no driver collect,
+    * no driver bottleneck). Every part file carries the header row, so
+    * the output directory round-trips through `read` with a glob of
+    * the part files, under the same sharded-export contract the
+    * reader already assumes. Per-part size is bounded by partition size —
+    * `repartition(n)` upstream to pick the shard count; the xlsx
+    * ~1M-row format cap applies per part, not to the whole result.
+    */
+  def writeSharded(df: DataFrame, dir: String): Unit = {
+    val display = GraftFunctions.displayString(df)
+    val header = display.columns.toSeq
+    val spark = display.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(dirPath)
+    display.foreachPartition { (it: Iterator[Row]) =>
+      val rows = it.map(_.toSeq.map(String.valueOf)).toSeq
+      if (rows.nonEmpty) {
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(
+          dir, f"part-$part%05d.xlsx")
+        // Executor-side: default Hadoop conf resolves the scheme
+        // (file://, hdfs://, ...) from the path itself.
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try out.write(workbookBytes(header +: rows))
+        finally out.close()
+      }
+    }
   }
 
   // ---- workbook construction ----

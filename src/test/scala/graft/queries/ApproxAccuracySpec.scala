@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Pins the accuracy contract of the sketch-based queries that have no
+  * exact cross-engine oracle (the driver records them rows-only).
+  * `approx_count_distinct(rsd = 0.01)` is HLL++ with a standard-error
+  * guarantee; 3 sigma (3% here) bounds the estimate for any fixed
+  * dataset with overwhelming probability, and both the data and the
+  * sketch are deterministic, so this is a stable regression pin, not a
+  * flaky statistical test.
+  */
+class ApproxAccuracySpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("approx_distinct: HLL estimates within 3x rsd of exact counts") {
+    val approx = SparkEntry.queries("approx_distinct")(spark, d).collect().head
+    val exact = SparkEntry.queries("distinct_agg")(spark, d).collect().head
+    val exactParts = exact.getAs[Long]("n_parts").toDouble
+    // distinct_agg tracks l_suppkey, not l_orderkey; recompute exact
+    // orders directly for the second bound.
+    val exactOrders = spark.read
+      .parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey").distinct().count().toDouble
+
+    def relErr(est: Long, ex: Double): Double = math.abs(est - ex) / ex
+    val partsErr = relErr(approx.getAs[Long]("approx_parts"), exactParts)
+    val ordersErr = relErr(approx.getAs[Long]("approx_orders"), exactOrders)
+    assert(partsErr <= 0.03, s"approx_parts rel err $partsErr > 3x rsd")
+    assert(ordersErr <= 0.03, s"approx_orders rel err $ordersErr > 3x rsd")
+  }
+}

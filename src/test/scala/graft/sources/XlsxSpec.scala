@@ -23,6 +23,24 @@ class XlsxSpec extends SparkSpec {
       Seq("", "7", "0.125")))
   }
 
+  test("writeSharded → read roundtrip: one workbook per partition, no driver collect") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (s"k$i", i.toString))
+      .toDF("K", "V").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("xlsxshard")
+      .resolve("out").toString
+    Xlsx.writeSharded(df, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".xlsx"))
+    assert(parts.length > 1, "expected a multi-part write")
+    val back = Xlsx.read(spark, s"$dir/*.xlsx")
+    assert(back.columns.toSeq == Seq("K", "V"))
+    assert(back.count() == 100)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == (1 to 100).map(i => (s"k$i", i.toString)).toSet)
+  }
+
   test("reader feeds the mapping engine like any other sheet source") {
     val s = spark
     import s.implicits._
