@@ -150,16 +150,15 @@ object Similarity {
       s"corpus has only ${planes.size} vectors; need $nPlanes planes")
     val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(df, col(vecCol)).as("nrm"))
-    def bandKey(j: Int): Column =
-      (0 until rowsPerBand).map { p =>
-        val pl = array(planes(j * rowsPerBand + p)
-          .map(x => lit(x.toDouble)): _*)
-        when(dot(df, col("v"), pl) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    // checkpoint: the 144-dot band projection feeds 5 bucketPairs legs
+    // ONE codegen'd expression for all bands*rowsPerBand plane dots —
+    // composing it from separate dot-product columns falls out of
+    // codegen and runs ~30x slower (see SignBands).
+    graft.functions.SignBands.register(df.sparkSession)
+    val keys = graft.functions.SignBands.sign_bands(col("v"),
+      planes.flatten.map(_.toDouble), bands, rowsPerBand)
+    // checkpoint: the band projection feeds several bucketPairs legs
     val banded = n.select(col("id"),
-        posexplode(array((0 until bands).map(bandKey): _*))
-          .as(Seq("band", "bk")))
+        posexplode(keys).as(Seq("band", "bk")))
       .localCheckpoint(false)
     val cand = Dedup.bucketPairs(banded, hotCap, salts).distinct()
     cand

@@ -75,6 +75,29 @@ class DedupSpec extends SparkSpec {
         s"spurious=${(got.keySet -- brute.keySet).take(5)}")
   }
 
+  test("simhashPairs: both mining strategies equal brute force " +
+      "(banding at radius<=4, multi-index variants above)") {
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet").limit(150).cache()
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    for (radius <- Seq(2, 5)) { // 2 → pure banding; 5 → variant join
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = ham(sa, sb) if h <= radius
+      } yield ((ia, ib), h)).toMap
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", radius)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+        .toMap
+      assert(got == brute, s"radius=$radius " +
+        s"missed=${(brute.keySet -- got.keySet).take(5)} " +
+        s"spurious=${(got.keySet -- brute.keySet).take(5)}")
+    }
+  }
+
   test("chunkLayout: n chunks cover 64 bits; ham<=n-1 shares a chunk") {
     val s = spark
     import s.implicits._
@@ -150,6 +173,37 @@ class SimilaritySpec extends SparkSpec {
   private def queryVec: Seq[Float] =
     emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0)
+
+  test("sign_bands: one-pass band keys agree with per-plane dot_double " +
+      "composition, null-safe") {
+    val s = spark
+    import s.implicits._
+    graft.functions.SignBands.register(spark)
+    graft.functions.DotDouble.register(spark)
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val bands = 4; val rows = 3
+    val planes = Seq.fill(bands * rows)(Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() - 0.5f))) :+
+      (99L, null.asInstanceOf[Seq[Float]])
+    val df = vecs.toDF("id", "v")
+    val fast = df.select(col("id"), graft.functions.SignBands.sign_bands(
+      col("v"), planes.flatten.map(_.toDouble), bands, rows).as("keys"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    val slowKeys = array((0 until bands).map { j =>
+      (0 until rows).map { p =>
+        val pl = array(planes(j * rows + p).map(x => lit(x.toDouble)): _*)
+        when(graft.functions.DotDouble.dot_double(col("v"), pl) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+    val slow = df.filter(col("v").isNotNull)
+      .select(col("id"), slowKeys.as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast(99L) == null)
+    assert(fast - 99L == slow)
+  }
 
   test("brute-force topK matches a driver-side recomputation") {
     val q = queryVec.map(_.toDouble)
