@@ -74,6 +74,51 @@ object TextAnalysis {
       .otherwise(lit("ml"))
   }
 
+  // --- PII detection / redaction ---
+  // Patterns stay inside RE2-compatible syntax (no backreferences or
+  // lookaround) so Spark's Java regex and a DuckDB oracle match the
+  // same spans; \b, \d and bounded repetition behave identically.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Number of matches of a PII pattern. Map-side, codegen'd. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Redact all four PII classes with typed placeholders. Fixed
+    * application order (email → ip → ssn → phone) makes overlap
+    * resolution deterministic; SSN (3-2-4) and phone (3-3-4) shapes
+    * cannot partially consume each other under \b anchors.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    val s = regexp_replace(i, SsnRe, "<SSN>")
+    regexp_replace(s, PhoneRe, "<PHONE>")
+  }
+
+  // --- repetition (duplicate-n-gram quality signal) ---
+
+  /** Adjacent word 2-grams of a token array (empty when < 2 tokens;
+    * the guard also keeps `sequence` ascending).
+    */
+  def bigrams(ws: Column): Column =
+    when(size(ws) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+
+  /** Fraction of 2-gram occurrences that repeat an earlier one — the
+    * classic "duplicate n-gram fraction" document-quality filter.
+    * 0 for docs with < 2 tokens.
+    */
+  def dupBigramFraction(ws: Column): Column = {
+    val gs = bigrams(ws)
+    when(size(gs) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+  }
+
   /** Canonical text form for fingerprinting: lowercase, collapse
     * whitespace, trim.
     */

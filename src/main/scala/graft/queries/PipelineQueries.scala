@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, RollingHash64, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, RollingHash64, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** LLM-training-data pipeline operators (driver mandate): dedup,
@@ -38,6 +39,24 @@ object PipelineQueries {
   // the S-curve sharpens as the threshold rises.
   private val EmbedBands = 24
   private val EmbedRowsPerBand = 6
+
+  /** The corpus is synthetic word soup with no natural PII, so the PII
+    * query plants deterministic PII derived from doc_id (same
+    * construction in the oracle), then detects and redacts it — the
+    * operator under test is detect/redact, not the planting.
+    */
+  private def synthPii(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text, lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com or "),
+      (id % 900 + 100).cast("string"), lit("-"),
+      ((id * 7) % 900 + 100).cast("string"), lit("-"),
+      ((id * 13) % 9000 + 1000).cast("string"),
+      lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
+      ((id * 3) % 256).cast("string"),
+      lit(" ssn "), (id % 900 + 100).cast("string"), lit("-"),
+      (id % 90 + 10).cast("string"), lit("-"),
+      ((id * 11) % 9000 + 1000).cast("string"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
@@ -159,6 +178,119 @@ object PipelineQueries {
       documents(s, d).select(col("doc_id"),
         RollingHash64.rolling_hash64(TextAnalysis.normalized(col("text")))
           .as("rh"))
+    }),
+
+    // PII detect + redact over synthetic planted PII (see synthPii).
+    // One map-side pass: counts per class + fingerprint of the
+    // redacted text (full-text compare without shipping full text).
+    "text_pii" -> ((s, d) => {
+      val t = synthPii(col("doc_id"), col("text"))
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.piiCount(t, TextAnalysis.EmailRe).as("n_email"),
+        TextAnalysis.piiCount(t, TextAnalysis.Ipv4Re).as("n_ip"),
+        TextAnalysis.piiCount(t, TextAnalysis.SsnRe).as("n_ssn"),
+        TextAnalysis.piiCount(t, TextAnalysis.PhoneRe).as("n_phone"),
+        md5(TextAnalysis.redactPii(t)).as("red_fp"))
+    }),
+
+    // Within-doc repetition signals (Gopher-style quality filter):
+    // duplicate-bigram fraction map-side; top-token ratio via the
+    // scalable explode → (doc,token) count → per-doc max shape (no
+    // per-doc quadratic HOF).
+    "text_repetition" -> ((s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+      val gramStats = base.select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        TextAnalysis.dupBigramFraction(col("ws")).as("dup2_frac"))
+      val tokStats = base
+        .select(col("doc_id"), explode(col("ws")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_c"))
+        .select(col("doc_id"),
+          (col("top_c").cast("double") / col("n_c")).as("top_tok_ratio"))
+      gramStats.join(tokStats, "doc_id")
+    }),
+
+    // TF-IDF top-3 terms per doc. Two partial-agg shuffles (doc×term,
+    // then term) + a broadcast of the 1-row corpus count; ranking on
+    // the ROUNDED score so cross-engine ulp noise in ln() can't flip
+    // near-tie ranks.
+    "text_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("rn"), col("score"))
+    }),
+
+    // Deterministic stratified sampling: per-lang keep rates, hash
+    // bucket on doc_id — map-side filter, shuffle-free, reproducible.
+    "sample_stratified" -> ((s, d) => {
+      val pct = when(col("lang") === "en", lit(20))
+        .when(col("lang") === "de", lit(50)).otherwise(lit(80))
+      documents(s, d)
+        .filter(Sampling.stratifiedKeep(col("doc_id"), "graft", pct))
+        .select("doc_id", "lang", "source")
+    }),
+
+    // Composed quality gate (the shape of a real corpus-cleaning
+    // pass): token bounds + repetition cap + quality floor + language
+    // tag. Deliberately NOT map-side HOF filters: Catalyst substitutes
+    // projected aliases into pushed-down filters, re-running the
+    // interpreted array expressions per reference (measured 15s vs
+    // ~1s here at sf0.1). Instead: one explode, codegen'd hash aggs
+    // for every signal, arithmetic + filter AFTER the aggregation
+    // barrier — all whole-stage codegen, 2 shuffles by doc_id.
+    "pipeline_filter" -> ((s, d) => {
+      def marks(xs: Seq[String]) =
+        sum(when(col("t").isin(xs: _*), 1L).otherwise(0L))
+      val tok = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+      val perDoc = tok.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_uniq"),
+        marks(Seq("the", "a", "of", "and", "in", "to", "is", "on"))
+          .as("n_stop"),
+        marks(Seq("the", "a", "big", "small", "fast", "slow")).as("s_eng"),
+        marks(Seq("query", "table", "join", "sort", "merge", "scan"))
+          .as("s_db"),
+        marks(Seq("spark", "vector", "stream", "batch", "data")).as("s_ml"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bgStats = tok.withColumn("prev", lag("t", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("prev"), col("t")).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_g"), countDistinct(col("g")).as("n_gd"))
+      val quality =
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("n_uniq").cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double") * 0.3 +
+          (lit(1.0) - when(col("n_tokens") === 0, lit(0.0)).otherwise(
+            col("n_stop").cast("double") / col("n_tokens"))) * 0.3
+      val dup2 = when(coalesce(col("n_g"), lit(0L)) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          col("n_gd").cast("double") / col("n_g"))
+      perDoc.join(bgStats, Seq("doc_id"), "left")
+        .withColumn("quality", quality)
+        .withColumn("dup2", dup2)
+        .filter(col("n_tokens").between(20, 5000) &&
+          col("dup2") <= 0.1 && col("quality") >= 0.62)
+        .select(col("doc_id"),
+          when(col("s_eng") >= col("s_db") && col("s_eng") >= col("s_ml"),
+            lit("eng"))
+            .when(col("s_db") >= col("s_ml"), lit("db"))
+            .otherwise(lit("ml")).as("pred_lang"),
+          col("quality"))
     }),
 
     // --- multimodal (binary columns; decode is a marked stub) ---
@@ -466,6 +598,103 @@ object PipelineQueries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5($NormText) AS fp FROM documents",
+
+    "text_pii" -> {
+      // Same regex strings as the Spark side (RE2-safe subset), same
+      // planted-PII construction, same redaction order.
+      val em = TextAnalysis.EmailRe
+      val ip = TextAnalysis.Ipv4Re
+      val ssn = TextAnalysis.SsnRe
+      val ph = TextAnalysis.PhoneRe
+      val piiText =
+        """text || ' contact user' || doc_id || '@mail.example.com or ' ||
+           (doc_id % 900 + 100) || '-' || ((doc_id*7) % 900 + 100) || '-' ||
+           ((doc_id*13) % 9000 + 1000) ||
+           ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id*3) % 256) ||
+           ' ssn ' || (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) ||
+           '-' || ((doc_id*11) % 9000 + 1000)"""
+      s"""WITH p AS (SELECT doc_id, $piiText AS t FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(t, '$em')) AS n_email,
+            len(regexp_extract_all(t, '$ip')) AS n_ip,
+            len(regexp_extract_all(t, '$ssn')) AS n_ssn,
+            len(regexp_extract_all(t, '$ph')) AS n_phone,
+            md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '$em', '<EMAIL>', 'g'),
+              '$ip', '<IP>', 'g'),
+              '$ssn', '<SSN>', 'g'),
+              '$ph', '<PHONE>', 'g')) AS red_fp
+          FROM p"""
+    },
+
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
+          g AS (SELECT doc_id, len(ws) AS n_tokens,
+                [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS gs
+                FROM w),
+          gs AS (SELECT doc_id, n_tokens,
+                 CASE WHEN len(gs) = 0 THEN 0.0
+                   ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                 END AS dup2_frac FROM g),
+          tk AS (SELECT doc_id, t, count(*) AS c FROM
+                 (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+          tr AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c)
+                   AS top_tok_ratio FROM tk GROUP BY 1)
+          SELECT gs.doc_id, n_tokens, dup2_frac, top_tok_ratio
+          FROM gs JOIN tr ON gs.doc_id = tr.doc_id""",
+
+    "text_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, tf.term,
+                 round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                 FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+          SELECT doc_id, term, rn, score FROM (
+            SELECT doc_id, term, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS rn
+            FROM sc) WHERE rn <= 3""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5('graft' || doc_id), 1, 8))::BIGINT % 100
+           < CASE WHEN lang = 'en' THEN 20
+                  WHEN lang = 'de' THEN 50 ELSE 80 END""",
+
+    "pipeline_filter" -> {
+      val stops = "['the','a','of','and','in','to','is','on']"
+      val quality =
+        s"""(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+            + CAST(len(list_distinct(ws)) AS DOUBLE)
+              / CAST(greatest(len(ws), 1) AS DOUBLE) * 0.3
+            + (1.0 - CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len([t FOR t IN ws IF list_contains($stops, t)])
+                  AS DOUBLE) / len(ws) END) * 0.3)"""
+      val dup2 =
+        """CASE WHEN len(gs) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END"""
+      s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
+          g AS (SELECT doc_id, ws,
+                [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS gs
+                FROM w),
+          q AS (SELECT doc_id, ws, $quality AS quality, $dup2 AS dup2,
+                len([t FOR t IN ws IF list_contains(
+                  ['the','a','big','small','fast','slow'], t)]) AS s_eng,
+                len([t FOR t IN ws IF list_contains(
+                  ['query','table','join','sort','merge','scan'], t)]) AS s_db,
+                len([t FOR t IN ws IF list_contains(
+                  ['spark','vector','stream','batch','data'], t)]) AS s_ml
+                FROM g)
+          SELECT doc_id,
+            CASE WHEN s_eng >= s_db AND s_eng >= s_ml THEN 'eng'
+                 WHEN s_db >= s_ml THEN 'db' ELSE 'ml' END AS pred_lang,
+            quality
+          FROM q
+          WHERE len(ws) BETWEEN 20 AND 5000 AND dup2 <= 0.1
+            AND quality >= 0.62"""
+    },
 
     "mm_features" ->
       """SELECT doc_id,

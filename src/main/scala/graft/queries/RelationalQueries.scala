@@ -207,10 +207,87 @@ object RelationalQueries {
           unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          decSum(col("value"), "sum_value")))
+          decSum(col("value"), "sum_value"))),
+
+    // IN-subquery (SQL surface; Catalyst rewrites to a semi join —
+    // same physical shape as join_semi, declared at the SQL layer).
+    "subquery_in" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_custkey, c_name FROM g_customer
+               WHERE c_custkey IN (SELECT o_custkey FROM g_orders
+                                   WHERE o_totalprice > 300000.0)""")
+    }),
+
+    // Correlated scalar subquery: orders priced above 3× their own
+    // average line price. Catalyst decorrelates to an aggregate +
+    // join — no per-row re-execution.
+    "subquery_scalar" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM g_orders o
+               WHERE o_totalprice >
+                 (SELECT 3.0 * avg(l_extendedprice) FROM g_lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)""")
+    }),
+
+    // LATERAL correlated subquery (per-customer top order by value).
+    "join_lateral" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c.c_custkey, o.max_price, o.n_big
+               FROM g_customer c
+               JOIN LATERAL (
+                 SELECT max(o_totalprice) AS max_price,
+                        count(*) AS n_big
+                 FROM g_orders
+                 WHERE o_custkey = c.c_custkey
+                   AND o_totalprice > 100000.0) o
+               WHERE o.n_big > 0""")
+    }),
+
+    // Typed Aggregator UDAF (geometric mean): exact decimal partial
+    // state → order-independent, map-side combinable. Deliberately the
+    // only UDAF in the repo — everything built-in stays built-in.
+    "agg_udaf" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(graft.functions.GeoMean.geoMean(col("l_quantity")), 6)
+          .as("geo_qty"),
+          count(lit(1)).as("n")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_totalprice > 300000.0)""",
+
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o_totalprice >
+           (SELECT 3.0 * avg(l_extendedprice) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey)""",
+
+    "join_lateral" ->
+      """SELECT c.c_custkey, o.max_price, o.n_big
+         FROM customer c
+         JOIN LATERAL (
+           SELECT max(o_totalprice) AS max_price, count(*) AS n_big
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+             AND o_totalprice > 100000.0) o ON true
+         WHERE o.n_big > 0""",
+
+    // Mirrors GeoMean's exact-decimal partial state: per-row ln
+    // rounded to 18dp, exact decimal sum (order-independent), double
+    // division + exp at the end.
+    "agg_udaf" ->
+      """SELECT l_returnflag,
+         round(exp(CAST(SUM(CAST(ln(l_quantity) AS DECIMAL(38,18)))
+                   AS DOUBLE) / COUNT(*)), 6) AS geo_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

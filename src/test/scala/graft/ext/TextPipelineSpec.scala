@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PiiSpec extends SparkSpec {
+
+  test("redactPii replaces every PII class and counts match") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("mail a@b.com and c.d+x@e.org end", 2, 0, 0, 0),
+      ("ip 10.0.0.1 and 192.168.255.3", 0, 2, 0, 0),
+      ("ssn 123-45-6789 phone 555-867-5309", 0, 0, 1, 1),
+      ("no pii here at all", 0, 0, 0, 0)
+    ).toDF("t", "ne", "ni", "ns", "np")
+    val got = df.select(
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailRe).as("ge"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.Ipv4Re).as("gi"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.SsnRe).as("gs"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhoneRe).as("gp"),
+      TextAnalysis.redactPii(col("t")).as("red"),
+      col("ne"), col("ni"), col("ns"), col("np")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("ge") == r.getAs[Int]("ne"))
+      assert(r.getAs[Int]("gi") == r.getAs[Int]("ni"))
+      assert(r.getAs[Int]("gs") == r.getAs[Int]("ns"))
+      assert(r.getAs[Int]("gp") == r.getAs[Int]("np"))
+    }
+    val reds = got.map(_.getAs[String]("red"))
+    assert(reds(0) == "mail <EMAIL> and <EMAIL> end")
+    assert(reds(1) == "ip <IP> and <IP>")
+    assert(reds(2) == "ssn <SSN> phone <PHONE>")
+    assert(reds(3) == "no pii here at all")
+  }
+
+  test("ssn and phone shapes do not cross-match") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a 123-45-6789 b 123-456-7890 c").toDF("t")
+    val r = df.select(TextAnalysis.redactPii(col("t"))).head.getString(0)
+    assert(r == "a <SSN> b <PHONE> c")
+  }
+}
+
+class RepetitionSpec extends SparkSpec {
+
+  test("dupBigramFraction on crafted docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a b a b a b", 3.0 / 5.0), // bigrams: ab ba ab ba ab -> 2 distinct of 5
+      ("a b c d e", 0.0),         // all distinct
+      ("solo", 0.0),              // < 2 tokens
+      ("", 0.0)
+    ).toDF("t", "want")
+    val got = df.select(
+      TextAnalysis.dupBigramFraction(Dedup.tokens(col("t"))).as("got"),
+      col("want")).collect()
+    got.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"got ${r.getDouble(0)} want ${r.getDouble(1)}"))
+  }
+
+  test("bigrams preserves adjacency and order") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("x y z").toDF("t")
+      .select(TextAnalysis.bigrams(Dedup.tokens(col("t"))))
+      .head.getSeq[String](0)
+    assert(got == Seq("x y", "y z"))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+
+  test("hashBucket is deterministic, uniform-ish, and in range") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val b = ids.select(Sampling.hashBucket(col("id"), "salt", 100).as("b"))
+    val stats = b.agg(min("b"), max("b"), countDistinct("b")).head
+    assert(stats.getLong(0) >= 0 && stats.getLong(1) <= 99)
+    assert(stats.getLong(2) == 100) // all buckets hit at n=2000
+    // determinism: same salt → same buckets
+    val again = ids.select(Sampling.hashBucket(col("id"), "salt", 100).as("b"))
+    assert(b.exceptAll(again).count() == 0)
+    // different salt → different assignment (overwhelmingly)
+    val other = ids.select(Sampling.hashBucket(col("id"), "other", 100).as("b"))
+    assert(b.exceptAll(other).count() > 0)
+  }
+
+  test("stratifiedKeep approximates the target rate per stratum") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("id", "lang")
+    val pct = when(col("lang") === "en", lit(25)).otherwise(lit(75))
+    val kept = df.filter(Sampling.stratifiedKeep(col("id"), "s", pct))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum; binomial sd ~19 at p=.25 — generous bounds
+    assert(math.abs(kept("en") - 500L) < 150, s"en=${kept("en")}")
+    assert(math.abs(kept("de") - 1500L) < 150, s"de=${kept("de")}")
+  }
+}
+
+class GeoMeanSpec extends SparkSpec {
+
+  test("geometric mean of known values") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 2.0), ("g", 8.0)).toDF("k", "x")
+    val gm = df.groupBy("k")
+      .agg(graft.functions.GeoMean.geoMean(col("x")).as("gm"))
+      .head.getDouble(1)
+    assert(math.abs(gm - 4.0) < 1e-9) // sqrt(2*8) = 4
+  }
+
+  test("result is independent of partitioning (exact decimal state)") {
+    val s = spark
+    import s.implicits._
+    val xs = (1 to 1000).map(_.toDouble)
+    val one = xs.toDF("x").coalesce(1)
+      .agg(graft.functions.GeoMean.geoMean(col("x"))).head.getDouble(0)
+    val many = xs.toDF("x").repartition(32)
+      .agg(graft.functions.GeoMean.geoMean(col("x"))).head.getDouble(0)
+    assert(one == many) // bit-identical, not just close
+  }
+
+  test("non-positive inputs are skipped") {
+    val s = spark
+    import s.implicits._
+    val gm = Seq(4.0, 0.0, -3.0, 4.0).toDF("x")
+      .agg(graft.functions.GeoMean.geoMean(col("x"))).head.getDouble(0)
+    assert(math.abs(gm - 4.0) < 1e-9)
+  }
+}
