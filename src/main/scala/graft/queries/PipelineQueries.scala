@@ -293,6 +293,21 @@ object PipelineQueries {
           col("quality"))
     }),
 
+    // PageRank over a deterministic synthetic doc graph (each doc
+    // links to (2i+1)%N and (3i+7)%N — same construction in the
+    // oracle, like synthPii). Exercises operators/PageRank: 10
+    // power-method rounds, exact-decimal contribution sums.
+    "graph_pagerank" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % n).as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 7) % n).as("dst"))
+      graft.operators.PageRank.ranks(e1.union(e2), 10, 0.85)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+    }),
+
     // --- multimodal (binary columns; decode is a marked stub) ---
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -694,6 +709,39 @@ object PipelineQueries {
           FROM q
           WHERE len(ws) BETWEEN 20 AND 5000 AND dup2 <= 0.1
             AND quality >= 0.62"""
+    },
+
+    "graph_pagerank" -> {
+      // 10 unrolled power-method steps (no recursive-CTE aggregate
+      // restrictions); contribution sums go through DECIMAL(38,18)
+      // exactly like PageRank.ranks, so the doubles track the Spark
+      // result to ~1e-15 — far inside the 6dp rounding.
+      val iters = (1 to 10).map { i =>
+        s"""r$i AS (
+           SELECT nodes.id,
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+               + 0.85 * coalesce(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN (
+             SELECT e.dst AS dst,
+               CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(38,18)))
+                 AS DOUBLE) AS mass
+             FROM r${i - 1} r JOIN e ON r.id = e.src
+             JOIN deg ON deg.src = e.src
+             GROUP BY e.dst) m ON m.dst = nodes.id)"""
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+               FROM documents, nn
+               UNION ALL
+               SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM nodes, nn),
+         $iters
+         SELECT id AS doc_id, round(rank, 6) AS rank FROM r10"""
     },
 
     "mm_features" ->

@@ -246,6 +246,25 @@ object RelationalQueries {
                WHERE o.n_big > 0""")
     }),
 
+    // MERGE/upsert maintenance pass: changeset derived from orders
+    // (big spenders re-segmented + synthetic inserts on negative
+    // keys), applied to the customer snapshot via one full-outer
+    // join — operators/Upsert.
+    "merge_upsert" -> ((s, d) => {
+      val bigSpend = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      val mods = bigSpend.select(col("o_custkey").as("c_custkey"),
+        lit("VIP").as("c_mktsegment"),
+        (col("n_big") * 1000).cast("double").as("c_acctbal"))
+      val inserts = bigSpend.filter(col("o_custkey") % 7 === 0)
+        .select((-col("o_custkey")).as("c_custkey"),
+          lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+      graft.operators.Upsert.upsert(
+        customer(s, d).select("c_custkey", "c_name", "c_mktsegment",
+          "c_acctbal"),
+        mods.union(inserts), "c_custkey")
+    }),
+
     // Typed Aggregator UDAF (geometric mean): exact decimal partial
     // state → order-independent, map-side combinable. Deliberately the
     // only UDAF in the repo — everything built-in stays built-in.
@@ -277,6 +296,20 @@ object RelationalQueries {
            WHERE o_custkey = c.c_custkey
              AND o_totalprice > 100000.0) o ON true
          WHERE o.n_big > 0""",
+
+    "merge_upsert" ->
+      """WITH u0 AS (SELECT o_custkey, count(*) AS n_big FROM orders
+                     WHERE o_totalprice > 400000.0 GROUP BY o_custkey),
+         u AS (SELECT o_custkey AS k, 'VIP' AS seg,
+                      CAST(n_big * 1000 AS DOUBLE) AS bal FROM u0
+               UNION ALL
+               SELECT -o_custkey, 'NEW', 0.0 FROM u0
+               WHERE o_custkey % 7 = 0)
+         SELECT coalesce(u.k, c.c_custkey) AS c_custkey,
+                c.c_name AS c_name,
+                coalesce(u.seg, c.c_mktsegment) AS c_mktsegment,
+                coalesce(u.bal, c.c_acctbal) AS c_acctbal
+         FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.k""",
 
     // Mirrors GeoMean's exact-decimal partial state: per-row ln
     // rounded to 18dp, exact decimal sum (order-independent), double

@@ -51,6 +51,29 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time interval: each side
+    * watermarked, the time-range condition bounds both join states —
+    * without it a stream-stream join buffers forever. The canonical
+    * impression⋈click attribution shape.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, watermark: String = "10 minutes",
+      maxLag: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxLag"))
+  }
+
+  /** Stream enriched by a static dimension (broadcast — no state, no
+    * shuffle of the stream side).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
   case class Event(event_id: Long, user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)
 

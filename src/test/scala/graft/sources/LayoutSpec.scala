@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CompactionSpec extends SparkSpec {
+
+  test("compact collapses small files without changing the data") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("cin").toString
+    val out = Files.createTempDirectory("cout").toString
+    (0L until 10000L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    val rep = Compaction.compact(s, in, out, targetBytes = 1L << 30)
+    assert(rep.filesIn == 64)
+    assert(rep.filesOut == 1, s"got ${rep.filesOut}")
+    val a = s.read.parquet(in)
+    val b = s.read.parquet(out)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("compact respects targetBytes granularity") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("cin2").toString
+    val out = Files.createTempDirectory("cout2").toString
+    (0L until 20000L).map(i => (i, ("x" * 100) + i)).toDF("id", "v")
+      .repartition(32).write.mode("overwrite").parquet(in)
+    val bytes = Compaction.compact(s, in, out + "/probe",
+      targetBytes = 1L << 30).bytesIn
+    // aim for ~4 output files
+    val rep = Compaction.compact(s, in, out + "/real",
+      targetBytes = math.max(1L, bytes / 4))
+    assert(rep.filesOut >= 3 && rep.filesOut <= 5, s"got ${rep.filesOut}")
+  }
+}
+
+class PartitionedLayoutSpec extends SparkSpec {
+
+  test("partitionBy layout gives partition-pruned scans") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("playout").toString
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    (0L until 5000L).map(i => (i, langs((i % 5).toInt), s"doc$i"))
+      .toDF("id", "lang", "text")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val q = s.read.parquet(dir).filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains("lang"), "pruning predicate missing")
+    // pruned scan must read exactly the one partition
+    assert(q.count() == 1000)
+    val parts = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      })
+    assert(parts.nonEmpty && parts.forall(_ == 1),
+      s"expected 1 selected partition, got $parts")
+  }
+}
+
+class BloomFilterJoinSpec extends SparkSpec {
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("bloom").toString
+    (0L until 100000L).map(i => (i % 1000, s"payload$i"))
+      .toDF("fk", "payload").write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 1000L).map(i => (i, if (i < 10) "hot" else "cold"))
+      .toDF("pk", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = s.read.parquet(s"$dir/fact")
+      val dim = s.read.parquet(s"$dir/dim").filter(col("tag") === "hot")
+      val j = fact.join(dim, col("fk") === col("pk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") ||
+        plan.contains("might_contain"),
+        "no runtime bloom filter injected:\n" + plan.take(2000))
+      assert(j.count() == 1000) // 10 hot keys x 100 fact rows each
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

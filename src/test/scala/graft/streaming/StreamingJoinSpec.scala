@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class Impression(imp_id: Long, ts: Timestamp, user_id: Long)
+case class Click(click_id: Long, ts: Timestamp, user_id: Long)
+
+class StreamingJoinSpec extends SparkSpec {
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("stream-stream interval join attributes clicks to impressions") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val imps = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id",
+      watermark = "10 minutes", maxLag = "5 minutes")
+      .select(col("imp_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    imps.addData(Impression(1, t(0), 100), Impression(2, t(0), 200))
+    clicks.addData(
+      Click(10, t(2), 100),  // within 5 min of imp 1 -> match
+      Click(11, t(8), 200),  // 8 min after imp 2 -> outside window
+      Click(12, t(1), 999))  // unknown user -> no match
+    q.processAllAvailable()
+    val got = s.sql("SELECT imp_id, click_id FROM attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("stream enriched by a static broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[Impression]
+    val dim = Seq((100L, "paid"), (200L, "organic")).toDF("user_id", "tier")
+    val q = StreamingOps.enrichStream(in.toDF(), dim, "user_id")
+      .select(col("imp_id"), col("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(Impression(1, t(0), 100), Impression(2, t(1), 200),
+      Impression(3, t(2), 300))
+    q.processAllAvailable()
+    val got = s.sql("SELECT imp_id, tier FROM enriched").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set((1L, "paid"), (2L, "organic"))) // 300 drops (inner)
+  }
+}
