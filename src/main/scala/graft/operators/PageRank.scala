@@ -50,9 +50,9 @@ object PageRank {
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0)))
             .as("rank"))
-      // Checkpoint every other round: lineage stays bounded without
-      // paying a materialization per iteration.
-      ranks = if (i % 2 == 0 || i == iterations) next.localCheckpoint(true)
+      // Checkpoint every third round: lineage stays bounded without
+      // paying a materialization job per iteration.
+      ranks = if (i % 3 == 0 || i == iterations) next.localCheckpoint(true)
         else next
     }
     ranks

@@ -27,12 +27,19 @@ object RelationalQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
   private def decSum(c: org.apache.spark.sql.Column, alias: String) =
     sum(dec(c)).cast("double").as(alias)
-  /** Per-row product in double (IEEE-identical cross-engine), then
-    * exact decimal sum.
+  /** Revenue in DECIMAL end-to-end: price and discount are 2dp money
+    * values, so their double→DECIMAL(·,2) casts are unambiguous (the
+    * stored double sits ~1e-9 from the 2dp value, far from any
+    * rounding boundary), and every later step — subtract, multiply,
+    * sum — is exact. Rounding the double PRODUCT instead (the old
+    * DECIMAL(28,10) cast) diverged from DuckDB at sf0.1: its
+    * double→decimal cast is itself lossy at the 10th decimal, drifting
+    * the total by ~4e-7 over 5e4 rows.
     */
   private def revenueSum(alias: String) =
-    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast(DecimalType(28, 10))).cast("double").as(alias)
+    sum(dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      .cast("double").as(alias)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy partial aggregation.
@@ -325,7 +332,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
          COUNT(*) AS count_order
          FROM lineitem
@@ -334,7 +341,7 @@ object RelationalQueries {
 
     "q3_join_topk" ->
       """SELECT o_orderkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
          CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS o_date_epoch
          FROM lineitem, orders, customer
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -346,7 +353,7 @@ object RelationalQueries {
 
     "q5_multi_join" ->
       """SELECT n_name,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
          FROM lineitem, orders, customer, supplier, nation, region
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey

@@ -71,4 +71,44 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("dedup_embed")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("pipeline_filter: quality gate filters AFTER the aggregation") {
+    val p = plan("pipeline_filter")
+    // The interpreted token HOFs must appear only in the pre-explode
+    // projection, never inside a Filter — Catalyst substituting them
+    // into a pushed-down filter re-evaluates them per reference
+    // (measured 15s vs 1s at sf0.1). Post-agg filtering keeps every
+    // Filter condition on aggregated (codegen'd) columns.
+    val filterSections = "\\(\\d+\\) Filter[\\s\\S]*?Condition : ([^\\n]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(filterSections.nonEmpty)
+    filterSections.foreach { c =>
+      assert(!c.contains("transform") && !c.contains("aggregate(") &&
+        !c.contains("array_distinct"),
+        s"HOF leaked into a filter condition: $c")
+    }
+  }
+
+  test("sample_stratified: map-side filter, zero shuffles") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Exchange"), "sampling must not shuffle")
+  }
+
+  test("text_tfidf: corpus count joins via broadcast, aggs are partial") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4) // partial+final x2
+  }
+
+  test("merge_upsert: full-outer join keyed on both sides") {
+    val p = plan("merge_upsert")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_pii: single map-side pass over the scan, no shuffle") {
+    val p = plan("text_pii")
+    assert(!p.contains("Exchange"), "PII pass must not shuffle")
+  }
 }

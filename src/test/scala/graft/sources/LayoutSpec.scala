@@ -64,6 +64,28 @@ class PartitionedLayoutSpec extends SparkSpec {
   }
 }
 
+class SchemaEvolutionSpec extends SparkSpec {
+
+  test("mergeSchema reads old and new batches as one evolved table") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("sevo").toString
+    // batch 1: original schema
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=1")
+    // batch 2: a column was added upstream
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/batch=2")
+    val t = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(t.columns.toSet == Set("id", "v", "score", "batch"))
+    val rows = t.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty) // old rows: null score
+    assert(rows(3L).contains(0.5) && rows(4L).contains(0.9))
+  }
+}
+
 class BloomFilterJoinSpec extends SparkSpec {
 
   test("runtime bloom filter prunes the fact side of a selective join") {
