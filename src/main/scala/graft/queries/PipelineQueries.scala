@@ -293,6 +293,44 @@ object PipelineQueries {
           col("quality"))
     }),
 
+    // Benchmark-contamination check: fraction of each eval doc's
+    // 3-gram shingles that appear anywhere in the train split — the
+    // decontamination pass every training corpus needs. Scalable
+    // shape: shingles as rows, train side reduced to DISTINCT shingle
+    // keys, one semi join + two hash aggs; no arrays cross a shuffle.
+    "contamination_check" -> ((s, d) => {
+      val docs = documents(s, d)
+      val trainSh = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .select("shingle").distinct()
+      val evalSh = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .localCheckpoint(false) // two consumers: totals + semi join
+      val contam = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("n_contam"))
+      evalSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+        .join(contam, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+          (coalesce(col("n_contam"), lit(0L)).cast("double") /
+            col("n_shingles")).as("contam_frac"))
+    }),
+
+    // Sequence packing: assign docs to fixed-token-budget training
+    // batches via an exclusive running token total, partitioned by
+    // lang (per-stratum windows — no global sort bottleneck at scale).
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(Dedup.tokens(col("text"))).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
+            .as("pack_id"))
+    }),
+
     // PageRank over a deterministic synthetic doc graph (each doc
     // links to (2i+1)%N and (3i+7)%N — same construction in the
     // oracle, like synthPii). Exercises operators/PageRank: 10
@@ -710,6 +748,33 @@ object PipelineQueries {
           WHERE len(ws) BETWEEN 20 AND 5000 AND dup2 <= 0.1
             AND quality >= 0.62"""
     },
+
+    "contamination_check" ->
+      s"""WITH $Word3Ctes,
+          ev AS (SELECT doc_id, unnest(ts) AS shingle FROM sh2
+                 WHERE doc_id % 10 = 0),
+          tr AS (SELECT DISTINCT shingle FROM
+                 (SELECT unnest(ts) AS shingle FROM sh2
+                  WHERE doc_id % 10 != 0)),
+          tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev
+                  GROUP BY 1),
+          con AS (SELECT doc_id, count(*) AS n_contam FROM ev
+                  WHERE shingle IN (SELECT shingle FROM tr) GROUP BY 1)
+          SELECT tot.doc_id, n_shingles,
+            coalesce(n_contam, 0) AS n_contam,
+            CAST(coalesce(n_contam, 0) AS DOUBLE) / n_shingles
+              AS contam_frac
+          FROM tot LEFT JOIN con ON tot.doc_id = con.doc_id""",
+
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($Toks) AS n_tok
+                     FROM documents),
+          c AS (SELECT doc_id, lang, n_tok,
+                SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum FROM t)
+          SELECT doc_id, lang, n_tok, (cum - n_tok) // 512 AS pack_id
+          FROM c""",
 
     "graph_pagerank" -> {
       // 10 unrolled power-method steps (no recursive-CTE aggregate
