@@ -272,6 +272,32 @@ object RelationalQueries {
         mods.union(inserts), "c_custkey")
     }),
 
+    // Incremental aggregate maintenance: per-key (count, decimal sum)
+    // states computed for an "old" batch and a "delta" batch are
+    // merged by one full-outer join + componentwise add — exactly the
+    // map-side-combine algebra lifted to table level. Because the
+    // state is exact decimal, merged == full recompute bit-for-bit;
+    // the oracle IS the full recompute over all rows.
+    "incremental_agg" -> ((s, d) => {
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      def state(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+      val old = state(orders(s, d).filter(col("o_orderdate") < cutoff))
+        .select(col("o_custkey"), col("n").as("n_o"),
+          col("sum_price").as("sp_o"))
+      val delta = state(orders(s, d).filter(col("o_orderdate") >= cutoff))
+        .select(col("o_custkey"), col("n").as("n_d"),
+          col("sum_price").as("sp_d"))
+      old.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("sp_o"), lit(0).cast(DecimalType(18, 2))) +
+            coalesce(col("sp_d"), lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("sum_price"))
+    }),
+
     // Typed Aggregator UDAF (geometric mean): exact decimal partial
     // state → order-independent, map-side combinable. Deliberately the
     // only UDAF in the repo — everything built-in stays built-in.
@@ -317,6 +343,13 @@ object RelationalQueries {
                 coalesce(u.seg, c.c_mktsegment) AS c_mktsegment,
                 coalesce(u.bal, c.c_acctbal) AS c_acctbal
          FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.k""",
+
+    // The merged incremental state must equal a full recompute.
+    "incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+         FROM orders GROUP BY o_custkey""",
 
     // Mirrors GeoMean's exact-decimal partial state: per-row ln
     // rounded to 18dp, exact decimal sum (order-independent), double

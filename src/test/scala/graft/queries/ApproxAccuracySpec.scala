@@ -29,4 +29,19 @@ class ApproxAccuracySpec extends SparkSpec {
     assert(partsErr <= 0.03, s"approx_parts rel err $partsErr > 3x rsd")
     assert(ordersErr <= 0.03, s"approx_orders rel err $ordersErr > 3x rsd")
   }
+
+  test("approx_percentile lands within the accuracy-bound rank window") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val acc = 1000 // max rank error = n / acc
+    val approx = li.select(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)))
+      .head.getDouble(0)
+    val n = li.count()
+    val maxRankErr = math.ceil(n.toDouble / acc).toLong
+    // the estimate's true rank must sit within [n/2 - err, n/2 + err]
+    val below = li.filter(col("l_extendedprice") <= approx).count()
+    assert(math.abs(below - n / 2) <= maxRankErr + 1,
+      s"rank of estimate $below vs ${n / 2} (allowed ±$maxRankErr)")
+  }
 }
