@@ -317,16 +317,21 @@ object PipelineQueries {
     }),
 
     // Sequence packing: assign docs to fixed-token-budget training
-    // batches via an exclusive running token total, partitioned by
-    // lang (per-stratum windows — no global sort bottleneck at scale).
+    // batches via an exclusive running token total. The window key is
+    // (lang, shard) — a handful of langs alone would concentrate a
+    // 100 TB corpus onto a handful of window tasks; deterministic
+    // doc_id shards keep every window partition bounded while batches
+    // stay contiguous within a shard (training batches don't need
+    // global contiguity).
     "pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       documents(s, d)
         .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
           size(Dedup.tokens(col("text"))).as("n_tok"))
         .withColumn("cum", sum("n_tok").over(w))
-        .select(col("doc_id"), col("lang"), col("n_tok"),
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
           floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
             .as("pack_id"))
     }),
@@ -767,13 +772,14 @@ object PipelineQueries {
           FROM tot LEFT JOIN con ON tot.doc_id = con.doc_id""",
 
     "pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id, lang, len($Toks) AS n_tok
-                     FROM documents),
-          c AS (SELECT doc_id, lang, n_tok,
-                SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+                     len($Toks) AS n_tok FROM documents),
+          c AS (SELECT doc_id, lang, shard, n_tok,
+                SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS cum FROM t)
-          SELECT doc_id, lang, n_tok, (cum - n_tok) // 512 AS pack_id
+          SELECT doc_id, lang, shard, n_tok,
+            (cum - n_tok) // 512 AS pack_id
           FROM c""",
 
     "graph_pagerank" -> {
