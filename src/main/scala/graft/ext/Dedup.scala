@@ -131,6 +131,12 @@ object Dedup {
       .agg(count(lit(1)).as("n")).filter(col("n") > hotCap)
       .select("band", "bk")
       .localCheckpoint(false) // tiny; decides the shape + feeds probes
+    // Deliberate tradeoff: `isEmpty` runs the band aggregation at
+    // DataFrame-CONSTRUCTION time (plan inspection included), but in
+    // the common no-hot-bucket case it buys a plan with zero probe
+    // legs — measured faster than carrying anti/semi probes through
+    // every query. The aggregated bands are checkpointed, so the work
+    // is not repeated by the main action.
     if (hot.isEmpty) {
       la.join(rb, Seq("band", "bk"))
         .filter(col("id_a") < col("id_b"))

@@ -31,7 +31,12 @@ object GeoMean extends Aggregator[Double, GeoMeanBuf, Double] {
   override def zero: Buf = GeoMeanBuf(BigDecimal(0).setScale(Scale), 0L)
 
   override def reduce(b: Buf, x: Double): Buf =
-    if (x <= 0.0) b else GeoMeanBuf(b.sumLog + ln18(x), b.n + 1)
+    // Require finite AND positive: NaN fails `x > 0` (so it's skipped
+    // rather than reaching BigDecimal(NaN) → NumberFormatException),
+    // and +Infinity is excluded explicitly.
+    if (java.lang.Double.isFinite(x) && x > 0.0)
+      GeoMeanBuf(b.sumLog + ln18(x), b.n + 1)
+    else b
 
   override def merge(a: Buf, b: Buf): Buf =
     GeoMeanBuf(a.sumLog + b.sumLog, a.n + b.n)

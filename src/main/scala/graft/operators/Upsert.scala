@@ -17,13 +17,26 @@ object Upsert {
   /** @param target  current snapshot
     * @param updates changeset; same key column name, update columns
     *                are a subset of the target's (missing target rows
-    *                become inserts)
+    *                become inserts). MUST be key-unique — a duplicate
+    *                key would fan the snapshot row out into duplicates
+    *                (standard MERGE raises on multiple source matches).
     * @param key     join key column present in both
+    * @param validateUnique when true, spend one aggregation job
+    *                asserting the changeset is key-unique before
+    *                merging; leave false when uniqueness is
+    *                guaranteed by construction (e.g. a groupBy).
     * @return merged snapshot: updated ∪ inserted ∪ untouched rows.
     *         Columns = target's; a column absent from `updates` keeps
     *         the target value; an inserted row has nulls there.
     */
-  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+  def upsert(target: DataFrame, updates: DataFrame, key: String,
+      validateUnique: Boolean = false): DataFrame = {
+    if (validateUnique) {
+      val dup = updates.groupBy(key).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"changeset has duplicate key ${dup.headOption.map(_.get(0))}")
+    }
     val t = target.alias("t")
     val u = updates.alias("u")
     val updateCols = updates.columns.toSet - key

@@ -60,18 +60,23 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
-    // Group key is xxhash64 of the normalized text — a codegen'd
-    // 64-bit hash, ~an order of magnitude cheaper per row than md5.
-    // The key itself is engine-internal (not in the output); the
-    // oracle groups by md5 of the same normalization, which induces
-    // the identical partition of rows. Cross-engine-visible hex
+    // Group key is a 128-bit fingerprint built from two independent
+    // codegen'd xxhash64 values (plain, and seeded with a constant
+    // prefix) — still far cheaper per row than md5, but immune to the
+    // 64-bit birthday bound (a single xxhash64 key expects collisions
+    // — silently merged groups — once the corpus reaches billions of
+    // docs). Keys are engine-internal (not in the output); the oracle
+    // groups by md5 of the same normalization, which induces the
+    // identical partition of rows. Cross-engine-visible hex
     // fingerprints stay on `text_fingerprint` (md5).
-    "dedup_exact" -> ((s, d) =>
+    "dedup_exact" -> ((s, d) => {
+      val nt = TextAnalysis.normalized(col("text"))
       documents(s, d)
-        .groupBy(xxhash64(TextAnalysis.normalized(col("text"))).as("fp64"))
+        .groupBy(xxhash64(nt).as("fp_a"), xxhash64(lit(42L), nt).as("fp_b"))
         .agg(min(col("doc_id")).as("doc_id"),
           count(lit(1)).as("n_copies"))
-        .select("doc_id", "n_copies")),
+        .select("doc_id", "n_copies")
+    }),
 
     "dedup_key" -> ((s, d) =>
       documents(s, d).groupBy("lang", "source")

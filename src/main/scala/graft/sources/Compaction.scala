@@ -24,10 +24,21 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Report = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(URI.create(inDir), conf)
-    def parquetFiles(dir: String) =
-      fs.listStatus(new Path(dir))
-        .filter(_.getPath.getName.endsWith(".parquet"))
+    // Recursive listing (partitionBy layouts nest part files under
+    // key=value subdirs — a top-level listing would see zero bytes and
+    // degenerate to coalesce(1)); each dir resolves its own
+    // FileSystem, so in and out may live on different schemes.
+    def parquetFiles(dir: String) = {
+      val fs = FileSystem.get(URI.create(dir), conf)
+      val it = fs.listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
     val in = parquetFiles(inDir)
     val bytes = in.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

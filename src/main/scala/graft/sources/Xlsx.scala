@@ -81,23 +81,50 @@ object Xlsx {
     val display = GraftFunctions.displayString(df)
     val header = display.columns.toSeq
     val spark = display.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // The DRIVER's Hadoop configuration must reach the executors —
+    // a bare `new Configuration()` there would drop every
+    // spark.hadoop.* setting (object-store credentials, endpoints,
+    // fs.defaultFS) and break on any non-local filesystem.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .mkdirs(dirPath)
+    val driverFs = dirPath.getFileSystem(hconf)
+    // Task-attempt commit protocol: tasks write under _temporary with
+    // attempt-unique names (speculative/retried attempts can't
+    // collide), the driver promotes exactly one file per partition
+    // AFTER the job succeeds, then marks completion with _SUCCESS.
+    // A failed job leaves only _temporary — never a silently-readable
+    // partial export.
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, "_temporary")
+    driverFs.delete(tmp, true)
+    driverFs.mkdirs(tmp)
     display.foreachPartition { (it: Iterator[Row]) =>
       val rows = it.map(_.toSeq.map(String.valueOf)).toSeq
       if (rows.nonEmpty) {
-        val part = org.apache.spark.TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(
-          dir, f"part-$part%05d.xlsx")
-        // Executor-side: default Hadoop conf resolves the scheme
-        // (file://, hdfs://, ...) from the path itself.
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tc = org.apache.spark.TaskContext.get()
+        val p = new org.apache.hadoop.fs.Path(tmp,
+          f"part-${tc.partitionId()}%05d-attempt-${tc.taskAttemptId()}.xlsx")
+        val fs = p.getFileSystem(serConf.value)
         val out = fs.create(p, true)
         try out.write(workbookBytes(header +: rows))
         finally out.close()
       }
     }
+    // Promote one attempt per partition (lexicographically first —
+    // any attempt of a partition wrote identical content).
+    val attempts = driverFs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".xlsx"))
+      .sortBy(_.getPath.getName)
+    val done = scala.collection.mutable.Set[String]()
+    attempts.foreach { st =>
+      val part = st.getPath.getName.split("-attempt-")(0)
+      if (done.add(part))
+        driverFs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dirPath, s"$part.xlsx"))
+    }
+    driverFs.delete(tmp, true)
+    driverFs.create(
+      new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
   }
 
   // ---- workbook construction ----

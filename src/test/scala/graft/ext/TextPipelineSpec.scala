@@ -128,10 +128,11 @@ class GeoMeanSpec extends SparkSpec {
     assert(one == many) // bit-identical, not just close
   }
 
-  test("non-positive inputs are skipped") {
+  test("non-positive and non-finite inputs are skipped") {
     val s = spark
     import s.implicits._
-    val gm = Seq(4.0, 0.0, -3.0, 4.0).toDF("x")
+    val gm = Seq(4.0, 0.0, -3.0, Double.NaN, Double.PositiveInfinity, 4.0)
+      .toDF("x")
       .agg(graft.functions.GeoMean.geoMean(col("x"))).head.getDouble(0)
     assert(math.abs(gm - 4.0) < 1e-9)
   }

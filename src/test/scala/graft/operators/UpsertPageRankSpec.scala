@@ -27,6 +27,18 @@ class UpsertSpec extends SparkSpec {
       (9L, None, "NEW", 0.0)))
   }
 
+  test("validateUnique rejects a changeset with duplicate keys") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "x")).toDF("k", "seg")
+    val dupUpdates = Seq((1L, "a"), (1L, "b")).toDF("k", "seg")
+    intercept[IllegalArgumentException] {
+      Upsert.upsert(target, dupUpdates, "k", validateUnique = true)
+    }
+    // without validation the fan-out is the (documented) consequence
+    assert(Upsert.upsert(target, dupUpdates, "k").count() == 2)
+  }
+
   test("null update values fall back to target values") {
     val s = spark
     import s.implicits._

@@ -22,6 +22,21 @@ class CompactionSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("compact sees nested partitionBy layouts (recursive listing)") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("cpart").toString
+    val out = Files.createTempDirectory("cpartout").toString
+    (0L until 5000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+      .repartition(16).write.partitionBy("lang").mode("overwrite")
+      .parquet(in)
+    val rep = Compaction.compact(s, in, out, targetBytes = 1L << 30)
+    assert(rep.bytesIn > 0, "nested part files must be counted")
+    assert(rep.filesIn >= 16)
+    assert(s.read.parquet(out).count() == 5000)
+  }
+
   test("compact respects targetBytes granularity") {
     val s = spark
     import s.implicits._
