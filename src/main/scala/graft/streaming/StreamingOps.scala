@@ -51,6 +51,20 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Event-time session windows: activity bursts separated by ≥`gap`
+    * of silence become separate sessions per key — the streaming face
+    * of the batch `events_sessionize` query. State is bounded by the
+    * watermark; sessions merge as late-but-in-watermark events arrive.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream-stream inner join with an event-time interval: each side
     * watermarked, the time-range condition bounds both join states —
     * without it a stream-stream join buffers forever. The canonical

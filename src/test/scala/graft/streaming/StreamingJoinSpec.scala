@@ -8,6 +8,8 @@ import graft.SparkSpec
 
 case class Impression(imp_id: Long, ts: Timestamp, user_id: Long)
 case class Click(click_id: Long, ts: Timestamp, user_id: Long)
+case class SessEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    value: Double)
 
 class StreamingJoinSpec extends SparkSpec {
 
@@ -35,6 +37,28 @@ class StreamingJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     q.stop()
     assert(got == Set((1L, 10L)))
+  }
+
+  test("session windows split activity on the gap, merge within it") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = StreamingOps.sessionCounts(in.toDF(), gap = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    in.addData(
+      SessEvent(1, t(0), 7L, 1.0),   // user 7, session A
+      SessEvent(2, t(10), 7L, 2.0),  // 10 min later -> same session
+      SessEvent(3, t(60), 7L, 4.0),  // 50 min gap -> new session
+      SessEvent(4, t(5), 8L, 8.0))   // other user
+    q.processAllAvailable()
+    val got = s.sql(
+      "SELECT user_id, n_events, sum_value FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == Set((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
   }
 
   test("stream enriched by a static broadcast dimension") {
