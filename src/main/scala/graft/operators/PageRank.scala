@@ -27,16 +27,17 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    val nNodes = nodes.count()
+      .distinct().localCheckpoint(false)
+    val nNodes = nodes.count() // also materializes e + nodes
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) is iteration-invariant: materialize once.
+    // (src, dst, deg) is iteration-invariant: computed once on first
+    // use (lazy checkpoint — no standalone materialization job).
     val links = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val base = (1.0 - damping) / nNodes
     var ranks = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
     for (i <- 1 to iterations) {
@@ -50,9 +51,11 @@ object PageRank {
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0)))
             .as("rank"))
-      // Checkpoint every third round: lineage stays bounded without
-      // paying a materialization job per iteration.
-      ranks = if (i % 3 == 0 || i == iterations) next.localCheckpoint(true)
+      // Lazily checkpoint every fifth round: lineage depth stays
+      // bounded (≤5 join+agg layers) without standalone
+      // materialization jobs — each checkpoint computes as part of
+      // the next consuming job.
+      ranks = if (i % 5 == 0 || i == iterations) next.localCheckpoint(false)
         else next
     }
     ranks
