@@ -72,6 +72,67 @@ class RepetitionSpec extends SparkSpec {
   }
 }
 
+class TextPipelinePropertySpec extends SparkSpec {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  /** Independent Scala reference of the duplicate-bigram fraction. */
+  private def refDupFrac(text: String): Double = {
+    val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      .filter(_ => text.trim.nonEmpty)
+    if (ws.size < 2) 0.0
+    else {
+      val gs = ws.sliding(2).map(_.mkString(" ")).toSeq
+      1.0 - gs.distinct.size.toDouble / gs.size
+    }
+  }
+
+  test("dupBigramFraction matches a sliding-window reference on random docs") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("a", "b", "ab", "ba", "xy")
+    val doc = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(doc, 300).distinct
+    val got = docs.toDF("t")
+      .select(col("t"),
+        TextAnalysis.dupBigramFraction(Dedup.tokens(col("t"))).as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    docs.foreach { t =>
+      assert(math.abs(got(t) - refDupFrac(t)) < 1e-12,
+        s"'$t': got ${got(t)} want ${refDupFrac(t)}")
+    }
+  }
+
+  test("redactPii never leaves a raw match and is idempotent") {
+    val s = spark
+    import s.implicits._
+    val pii = Gen.oneOf(
+      "u@example.com", "10.1.2.3", "123-45-6789", "555-123-4567")
+    val filler = Gen.oneOf("hello", "x1", "a.b", "7", "-")
+    val doc = for {
+      n <- Gen.choose(0, 6)
+      parts <- Gen.listOfN(n, Gen.frequency(3 -> filler, 2 -> pii))
+    } yield parts.mkString(" ")
+    val docs = samples(doc, 200).distinct
+    val out = docs.toDF("t")
+      .select(col("t"), TextAnalysis.redactPii(col("t")).as("r"),
+        TextAnalysis.redactPii(TextAnalysis.redactPii(col("t"))).as("rr"))
+      .collect()
+    out.foreach { row =>
+      val r = row.getString(1)
+      assert(!r.contains("example.com") && !r.contains("10.1.2.3") &&
+        !r.contains("123-45-6789") && !r.contains("555-123-4567"),
+        s"'${row.getString(0)}' -> '$r'")
+      assert(r == row.getString(2), "redaction must be idempotent")
+    }
+  }
+}
+
 class SamplingSpec extends SparkSpec {
 
   test("hashBucket is deterministic, uniform-ish, and in range") {
