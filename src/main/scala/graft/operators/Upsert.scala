@@ -32,10 +32,14 @@ object Upsert {
   def upsert(target: DataFrame, updates: DataFrame, key: String,
       validateUnique: Boolean = false): DataFrame = {
     if (validateUnique) {
-      val dup = updates.groupBy(key).count()
-        .filter(col("count") > 1).limit(1).collect()
+      // count(lit(1)) into a reserved alias — groupBy(key).count()
+      // would produce a second column named "count", ambiguous when
+      // the key itself is named "count".
+      val dup = updates.groupBy(key)
+        .agg(count(lit(1)).as("__graft_n"))
+        .filter(col("__graft_n") > 1).limit(1).collect()
       require(dup.isEmpty,
-        s"changeset has duplicate key ${dup.headOption.map(_.get(0))}")
+        s"changeset has duplicate key ${dup.headOption.map(_.get(0)).orNull}")
     }
     val t = target.alias("t")
     val u = updates.alias("u")

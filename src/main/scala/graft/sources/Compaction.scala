@@ -30,12 +30,23 @@ object Compaction {
     // FileSystem, so in and out may live on different schemes.
     def parquetFiles(dir: String) = {
       val fs = FileSystem.get(URI.create(dir), conf)
-      val it = fs.listFiles(new Path(dir), true)
+      val base = new Path(dir)
+      // Skip any path under a '_'/'.'-prefixed segment (mirrors
+      // Spark's InMemoryFileIndex filtering) — debris like
+      // _temporary task output is invisible to spark.read.parquet and
+      // must not inflate the byte count that sizes the rewrite.
+      def hidden(p: Path): Boolean =
+        p != null && !p.equals(base) && {
+          val n = p.getName
+          n.startsWith("_") || n.startsWith(".") || hidden(p.getParent)
+        }
+      val it = fs.listFiles(base, true)
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f
+        if (f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath))
+          buf += f
       }
       buf.toSeq
     }

@@ -89,12 +89,20 @@ object Xlsx {
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val driverFs = dirPath.getFileSystem(hconf)
-    // Task-attempt commit protocol: tasks write under _temporary with
-    // attempt-unique names (speculative/retried attempts can't
-    // collide), the driver promotes exactly one file per partition
-    // AFTER the job succeeds, then marks completion with _SUCCESS.
-    // A failed job leaves only _temporary — never a silently-readable
-    // partial export.
+    // Task-attempt commit protocol (a FileOutputCommitter-lite):
+    // 1. a task writes to an attempt-unique file under _temporary
+    //    (speculative/retried attempts can't collide), bytes built
+    //    BEFORE the stream opens so a failure leaves no file;
+    // 2. on success the TASK renames its attempt file to the
+    //    committed per-partition name — a failed attempt never
+    //    commits, so a truncated file from a crashed attempt can't
+    //    shadow a good retry. If a speculative twin committed first
+    //    (rename finds the destination taken), the loser discards its
+    //    identical attempt file;
+    // 3. after the job succeeds the DRIVER clears prior part files,
+    //    promotes the committed files, and marks completion with
+    //    _SUCCESS. A failed job leaves only _temporary — never a
+    //    silently-readable partial export.
     val tmp = new org.apache.hadoop.fs.Path(dirPath, "_temporary")
     driverFs.delete(tmp, true)
     driverFs.mkdirs(tmp)
@@ -102,26 +110,40 @@ object Xlsx {
       val rows = it.map(_.toSeq.map(String.valueOf)).toSeq
       if (rows.nonEmpty) {
         val tc = org.apache.spark.TaskContext.get()
-        val p = new org.apache.hadoop.fs.Path(tmp,
+        val tmpTask = new org.apache.hadoop.fs.Path(tmp,
           f"part-${tc.partitionId()}%05d-attempt-${tc.taskAttemptId()}.xlsx")
-        val fs = p.getFileSystem(serConf.value)
-        val out = fs.create(p, true)
-        try out.write(workbookBytes(header +: rows))
+        val committed = new org.apache.hadoop.fs.Path(tmp,
+          f"committed-part-${tc.partitionId()}%05d.xlsx")
+        val fs = tmpTask.getFileSystem(serConf.value)
+        val bytes = workbookBytes(header +: rows)
+        val out = fs.create(tmpTask, true)
+        try out.write(bytes)
         finally out.close()
+        if (!fs.rename(tmpTask, committed)) {
+          if (!fs.exists(committed))
+            throw new java.io.IOException(s"cannot commit $tmpTask")
+          fs.delete(tmpTask, false) // a twin attempt committed first
+          ()
+        }
       }
     }
-    // Promote one attempt per partition (lexicographically first —
-    // any attempt of a partition wrote identical content).
-    val attempts = driverFs.listStatus(tmp)
-      .filter(_.getPath.getName.endsWith(".xlsx"))
-      .sortBy(_.getPath.getName)
-    val done = scala.collection.mutable.Set[String]()
-    attempts.foreach { st =>
-      val part = st.getPath.getName.split("-attempt-")(0)
-      if (done.add(part))
-        driverFs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dirPath, s"$part.xlsx"))
-    }
+    // Re-export semantics = overwrite: clear previous part files (a
+    // non-overwriting rename on HDFS-likes would otherwise silently
+    // keep stale data) before promoting this run's committed files.
+    driverFs.listStatus(dirPath)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".xlsx") || n == "_SUCCESS"
+      }
+      .foreach(st => driverFs.delete(st.getPath, false))
+    driverFs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("committed-"))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(dirPath,
+          st.getPath.getName.stripPrefix("committed-"))
+        if (!driverFs.rename(st.getPath, dst))
+          throw new java.io.IOException(s"cannot promote ${st.getPath}")
+      }
     driverFs.delete(tmp, true)
     driverFs.create(
       new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()

@@ -37,6 +37,21 @@ class CompactionSpec extends SparkSpec {
     assert(s.read.parquet(out).count() == 5000)
   }
 
+  test("compact ignores _temporary debris invisible to the reader") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("cdebris").toString
+    val out = Files.createTempDirectory("cdebrisout").toString
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    // orphaned task output from an aborted write
+    (0L until 100000L).map(i => (i, "junk" * 50)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$in/_temporary/0/task")
+    val clean = Compaction.compact(s, in, out, targetBytes = 1L << 30)
+    assert(clean.filesIn == 4, s"debris counted: ${clean.filesIn}")
+    assert(s.read.parquet(out).count() == 1000)
+  }
+
   test("compact respects targetBytes granularity") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,23 @@ class XlsxSpec extends SparkSpec {
       == (1 to 100).map(i => (s"k$i", i.toString)).toSet)
   }
 
+  test("writeSharded re-export overwrites: no stale parts survive") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsxre")
+      .resolve("out").toString
+    Xlsx.writeSharded((1 to 60).map(i => (s"old$i", "1"))
+      .toDF("K", "V").repartition(6), dir)
+    Xlsx.writeSharded((1 to 20).map(i => (s"new$i", "2"))
+      .toDF("K", "V").repartition(2), dir)
+    val back = Xlsx.read(spark, s"$dir/*.xlsx").collect()
+      .map(_.getString(0)).toSet
+    assert(back == (1 to 20).map(i => s"new$i").toSet,
+      s"stale rows leaked: ${back.filter(_.startsWith("old")).take(3)}")
+    assert(new java.io.File(dir, "_SUCCESS").exists)
+    assert(!new java.io.File(dir, "_temporary").exists)
+  }
+
   test("reader feeds the mapping engine like any other sheet source") {
     val s = spark
     import s.implicits._
