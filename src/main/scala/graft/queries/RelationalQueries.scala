@@ -253,6 +253,28 @@ object RelationalQueries {
                WHERE o.n_big > 0""")
     }),
 
+    // Data profiling: per-column row/null/distinct counts in ONE scan
+    // (multiple count-distincts expand, but each is partial-agg'd) —
+    // the first pass a pipeline runs over unknown data.
+    "profile_stats" -> ((s, d) =>
+      orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("null_custkey"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        countDistinct(col("o_orderpriority")).as("d_priority"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))),
+
+    // Fixed-width histogram (distribution profiling): integer bucket
+    // arithmetic — exact cross-engine, partial-agg'd, one scan.
+    "profile_histogram" -> ((s, d) =>
+      orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 25000.0) * 25000L)
+          .cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))),
+
     // MERGE/upsert maintenance pass: changeset derived from orders
     // (big spenders re-segmented + synthetic inserts on negative
     // keys), applied to the customer snapshot via one full-outer
@@ -329,6 +351,23 @@ object RelationalQueries {
            WHERE o_custkey = c.c_custkey
              AND o_totalprice > 100000.0) o ON true
          WHERE o.n_big > 0""",
+
+    "profile_stats" ->
+      """SELECT count(*) AS n_rows,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+           AS null_custkey,
+         count(DISTINCT o_custkey) AS d_custkey,
+         count(DISTINCT o_orderstatus) AS d_status,
+         count(DISTINCT o_orderpriority) AS d_priority,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price
+         FROM orders""",
+
+    "profile_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT)
+           AS bucket_lo,
+         count(*) AS n
+         FROM orders GROUP BY 1""",
 
     "merge_upsert" ->
       """WITH u0 AS (SELECT o_custkey, count(*) AS n_big FROM orders
