@@ -30,6 +30,20 @@ class ApproxAccuracySpec extends SparkSpec {
     assert(ordersErr <= 0.03, s"approx_orders rel err $ordersErr > 3x rsd")
   }
 
+  test("freqItems returns a superset of the true heavy hitters") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val support = 0.2
+    val got = li.stat.freqItems(Seq("l_returnflag"), support)
+      .head.getSeq[String](0).toSet
+    val n = li.count()
+    val trueHeavy = li.groupBy("l_returnflag").count()
+      .filter(col("count") > n * support)
+      .collect().map(_.getString(0)).toSet
+    // the sketch guarantees no false negatives above the support
+    assert(trueHeavy.subsetOf(got), s"missing ${trueHeavy -- got}")
+  }
+
   test("approx_percentile lands within the accuracy-bound rank window") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$d/lineitem.parquet")
