@@ -111,4 +111,19 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("text_pii")
     assert(!p.contains("Exchange"), "PII pass must not shuffle")
   }
+
+  test("contamination_check: semi join on shingle keys, no cartesian") {
+    val p = plan("contamination_check")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("profile queries: partial aggregation, single scan each") {
+    for (q <- Seq("profile_stats", "profile_histogram")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, q) // partial+final
+      assert("Scan parquet".r.findAllIn(p).size <= 2, q)
+    }
+  }
 }
