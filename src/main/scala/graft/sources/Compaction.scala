@@ -30,7 +30,12 @@ object Compaction {
     // FileSystem, so in and out may live on different schemes.
     def parquetFiles(dir: String) = {
       val fs = FileSystem.get(URI.create(dir), conf)
-      val base = new Path(dir)
+      // Qualified so the ancestor walk in hidden() terminates AT the
+      // input dir — listFiles returns fully-qualified paths, and an
+      // unqualified base would never compare equal, letting the walk
+      // reach a '.'/'_'-prefixed ancestor (e.g. ~/.cache/...) and
+      // classify every file as hidden.
+      val base = fs.makeQualified(new Path(dir))
       // Skip any path under a '_'/'.'-prefixed segment (mirrors
       // Spark's InMemoryFileIndex filtering) — debris like
       // _temporary task output is invisible to spark.read.parquet and

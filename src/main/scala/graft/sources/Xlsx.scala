@@ -127,23 +127,38 @@ object Xlsx {
         }
       }
     }
-    // Re-export semantics = overwrite: clear previous part files (a
-    // non-overwriting rename on HDFS-likes would otherwise silently
-    // keep stale data) before promoting this run's committed files.
+    // Two-phase promotion keeps the OLD export readable until the new
+    // one is fully staged: committed files first land beside the old
+    // parts under names the *.xlsx glob cannot see (.staged suffix);
+    // only then are stale parts deleted and the staged files renamed
+    // into place — shrinking the non-atomic window to same-directory
+    // metadata ops. (Full atomicity would need a directory swap or
+    // driver-coordinated task commit, which plain FileSystem renames
+    // can't provide; a zombie speculative attempt may also recreate
+    // _temporary debris after success — harmless to the reader, whose
+    // glob matches only part files.)
+    val staged = driverFs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("committed-"))
+      .map { st =>
+        val stagedDst = new org.apache.hadoop.fs.Path(dirPath,
+          st.getPath.getName.stripPrefix("committed-") + ".staged")
+        driverFs.delete(stagedDst, false)
+        if (!driverFs.rename(st.getPath, stagedDst))
+          throw new java.io.IOException(s"cannot stage ${st.getPath}")
+        stagedDst
+      }
     driverFs.listStatus(dirPath)
       .filter { st =>
         val n = st.getPath.getName
         n.endsWith(".xlsx") || n == "_SUCCESS"
       }
       .foreach(st => driverFs.delete(st.getPath, false))
-    driverFs.listStatus(tmp)
-      .filter(_.getPath.getName.startsWith("committed-"))
-      .foreach { st =>
-        val dst = new org.apache.hadoop.fs.Path(dirPath,
-          st.getPath.getName.stripPrefix("committed-"))
-        if (!driverFs.rename(st.getPath, dst))
-          throw new java.io.IOException(s"cannot promote ${st.getPath}")
-      }
+    staged.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(dirPath,
+        p.getName.stripSuffix(".staged"))
+      if (!driverFs.rename(p, dst))
+        throw new java.io.IOException(s"cannot promote $p")
+    }
     driverFs.delete(tmp, true)
     driverFs.create(
       new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
