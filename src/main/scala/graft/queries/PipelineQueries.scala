@@ -83,13 +83,21 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("doc_id"),
           count(lit(1)).as("n_copies"))),
 
-    "dedup_tokenset" -> ((s, d) =>
+    // Same 128-bit two-seed design as dedup_exact: the canonical
+    // token-set string is computed map-side, hashed, and DISCARDED —
+    // grouping by the string itself would ship kilobyte keys through
+    // the shuffle (the oracle groups by the string, which induces the
+    // identical row partition).
+    "dedup_tokenset" -> ((s, d) => {
+      val key = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
       documents(s, d)
-        .groupBy(concat_ws(" ",
-          array_sort(array_distinct(Dedup.tokens(col("text")))))
-          .as("token_key"))
+        .groupBy(xxhash64(key).as("fp_a"),
+          xxhash64(lit(42L), key).as("fp_b"))
         .agg(min(col("doc_id")).as("doc_id"),
-          count(lit(1)).as("n_copies"))),
+          count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+    }),
 
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(documents(s, d), "doc_id", "text",
@@ -512,10 +520,9 @@ object PipelineQueries {
          FROM documents GROUP BY lang, source""",
 
     "dedup_tokenset" ->
-      s"""SELECT array_to_string(list_sort(list_distinct($Toks)), ' ')
-            AS token_key,
-          MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-          FROM documents GROUP BY 1""",
+      s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          FROM documents
+          GROUP BY array_to_string(list_sort(list_distinct($Toks)), ' ')""",
 
     "dedup_minhash" -> minhashOracle,
 
