@@ -200,6 +200,39 @@ object ExtendedQueries {
           array_min(col("ws")).as("min_tok"),
           array_contains(col("ws"), "data").as("has_data"))),
 
+    // Lexicon-weighted scoring (the sentiment shape): a small weights
+    // table BROADCAST-joined onto exploded tokens, weighted sum per
+    // doc — the pattern for any lexicon op at scale (the lexicon is a
+    // real relation, not a literal array, so it can come from a file
+    // and grow without replanning).
+    "text_sentiment" -> ((s, d) => {
+      import s.implicits._
+      val lex = Seq(
+        ("fast", 2), ("big", 1), ("value", 1), ("merge", 1),
+        ("slow", -2), ("small", -1), ("filter", -1), ("scan", -1))
+        .toDF("word", "weight")
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.ext.Dedup.tokens(col("text"))).as("t"))
+        .join(broadcast(lex), col("t") === col("word"), "inner")
+        .groupBy("doc_id")
+        .agg(sum("weight").as("score"), count(lit(1)).as("n_hits"))
+    }),
+
+    // Null-handling battery: nulls manufactured with nullif, then
+    // coalesce / na.fill / null-safe equality / null-aware counts.
+    "null_handling" -> ((s, d) => {
+      val withNulls = customer(s, d).select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_n"),
+        when(col("c_acctbal") < 0, col("c_acctbal")).as("neg_bal"))
+      withNulls.na.fill(Map("seg_n" -> "REDACTED"))
+        .select(col("c_custkey"),
+          col("seg_n"),
+          coalesce(col("neg_bal"), lit(0.0)).as("neg_or_zero"),
+          col("neg_bal").isNull.as("was_null"),
+          (col("seg_n") <=> lit("REDACTED")).as("nullsafe_eq"))
+    }),
+
     // Date/time scalar-function battery.
     "date_funcs" -> ((s, d) =>
       orders(s, d).select(col("o_orderkey"),
@@ -217,6 +250,26 @@ object ExtendedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_sentiment" -> {
+      val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+      s"""WITH lex(word, weight) AS (VALUES
+            ('fast', 2), ('big', 1), ('value', 1), ('merge', 1),
+            ('slow', -2), ('small', -1), ('filter', -1), ('scan', -1)),
+          tok AS (SELECT doc_id, unnest($toks) AS t FROM documents)
+          SELECT doc_id, SUM(weight) AS score, COUNT(*) AS n_hits
+          FROM tok JOIN lex ON t = word GROUP BY doc_id"""
+    },
+
+    "null_handling" ->
+      """SELECT c_custkey,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_n,
+         coalesce(CASE WHEN c_acctbal < 0 THEN c_acctbal END, 0.0)
+           AS neg_or_zero,
+         (CASE WHEN c_acctbal < 0 THEN c_acctbal END) IS NULL AS was_null,
+         (coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED')
+           IS NOT DISTINCT FROM 'REDACTED') AS nullsafe_eq
+         FROM customer""",
+
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
          epoch_us(c.ts) AS click_us, c.value AS click_value
