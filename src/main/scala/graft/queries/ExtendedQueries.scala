@@ -200,6 +200,21 @@ object ExtendedQueries {
           array_min(col("ws")).as("min_tok"),
           array_contains(col("ws"), "data").as("has_data"))),
 
+    // RANGE window frame (value-based, vs window_running's ROWS
+    // frame): count/sum of orders within a $50k price band below each
+    // order, per status. Value frames are tie-stable — no
+    // order-dependence to break the cross-engine hash.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, Window.currentRow)
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_band"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("band_sum"))
+    }),
+
     // Lexicon-weighted scoring (the sentiment shape): a small weights
     // table BROADCAST-joined onto exploded tokens, weighted sum per
     // doc — the pattern for any lexicon op at scale (the lexicon is a
@@ -250,6 +265,15 @@ object ExtendedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+         COUNT(*) OVER w AS n_in_band,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS band_sum
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)""",
+
     "text_sentiment" -> {
       val toks = "string_split_regex(lower(trim(text)), '\\s+')"
       s"""WITH lex(word, weight) AS (VALUES
