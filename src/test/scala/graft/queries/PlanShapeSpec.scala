@@ -119,6 +119,13 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hot relational paths stay inside whole-stage codegen") {
+    for (q <- Seq("q1_agg", "window_range_frame", "profile_histogram")) {
+      val p = plan(q)
+      assert(p.contains("codegen id"), s"$q fell out of codegen")
+    }
+  }
+
   test("profile queries: partial aggregation, single scan each") {
     for (q <- Seq("profile_stats", "profile_histogram")) {
       val p = plan(q)
