@@ -120,8 +120,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("hot relational paths stay inside whole-stage codegen") {
+    // AQE finalizes the physical plan at execution, so codegen spans
+    // (the `codegen id` markers in formatted explain) only appear
+    // after materializing.
     for (q <- Seq("q1_agg", "window_range_frame", "profile_histogram")) {
-      val p = plan(q)
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("isFinalPlan=true"), s"$q: AQE did not finalize")
       assert(p.contains("codegen id"), s"$q fell out of codegen")
     }
   }
