@@ -144,10 +144,18 @@ object Similarity {
       threshold: Double, bands: Int = 24, rowsPerBand: Int = 6,
       hotCap: Int = 4096, salts: Int = 16): DataFrame = {
     val nPlanes = bands * rowsPerBand
-    val planes = df.orderBy(idCol).limit(nPlanes).select(vecCol)
-      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val planeRows = df.orderBy(idCol).limit(nPlanes)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+    val planes = planeRows.map(_.getSeq[Float](1).toSeq).toSeq
     require(planes.size == nPlanes,
       s"corpus has only ${planes.size} vectors; need $nPlanes planes")
+    // The SQL oracle derives plane membership from `id < nPlanes` and
+    // the band/bit layout from the raw id — valid only when ids are
+    // dense and 0-based. Guard it rather than silently diverging on a
+    // re-keyed corpus.
+    require(planeRows.map(_.getLong(0)).toSeq == (0L until nPlanes),
+      s"plane ids must be dense 0..${nPlanes - 1} to match the banding")
     val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(df, col(vecCol)).as("nrm"))
     // ONE codegen'd expression for all bands*rowsPerBand plane dots —

@@ -88,7 +88,13 @@ case class SignBands(vec: Expression, planes: Expression,
         var acc = 0.0
         var i = 0
         while (i < n) {
-          val x: Double = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+          // A null element contributes 0.0 — deterministic on both
+          // eval paths (an UnsafeArrayData null slot reads as 0);
+          // corpora with nullable elements should drop/impute them
+          // upstream, since a SQL-mirror oracle would propagate NULL.
+          val x: Double =
+            if (a.isNullAt(i)) 0.0
+            else if (isF) a.getFloat(i).toDouble else a.getDouble(i)
           acc += x * planeArr(base + i)
           i += 1
         }
@@ -113,9 +119,12 @@ case class SignBands(vec: Expression, planes: Expression,
     val acc = ctx.freshName("acc")
     val key = ctx.freshName("key")
     val base = ctx.freshName("base")
+    // isNullAt guard mirrors eval(): null elements contribute 0.0.
     val get =
-      if (vecIsFloat) s"(double) ${v.value}.getFloat($i)"
-      else s"${v.value}.getDouble($i)"
+      if (vecIsFloat)
+        s"(${v.value}.isNullAt($i) ? 0.0d : (double) ${v.value}.getFloat($i))"
+      else
+        s"(${v.value}.isNullAt($i) ? 0.0d : ${v.value}.getDouble($i))"
     val compute =
       s"""
          |int $n = java.lang.Math.min(${v.value}.numElements(), $dim);

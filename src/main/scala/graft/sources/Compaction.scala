@@ -58,8 +58,23 @@ object Compaction {
     val in = parquetFiles(inDir)
     val bytes = in.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).coalesce(n)
-      .write.mode("overwrite").parquet(outDir)
+    // Preserve a partitionBy layout: the key=value path segments of
+    // the first data file name the partition columns (in directory
+    // order) — rewriting a partitioned table flat would turn every
+    // partition-pruned scan on the copy into a full scan.
+    val partCols = in.headOption.toSeq.flatMap { f =>
+      val fs = FileSystem.get(URI.create(inDir), conf)
+      val base = fs.makeQualified(new Path(inDir))
+      def segs(p: Path): List[String] =
+        if (p == null || p.equals(base)) Nil
+        else segs(p.getParent) :+ p.getName
+      segs(f.getPath.getParent)
+        .filter(_.contains("=")).map(_.takeWhile(_ != '='))
+    }
+    val df = spark.read.parquet(inDir).coalesce(n)
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(outDir)
     Report(bytes, in.length, parquetFiles(outDir).length)
   }
 }

@@ -106,6 +106,12 @@ object Xlsx {
     val tmp = new org.apache.hadoop.fs.Path(dirPath, "_temporary")
     driverFs.delete(tmp, true)
     driverFs.mkdirs(tmp)
+    // Clear .staged debris from a previous run that crashed between
+    // staging and promotion (safe here: our own staging hasn't begun).
+    if (driverFs.exists(dirPath))
+      driverFs.listStatus(dirPath)
+        .filter(_.getPath.getName.endsWith(".staged"))
+        .foreach(st => driverFs.delete(st.getPath, false))
     display.foreachPartition { (it: Iterator[Row]) =>
       val rows = it.map(_.toSeq.map(String.valueOf)).toSeq
       if (rows.nonEmpty) {
@@ -137,7 +143,7 @@ object Xlsx {
     // can't provide; a zombie speculative attempt may also recreate
     // _temporary debris after success — harmless to the reader, whose
     // glob matches only part files.)
-    val staged = driverFs.listStatus(tmp)
+    var staged = driverFs.listStatus(tmp)
       .filter(_.getPath.getName.startsWith("committed-"))
       .map { st =>
         val stagedDst = new org.apache.hadoop.fs.Path(dirPath,
@@ -147,6 +153,18 @@ object Xlsx {
           throw new java.io.IOException(s"cannot stage ${st.getPath}")
         stagedDst
       }
+    if (staged.isEmpty) {
+      // Empty result: stage a header-only workbook so the export
+      // still round-trips through `read` (mirrors the driver-side
+      // write() of an empty frame) instead of leaving a directory
+      // whose *.xlsx glob matches nothing.
+      val p = new org.apache.hadoop.fs.Path(dirPath,
+        "part-00000.xlsx.staged")
+      val out = driverFs.create(p, true)
+      try out.write(workbookBytes(Seq(header)))
+      finally out.close()
+      staged = Array(p)
+    }
     driverFs.listStatus(dirPath)
       .filter { st =>
         val n = st.getPath.getName
