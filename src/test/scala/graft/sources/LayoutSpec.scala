@@ -35,6 +35,11 @@ class CompactionSpec extends SparkSpec {
     assert(rep.bytesIn > 0, "nested part files must be counted")
     assert(rep.filesIn >= 16)
     assert(s.read.parquet(out).count() == 5000)
+    // the partitionBy layout must survive the rewrite
+    val outDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(outDirs == Set("lang=en", "lang=de"), s"layout lost: $outDirs")
+    assert(s.read.parquet(out).filter(col("lang") === "en").count() == 2500)
   }
 
   test("compact ignores _temporary debris invisible to the reader") {
