@@ -62,7 +62,11 @@ def main():
         try:
             res = con.execute(oracles[q])
             d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Arrow fetch, matching the driver: fetchall() hands HUGEINT
+            # over as a plain Python int, which hides decimal128 typing
+            # divergences that the driver's Arrow path exposes.
+            d_rows = [tuple(r[c] for c in d_cols)
+                      for r in res.arrow().to_pylist()]
         except Exception as e:
             print(f"[{q}] ORACLE SQL ERROR: {e}"); failed.append(q); continue
         ok_cols = sorted(s_cols) == sorted(d_cols)

@@ -280,7 +280,8 @@ object ExtendedQueries {
             ('fast', 2), ('big', 1), ('value', 1), ('merge', 1),
             ('slow', -2), ('small', -1), ('filter', -1), ('scan', -1)),
           tok AS (SELECT doc_id, unnest($toks) AS t FROM documents)
-          SELECT doc_id, SUM(weight) AS score, COUNT(*) AS n_hits
+          SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score,
+            COUNT(*) AS n_hits
           FROM tok JOIN lex ON t = word GROUP BY doc_id"""
     },
 

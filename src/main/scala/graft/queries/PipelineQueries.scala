@@ -791,7 +791,7 @@ object PipelineQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS cum FROM t)
           SELECT doc_id, lang, shard, n_tok,
-            (cum - n_tok) // 512 AS pack_id
+            CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
           FROM c""",
 
     "graph_pagerank" -> {

@@ -41,6 +41,23 @@ object RelationalQueries {
       (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
       .cast("double").as(alias)
 
+  /** Production-shape approximate profiling: one scan, one partial
+    * aggregate, no Expand — every distinct count is an HLL sketch
+    * (rsd 0.01). This is the pass you run first over 100 TB of
+    * unknown data; exact profile_stats stays for small tables.
+    * PlanShapeSpec pins the Expand-free plan.
+    */
+  def profileStatsApprox(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("null_custkey"),
+      approx_count_distinct(col("o_custkey"), 0.01).as("a_custkey"),
+      approx_count_distinct(col("o_orderstatus"), 0.01).as("a_status"),
+      approx_count_distinct(col("o_orderpriority"), 0.01).as("a_priority"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy partial aggregation.
     "q1_agg" -> ((s, d) =>
@@ -168,12 +185,23 @@ object RelationalQueries {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))),
 
-    // Approximate distinct (HLL) — scale path; no exact SQL oracle,
-    // rows-only check.
+    // Approximate distinct (HLL) — scale path. Driver-verifiable as a
+    // bounded-error assertion: the query outputs per-column booleans
+    // |approx - exact| / exact <= 3·rsd (rsd = 0.01 → 3σ bound), and
+    // the oracle is the constant row (true, true). The exact counts
+    // ride in the same aggregate purely to ground the bound; the
+    // production approx-only shape is profile_stats_approx below.
     "approx_distinct" -> ((s, d) =>
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+        countDistinct(col("l_partkey")).as("e_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+        countDistinct(col("l_orderkey")).as("e_orders"))
+        .select(
+          (abs(col("a_parts") - col("e_parts")) <=
+            col("e_parts") * (3 * 0.01)).as("parts_ok"),
+          (abs(col("a_orders") - col("e_orders")) <=
+            col("e_orders") * (3 * 0.01)).as("orders_ok"))),
 
     // Semi join (EXISTS): customers having ≥1 big order.
     "join_semi" -> ((s, d) => {
@@ -267,6 +295,29 @@ object RelationalQueries {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))),
 
+    // Scale-shape profiling: the 100 TB variant of profile_stats.
+    // Exact multi-countDistinct expands the scan once per distinct
+    // column (3× here); profileStatsApprox swaps them for HLL sketches
+    // so the plan is a single partial-agg'd scan with NO Expand
+    // (pinned in PlanShapeSpec). The driver query grounds the approx
+    // counts with a 3σ bounded-error check against an exact leg — the
+    // exact leg exists only to verify, not in the production shape.
+    "profile_stats_approx" -> ((s, d) => {
+      val exact = orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("e_custkey"),
+        countDistinct(col("o_orderstatus")).as("e_status"),
+        countDistinct(col("o_orderpriority")).as("e_priority"))
+      profileStatsApprox(orders(s, d)).crossJoin(exact).select(
+        col("n_rows"), col("null_custkey"),
+        col("min_price"), col("max_price"),
+        (abs(col("a_custkey") - col("e_custkey")) <=
+          col("e_custkey") * (3 * 0.01)).as("d_custkey_ok"),
+        (abs(col("a_status") - col("e_status")) <=
+          col("e_status") * (3 * 0.01)).as("d_status_ok"),
+        (abs(col("a_priority") - col("e_priority")) <=
+          col("e_priority") * (3 * 0.01)).as("d_priority_ok"))
+    }),
+
     // Fixed-width histogram (distribution profiling): integer bucket
     // arithmetic — exact cross-engine, partial-agg'd, one scan.
     "profile_histogram" -> ((s, d) =>
@@ -354,13 +405,28 @@ object RelationalQueries {
 
     "profile_stats" ->
       """SELECT count(*) AS n_rows,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS null_custkey,
          count(DISTINCT o_custkey) AS d_custkey,
          count(DISTINCT o_orderstatus) AS d_status,
          count(DISTINCT o_orderpriority) AS d_priority,
          min(o_totalprice) AS min_price,
          max(o_totalprice) AS max_price
+         FROM orders""",
+
+    // Bounded-error assertions: Spark emits the bound booleans, the
+    // oracle is the constant truth row. A sketch that drifts past 3σ
+    // flips a column to false and the driver hash goes red.
+    "approx_distinct" ->
+      "SELECT true AS parts_ok, true AS orders_ok",
+
+    "profile_stats_approx" ->
+      """SELECT count(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_custkey,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price,
+         true AS d_custkey_ok, true AS d_status_ok, true AS d_priority_ok
          FROM orders""",
 
     "profile_histogram" ->

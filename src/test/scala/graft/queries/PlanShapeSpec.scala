@@ -133,6 +133,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("profileStatsApprox: single scan, partial agg, NO Expand") {
+    // The 100 TB profiling shape: exact multi-countDistinct expands the
+    // scan once per distinct column (profile_stats pays 3×); the HLL
+    // variant must stay a single partial-agg'd pass with no Expand node.
+    val df = RelationalQueries.profileStatsApprox(
+      spark.read.parquet(s"$d/orders.parquet"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Expand"), "approx profiling must not Expand")
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
+    // formatted explain names each operator twice (tree + detail)
+    assert("Scan parquet".r.findAllIn(p).size <= 2)
+  }
+
   test("profile queries: partial aggregation, single scan each") {
     for (q <- Seq("profile_stats", "profile_histogram")) {
       val p = plan(q)
