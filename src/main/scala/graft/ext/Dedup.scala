@@ -113,23 +113,28 @@ object Dedup {
     bucketJoinPairs(
       banded.select(col("id").as("id_a"), col("band"), col("bk")),
       banded.select(col("id").as("id_b"), col("band"), col("bk")),
-      hotCap, salts)
+      hotCap, salts, detectLeft = false) // sides identical: one agg
 
   /** Two-sided generalization of `bucketPairs`: all (id_a < id_b) with
     * an `la` row and an `rb` row sharing a (band, bk) bucket. Hot
-    * buckets are detected on the `rb` side (for a self-join the sides
-    * are identical; for variant-enumeration joins `rb` is the exact,
-    * denser-per-key side). Fast path: when no bucket exceeds `hotCap`
-    * — the common case — the anti/semi probe legs are skipped entirely
-    * and the plan is one plain join (the hot-bucket aggregation was
-    * needed for the guard anyway; `isEmpty` on its tiny output decides
-    * the shape driver-side).
+    * buckets are detected on EITHER side by default — the join shuffle
+    * hashes on (band, bk), so a bucket dense only on `la` (e.g. the
+    * variant-enumeration leg of simhashPairs) still lands its whole
+    * output in one task without salting; the salt split handles both
+    * orientations once detected. `bucketPairs` passes detectLeft=false
+    * since its sides are the same table. Fast path: when no bucket
+    * exceeds `hotCap` — the common case — the anti/semi probe legs are
+    * skipped entirely and the plan is one plain join (the hot-bucket
+    * aggregation was needed for the guard anyway; `isEmpty` on its
+    * tiny output decides the shape driver-side).
     */
   def bucketJoinPairs(la: DataFrame, rb: DataFrame, hotCap: Int = 4096,
-      salts: Int = 16): DataFrame = {
-    val hot = rb.groupBy("band", "bk")
+      salts: Int = 16, detectLeft: Boolean = true): DataFrame = {
+    def hotOn(side: DataFrame) = side.groupBy("band", "bk")
       .agg(count(lit(1)).as("n")).filter(col("n") > hotCap)
       .select("band", "bk")
+    val hot = (if (detectLeft) hotOn(rb).unionByName(hotOn(la)).distinct()
+               else hotOn(rb))
       .localCheckpoint(false) // tiny; decides the shape + feeds probes
     // Deliberate tradeoff: `isEmpty` runs the band aggregation at
     // DataFrame-CONSTRUCTION time (plan inspection included), but in

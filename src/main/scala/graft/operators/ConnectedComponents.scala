@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components by iterative min-label propagation — the pass
   * that turns a near-duplicate PAIR list into dedup GROUPS (each doc
@@ -39,6 +40,15 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var iter = 0
     var done = false
+    // Convergence detection piggybacks on the checkpoint job: per-node
+    // labels are monotonically non-increasing (min-propagation with
+    // self-loops, then least() in the jump), so Σlabel strictly
+    // decreases while any node improves and is stable exactly at
+    // convergence. Summing in DECIMAL(38,0) keeps the total exact at
+    // any node count. The lazy checkpoint materializes under the same
+    // action as the sum — ONE Spark job per round (was two: eager
+    // checkpoint + a join-with-old-labels count).
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!done && iter < maxIter) {
       val prop = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("label").as("label"))
@@ -50,12 +60,13 @@ object ConnectedComponents {
           .as("q"), col("p.label") === col("lid"))
         .select(col("p.id").as("id"),
           least(col("p.label"), col("llab")).as("label"))
-        .localCheckpoint(true)
-      val improved = jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label")).count()
+        .localCheckpoint(false)
+      val sumNow = Option(
+        jumped.agg(sum(col("label").cast(DecimalType(38, 0)))).first()
+          .getDecimal(0))
       labels = jumped
-      done = improved == 0
+      done = sumNow.isEmpty || sumNow == prevSum
+      prevSum = sumNow
       iter += 1
     }
     labels

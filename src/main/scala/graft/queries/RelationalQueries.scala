@@ -459,16 +459,18 @@ object RelationalQueries {
     // Mirrors GeoMean's exact-decimal partial state: per-row ln
     // rounded to 18dp, exact decimal sum (order-independent), double
     // division + exp at the end. The positivity filter mirrors
-    // reduce()'s skip of non-positive inputs — dividing by COUNT(*)
-    // would diverge on any dataset with a zero/negative measure
-    // (l_quantity happens to be all-positive; the oracle must not
-    // depend on that).
+    // reduce()'s skip of non-positive inputs, and the outer coalesce
+    // mirrors finish()'s 0.0 sentinel for groups with NO positive
+    // inputs (SUM over zero rows is NULL here) — dividing by COUNT(*)
+    // or dropping the coalesce would diverge on any dataset with a
+    // zero/negative measure (l_quantity happens to be all-positive;
+    // the oracle must not depend on that).
     "agg_udaf" ->
       """SELECT l_returnflag,
-         round(exp(CAST(SUM(CASE WHEN l_quantity > 0
+         coalesce(round(exp(CAST(SUM(CASE WHEN l_quantity > 0
                      THEN CAST(ln(l_quantity) AS DECIMAL(38,18)) END)
                    AS DOUBLE)
-               / COUNT(CASE WHEN l_quantity > 0 THEN 1 END)), 6)
+               / COUNT(CASE WHEN l_quantity > 0 THEN 1 END)), 6), 0.0)
            AS geo_qty,
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",

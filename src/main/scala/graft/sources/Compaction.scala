@@ -56,6 +56,11 @@ object Compaction {
       buf.toSeq
     }
     val in = parquetFiles(inDir)
+    // Fail fast with a clear message — an empty dir would otherwise
+    // surface as an obscure schema-inference error from the read below.
+    if (in.isEmpty)
+      throw new IllegalArgumentException(
+        s"Compaction.compact: no parquet files found under $inDir")
     val bytes = in.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // Preserve a partitionBy layout: the key=value path segments of
@@ -71,8 +76,21 @@ object Compaction {
       segs(f.getPath.getParent)
         .filter(_.contains("=")).map(_.takeWhile(_ != '='))
     }
-    val df = spark.read.parquet(inDir).coalesce(n)
-    val w = df.write.mode("overwrite")
+    // Read partition values as strings, not re-inferred types: a
+    // numeric-looking STRING partition value (key=01) would otherwise
+    // be inferred as int and rewritten as key=1 — silently changing
+    // both layout and values. Data-file column types are unaffected
+    // (they come from the parquet footers). Partition inference runs
+    // eagerly at relation resolution, so the conf can be restored
+    // immediately after the read call.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val oldInfer = spark.conf.get(inferKey, "true")
+    val df = try {
+      spark.conf.set(inferKey, "false")
+      spark.read.parquet(inDir)
+    } finally spark.conf.set(inferKey, oldInfer)
+    val out = df.coalesce(n)
+    val w = out.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(outDir)
     Report(bytes, in.length, parquetFiles(outDir).length)

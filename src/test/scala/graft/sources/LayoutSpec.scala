@@ -57,6 +57,34 @@ class CompactionSpec extends SparkSpec {
     assert(s.read.parquet(out).count() == 1000)
   }
 
+  test("compact preserves string partition values verbatim (key=01)") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("cstr").toString
+    val out = Files.createTempDirectory("cstrout").toString
+    // numeric-LOOKING string partition values: re-inferring them as
+    // ints on the rewrite read would rewrite key=01 as key=1
+    Seq((1L, "01"), (2L, "01"), (3L, "10")).toDF("id", "key")
+      .write.partitionBy("key").mode("overwrite").parquet(in)
+    Compaction.compact(s, in, out, targetBytes = 1L << 30)
+    val outDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(outDirs == Set("key=01", "key=10"), s"layout changed: $outDirs")
+    // the conf flip must not leak into the session
+    assert(s.conf.get(
+      "spark.sql.sources.partitionColumnTypeInference.enabled",
+      "true") == "true")
+  }
+
+  test("compact fails fast on a dir with no parquet files") {
+    val in = Files.createTempDirectory("cempty").toString
+    val out = Files.createTempDirectory("cemptyout").toString
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, out)
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
   test("compact respects targetBytes granularity") {
     val s = spark
     import s.implicits._
