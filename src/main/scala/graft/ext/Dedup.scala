@@ -129,7 +129,13 @@ object Dedup {
     * tiny output decides the shape driver-side).
     */
   def bucketJoinPairs(la: DataFrame, rb: DataFrame, hotCap: Int = 4096,
-      salts: Int = 16, detectLeft: Boolean = true): DataFrame = {
+      salts: Int = 16, detectLeft: Boolean = true,
+      ordered: Boolean = true): DataFrame = {
+    // `ordered=false` keeps ALL (id_a, id_b) bucket co-occurrences —
+    // the shape for query-vs-corpus joins (knnJoin), where the two id
+    // spaces are unrelated and `id_a < id_b` would drop valid matches.
+    val pairFilter =
+      if (ordered) col("id_a") < col("id_b") else lit(true)
     def hotOn(side: DataFrame) = side.groupBy("band", "bk")
       .agg(count(lit(1)).as("n")).filter(col("n") > hotCap)
       .select("band", "bk")
@@ -144,13 +150,13 @@ object Dedup {
     // is not repeated by the main action.
     if (hot.isEmpty) {
       la.join(rb, Seq("band", "bk"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(pairFilter)
         .select("id_a", "id_b")
     } else {
       val coldA = la.join(broadcast(hot), Seq("band", "bk"), "left_anti")
       val coldB = rb.join(broadcast(hot), Seq("band", "bk"), "left_anti")
       val coldPairs = coldA.join(coldB, Seq("band", "bk"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(pairFilter)
         .select("id_a", "id_b")
       val sa = la.join(broadcast(hot), Seq("band", "bk"), "left_semi")
         .withColumn("salt", pmod(xxhash64(col("id_a")), lit(salts.toLong)))
@@ -158,7 +164,7 @@ object Dedup {
         .withColumn("salt",
           explode(sequence(lit(0L), lit(salts.toLong - 1))))
       val hotPairs = sa.join(sb, Seq("band", "bk", "salt"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(pairFilter)
         .select("id_a", "id_b")
       coldPairs.union(hotPairs)
     }

@@ -87,19 +87,32 @@ object Similarity {
     * projection (nCentroids dot products per row), no shuffle.
     * Approximate — recall vs `topK` asserted in tests.
     */
+  /** IVF cell id: index of the max-dot-product centroid (ties → the
+    * lowest index, mirroring `row_number ... ORDER BY dp DESC, cid`).
+    * A plain column — compute it at WRITE time and `partitionBy` on it
+    * to get the at-rest layout where a `probes`-cell query scans only
+    * `probes` partitions of the lake (pinned in LayoutSpec).
+    */
+  def ivfCell(df: DataFrame, vec: Column,
+      cents: Seq[Seq[Float]]): Column = {
+    val darr = array(cents.map(c =>
+      dot(df, vec, array(c.map(x => lit(x.toDouble)): _*))): _*)
+    (array_position(darr, array_max(darr)) - 1).cast("int")
+  }
+
+  /** First `nCentroids` corpus vectors by id — the deterministic
+    * coarse quantizer shared by `ivfTopK`, the at-rest layout, and the
+    * SQL oracle.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): Seq[Seq[Float]] =
+    df.orderBy(idCol).limit(nCentroids)
+      .select(vecCol).collect().map(_.getSeq[Float](0).toSeq).toSeq
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], nCentroids: Int = 16, probes: Int = 2,
       k: Int = 10): DataFrame = {
-    val cents = df.orderBy(idCol).limit(nCentroids)
-      .select(vecCol).collect().map(_.getSeq[Float](0)).toSeq
-    val dots = cents.zipWithIndex.map { case (c, j) =>
-      dot(df, col(vecCol), array(c.map(x => lit(x.toDouble)): _*)).as(s"d$j")
-    }
-    val g = greatest(cents.indices.map(j => col(s"d$j")): _*)
-    val cell = cents.indices.drop(1).foldLeft(
-        when(col("d0") === col("__g"), lit(0))) { (acc, j) =>
-      acc.when(col(s"d$j") === col("__g"), lit(j))
-    }
+    val cents = ivfCentroids(df, idCol, vecCol, nCentroids)
     // driver-side: the query's closest cells
     val qd = query.map(_.toDouble)
     def sdot(c: Seq[Float]): Double =
@@ -108,9 +121,8 @@ object Similarity {
       .map { case (c, j) => (sdot(c), j) }
       .sortBy { case (d, j) => (-d, j) }.take(probes).map(_._2)
     val qlit = array(query.map(x => lit(x.toDouble)): _*)
-    df.select((col(idCol) +: col(vecCol).as("v") +: dots): _*)
-      .withColumn("__g", g)
-      .withColumn("__cell", cell)
+    df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("__cell", ivfCell(df, col("v"), cents))
       .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol),
         (dot(df, col("v"), qlit) /
@@ -178,6 +190,73 @@ object Similarity {
         (dot(df, col("va"), col("vb")) / (col("na") * col("nb")))
           .as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Batch k-NN join: every `queries` row joined to its k nearest
+    * `corpus` rows by exact cosine, candidates mined with the same
+    * banded sign-LSH as `cosinePairsLsh`. This is the shape a training
+    * pipeline needs — dedup one dataset AGAINST another, retrieval
+    * eval over a query table — where the single-vector `annTopK`/
+    * `ivfTopK` would mean one Spark job per query row.
+    *
+    * Scale path, end to end distributed (no per-query driver work):
+    *   1. planes = first `bands*rowsPerBand` CORPUS vectors (bounded
+    *      deterministic collect, like cosinePairsLsh);
+    *   2. both sides banded map-side by one codegen'd SignBands
+    *      projection; the bucket join ships only (id, band, bk);
+    *   3. `Dedup.bucketJoinPairs(ordered=false)` keeps every
+    *      (qid, cid) bucket co-occurrence — the id spaces are
+    *      unrelated, so the self-join's `id_a < id_b` dedup does not
+    *      apply — with the same mega-bucket salting guard;
+    *   4. exact cosine on candidates, then a (qid)-partitioned
+    *      row_number window keeps k per query: the window shuffles
+    *      only (qid, cid, cos) triples, and no partition exceeds a
+    *      query's banding-bounded candidate count.
+    *
+    * Recall is banding-bounded (a true neighbor is missed only if it
+    * agrees with the query on NO band) — measured in SimilaritySpec
+    * against per-query brute force. Ties break on cid: deterministic,
+    * oracle-checkable.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, bands: Int = 24, rowsPerBand: Int = 6,
+      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPlanes = bands * rowsPerBand
+    val planeRows = corpus.orderBy(idCol).limit(nPlanes)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+    val planes = planeRows.map(_.getSeq[Float](1).toSeq).toSeq
+    require(planes.size == nPlanes,
+      s"corpus has only ${planes.size} vectors; need $nPlanes planes")
+    require(planeRows.map(_.getLong(0)).toSeq == (0L until nPlanes),
+      s"plane ids must be dense 0..${nPlanes - 1} to match the banding")
+    graft.functions.SignBands.register(corpus.sparkSession)
+    def keys(v: Column) = graft.functions.SignBands.sign_bands(v,
+      planes.flatten.map(_.toDouble), bands, rowsPerBand)
+    val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        l2norm(queries, col(vecCol)).as("qnrm"))
+      .localCheckpoint(false) // feeds the band leg AND the verify join
+    val cn = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        l2norm(corpus, col(vecCol)).as("cnrm"))
+      .localCheckpoint(false)
+    val qBanded = qn.select(col("qid").as("id_a"),
+      posexplode(keys(col("qv"))).as(Seq("band", "bk")))
+    val cBanded = cn.select(col("cid").as("id_b"),
+      posexplode(keys(col("cv"))).as(Seq("band", "bk")))
+    val cand = Dedup.bucketJoinPairs(qBanded, cBanded, hotCap, salts,
+        ordered = false)
+      .distinct()
+      .select(col("id_a").as("qid"), col("id_b").as("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    cand
+      .join(qn, "qid")
+      .join(cn, "cid")
+      .select(col("qid"), col("cid"),
+        (dot(corpus, col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** All pairs with cosine >= threshold, brute force O(n^2): the

@@ -161,6 +161,18 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Batch k-NN join: a query TABLE (every 50th vector) against the
+    // full corpus — candidates from the shared sign-LSH banding, exact
+    // cosine, windowed top-5 per query. Deterministic banding +
+    // cid tie-break → full SQL oracle (mirrors dedup_embed's).
+    "sim_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(
+          embeddings(s, d).filter(col("vec_id") % 50 === 0),
+          embeddings(s, d), "vec_id", "embedding", k = 5,
+          EmbedBands, EmbedRowsPerBand)
+        .select(col("qid"), col("cid"), col("rank"),
+          round(col("cos"), 6).as("cos"))),
+
     // --- text analysis ---
     "text_stats" -> ((s, d) => {
       val ws = Dedup.tokens(col("text"))
@@ -578,6 +590,37 @@ object PipelineQueries {
             FROM cand JOIN n a ON cand.id_a = a.vec_id
                       JOIN n b ON cand.id_b = b.vec_id)
           WHERE cs >= $CosineThreshold""",
+
+    // Mirrors Similarity.knnJoin: same banding as dedup_embed, but the
+    // candidate join keeps ALL (qid, cid) co-occurrences (no id_a <
+    // id_b — unrelated id spaces), then row_number per qid with the
+    // cid tie-break keeps k=5.
+    "sim_knn_join" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          pl AS (SELECT vec_id AS pid, v AS pv FROM v
+                 WHERE vec_id < ${EmbedBands * EmbedRowsPerBand}),
+          bits AS (SELECT a.vec_id, p.pid,
+                   CASE WHEN ${dotSql("a.v", "p.pv")} > 0
+                        THEN (1::BIGINT << (p.pid % $EmbedRowsPerBand))
+                        ELSE 0::BIGINT END AS bit
+                   FROM v a CROSS JOIN pl p),
+          bands AS (SELECT vec_id, pid // $EmbedRowsPerBand AS band,
+                    SUM(bit) AS bk FROM bits GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid
+                   FROM bands q JOIN bands b
+                   ON q.band = b.band AND q.bk = b.bk
+                   WHERE q.vec_id % 50 = 0),
+          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v),
+          scored AS (SELECT qid, cid,
+                     ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+                     FROM cand JOIN n a ON cand.qid = a.vec_id
+                               JOIN n b ON cand.cid = b.vec_id),
+          ranked AS (SELECT qid, cid, cs,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cs DESC, cid) AS rank
+                     FROM scored)
+          SELECT qid, cid, rank, round(cs, 6) AS cos
+          FROM ranked WHERE rank <= 5""",
 
     "sim_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),

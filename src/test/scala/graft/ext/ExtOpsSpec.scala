@@ -268,6 +268,47 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${lsh.size}/${brute.size}")
   }
 
+  test("knnJoin: exact scores, self at rank 1, recall vs brute force") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val k = 5
+    val knn = Similarity.knnJoin(queries, emb, "vec_id", "embedding", k,
+        bands = 24, rowsPerBand = 6)
+      .select("qid", "cid", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(knn.nonEmpty)
+    val byQ = knn.groupBy(_._1)
+    // every query present, at most k neighbors, ranks contiguous
+    val qids = queries.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(byQ.keySet == qids)
+    byQ.values.foreach { rows =>
+      assert(rows.length <= k)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // a query is its own nearest neighbor at cosine ~1 (queries are a
+    // corpus subset, and a vector shares every band with itself)
+    byQ.foreach { case (q, rows) =>
+      val top = rows.minBy(_._3)
+      assert(top._2 == q && math.abs(top._4 - 1.0) < 1e-12, s"q=$q")
+    }
+    // scores are exact cosine, and recall vs per-query brute force is
+    // high: banding misses a true top-k neighbor only if it agrees
+    // with the query on NO band
+    var hits = 0
+    var total = 0
+    qids.foreach { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select("embedding").head().getSeq[Float](0)
+      val brute = Similarity.topK(emb, "vec_id", "embedding", qv, k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val mined = byQ(q).map(r => r._2 -> r._4).toMap
+      mined.foreach { case (id, sc) =>
+        brute.get(id).foreach(b => assert(math.abs(b - sc) < 1e-9)) }
+      hits += brute.keySet.intersect(mined.keySet).size
+      total += brute.size
+    }
+    assert(hits.toDouble / total >= 0.8, s"recall $hits/$total")
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq

@@ -127,6 +127,39 @@ class PartitionedLayoutSpec extends SparkSpec {
   }
 }
 
+class AnnLayoutSpec extends SparkSpec {
+
+  test("IVF cell at-rest layout: probe-2 query scans only 2 partitions") {
+    import graft.ext.Similarity
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val dir = Files.createTempDirectory("ivflayout").toString
+    // WRITE the corpus partitioned by its IVF cell — the at-rest form
+    // of the `ivfTopK` quantizer, so probing is partition pruning
+    emb.withColumn("cell",
+        Similarity.ivfCell(emb, col("embedding"), cents))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val t = s.read.parquet(dir)
+    // two populated cells, as a probe-2 query would select
+    val probe = t.groupBy("cell").count().orderBy(desc("count"))
+      .limit(2).collect().map(_.getInt(0)).toSeq
+    val q = t.filter(col("cell").isin(probe: _*))
+    val parts = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      })
+    assert(parts.nonEmpty && parts.forall(_ == 2),
+      s"expected 2 selected partitions, got $parts")
+    // and the pruned scan returns exactly the probed cells' rows
+    val expected = emb.withColumn("cell",
+        Similarity.ivfCell(emb, col("embedding"), cents))
+      .filter(col("cell").isin(probe: _*)).count()
+    assert(q.count() == expected && expected > 0)
+  }
+}
+
 class SchemaEvolutionSpec extends SparkSpec {
 
   test("mergeSchema reads old and new batches as one evolved table") {
