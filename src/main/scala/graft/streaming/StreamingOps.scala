@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.etl.Engine
+import graft.etl.dsl.{Ast, Parser}
 
 /** Structured Streaming surface.
   *
@@ -30,6 +32,43 @@ object StreamingOps {
   def transformStream(stream: DataFrame,
       mapRules: Seq[(String, String)]): DataFrame =
     Engine.transform(stream, mapRules)
+
+  /** Streaming analog of `Engine.runMapping`: an unbounded CSV
+    * "Source sheet" directory → the compiled RuleSet → an append-mode
+    * parquet sink with a checkpoint. The same Map-sheet rules run
+    * unchanged; restart-safety (exactly-once file-source progress)
+    * comes from the checkpoint, and the all-string schema preserves
+    * the batch path's display-string semantics (the file text IS the
+    * value — `Engine.readSheetCsv`).
+    *
+    * `self[]` mappings are rejected UP FRONT with a contextual error
+    * (global output-row position is undefined on an unbounded stream)
+    * rather than surfacing as Spark's generic unsupported-window
+    * AnalysisException at start().
+    *
+    * @param sourceHeaders the Source sheet's column names (streaming
+    *        reads need a declared schema; headers are validated
+    *        against each file's header row by the csv reader)
+    */
+  def runMappingStream(spark: SparkSession, srcDir: String,
+      sourceHeaders: Seq[String], mapRules: Seq[(String, String)],
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val rules = Parser.parse(mapRules, sourceHeaders)
+    if (rules.usesSelf)
+      throw Ast.DslError(
+        "self[] addressing is undefined on an unbounded stream.")
+    val schema = StructType(
+      sourceHeaders.map(StructField(_, StringType)).toArray)
+    val stream = spark.readStream
+      .option("header", true).option("escape", "\"")
+      .schema(schema).csv(srcDir)
+    Engine.transform(stream, mapRules)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
 
   /** Event-time windowed counts/sums with a watermark bounding state.
     * Same expressions as the batch `events_window` query — the batch

@@ -60,6 +60,53 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Set("2", "3"))
   }
 
+  test("runMappingStream: Map-sheet rules, csv dir -> parquet sink " +
+      "with checkpoint, across restarts") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("smap")
+    val srcDir = java.nio.file.Files.createDirectory(root.resolve("src"))
+    // an ACTUAL Map sheet, read the same way RunMappingCli reads it
+    java.nio.file.Files.write(root.resolve("Map.csv"),
+      ("h,instruction\n" +
+        "// promote big rows,\n" +
+        "_filter:big,eval: src[amount] >= 10\n" +
+        "Id,src[id]\n" +
+        "Origin,constant:stream\n" +
+        "Amount2,formula:src[amount]0\n").getBytes)
+    val mapRules = graft.etl.Engine
+      .readSheetCsv(s, root.resolve("Map.csv").toString)
+      .collect().toSeq.map { r =>
+        (Option(r.get(0)).map(_.toString).getOrElse(""),
+         if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("")
+         else "")
+      }
+    def drop(name: String, rows: String): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        s"id,amount\n$rows".getBytes)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    drop("b1.csv", "1,5\n2,20")
+    val q1 = StreamingOps.runMappingStream(s, srcDir.toString,
+      Seq("id", "amount"), mapRules, out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint; only the NEW file is processed
+    drop("b2.csv", "3,30\n4,1")
+    val q2 = StreamingOps.runMappingStream(s, srcDir.toString,
+      Seq("id", "amount"), mapRules, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val got = s.read.parquet(out)
+      .select("Id", "Origin", "Amount2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("2", "stream", "200"), ("3", "stream", "300")))
+    // self[] rejected with a contextual message before start()
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      StreamingOps.runMappingStream(s, srcDir.toString,
+        Seq("id", "amount"),
+        Seq(("Row", "formula:self[A]")), out, ckpt)
+    }
+    assert(e.getMessage.contains("unbounded stream"))
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val s = spark
     import s.implicits._
