@@ -9,7 +9,7 @@ parquet files in <sfDir>), then compares: column names (sorted),
 row count, and a hash over all values with columns sorted by name
 and rows sorted canonically. Driver-side python has duckdb+pyarrow.
 """
-import sys, json, glob, os, hashlib, math
+import sys, json, glob, os, hashlib, math, decimal
 
 def canon(v):
     if v is None:
@@ -24,6 +24,13 @@ def canon(v):
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
+    # Type-tag decimals: str(Decimal('3')) == str(3), so without the
+    # tag a DuckDB HUGEINT/decimal128 column fingerprints identically
+    # to a Spark int64 here while the driver's hasher flags it — the
+    # exact blindness that shipped r03's three hash-reds. An int-vs-
+    # decimal type mismatch must go red locally too.
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
     return str(v)
 
 def table_fingerprint(cols, rows):

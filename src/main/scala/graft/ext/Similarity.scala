@@ -152,30 +152,44 @@ object Similarity {
     * recall for pruning (measured in SimilaritySpec against
     * `cosinePairsBrute`).
     */
-  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 24, rowsPerBand: Int = 6,
-      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
-    val nPlanes = bands * rowsPerBand
-    val planeRows = df.orderBy(idCol).limit(nPlanes)
+  /** First `nPlanes` corpus vectors as the LSH hyperplanes — shared by
+    * `cosinePairsLsh`, `knnJoin`, and (via the `id < nPlanes`
+    * membership) the SQL oracles. The oracle derives plane membership
+    * and the band/bit layout from the raw id — valid only when ids
+    * are dense and 0-based, so that is guarded here rather than
+    * silently diverging on a re-keyed corpus.
+    */
+  private def lshPlanes(corpus: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int): Seq[Seq[Float]] = {
+    val planeRows = corpus.orderBy(idCol).limit(nPlanes)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
     val planes = planeRows.map(_.getSeq[Float](1).toSeq).toSeq
     require(planes.size == nPlanes,
       s"corpus has only ${planes.size} vectors; need $nPlanes planes")
-    // The SQL oracle derives plane membership from `id < nPlanes` and
-    // the band/bit layout from the raw id — valid only when ids are
-    // dense and 0-based. Guard it rather than silently diverging on a
-    // re-keyed corpus.
     require(planeRows.map(_.getLong(0)).toSeq == (0L until nPlanes),
       s"plane ids must be dense 0..${nPlanes - 1} to match the banding")
+    planes
+  }
+
+  /** ONE codegen'd expression for all bands*rowsPerBand plane dots —
+    * composing it from separate dot-product columns falls out of
+    * codegen and runs ~30x slower (see SignBands).
+    */
+  private def signBandKeys(df: DataFrame, vec: Column,
+      planes: Seq[Seq[Float]], bands: Int, rowsPerBand: Int): Column = {
+    graft.functions.SignBands.register(df.sparkSession)
+    graft.functions.SignBands.sign_bands(vec,
+      planes.flatten.map(_.toDouble), bands, rowsPerBand)
+  }
+
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 24, rowsPerBand: Int = 6,
+      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
+    val planes = lshPlanes(df, idCol, vecCol, bands * rowsPerBand)
     val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(df, col(vecCol)).as("nrm"))
-    // ONE codegen'd expression for all bands*rowsPerBand plane dots —
-    // composing it from separate dot-product columns falls out of
-    // codegen and runs ~30x slower (see SignBands).
-    graft.functions.SignBands.register(df.sparkSession)
-    val keys = graft.functions.SignBands.sign_bands(col("v"),
-      planes.flatten.map(_.toDouble), bands, rowsPerBand)
+    val keys = signBandKeys(df, col("v"), planes, bands, rowsPerBand)
     // checkpoint: the band projection feeds several bucketPairs legs
     val banded = n.select(col("id"),
         posexplode(keys).as(Seq("band", "bk")))
@@ -222,18 +236,7 @@ object Similarity {
       vecCol: String, k: Int, bands: Int = 24, rowsPerBand: Int = 6,
       hotCap: Int = 4096, salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nPlanes = bands * rowsPerBand
-    val planeRows = corpus.orderBy(idCol).limit(nPlanes)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-    val planes = planeRows.map(_.getSeq[Float](1).toSeq).toSeq
-    require(planes.size == nPlanes,
-      s"corpus has only ${planes.size} vectors; need $nPlanes planes")
-    require(planeRows.map(_.getLong(0)).toSeq == (0L until nPlanes),
-      s"plane ids must be dense 0..${nPlanes - 1} to match the banding")
-    graft.functions.SignBands.register(corpus.sparkSession)
-    def keys(v: Column) = graft.functions.SignBands.sign_bands(v,
-      planes.flatten.map(_.toDouble), bands, rowsPerBand)
+    val planes = lshPlanes(corpus, idCol, vecCol, bands * rowsPerBand)
     val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
         l2norm(queries, col(vecCol)).as("qnrm"))
       .localCheckpoint(false) // feeds the band leg AND the verify join
@@ -241,9 +244,11 @@ object Similarity {
         l2norm(corpus, col(vecCol)).as("cnrm"))
       .localCheckpoint(false)
     val qBanded = qn.select(col("qid").as("id_a"),
-      posexplode(keys(col("qv"))).as(Seq("band", "bk")))
+      posexplode(signBandKeys(corpus, col("qv"), planes, bands,
+        rowsPerBand)).as(Seq("band", "bk")))
     val cBanded = cn.select(col("cid").as("id_b"),
-      posexplode(keys(col("cv"))).as(Seq("band", "bk")))
+      posexplode(signBandKeys(corpus, col("cv"), planes, bands,
+        rowsPerBand)).as(Seq("band", "bk")))
     val cand = Dedup.bucketJoinPairs(qBanded, cBanded, hotCap, salts,
         ordered = false)
       .distinct()

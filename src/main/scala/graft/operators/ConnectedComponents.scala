@@ -37,18 +37,23 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    var iter = 0
-    var done = false
+      .localCheckpoint(false)
     // Convergence detection piggybacks on the checkpoint job: per-node
     // labels are monotonically non-increasing (min-propagation with
     // self-loops, then least() in the jump), so Σlabel strictly
     // decreases while any node improves and is stable exactly at
     // convergence. Summing in DECIMAL(38,0) keeps the total exact at
-    // any node count. The lazy checkpoint materializes under the same
-    // action as the sum — ONE Spark job per round (was two: eager
-    // checkpoint + a join-with-old-labels count).
-    var prevSum: Option[java.math.BigDecimal] = None
+    // any node count. Each lazy checkpoint materializes under the same
+    // action as its sum — ONE Spark job per round (was two: eager
+    // checkpoint + a join-with-old-labels count). Seeding prevSum with
+    // the initial Σlabel (same job that materializes the seed labels)
+    // lets an already-converged input exit after round 0.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).first()
+        .getDecimal(0))
+    var prevSum: Option[java.math.BigDecimal] = labelSum(labels)
+    var iter = 0
+    var done = prevSum.isEmpty // no nodes at all
     while (!done && iter < maxIter) {
       val prop = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("label").as("label"))
@@ -61,9 +66,7 @@ object ConnectedComponents {
         .select(col("p.id").as("id"),
           least(col("p.label"), col("llab")).as("label"))
         .localCheckpoint(false)
-      val sumNow = Option(
-        jumped.agg(sum(col("label").cast(DecimalType(38, 0)))).first()
-          .getDecimal(0))
+      val sumNow = labelSum(jumped)
       labels = jumped
       done = sumNow.isEmpty || sumNow == prevSum
       prevSum = sumNow

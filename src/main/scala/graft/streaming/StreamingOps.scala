@@ -53,6 +53,11 @@ object StreamingOps {
   def runMappingStream(spark: SparkSession, srcDir: String,
       sourceHeaders: Seq[String], mapRules: Seq[(String, String)],
       outDir: String, checkpointDir: String): StreamingQuery = {
+    // Pre-parse purely for the usesSelf check (Engine.transform parses
+    // again): driver-side, O(rules), runs once per stream START — the
+    // duplicate work is microseconds and keeps Engine's signature
+    // untouched. Both calls see the same rules + headers, so they
+    // cannot disagree.
     val rules = Parser.parse(mapRules, sourceHeaders)
     if (rules.usesSelf)
       throw Ast.DslError(
@@ -61,6 +66,11 @@ object StreamingOps {
       sourceHeaders.map(StructField(_, StringType)).toArray)
     val stream = spark.readStream
       .option("header", true).option("escape", "\"")
+      // actually VALIDATE each file's header row against the declared
+      // schema — the default enforceSchema=true silently binds columns
+      // by position, so a reordered-column file would feed wrong
+      // values through the rules without any error
+      .option("enforceSchema", false)
       .schema(schema).csv(srcDir)
     Engine.transform(stream, mapRules)
       .writeStream.format("parquet")

