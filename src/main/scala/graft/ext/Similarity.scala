@@ -131,27 +131,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Near-duplicate pair mining via banded sign-LSH + exact cosine on
-    * candidates — the embedding analogue of
-    * `Dedup.minhashPairsFromShingles`, and the 100 TB path: no
-    * crossJoin anywhere. Plan shape:
-    *
-    *   1. planes = the first `bands * rowsPerBand` corpus vectors
-    *      (bounded, deterministic collect — like the IVF centroids);
-    *   2. one codegen'd map-side projection computes every band key
-    *      (bit p of band j = [dot(v, plane_{j*r+p}) > 0]);
-    *   3. the band self-join ships only (id, band, key) through
-    *      `Dedup.bucketPairs` (mega-bucket salting guard included);
-    *   4. exact cosine verifies candidates — vectors are fetched per
-    *      candidate id via joins, never shipped pairwise wholesale.
-    *
-    * Recall follows the sign-LSH S-curve: per-band match probability
-    * is p^r with p = 1 - angle/pi. Near-dup regimes (cos >= 0.9,
-    * p ~ 0.86) get recall > 0.999 at 24x6 banding with ~50x candidate
-    * pruning; weak thresholds near the background distribution trade
-    * recall for pruning (measured in SimilaritySpec against
-    * `cosinePairsBrute`).
-    */
   /** First `nPlanes` corpus vectors as the LSH hyperplanes — shared by
     * `cosinePairsLsh`, `knnJoin`, and (via the `id < nPlanes`
     * membership) the SQL oracles. The oracle derives plane membership
@@ -176,20 +155,43 @@ object Similarity {
     * composing it from separate dot-product columns falls out of
     * codegen and runs ~30x slower (see SignBands).
     */
-  private def signBandKeys(df: DataFrame, vec: Column,
-      planes: Seq[Seq[Float]], bands: Int, rowsPerBand: Int): Column = {
-    graft.functions.SignBands.register(df.sparkSession)
+  private def signBandKeys(spark: org.apache.spark.sql.SparkSession,
+      vec: Column, planes: Seq[Seq[Float]], bands: Int,
+      rowsPerBand: Int): Column = {
+    graft.functions.SignBands.register(spark)
     graft.functions.SignBands.sign_bands(vec,
       planes.flatten.map(_.toDouble), bands, rowsPerBand)
   }
 
+  /** Near-duplicate pair mining via banded sign-LSH + exact cosine on
+    * candidates — the embedding analogue of
+    * `Dedup.minhashPairsFromShingles`, and the 100 TB path: no
+    * crossJoin anywhere. Plan shape:
+    *
+    *   1. planes = the first `bands * rowsPerBand` corpus vectors
+    *      (bounded, deterministic collect — like the IVF centroids);
+    *   2. one codegen'd map-side projection computes every band key
+    *      (bit p of band j = [dot(v, plane_{j*r+p}) > 0]);
+    *   3. the band self-join ships only (id, band, key) through
+    *      `Dedup.bucketPairs` (mega-bucket salting guard included);
+    *   4. exact cosine verifies candidates — vectors are fetched per
+    *      candidate id via joins, never shipped pairwise wholesale.
+    *
+    * Recall follows the sign-LSH S-curve: per-band match probability
+    * is p^r with p = 1 - angle/pi. Near-dup regimes (cos >= 0.9,
+    * p ~ 0.86) get recall > 0.999 at 24x6 banding with ~50x candidate
+    * pruning; weak thresholds near the background distribution trade
+    * recall for pruning (measured in SimilaritySpec against
+    * `cosinePairsBrute`).
+    */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 24, rowsPerBand: Int = 6,
       hotCap: Int = 4096, salts: Int = 16): DataFrame = {
     val planes = lshPlanes(df, idCol, vecCol, bands * rowsPerBand)
     val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(df, col(vecCol)).as("nrm"))
-    val keys = signBandKeys(df, col("v"), planes, bands, rowsPerBand)
+    val keys = signBandKeys(df.sparkSession, col("v"), planes, bands,
+      rowsPerBand)
     // checkpoint: the band projection feeds several bucketPairs legs
     val banded = n.select(col("id"),
         posexplode(keys).as(Seq("band", "bk")))
@@ -244,11 +246,11 @@ object Similarity {
         l2norm(corpus, col(vecCol)).as("cnrm"))
       .localCheckpoint(false)
     val qBanded = qn.select(col("qid").as("id_a"),
-      posexplode(signBandKeys(corpus, col("qv"), planes, bands,
-        rowsPerBand)).as(Seq("band", "bk")))
+      posexplode(signBandKeys(queries.sparkSession, col("qv"), planes,
+        bands, rowsPerBand)).as(Seq("band", "bk")))
     val cBanded = cn.select(col("cid").as("id_b"),
-      posexplode(signBandKeys(corpus, col("cv"), planes, bands,
-        rowsPerBand)).as(Seq("band", "bk")))
+      posexplode(signBandKeys(corpus.sparkSession, col("cv"), planes,
+        bands, rowsPerBand)).as(Seq("band", "bk")))
     val cand = Dedup.bucketJoinPairs(qBanded, cBanded, hotCap, salts,
         ordered = false)
       .distinct()
