@@ -11,16 +11,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed
-    // loop (the first query otherwise pays ~4s of JIT).
+    // loop. The flagship query warms the relational paths; the heavy
+    // LSH/shingle/window machinery JITs separately and costs whichever
+    // heavy query runs FIRST 2-3x (measured: dedup_groups 11.4s cold
+    // vs 3.2s warm at sf0.1) — warm those code paths on the tiny
+    // sf0.001 data (~2s total) so per-query numbers reflect the
+    // engine, not Map iteration order. Skipped if the sibling warmup
+    // dir does not exist.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
+          "dedup_groups", "dedup_embed", "sim_knn_join", "graph_pagerank"))
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+    // deterministic execution order → comparable numbers across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
