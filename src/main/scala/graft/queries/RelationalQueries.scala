@@ -318,6 +318,20 @@ object RelationalQueries {
           col("e_priority") * (3 * 0.01)).as("d_priority_ok"))
     }),
 
+    // Z-order (Morton) key for multi-column clustering: the value a
+    // maintenance pass sorts by so range boxes on custkey AND/OR price
+    // both prune files (layout proof in ZOrderSpec; this query pins
+    // the interleave arithmetic cross-engine). Pure integer bit ops —
+    // exact, map-side, one scan.
+    "maint_zorder" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("zx"),
+          pmod(floor(col("o_totalprice") / 100.0).cast("long"),
+            lit(65536L)).as("zy"))
+        .select(col("o_orderkey"),
+          graft.sources.ZOrder.zValue(col("zx"), col("zy"), 16).as("z"))),
+
     // Fixed-width histogram (distribution profiling): integer bucket
     // arithmetic — exact cross-engine, partial-agg'd, one scan.
     "profile_histogram" -> ((s, d) =>
@@ -428,6 +442,14 @@ object RelationalQueries {
          max(o_totalprice) AS max_price,
          true AS d_custkey_ok, true AS d_status_ok, true AS d_priority_ok
          FROM orders""",
+
+    "maint_zorder" ->
+      s"""WITH t AS (SELECT o_orderkey, o_custkey % 65536 AS zx,
+           CAST(floor(o_totalprice / 100.0) AS BIGINT) % 65536 AS zy
+           FROM orders)
+          SELECT o_orderkey,
+            ${graft.sources.ZOrder.zValueSql("zx", "zy", 16)} AS z
+          FROM t""",
 
     "profile_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT)

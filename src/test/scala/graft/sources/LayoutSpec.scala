@@ -160,6 +160,58 @@ class AnnLayoutSpec extends SparkSpec {
   }
 }
 
+class ZOrderSpec extends SparkSpec {
+
+  test("zValue matches a bit-twiddling reference implementation") {
+    val s = spark
+    import s.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L),
+      (12345L, 54321L), (65535L, 1L))
+    val got = rows.toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == rows.map { case (x, y) => ref(x, y, 16) })
+  }
+
+  test("z-order clustering concentrates 2-D range boxes in few files " +
+      "where a 1-D sort touches every file") {
+    val s = spark
+    import s.implicits._
+    // deterministic 256x256 grid: every (x, y) combination once
+    val grid = (0 until 65536).map(i => (i.toLong, (i % 256).toLong,
+      (i / 256).toLong)).toDF("id", "x", "y")
+    val zDir = Files.createTempDirectory("zord").toString
+    val xDir = Files.createTempDirectory("xsort").toString
+    ZOrder.clusterBy(grid, ZOrder.zValue($"x", $"y", 8), 16, zDir)
+    // baseline: classic single-column sort layout
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    def filesHit(dir: String): (Long, Long) = {
+      val t = s.read.parquet(dir)
+      val box = t.filter($"x" < 16 && $"y" < 16)
+        .select(input_file_name()).distinct().count()
+      val yOnly = t.filter($"y" < 16)
+        .select(input_file_name()).distinct().count()
+      (box, yOnly)
+    }
+    val (zBox, zY) = filesHit(zDir)
+    val (xBox, xY) = filesHit(xDir)
+    // the z-layout puts the 16x16 box (and even a full y-stripe) into
+    // a minority of the 16 files; the x-sorted layout spreads any
+    // y-predicate across ALL files
+    assert(zBox <= 4, s"z-order box hit $zBox of 16 files")
+    assert(zY <= 8, s"z-order y-stripe hit $zY of 16 files")
+    assert(xY == 16, s"x-sorted y-stripe should hit all files, got $xY")
+    assert(xBox <= 4) // 1-D sort still prunes its own column
+    // identical data in both layouts
+    assert(s.read.parquet(zDir).count() == 65536)
+  }
+}
+
 class SchemaEvolutionSpec extends SparkSpec {
 
   test("mergeSchema reads old and new batches as one evolved table") {
