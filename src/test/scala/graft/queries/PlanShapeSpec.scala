@@ -133,6 +133,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_join: bucketed candidates — no cartesian, no " +
+      "round-robin corpus reshuffle") {
+    val p = plan("sim_knn_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("RoundRobinPartitioning"))
+  }
+
+  test("maint_zorder: map-side projection, zero shuffles") {
+    val p = plan("maint_zorder")
+    assert(!p.contains("Exchange"), "z-value computation must not shuffle")
+  }
+
   test("profileStatsApprox: single scan, partial agg, NO Expand") {
     // The 100 TB profiling shape: exact multi-countDistinct expands the
     // scan once per distinct column (profile_stats pays 3×); the HLL
