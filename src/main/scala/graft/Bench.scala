@@ -19,22 +19,26 @@ object Bench {
     // engine, not Map iteration order. Skipped if the sibling warmup
     // dir does not exist.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+    val sfCanon = new java.io.File(sfDir).getCanonicalFile
+    val warm = new java.io.File(sfCanon.getParentFile, "sf0.001")
+    if (warm.isDirectory && warm.getCanonicalFile != sfCanon)
       for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
           "dedup_groups", "dedup_embed", "sim_knn_join", "graph_pagerank"))
-        try SparkEntry.queries(q)(spark, warmDir).count()
+        try SparkEntry.queries(q)(spark, warm.getPath).count()
         catch { case _: Throwable => () }
-    // deterministic execution order → comparable numbers across rounds
+    // deterministic execution order → comparable numbers across rounds;
+    // a FAILED query reports -1 (not its time-to-failure) so a broken
+    // query can never read as a performance win
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

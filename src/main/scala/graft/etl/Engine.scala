@@ -71,11 +71,7 @@ object Engine {
   def runMapping(spark: SparkSession, dir: String,
       config: EngineConfig = EngineConfig()): Long = {
     val source = readSheetCsv(spark, s"$dir/${config.source}.csv")
-    val mapDf = readSheetCsv(spark, s"$dir/${config.map}.csv")
-    val rules = mapDf.collect().toSeq.map { r =>
-      (Option(r.get(0)).map(_.toString).getOrElse(""),
-       if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("") else "")
-    }
+    val rules = sheetPairs(readSheetCsv(spark, s"$dir/${config.map}.csv"))
     val out = transform(source, rules)
     out.write.mode("overwrite").option("header", true)
       .option("escape", "\"").csv(s"$dir/${config.output}")
@@ -91,4 +87,16 @@ object Engine {
   def readSheetCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", true).option("inferSchema", false)
       .option("escape", "\"").csv(path)
+
+  /** First two columns of a sheet as (colA, colB) pairs, null-safe —
+    * the shape of both the Map rules and the Dashboard key/values.
+    * One definition so null/short-row handling can't drift between
+    * the batch CLI, the stream CLI, and runMapping.
+    */
+  def sheetPairs(df: DataFrame): Seq[(String, String)] =
+    df.collect().toSeq.map { r =>
+      (Option(r.get(0)).map(_.toString).getOrElse(""),
+       if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("")
+       else "")
+    }
 }

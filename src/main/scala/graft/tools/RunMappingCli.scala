@@ -25,15 +25,10 @@ object RunMappingCli {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val config =
-        if (new java.io.File(s"$dir/Dashboard.csv").exists()) {
-          val kvs = spark.read.option("header", false)
-            .csv(s"$dir/Dashboard.csv").collect().toSeq.map { r =>
-              (Option(r.get(0)).map(_.toString).getOrElse(""),
-               if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("")
-               else "")
-            }
-          EngineConfig.fromKeyValues(kvs)
-        } else EngineConfig()
+        if (new java.io.File(s"$dir/Dashboard.csv").exists())
+          EngineConfig.fromKeyValues(Engine.sheetPairs(
+            spark.read.option("header", false).csv(s"$dir/Dashboard.csv")))
+        else EngineConfig()
       val n = Engine.runMapping(spark, dir, config)
       // Success report with produced row count (main.gs:131-133).
       println(s"[graft] mapping complete: $n rows -> $dir/${config.output}")

@@ -36,30 +36,29 @@ object RunMappingStreamCli {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val config =
-        if (new java.io.File(s"$dir/Dashboard.csv").exists()) {
-          val kvs = spark.read.option("header", false)
-            .csv(s"$dir/Dashboard.csv").collect().toSeq.map { r =>
-              (Option(r.get(0)).map(_.toString).getOrElse(""),
-               if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("")
-               else "")
-            }
-          EngineConfig.fromKeyValues(kvs)
-        } else EngineConfig()
+        if (new java.io.File(s"$dir/Dashboard.csv").exists())
+          EngineConfig.fromKeyValues(Engine.sheetPairs(
+            spark.read.option("header", false).csv(s"$dir/Dashboard.csv")))
+        else EngineConfig()
       val srcDir = s"$dir/${config.source}"
       val headers = Engine.readSheetCsv(spark, srcDir).columns.toSeq
-      val mapRules = Engine.readSheetCsv(spark, s"$dir/${config.map}.csv")
-        .collect().toSeq.map { r =>
-          (Option(r.get(0)).map(_.toString).getOrElse(""),
-           if (r.size > 1) Option(r.get(1)).map(_.toString).getOrElse("")
-           else "")
-        }
+      val mapRules = Engine.sheetPairs(
+        Engine.readSheetCsv(spark, s"$dir/${config.map}.csv"))
+      val outDir = s"$dir/${config.output}"
+      // checkpoint keyed to the OUTPUT name: re-pointing Dashboard's
+      // `output` must not resume from another sink's progress and
+      // silently skip already-seen source files
       val q = StreamingOps.runMappingStream(spark, srcDir, headers,
-        mapRules, s"$dir/${config.output}", s"$dir/_checkpoint")
+        mapRules, outDir, s"$dir/_checkpoint/${config.output}")
       q.processAllAvailable()
       q.stop()
-      val n = spark.read.parquet(s"$dir/${config.output}").count()
-      println(s"[graft] stream mapping caught up: $n total rows -> " +
-        s"$dir/${config.output}")
+      // a catch-up that commits zero part files (header-only seed
+      // file, or the filter drops every row) is SUCCESS with n=0, not
+      // an abort — parquet schema inference would throw on it
+      val hasParts = Option(new java.io.File(outDir).listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+      val n = if (hasParts) spark.read.parquet(outDir).count() else 0L
+      println(s"[graft] stream mapping caught up: $n total rows -> $outDir")
     } catch {
       case e: Throwable =>
         System.err.println(s"[graft] run aborted: ${e.getMessage}")

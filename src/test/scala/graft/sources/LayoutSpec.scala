@@ -207,8 +207,10 @@ class ZOrderSpec extends SparkSpec {
     assert(zY <= 8, s"z-order y-stripe hit $zY of 16 files")
     assert(xY == 16, s"x-sorted y-stripe should hit all files, got $xY")
     assert(xBox <= 4) // 1-D sort still prunes its own column
-    // identical data in both layouts
-    assert(s.read.parquet(zDir).count() == 65536)
+    // identical CONTENT (not just count) after the clustered rewrite
+    val z = s.read.parquet(zDir).select("id", "x", "y")
+    assert(z.exceptAll(grid).count() == 0 &&
+      grid.exceptAll(z).count() == 0)
   }
 }
 
