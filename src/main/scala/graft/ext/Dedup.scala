@@ -377,12 +377,19 @@ object Dedup {
         val masks: Seq[Seq[Long]] = chunkLayout(numChunks).map {
           case (_, w) => 0L +: (0 until w).map(1L << _)
         }
+        // The variant relation feeds TWO plan legs inside
+        // bucketJoinPairs: the left-side hot-bucket probe (hotOn(la))
+        // and the main bucket join. Checkpoint it once — mirroring
+        // `banded` in cosinePairsLsh — so the two-sided hot guard
+        // reads the materialized rows instead of re-running the
+        // explode per leg.
         val variants = exact.select(col("id").as("id_a"), col("band"),
             col("bk"),
             explode(element_at(typedlit(masks), col("band") + 1))
               .as("mask"))
           .select(col("id_a"), col("band"),
             col("bk").bitwiseXOR(col("mask")).as("bk"))
+          .localCheckpoint(false)
         bucketJoinPairs(variants,
           exact.select(col("id").as("id_b"), col("band"), col("bk")),
           hotCap, salts)

@@ -233,10 +233,25 @@ object Similarity {
     * agrees with the query on NO band) — measured in SimilaritySpec
     * against per-query brute force. Ties break on cid: deterministic,
     * oracle-checkable.
+    *
+    * Guaranteed k (`guaranteeK`, default on): a query sharing no band
+    * with >= k corpus vectors has a starved candidate set, and the
+    * window's `rank <= k` would silently return fewer rows. Starved
+    * qids are detected with one tiny aggregate over the candidate
+    * list and re-answered ENTIRELY by exact brute-force top-k — exact
+    * top-k subsumes whatever banded candidates the qid had, so the
+    * semantics stay clean: banded-approximate for healthy qids, exact
+    * for starved ones, always k rows per qid (when the corpus has
+    * >= k rows). The brute leg broadcasts only the starved query
+    * vectors (rare by the banding S-curve) against one corpus scan,
+    * and is skipped driver-side when no qid is starved — the common
+    * case keeps the exact candidates-only plan (pinned no-cartesian
+    * in PlanShapeSpec).
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, bands: Int = 24, rowsPerBand: Int = 6,
-      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
+      hotCap: Int = 4096, salts: Int = 16,
+      guaranteeK: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = lshPlanes(corpus, idCol, vecCol, bands * rowsPerBand)
     val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -255,8 +270,9 @@ object Similarity {
         ordered = false)
       .distinct()
       .select(col("id_a").as("qid"), col("id_b").as("cid"))
+      .localCheckpoint(false) // feeds the verify join AND the starved probe
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
-    cand
+    val banded = cand
       .join(qn, "qid")
       .join(cn, "cid")
       .select(col("qid"), col("cid"),
@@ -264,6 +280,25 @@ object Similarity {
           .as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    if (!guaranteeK) return banded
+    // qids with < k banded candidates (including zero: left_anti
+    // against the >= k survivors catches qids absent from `cand`).
+    val fullQ = cand.groupBy("qid").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= k).select("qid")
+    val starved = qn.select("qid").join(fullQ, Seq("qid"), "left_anti")
+      .localCheckpoint(false) // tiny; decides the plan + feeds 2 legs
+    if (starved.isEmpty) banded
+    else {
+      val rescue = broadcast(qn.join(starved, Seq("qid"), "left_semi"))
+        .crossJoin(cn) // bounded: |starved| query vectors x one scan
+        .select(col("qid"), col("cid"),
+          (dot(corpus, col("qv"), col("cv")) /
+            (col("qnrm") * col("cnrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+      banded.join(broadcast(starved), Seq("qid"), "left_anti")
+        .unionByName(rescue)
+    }
   }
 
   /** All pairs with cosine >= threshold, brute force O(n^2): the

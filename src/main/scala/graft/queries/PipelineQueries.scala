@@ -594,7 +594,9 @@ object PipelineQueries {
     // Mirrors Similarity.knnJoin: same banding as dedup_embed, but the
     // candidate join keeps ALL (qid, cid) co-occurrences (no id_a <
     // id_b — unrelated id spaces), then row_number per qid with the
-    // cid tie-break keeps k=5.
+    // cid tie-break keeps k=5. The guaranteed-k fallback is mirrored
+    // too: qids with < 5 banded candidates are re-answered entirely by
+    // exact brute-force top-5 (knnJoin's `starved` leg).
     "sim_knn_join" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
           pl AS (SELECT vec_id AS pid, v AS pv FROM v
@@ -611,14 +613,24 @@ object PipelineQueries {
                    ON q.band = b.band AND q.bk = b.bk
                    WHERE q.vec_id % 50 = 0),
           n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v),
+          starved AS (SELECT vec_id AS qid FROM v
+                      WHERE vec_id % 50 = 0 AND vec_id NOT IN
+                        (SELECT qid FROM cand
+                         GROUP BY qid HAVING count(*) >= 5)),
           scored AS (SELECT qid, cid,
                      ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
                      FROM cand JOIN n a ON cand.qid = a.vec_id
-                               JOIN n b ON cand.cid = b.vec_id),
+                               JOIN n b ON cand.cid = b.vec_id
+                     WHERE qid NOT IN (SELECT qid FROM starved)),
+          rescue AS (SELECT s.qid, b.vec_id AS cid,
+                     ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+                     FROM starved s JOIN n a ON s.qid = a.vec_id
+                          CROSS JOIN n b),
           ranked AS (SELECT qid, cid, cs,
                      row_number() OVER (PARTITION BY qid
                                         ORDER BY cs DESC, cid) AS rank
-                     FROM scored)
+                     FROM (SELECT * FROM scored
+                           UNION ALL SELECT * FROM rescue))
           SELECT qid, cid, rank, round(cs, 6) AS cos
           FROM ranked WHERE rank <= 5""",
 

@@ -309,6 +309,45 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.8, s"recall $hits/$total")
   }
 
+  test("knnJoin guaranteed-k: starved query gets exact brute-force " +
+      "top-k; healthy queries keep the banded path") {
+    val s = spark
+    import s.implicits._
+    // Corpus clustered in the +e1 halfspace: every vector has positive
+    // dot with every plane (planes = first 4 corpus vectors), so all
+    // corpus band keys are all-ones. The adversarial query sits in the
+    // OPPOSITE halfspace: all sign bits 0, so it shares no bucket with
+    // any corpus vector → zero banded candidates.
+    val eps = 0.01f
+    val corpus = (0 until 10).map(i =>
+      (i.toLong, Seq(1.0f, eps * i, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // healthy: a corpus vector
+      (100L, Seq(-1.0f, 0.5f, 0.0f, 0.0f)) // starved: opposite halfspace
+    ).toDF("vec_id", "embedding")
+    val k = 3
+    def run(g: Boolean) = Similarity.knnJoin(queries, corpus, "vec_id",
+        "embedding", k, bands = 2, rowsPerBand = 2, guaranteeK = g)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // without the guarantee the starved qid silently vanishes
+    val without = run(g = false)
+    assert(!without.exists(_._1 == 100L))
+    assert(without.count(_._1 == 0L) == k)
+    // with it: exactly k rows, and they are the EXACT top-k — cosine
+    // against (-1, 0.5, 0, 0) grows with cid, so brute order is 9,8,7
+    val withG = run(g = true)
+    val starved = withG.filter(_._1 == 100L).sortBy(_._4)
+    assert(starved.length == k)
+    assert(starved.map(_._2).toSeq == Seq(9L, 8L, 7L))
+    assert(starved.map(_._4).toSeq == Seq(1, 2, 3))
+    // the healthy qid is untouched by the fallback: banded result,
+    // self at rank 1 with cosine 1
+    val healthy = withG.filter(_._1 == 0L).sortBy(_._4)
+    assert(healthy.length == k)
+    assert(healthy.head._2 == 0L && math.abs(healthy.head._3 - 1.0) < 1e-12)
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
