@@ -108,11 +108,69 @@ object Multimodal {
       width = (if (bytes.nonEmpty) bytes(0) & 0xFF else 0) % 640,
       height = (if (bytes.length > 1) bytes(1) & 0xFF else 0) % 480)
 
+  // ---- real image-header decode (pure JVM, public formats) ----
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** (width, height) parsed from real image bytes — PNG IHDR and JPEG
+    * SOF, both public formats, no codec library:
+    *
+    *   - PNG: 8-byte signature, then the IHDR chunk (always first):
+    *     width = big-endian u32 at offset 16, height at 20.
+    *   - JPEG: SOI (FFD8), then marker segments walked by their
+    *     big-endian lengths; the first SOFn frame header (C0-CF minus
+    *     C4/C8/CC) carries height at +5 and width at +7. Standalone
+    *     markers (RSTn, TEM) have no length field and are skipped.
+    *
+    * None for anything else (or truncated/corrupt payloads) — decode
+    * failures must be data, not exceptions, in a 100 TB pass.
+    */
+  def decodeImageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig) &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+        bytes(15) == 'R')
+      Some((be32(16), be32(20)))
+    else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var p = 2
+      while (p + 3 < bytes.length) {
+        if (u8(p) != 0xFF) return None // lost marker sync
+        val m = u8(p + 1)
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) p += 2 // standalone
+        else {
+          val len = be16(p + 2)
+          if (len < 2 || p + 2 + len > bytes.length) return None
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+              m != 0xCC) {
+            if (len < 7) return None
+            return Some((be16(p + 7), be16(p + 5)))
+          }
+          p += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** REAL codec for `decodeWithCodec`: image dims from the actual
+    * header bytes (0x0 for non-images) — the de-stubbed decode path.
+    */
+  def imageDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val (w, h) = decodeImageDims(bytes).getOrElse((0, 0))
+    MediaFeatures(id, bytes.length, md5hex(bytes, 0, bytes.length), w, h)
+  }
+
   /** CODEC SEAM — the one place imperative per-blob code belongs.
     * Partition-wise (`mapPartitions`): at scale each task decodes its
     * partition's blobs with no shuffle; a real codec (JNI/FFI) would
     * be initialized once per partition and fed the iterator. Only
     * decode work that built-ins can't express should live here.
+    * `imageDecode` is the real-header instance; `stubDecode` remains
+    * the deterministic fake for formats with no pure-JVM parser.
     */
   def decodeWithCodec(df: DataFrame, idCol: String, binCol: String,
       codec: (Long, Array[Byte]) => MediaFeatures = stubDecode)

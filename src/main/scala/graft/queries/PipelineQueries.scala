@@ -387,7 +387,37 @@ object PipelineQueries {
       Multimodal.sampleFrames(
         documents(s, d).select(col("doc_id"),
           col("text").cast("binary").as("payload")),
-        "doc_id", "payload", frameBytes = 64).toDF())
+        "doc_id", "payload", frameBytes = 64).toDF()),
+
+    // REAL image-header decode, end to end: valid PNG (even doc_id)
+    // and JPEG (odd) payloads are synthesized map-side with the dims
+    // planted from doc_id, then `Multimodal.imageDecode` parses the
+    // actual PNG IHDR / JPEG SOF bytes back behind the mapPartitions
+    // codec seam. The oracle independently recomputes the planted
+    // dims (and exact payload sizes), so any parser or construction
+    // bug goes hash-red.
+    "mm_dims" -> ((s, d) => {
+      def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
+        unhex(lpad(hex(c), hexDigits, "0"))
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      // PNG: signature + IHDR length/type + w + h + depth/color/
+      // compression/filter/interlace (29 bytes)
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be(w, 8), be(h, 8), unhex(lit("0802000000")))
+      // JPEG: SOI + APP0(JFIF) + SOF0 with h/w (39 bytes) — the APP0
+      // segment exercises the marker walker's length-skip
+      val jpg = concat(
+        unhex(lit("FFD8FFE000104A46494600010100000100010000")),
+        unhex(lit("FFC0001108")), be(h, 4), be(w, 4),
+        unhex(lit("03011100021101031101")))
+      val payload = when(col("doc_id") % 2 === 0, png).otherwise(jpg)
+      Multimodal.decodeWithCodec(
+          documents(s, d).select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload", Multimodal.imageDecode)
+        .toDF().select("doc_id", "n_bytes", "width", "height")
+    })
   )
 
   // ---- DuckDB oracles ----
@@ -895,6 +925,17 @@ object PipelineQueries {
          md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_fp
          FROM documents
          CROSS JOIN unnest(range(0, octet_length(encode(text)) // 64))
-           AS r(i)"""
+           AS r(i)""",
+
+    // The oracle recomputes the PLANTED dims and exact payload sizes
+    // (29-byte PNG for even doc_id, 39-byte JPEG for odd) — the Spark
+    // side must round-trip them through real header bytes to match.
+    "mm_dims" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 39 END AS INTEGER)
+           AS n_bytes,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS height
+         FROM documents"""
   )
 }

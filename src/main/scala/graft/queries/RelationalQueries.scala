@@ -332,6 +332,23 @@ object RelationalQueries {
         .select(col("o_orderkey"),
           graft.sources.ZOrder.zValue(col("zx"), col("zy"), 16).as("z"))),
 
+    // 3-column Z-order key (OPTIMIZE ZORDER BY (custkey, price, month)
+    // shape): round-robin interleave, 10 bits per column — the n-D
+    // generalization a real maintenance pass clusters on. Layout proof
+    // (3-D box + per-column stripes concentrate in few files) in
+    // ZOrderSpec.
+    "maint_zorder3" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(1024L)).as("zx"),
+          pmod(floor(col("o_totalprice") / 100.0).cast("long"),
+            lit(1024L)).as("zy"),
+          pmod((year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate"))).cast("long"), lit(1024L)).as("zw"))
+        .select(col("o_orderkey"),
+          graft.sources.ZOrder.zValueN(
+            Seq(col("zx"), col("zy"), col("zw")), 10).as("z"))),
+
     // Fixed-width histogram (distribution profiling): integer bucket
     // arithmetic — exact cross-engine, partial-agg'd, one scan.
     "profile_histogram" -> ((s, d) =>
@@ -443,12 +460,30 @@ object RelationalQueries {
          true AS d_custkey_ok, true AS d_status_ok, true AS d_priority_ok
          FROM orders""",
 
+    // ((v % m) + m) % m mirrors Spark's pmod (non-negative) — DuckDB's
+    // bare % follows the dividend's sign, which would diverge on any
+    // negative key and break the shift arithmetic below.
     "maint_zorder" ->
-      s"""WITH t AS (SELECT o_orderkey, o_custkey % 65536 AS zx,
-           CAST(floor(o_totalprice / 100.0) AS BIGINT) % 65536 AS zy
+      s"""WITH t AS (SELECT o_orderkey,
+           ((o_custkey % 65536) + 65536) % 65536 AS zx,
+           ((CAST(floor(o_totalprice / 100.0) AS BIGINT) % 65536)
+             + 65536) % 65536 AS zy
            FROM orders)
           SELECT o_orderkey,
             ${graft.sources.ZOrder.zValueSql("zx", "zy", 16)} AS z
+          FROM t""",
+
+    "maint_zorder3" ->
+      s"""WITH t AS (SELECT o_orderkey,
+           ((o_custkey % 1024) + 1024) % 1024 AS zx,
+           ((CAST(floor(o_totalprice / 100.0) AS BIGINT) % 1024)
+             + 1024) % 1024 AS zy,
+           ((CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             % 1024) + 1024) % 1024 AS zw
+           FROM orders)
+          SELECT o_orderkey,
+            ${graft.sources.ZOrder.zValueNSql(Seq("zx", "zy", "zw"), 10)}
+              AS z
           FROM t""",
 
     "profile_histogram" ->

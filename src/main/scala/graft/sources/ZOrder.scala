@@ -20,28 +20,49 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** 2-D Morton z-value: interleaves the low `bits` bits of two
-    * non-negative long columns (x in even positions, y in odd).
-    * 2*bits result bits — keep bits <= 31 so the value stays in a
+  /** N-D Morton z-value: round-robin bit interleave of the low `bits`
+    * bits of `cols.size` non-negative long columns — bit `b` of column
+    * `i` lands at position `b * n + i`, so every column contributes
+    * equally at every scale of the curve (the lakehouse OPTIMIZE
+    * ZORDER BY (c1, .., cn) shape). n * bits result bits — must fit a
     * signed long. Callers bucket raw values first (e.g.
-    * `floor(price / width)`), capping with `% (1 << bits)`.
+    * `floor(price / width)`), capping with `pmod(x, 1 << bits)`.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { b =>
-      val xb = shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
-      val yb = shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
-      xb.bitwiseOR(yb)
-    }.reduce(_.bitwiseOR(_))
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits = ${n * bits} must fit in a signed long")
+    (for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_.bitwiseOR(_))
   }
 
-  /** The matching DuckDB SQL for `zValue` — keeps the driver oracle
-    * and the Spark expression in one place (same term layout).
+  /** 2-D special case (x in even positions, y in odd) — identical bit
+    * layout to `zValueN(Seq(x, y), bits)`.
     */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** The matching DuckDB SQL for `zValueN` — keeps the driver oracle
+    * and the Spark expression in one place (same term layout).
+    * Operands must be non-negative: DuckDB's % follows the dividend's
+    * sign while Spark's pmod never goes negative, so callers mirror
+    * pmod as ((v % m) + m) % m in the oracle when bucketing.
+    */
+  def zValueNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield s"((($c >> $b) & 1) << ${b * n + i})")
+      .mkString("(", " | ", ")")
+  }
+
   def zValueSql(x: String, y: String, bits: Int = 16): String =
-    (0 until bits).map { b =>
-      s"((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1})"
-    }.mkString("(", " | ", ")")
+    zValueNSql(Seq(x, y), bits)
 
   /** Rewrite `df` clustered by the z-value: range-partition into
     * `numFiles` output files on `z`, sorted within each, so every file

@@ -49,10 +49,17 @@ object StreamingOps {
     * @param sourceHeaders the Source sheet's column names (streaming
     *        reads need a declared schema; headers are validated
     *        against each file's header row by the csv reader)
+    * @param maxFilesPerTrigger backpressure bound: a catch-up over a
+    *        huge backlog must drain as MANY bounded micro-batches, not
+    *        one giant batch sized by however far behind the stream is
+    *        — the 100 TB failure mode for file streams. Default 1000
+    *        files per batch; <= 0 disables the bound (explicitly
+    *        opting back into unbounded catch-up batches).
     */
   def runMappingStream(spark: SparkSession, srcDir: String,
       sourceHeaders: Seq[String], mapRules: Seq[(String, String)],
-      outDir: String, checkpointDir: String): StreamingQuery = {
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     // Pre-parse purely for the usesSelf check (Engine.transform parses
     // again): driver-side, O(rules), runs once per stream START — the
     // duplicate work is microseconds and keeps Engine's signature
@@ -64,14 +71,17 @@ object StreamingOps {
         "self[] addressing is undefined on an unbounded stream.")
     val schema = StructType(
       sourceHeaders.map(StructField(_, StringType)).toArray)
-    val stream = spark.readStream
+    val reader = spark.readStream
       .option("header", true).option("escape", "\"")
       // actually VALIDATE each file's header row against the declared
       // schema — the default enforceSchema=true silently binds columns
       // by position, so a reordered-column file would feed wrong
       // values through the rules without any error
       .option("enforceSchema", false)
-      .schema(schema).csv(srcDir)
+      .schema(schema)
+    val stream = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).csv(srcDir)
     Engine.transform(stream, mapRules)
       .writeStream.format("parquet")
       .option("path", outDir)

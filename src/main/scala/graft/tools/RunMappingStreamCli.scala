@@ -16,15 +16,19 @@ import graft.streaming.StreamingOps
   * present (a streaming read needs a declared schema), so at least one
   * CSV must exist on first run.
   *
-  * Usage: runMain graft.tools.RunMappingStreamCli <sheets-dir>
+  * Usage: runMain graft.tools.RunMappingStreamCli <sheets-dir> [maxFilesPerTrigger]
   *   processes everything currently available, then exits (run it on a
   *   schedule, or embed `StreamingOps.runMappingStream` for a
-  *   continuous query).
+  *   continuous query). `maxFilesPerTrigger` (default 1000) bounds how
+  *   many backlog files one micro-batch ingests — a huge catch-up
+  *   drains as many bounded batches; pass 0 to disable.
   */
 object RunMappingStreamCli {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: RunMappingStreamCli <sheets-dir>")
+    require(args.length == 1 || args.length == 2,
+      "usage: RunMappingStreamCli <sheets-dir> [maxFilesPerTrigger]")
     val dir = args(0)
+    val maxFiles = if (args.length == 2) args(1).toInt else 1000
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-run-mapping-stream")
@@ -45,11 +49,15 @@ object RunMappingStreamCli {
       val mapRules = Engine.sheetPairs(
         Engine.readSheetCsv(spark, s"$dir/${config.map}.csv"))
       val outDir = s"$dir/${config.output}"
-      // checkpoint keyed to the OUTPUT name: re-pointing Dashboard's
-      // `output` must not resume from another sink's progress and
-      // silently skip already-seen source files
+      // checkpoint keyed to SOURCE and OUTPUT: re-pointing Dashboard's
+      // `output` must not resume from another sink's progress, and
+      // re-pointing `source` while keeping the same `output` must not
+      // resume from a file log recorded against the old source dir —
+      // either would silently skip (or double-read) source files
       val q = StreamingOps.runMappingStream(spark, srcDir, headers,
-        mapRules, outDir, s"$dir/_checkpoint/${config.output}")
+        mapRules, outDir,
+        s"$dir/_checkpoint/${config.source}__${config.output}",
+        maxFiles)
       q.processAllAvailable()
       q.stop()
       // a catch-up that commits zero part files (header-only seed

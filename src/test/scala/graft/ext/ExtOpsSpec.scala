@@ -426,6 +426,58 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.doc_id).toSeq
     assert(builtins == codec)
   }
+
+  test("decodeImageDims parses REAL encoder output (JDK ImageIO " +
+      "PNG + JPEG), rejects truncated/non-image bytes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    for ((w, h) <- Seq((1, 1), (640, 480), (317, 211), (2, 1000))) {
+      assert(Multimodal.decodeImageDims(encode(w, h, "png"))
+        .contains((w, h)), s"png ${w}x$h")
+      assert(Multimodal.decodeImageDims(encode(w, h, "jpg"))
+        .contains((w, h)), s"jpg ${w}x$h")
+    }
+    val png = encode(10, 20, "png")
+    assert(Multimodal.decodeImageDims(png.take(20)).isEmpty) // truncated
+    assert(Multimodal.decodeImageDims(Array[Byte](0xFF.toByte,
+      0xD8.toByte, 0x00, 0x01)).isEmpty) // lost marker sync
+    assert(Multimodal.decodeImageDims("just text".getBytes).isEmpty)
+    assert(Multimodal.decodeImageDims(Array.emptyByteArray).isEmpty)
+  }
+
+  test("imageDecode through the codec seam extracts real dims " +
+      "distributed; non-images decode as 0x0, not exceptions") {
+    val s = spark
+    import s.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, encode(33, 44, "png")),
+      (2L, encode(123, 45, "jpg")),
+      (3L, "not an image at all".getBytes))
+    val got = Multimodal.decodeWithCodec(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload",
+        Multimodal.imageDecode)
+      .collect().sortBy(_.doc_id)
+    assert(got.map(f => (f.doc_id, f.width, f.height)).toSeq ==
+      Seq((1L, 33, 44), (2L, 123, 45), (3L, 0, 0)))
+    got.zip(rows).foreach { case (f, (_, bytes)) =>
+      assert(f.n_bytes == bytes.length)
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -212,6 +212,61 @@ class ZOrderSpec extends SparkSpec {
     assert(z.exceptAll(grid).count() == 0 &&
       grid.exceptAll(z).count() == 0)
   }
+
+  test("zValueN: 2-col case equals zValue; 3-col matches reference") {
+    val s = spark
+    import s.implicits._
+    def ref(vs: Seq[Long], bits: Int): Long = {
+      val n = vs.size
+      (for { b <- 0 until bits; i <- 0 until n } yield
+        ((vs(i) >> b) & 1L) << (b * n + i)).foldLeft(0L)(_ | _)
+    }
+    val rows = Seq((3L, 5L, 7L), (0L, 0L, 0L), (1023L, 1L, 512L),
+      (12L, 345L, 678L))
+    val got = rows.toDF("x", "y", "w")
+      .select(ZOrder.zValue($"x", $"y", 16).as("z2"),
+        ZOrder.zValueN(Seq($"x", $"y"), 16).as("z2n"),
+        ZOrder.zValueN(Seq($"x", $"y", $"w"), 10).as("z3"))
+      .collect()
+    rows.zip(got).foreach { case ((x, y, w), r) =>
+      assert(r.getLong(0) == r.getLong(1)) // 2-col layout unchanged
+      assert(r.getLong(2) == ref(Seq(x, y, w), 10), s"($x,$y,$w)")
+    }
+  }
+
+  test("3-column z-order: 3-D box and every single-column stripe " +
+      "concentrate in few files; 1-D sort only prunes its own column") {
+    val s = spark
+    import s.implicits._
+    // deterministic 32x32x32 grid: every (x, y, w) combination once
+    val grid = (0 until 32768).map(i => (i.toLong, (i % 32).toLong,
+      ((i / 32) % 32).toLong, (i / 1024).toLong)).toDF("id", "x", "y", "w")
+    val zDir = Files.createTempDirectory("zord3").toString
+    val xDir = Files.createTempDirectory("xsort3").toString
+    ZOrder.clusterBy(grid, ZOrder.zValueN(Seq($"x", $"y", $"w"), 5),
+      16, zDir)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    def hits(dir: String, f: org.apache.spark.sql.Column): Long =
+      s.read.parquet(dir).filter(f)
+        .select(input_file_name()).distinct().count()
+    // the half-stripes (col < 8 = 1/4 of each axis) each select 1/4 of
+    // the rows; on the z-layout the curve's top bits split ALL THREE
+    // columns, so each stripe lands in at most half the files and the
+    // 1/64-volume box in 1-2
+    assert(hits(zDir, $"x" < 8 && $"y" < 8 && $"w" < 8) <= 3)
+    assert(hits(zDir, $"x" < 8) <= 10)
+    assert(hits(zDir, $"y" < 8) <= 10)
+    assert(hits(zDir, $"w" < 8) <= 10)
+    // the x-sorted baseline prunes x but spreads y/w over ALL files
+    assert(hits(xDir, $"x" < 8) <= 4)
+    assert(hits(xDir, $"y" < 8) == 16)
+    assert(hits(xDir, $"w" < 8) == 16)
+    // identical content after the clustered rewrite
+    val z = s.read.parquet(zDir).select("id", "x", "y", "w")
+    assert(z.exceptAll(grid).count() == 0 &&
+      grid.exceptAll(z).count() == 0)
+  }
 }
 
 class SchemaEvolutionSpec extends SparkSpec {

@@ -107,6 +107,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("unbounded stream"))
   }
 
+  test("runMappingStream backpressure: a multi-file backlog drains in " +
+      "multiple bounded micro-batches, not one giant catch-up batch") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("sbackp")
+    val srcDir = java.nio.file.Files.createDirectory(root.resolve("src"))
+    for (i <- 1 to 5)
+      java.nio.file.Files.write(srcDir.resolve(s"b$i.csv"),
+        s"id,amount\n$i,${i * 10}".getBytes)
+    val q = StreamingOps.runMappingStream(s, srcDir.toString,
+      Seq("id", "amount"), Seq(("Id", "src[id]")),
+      root.resolve("out").toString, root.resolve("ckpt").toString,
+      maxFilesPerTrigger = 2)
+    q.processAllAvailable(); q.stop()
+    // all rows arrive...
+    val got = s.read.parquet(root.resolve("out").toString)
+      .select("Id").collect().map(_.getString(0)).toSet
+    assert(got == Set("1", "2", "3", "4", "5"))
+    // ...but across >= ceil(5/2) = 3 batches of <= 2 files (2 rows)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"backlog drained in ${batches.length} batches")
+    assert(batches.forall(_.numInputRows <= 2),
+      batches.map(_.numInputRows).mkString(","))
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val s = spark
     import s.implicits._
