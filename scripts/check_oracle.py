@@ -60,7 +60,11 @@ def main():
             print(f"[{q}] NO SPARK OUTPUT"); failed.append(q); continue
         t = pq.read_table(files[0])
         s_cols = list(t.column_names)
-        s_rows = [tuple(r[c] for c in s_cols) for r in t.to_pylist()]
+        # positional column access: to_pylist() dicts would silently
+        # collapse duplicate column names into one value, turning a
+        # real schema bug into a false MATCH/MISMATCH
+        s_rows = list(zip(*[t.column(i).to_pylist()
+                            for i in range(t.num_columns)]))
         if q not in oracles:
             print(f"[{q}] rows-only (no oracle): {len(s_rows)} rows "
                   f"{'OK' if len(s_rows) > 0 else 'EMPTY!'}")
@@ -71,9 +75,11 @@ def main():
             d_cols = [d[0] for d in res.description]
             # Arrow fetch, matching the driver: fetchall() hands HUGEINT
             # over as a plain Python int, which hides decimal128 typing
-            # divergences that the driver's Arrow path exposes.
-            d_rows = [tuple(r[c] for c in d_cols)
-                      for r in res.arrow().to_pylist()]
+            # divergences that the driver's Arrow path exposes. Columns
+            # are read positionally (see the Spark side above).
+            at = res.arrow()
+            d_rows = list(zip(*[at.column(i).to_pylist()
+                                for i in range(at.num_columns)]))
         except Exception as e:
             print(f"[{q}] ORACLE SQL ERROR: {e}"); failed.append(q); continue
         ok_cols = sorted(s_cols) == sorted(d_cols)

@@ -109,10 +109,53 @@ object Similarity {
     df.orderBy(idCol).limit(nCentroids)
       .select(vecCol).collect().map(_.getSeq[Float](0).toSeq).toSeq
 
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], nCentroids: Int = 16, probes: Int = 2,
+  /** Deterministic Lloyd refinement of the first-N coarse quantizer:
+    * `iters` rounds of assign-to-max-dot-cell (one codegen'd map-side
+    * projection — no shuffle) followed by per-cell mean recomputation
+    * (explode to skinny (cell, dim, x) rows, ONE partial-agg'd
+    * groupBy). Sums run in DECIMAL, so the means are independent of
+    * partition order — same corpus, same centroids, every run, any
+    * cluster layout. Only the aggregated nCentroids x dim means are
+    * collected (bounded, like the init collect). Cells that go empty
+    * keep their previous centroid.
+    *
+    * Fixes the first-N quantizer's weakness on clustered corpora
+    * (several of the first N vectors landing in one natural cluster →
+    * unbalanced cells); measured in SimilaritySpec: max/min cell-size
+    * ratio drops, recall at equal probes does not.
+    */
+  def trainedIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5): Seq[Seq[Float]] = {
+    var cents = ivfCentroids(df, idCol, vecCol, nCentroids)
+    val v = df.select(col(vecCol).as("v")).localCheckpoint(false)
+    for (_ <- 0 until iters) {
+      val meanRows = v
+        .withColumn("cell", ivfCell(df, col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(col("x").cast("decimal(27,12)")) /
+          count(lit(1))).cast("double").as("m"))
+        .collect() // bounded: nCentroids * dim aggregated rows
+      val byCell = meanRows.groupBy(_.getInt(0))
+      cents = (0 until nCentroids).map { c =>
+        byCell.get(c).fold(cents(c)) { rs =>
+          val dim = rs.map(_.getInt(1)).max + 1
+          val arr = new Array[Float](dim)
+          rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+          arr.toSeq
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k against caller-supplied centroids (e.g.
+    * `trainedIvfCentroids`). `ivfTopK` passes the fixed first-N
+    * quantizer — the oracle-checked default.
+    */
+  def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], cents: Seq[Seq[Float]], probes: Int = 2,
       k: Int = 10): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, nCentroids)
     // driver-side: the query's closest cells
     val qd = query.map(_.toDouble)
     def sdot(c: Seq[Float]): Double =
@@ -130,6 +173,12 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], nCentroids: Int = 16, probes: Int = 2,
+      k: Int = 10): DataFrame =
+    ivfTopKWith(df, idCol, vecCol, query,
+      ivfCentroids(df, idCol, vecCol, nCentroids), probes, k)
 
   /** First `nPlanes` corpus vectors as the LSH hyperplanes — shared by
     * `cosinePairsLsh`, `knnJoin`, and (via the `id < nPlanes`

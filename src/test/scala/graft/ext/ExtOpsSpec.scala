@@ -348,6 +348,49 @@ class SimilaritySpec extends SparkSpec {
     assert(healthy.head._2 == 0L && math.abs(healthy.head._3 - 1.0) < 1e-12)
   }
 
+  test("trainedIvfCentroids: deterministic, balances cells, recall at " +
+      "equal probes not worse than the fixed first-N quantizer") {
+    val nC = 16
+    val fixed = Similarity.ivfCentroids(emb, "vec_id", "embedding", nC)
+    val trained = Similarity.trainedIvfCentroids(emb, "vec_id",
+      "embedding", nC, iters = 5)
+    // decimal-exact means → bit-identical across runs
+    val trained2 = Similarity.trainedIvfCentroids(emb, "vec_id",
+      "embedding", nC, iters = 5)
+    assert(trained == trained2)
+    assert(trained != fixed) // the refinement actually moved them
+    // cell balance: Lloyd shrinks max/min occupancy (clustered-corpus
+    // failure mode of the first-N init)
+    def ratio(cents: Seq[Seq[Float]]): Double = {
+      val sizes = emb
+        .withColumn("cell",
+          Similarity.ivfCell(emb, col("embedding"), cents))
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      val full = sizes ++ Array.fill(nC - sizes.length)(0L)
+      (full.max + 1).toDouble / (full.min + 1)
+    }
+    val (rFixed, rTrained) = (ratio(fixed), ratio(trained))
+    assert(rTrained <= rFixed,
+      s"balance worsened: $rFixed -> $rTrained")
+    // recall at equal probes, summed over query vectors, vs brute
+    def recall(cents: Seq[Seq[Float]]): Int = {
+      val qids = Seq(0L, 100L, 200L, 300L, 400L)
+      qids.map { q =>
+        val qv = emb.filter(col("vec_id") === q)
+          .select("embedding").head().getSeq[Float](0)
+        val brute = Similarity.topK(emb, "vec_id", "embedding", qv, 10)
+          .collect().map(_.getLong(0)).toSet
+        val ivf = Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+          qv, cents, probes = 2, k = 10)
+          .collect().map(_.getLong(0)).toSet
+        brute.intersect(ivf).size
+      }.sum
+    }
+    val (recFixed, recTrained) = (recall(fixed), recall(trained))
+    assert(recTrained >= recFixed,
+      s"recall dropped: $recFixed -> $recTrained")
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
