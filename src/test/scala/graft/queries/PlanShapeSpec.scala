@@ -146,6 +146,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "z-value computation must not shuffle")
   }
 
+  test("maint_zorder3: n-column interleave stays map-side, zero shuffles") {
+    val p = plan("maint_zorder3")
+    assert(!p.contains("Exchange"), "z-value computation must not shuffle")
+  }
+
   test("profileStatsApprox: single scan, partial agg, NO Expand") {
     // The 100 TB profiling shape: exact multi-countDistinct expands the
     // scan once per distinct column (profile_stats pays 3×); the HLL
