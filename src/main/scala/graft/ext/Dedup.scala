@@ -248,6 +248,50 @@ object Dedup {
     minhashPairsFromShingles(shingleRows(df, idCol, textCol),
       numHashes, bands, threshold)
 
+  /** Cross-corpus near-dup mining: (id_a from `incoming`, id_b from
+    * `corpus`) pairs whose exact shingle Jaccard >= threshold — the
+    * incremental-ingest shape: dedup an incoming crawl batch against
+    * the existing training set WITHOUT re-mining the corpus against
+    * itself (corpus-vs-corpus pairs never form; the corpus side is
+    * banded map-side and joined once). Same skinny-band scaffold as
+    * `minhashPairsFromShingles`, but the bucket join is two-sided
+    * (`ordered=false`: the id spaces are unrelated, so every
+    * (incoming, corpus) co-occurrence is kept — including identical
+    * ids when the batch overlaps the corpus).
+    */
+  def minhashJoinPairs(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.6, hotCap: Int = 4096,
+      salts: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes)
+    // each shingle relation feeds a band leg + a verify join + a count
+    val shNew = shingleRows(incoming, idCol, textCol).localCheckpoint(false)
+    val shCor = shingleRows(corpus, idCol, textCol).localCheckpoint(false)
+    def banded(sh: DataFrame, as: String) =
+      minhashSignatures(sh, numHashes).localCheckpoint(false)
+        .select(col("id").as(as),
+          posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
+    val cand = bucketJoinPairs(banded(shNew, "id_a"),
+        banded(shCor, "id_b"), hotCap, salts, ordered = false)
+      .distinct()
+    val inter = cand
+      .join(shNew.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(shCor.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val cntNew = shNew.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val cntCor = shCor.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(cntNew.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(cntCor.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Char-n-gram Jaccard near-dup pairs (same LSH scaffold, char
     * shingles). Default 8 ROWS per band (vs 4 for word shingles):
     * char grams of same-language text overlap heavily, so background

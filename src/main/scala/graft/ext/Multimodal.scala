@@ -122,6 +122,9 @@ object Multimodal {
     *     big-endian lengths; the first SOFn frame header (C0-CF minus
     *     C4/C8/CC) carries height at +5 and width at +7. Standalone
     *     markers (RSTn, TEM) have no length field and are skipped.
+    *   - GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+    *     descriptor: width = little-endian u16 at offset 6, height
+    *     at 8.
     *
     * None for anything else (or truncated/corrupt payloads) — decode
     * failures must be data, not exceptions, in a 100 TB pass.
@@ -131,10 +134,15 @@ object Multimodal {
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int) =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig) &&
         bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
         bytes(15) == 'R')
       Some((be32(16), be32(20)))
+    else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      Some((le16(6), le16(8)))
     else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var p = 2
       while (p + 3 < bytes.length) {

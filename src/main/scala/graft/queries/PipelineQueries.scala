@@ -103,6 +103,17 @@ object PipelineQueries {
       Dedup.minhashPairs(documents(s, d), "doc_id", "text",
         NumHashes, Bands, JaccardThreshold)),
 
+    // Incremental ingest: every 20th doc plays the "incoming batch",
+    // near-dup-mined AGAINST the full corpus without any
+    // corpus-vs-corpus work. Batch docs match at least themselves
+    // (jaccard 1.0) — planted truth that keeps the oracle row set
+    // healthy at every SF.
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.minhashJoinPairs(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        documents(s, d), "doc_id", "text",
+        NumHashes, Bands, JaccardThreshold)),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text",
         maxHamming = SimhashRadius)),
@@ -433,7 +444,8 @@ object PipelineQueries {
     * Dedup.minhashPairsFromShingles.
     */
   private def minhashOracleFrom(shingleCtes: String, threshold: Double,
-      numHashes: Int = NumHashes, nBands: Int = Bands): String = {
+      numHashes: Int = NumHashes, nBands: Int = Bands,
+      pairCond: String = "a.doc_id < b.doc_id"): String = {
     val P = graft.ext.Dedup.MinhashPrime
     val rpb = numHashes / nBands
     val sig = (0 until numHashes)
@@ -452,7 +464,7 @@ object PipelineQueries {
               unnest(range(0, $nBands)) AS band FROM sg),
        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bd a JOIN bd b
-                ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+                ON a.band = b.band AND a.bk = b.bk AND $pairCond)
        SELECT id_a, id_b,
          CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
            len(list_distinct(sa.ts || sb.ts)) AS jaccard
@@ -567,6 +579,12 @@ object PipelineQueries {
           GROUP BY array_to_string(list_sort(list_distinct($Toks)), ' ')""",
 
     "dedup_minhash" -> minhashOracle,
+
+    // Two-sided variant: the incoming batch (doc_id % 20 = 0) vs the
+    // full corpus; every (batch, corpus) band co-occurrence kept (no
+    // id_a < id_b — mirrors minhashJoinPairs' ordered=false).
+    "dedup_incremental" -> minhashOracleFrom(Word3Ctes,
+      JaccardThreshold, pairCond = "a.doc_id % 20 = 0"),
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),

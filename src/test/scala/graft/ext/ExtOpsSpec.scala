@@ -52,6 +52,32 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 >= 0.5))
   }
 
+  test("minhashJoinPairs: incoming batch vs corpus — finds planted " +
+      "dups, never emits corpus-vs-corpus pairs") {
+    val s = spark
+    import s.implicits._
+    val dupText =
+      "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, dupText),
+      (11L, dupText), // an in-corpus duplicate PAIR that must NOT leak
+      (12L, "completely different text about spark shuffles and joins"),
+      (13L, "yet another unrelated document about lakes and rivers")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, dupText), // duplicates two corpus docs
+      (101L, "nothing resembling anything in the training set at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashJoinPairs(incoming, corpus, "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.filter(_._1 == 100L).map(_._2).toSet == Set(10L, 11L))
+    pairs.filter(_._1 == 100L).foreach(p => assert(p._3 == 1.0))
+    assert(!pairs.exists(_._1 == 101L)) // novel doc matches nothing
+    // id_a is ALWAYS from the incoming side: (10, 11) never appears
+    assert(pairs.forall(_._1 >= 100L))
+  }
+
   test("simhash banding: COMPLETE for the advertised radius (ham<=8)") {
     val docs = spark.read
       .parquet(s"$sf/documents.parquet").limit(200).cache()
@@ -481,12 +507,10 @@ class MultimodalSpec extends SparkSpec {
       assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
       bos.toByteArray
     }
-    for ((w, h) <- Seq((1, 1), (640, 480), (317, 211), (2, 1000))) {
-      assert(Multimodal.decodeImageDims(encode(w, h, "png"))
-        .contains((w, h)), s"png ${w}x$h")
-      assert(Multimodal.decodeImageDims(encode(w, h, "jpg"))
-        .contains((w, h)), s"jpg ${w}x$h")
-    }
+    for ((w, h) <- Seq((1, 1), (640, 480), (317, 211), (2, 1000));
+         fmt <- Seq("png", "jpg", "gif"))
+      assert(Multimodal.decodeImageDims(encode(w, h, fmt))
+        .contains((w, h)), s"$fmt ${w}x$h")
     val png = encode(10, 20, "png")
     assert(Multimodal.decodeImageDims(png.take(20)).isEmpty) // truncated
     assert(Multimodal.decodeImageDims(Array[Byte](0xFF.toByte,
