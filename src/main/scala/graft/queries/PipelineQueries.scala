@@ -138,6 +138,15 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
     // --- similarity search ---
+    // Per-vector symmetric int8 quantization (4x embedding storage/
+    // shuffle cut): one codegen'd map-side expression, no shuffle —
+    // codes oracle-checked against DuckDB's round() element by element.
+    "sim_quantize" -> ((s, d) => {
+      graft.functions.QuantizeI8.register(s)
+      embeddings(s, d).select(col("vec_id"),
+        graft.functions.QuantizeI8.quantize_i8(col("embedding")).as("q"))
+    }),
+
     "sim_topk" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
@@ -681,6 +690,19 @@ object PipelineQueries {
                            UNION ALL SELECT * FROM rescue))
           SELECT qid, cid, rank, round(cs, 6) AS cos
           FROM ranked WHERE rank <= 5""",
+
+    // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
+    // -list_min of the exactly-widened doubles), code = round(127*x/s)
+    // — DuckDB round on DOUBLE is ties-away-from-zero, same as the
+    // expression's floor/ceil formulation.
+    "sim_quantize" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                 greatest(list_max(v), -list_min(v)) AS s FROM v)
+          SELECT vec_id,
+            [CAST(CASE WHEN s = 0 THEN 0 ELSE round(127 * x / s) END
+                  AS TINYINT) FOR x IN v] AS q
+          FROM sc""",
 
     "sim_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
