@@ -104,6 +104,38 @@ object ExtendedQueries {
         round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))),
 
+    // Quantile SKETCH (the scan-tier companion to the HLL distinct
+    // sketch): approx_percentile with accuracy A bounds rank error by
+    // n/A. The query verifies that bound itself — the returned value's
+    // feasible rank interval [count(<v)+1, count(<=v)] must intersect
+    // [p*n - n/A, p*n + n/A] — and emits booleans whose oracle is
+    // constant truth, so sketch drift goes hash-red (the
+    // approx_distinct pattern). One extra scan against the broadcast
+    // 1-row sketch result; both aggregations are map-side partial.
+    "approx_percentile_agg" -> ((s, d) => {
+      val acc = 1000
+      val o = orders(s, d)
+      val sk = o.agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("a50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $acc)").as("a90"),
+        count(lit(1)).as("n"))
+      o.crossJoin(broadcast(sk))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("o_totalprice") < col("a50"), 1L).otherwise(0L))
+            .as("lo50"),
+          sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L))
+            .as("hi50"),
+          sum(when(col("o_totalprice") < col("a90"), 1L).otherwise(0L))
+            .as("lo90"),
+          sum(when(col("o_totalprice") <= col("a90"), 1L).otherwise(0L))
+            .as("hi90"))
+        .select(
+          (col("lo50") + 1 <= col("n") * 0.5 + col("n") / acc &&
+            col("hi50") >= col("n") * 0.5 - col("n") / acc).as("p50_ok"),
+          (col("lo90") + 1 <= col("n") * 0.9 + col("n") / acc &&
+            col("hi90") >= col("n") * 0.9 - col("n") / acc).as("p90_ok"))
+    }),
+
     // Moment statistics (single-pass co-moment aggregates).
     "stats_agg" -> ((s, d) =>
       lineitem(s, d).agg(
@@ -345,6 +377,9 @@ object ExtendedQueries {
          round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
          round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
          FROM lineitem GROUP BY l_returnflag""",
+
+    "approx_percentile_agg" ->
+      "SELECT true AS p50_ok, true AS p90_ok",
 
     "stats_agg" ->
       """SELECT round(stddev_samp(l_quantity), 6) AS sd_qty,

@@ -132,6 +132,34 @@ object PipelineQueries {
             .select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("label").as("group_id"))),
 
+    // Survivor selection — the stage that PRODUCES the deduplicated
+    // corpus: singleton docs survive as their own group; inside a
+    // near-dup group the LONGEST text wins (ties -> min doc_id —
+    // deterministic, oracle-checkable). Group labels reuse the CC
+    // pass; the pick is one (group)-partitioned top-1 window over
+    // skinny (doc_id, len, group_id) rows.
+    "dedup_survivors" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val groups = graft.operators.ConnectedComponents.labels(
+        Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+          NumHashes, Bands, JaccardThreshold)
+          .select(col("id_a"), col("id_b")))
+      val labeled = documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .join(groups.select(col("id").as("doc_id"),
+          col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("len"),
+          coalesce(col("label"), col("doc_id")).as("group_id"))
+      labeled
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("group_id").orderBy(desc("len"), col("doc_id"))))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("group_id")))
+        .filter(col("rn") === 1)
+        .select(col("group_id"), col("doc_id").as("survivor_id"),
+          col("n_members"))
+    }),
+
     "dedup_embed" -> ((s, d) =>
       Similarity.cosinePairsLsh(embeddings(s, d), "vec_id", "embedding",
           CosineThreshold, EmbedBands, EmbedRowsPerBand)
@@ -599,6 +627,22 @@ object PipelineQueries {
       numHashes = 64, nBands = 8),
 
     "dedup_groups" -> dedupGroupsOracle,
+
+    // Survivors: longest text per group (ties -> min doc_id),
+    // singletons survive trivially; group labels from the recursive
+    // CTE above.
+    "dedup_survivors" ->
+      s"""WITH g AS (SELECT * FROM ($dedupGroupsOracle)),
+         ag AS (SELECT d.doc_id, length(d.text) AS len,
+                coalesce(g.group_id, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
+         r AS (SELECT group_id, doc_id,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY len DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY group_id) AS n_members
+               FROM ag)
+         SELECT group_id, doc_id AS survivor_id, n_members FROM r
+         WHERE rn = 1""",
 
     "dedup_simhash" -> simhashOracle,
 
