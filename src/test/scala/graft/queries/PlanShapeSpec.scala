@@ -63,8 +63,21 @@ class PlanShapeSpec extends SparkSpec {
     // the only shuffles should be keyed (window/agg/join) — a
     // RoundRobinPartitioning exchange would mean the corpus text is
     // shipped once wholesale before any size reduction
-    for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash"))
+    for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
+        "dedup_incremental", "dedup_survivors"))
       assert(!plan(q).contains("RoundRobinPartitioning"), q)
+  }
+
+  test("dedup_incremental: two-sided bucket join, no cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sim_quantize: one codegen'd map-side pass, zero shuffles") {
+    val p = plan("sim_quantize")
+    assert(!p.contains("Exchange"), "quantization must not shuffle")
+    assert(p.contains("codegen id"), "quantize_i8 fell out of codegen")
   }
 
   test("dedup_embed: LSH-bucketed pair mining, no cartesian product") {
