@@ -204,6 +204,19 @@ object Dedup {
     * shingle arrays. AQE broadcasts the tiny candidate list into the
     * verify joins; skewed buckets are AQE skew-join territory.
     *
+    * Distinct placement — a measured NEGATIVE result (round 5): the
+    * corpus-wide distinct up front looks like the bottleneck (2.8s of
+    * dedup_ngram's 4.9s at sf0.1, 1.47M occurrence rows -> 1.02M),
+    * and MIN-idempotence says signatures don't need it, so a variant
+    * was built that fed signatures raw rows and de-duplicated only
+    * candidate docs' shingles post-prune (semi join on the candidate
+    * id list, broadcast or not). Head-to-head, interleaved, warm,
+    * 3 passes: OLD 5.9/4.9/4.9s, NEW 6.8/6.2/8.5s — the raw-row
+    * checkpoint write, the extra semi-join pass, and the second
+    * distinct cost MORE than the one early shuffle they replace, and
+    * the early distinct also shrinks every downstream stage. The
+    * up-front distinct stays.
+    *
     * @return (id_a, id_b, jaccard) for candidate pairs (same LSH
     *         bucket in >=1 band) whose EXACT shingle Jaccard >= threshold;
     *         id_a < id_b.
