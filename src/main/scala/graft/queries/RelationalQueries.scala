@@ -124,6 +124,18 @@ object RelationalQueries {
         .filter(col("rn") <= 3)
     }),
 
+    // Skew-safe two-phase top-k (operators/TopK): salted pre-window
+    // bounds any task's share of a hot key; same RESULT as the plain
+    // window — the oracle is window_topk's SQL verbatim, so the
+    // equivalence is hash-checked, not just spec'd.
+    "window_topk_salted" -> ((s, d) =>
+      graft.operators.TopK.topKPerKey(
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq(desc("o_totalprice"), col("o_orderkey")), k = 3)
+        .withColumnRenamed("rank", "rn")),
+
     // Running aggregate window over a partition.
     "window_running" -> ((s, d) => {
       val w = Window.partitionBy("l_orderkey")
@@ -376,6 +388,26 @@ object RelationalQueries {
         mods.union(inserts), "c_custkey")
     }),
 
+    // SCD Type-2 dimension maintenance (operators/Scd2): big spenders
+    // re-segmented to VIP with full history — their current row closes
+    // at the change date, the new version opens; a synthetic new key
+    // (negative) inserts; everyone else keeps their open row. The
+    // Type-2 companion of merge_upsert's Type-1 overwrite.
+    "maint_scd2" -> ((s, d) => {
+      import s.implicits._
+      val dim = customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        to_date(lit("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val changes = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .select(col("c_custkey"), lit("VIP").as("seg"))
+        .union(Seq((-1L, "NEWSEG")).toDF("c_custkey", "seg"))
+      graft.operators.Scd2.applyChanges(dim, changes, "c_custkey",
+        Seq("seg"), to_date(lit("2024-06-01")))
+    }),
+
     // Incremental aggregate maintenance: per-key (count, decimal sum)
     // states computed for an "old" batch and a "delta" batch are
     // merged by one full-outer join + componentwise add — exactly the
@@ -492,6 +524,33 @@ object RelationalQueries {
          count(*) AS n
          FROM orders GROUP BY 1""",
 
+    // Mirrors Scd2.applyChanges: current rows of really-changed keys
+    // close at the change date; new versions open; unchanged keys keep
+    // their open row. (All dim rows start current here, so the
+    // history leg is empty by construction.)
+    "maint_scd2" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS seg,
+           DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           true AS is_current FROM customer),
+         chg AS (SELECT DISTINCT o_custkey AS c_custkey, 'VIP' AS seg
+                 FROM orders WHERE o_totalprice > 400000.0
+                 UNION ALL SELECT -1, 'NEWSEG'),
+         real AS (SELECT c.c_custkey, c.seg FROM chg c
+                  LEFT JOIN dim d ON c.c_custkey = d.c_custkey
+                  WHERE d.c_custkey IS NULL OR d.seg <> c.seg),
+         kept AS (SELECT d.* FROM dim d
+                  LEFT JOIN real r ON d.c_custkey = r.c_custkey
+                  WHERE r.c_custkey IS NULL),
+         closed AS (SELECT d.c_custkey, d.seg, d.valid_from,
+                    DATE '2024-06-01' AS valid_to, false AS is_current
+                    FROM dim d JOIN real r ON d.c_custkey = r.c_custkey),
+         ins AS (SELECT r.c_custkey, r.seg,
+                 DATE '2024-06-01' AS valid_from,
+                 CAST(NULL AS DATE) AS valid_to, true AS is_current
+                 FROM real r)
+         SELECT * FROM kept UNION ALL SELECT * FROM closed
+         UNION ALL SELECT * FROM ins""",
+
     "merge_upsert" ->
       """WITH u0 AS (SELECT o_custkey, count(*) AS n_big FROM orders
                      WHERE o_totalprice > 400000.0 GROUP BY o_custkey),
@@ -566,6 +625,15 @@ object RelationalQueries {
          GROUP BY n_name""",
 
     "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    // identical oracle by design: the salted two-phase plan must be
+    // result-equivalent to the single window
+    "window_topk_salted" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey

@@ -64,3 +64,40 @@ class BucketingSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
+
+class TopKSpec extends SparkSpec {
+  test("topKPerKey equals the plain single-window top-k on skewed data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one hot key with 10k rows (the partition a plain window would
+    // serialize into one task), plus a tail of normal keys
+    val rows = (1 to 10000).map(i => (0L, i.toLong, (i * 37 % 9991).toLong)) ++
+      (1 to 500).map(i => (1L + i % 7, i.toLong + 20000, i.toLong))
+    val df = rows.toDF("k", "id", "score")
+    val plain = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("k").orderBy(desc("score"), col("id"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4))
+    val salted = TopK.topKPerKey(df, Seq("k"),
+        Seq(desc("score"), col("id")), k = 5, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4))
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.count(_._1 == 0L) == 5)
+  }
+
+  test("topKPerKey phase 1 bounds any single window partition") {
+    val s = spark
+    import s.implicits._
+    // every row same key: phase-1 sub-partitions must each hold ~1/8
+    val df = (1 to 4000).map(i => (0L, i.toLong)).toDF("k", "id")
+    val perSalt = df
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("id")), lit(8L)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(perSalt.length >= 6) // hot key fans out
+    assert(perSalt.max < 4000 / 2) // no sub-partition re-concentrates
+  }
+}

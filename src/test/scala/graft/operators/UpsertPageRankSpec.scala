@@ -97,3 +97,39 @@ class PageRankSpec extends SparkSpec {
     assert(got(0L) > got(2L) * 3, s"hub=${got(0L)} leaf=${got(2L)}")
   }
 }
+
+class Scd2Spec extends SparkSpec {
+  test("applyChanges: closes changed keys, keeps history across two " +
+      "generations, drops no-op changes, inserts new keys") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def dim0 = Seq(
+      (1L, "A", "2020-01-01", null.asInstanceOf[String], true),
+      (2L, "B", "2020-01-01", null.asInstanceOf[String], true)
+    ).toDF("k", "seg", "vf", "vt", "cur")
+      .select(col("k"), col("seg"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"), col("cur").as("is_current"))
+    // gen 1: key 1 changes A->X, key 2 no-op (B->B), key 3 inserts
+    val c1 = Seq((1L, "X"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    val g1 = Scd2.applyChanges(dim0, c1, "k", Seq("seg"),
+      to_date(lit("2021-06-01")))
+    val rows1 = g1.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getDate(2)).map(_.toString).orNull,
+      Option(r.getDate(3)).map(_.toString).orNull,
+      r.getBoolean(4))).toSet
+    assert(rows1 == Set(
+      (1L, "A", "2020-01-01", "2021-06-01", false), // closed
+      (1L, "X", "2021-06-01", null, true),          // new version
+      (2L, "B", "2020-01-01", null, true),          // no-op kept open
+      (3L, "C", "2021-06-01", null, true)))         // insert
+    // gen 2 on top of gen 1: key 1 changes again X->Y
+    val g2 = Scd2.applyChanges(g1, Seq((1L, "Y")).toDF("k", "seg"),
+      "k", Seq("seg"), to_date(lit("2022-01-01")))
+    val k1hist = g2.filter(col("k") === 1).collect()
+      .map(r => (r.getString(1), r.getBoolean(4))).toSet
+    // full lineage preserved: A (closed), X (closed), Y (open)
+    assert(k1hist == Set(("A", false), ("X", false), ("Y", true)))
+    assert(g2.filter(col("is_current")).count() == 3)
+  }
+}
