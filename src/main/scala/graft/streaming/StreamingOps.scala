@@ -131,13 +131,20 @@ object StreamingOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       key: String, watermark: String = "10 minutes",
-      maxLag: String = "5 minutes"): DataFrame = {
+      maxLag: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
+    // `leftOuter` additionally emits unmatched left rows with nulls
+    // once the watermark passes their join window — i.e. impressions
+    // with NO click, which an attribution pipeline needs as rows, not
+    // as absence. The interval condition is what bounds both states;
+    // outer-ness only changes what is emitted at state eviction.
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxLag"))
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxLag"),
+      joinType)
   }
 
   /** Stream enriched by a static dimension (broadcast — no state, no

@@ -39,6 +39,37 @@ class StreamingJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L)))
   }
 
+  test("left-outer interval join emits unmatched impressions with " +
+      "null clicks after the watermark closes their window") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val imps = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id",
+      watermark = "10 minutes", maxLag = "5 minutes",
+      joinType = "leftOuter")
+      .select(col("imp_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib_lo")
+      .outputMode("append").start()
+    imps.addData(Impression(1, t(0), 100), Impression(2, t(0), 200))
+    clicks.addData(Click(10, t(2), 100)) // only user 100 clicks
+    q.processAllAvailable()
+    // advance both watermarks far past imp 2's join window so the
+    // unmatched row is emitted with a null click
+    imps.addData(Impression(3, t(60), 300))
+    clicks.addData(Click(11, t(60), 300))
+    q.processAllAvailable()
+    val got = s.sql("SELECT imp_id, click_id FROM attrib_lo").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    q.stop()
+    assert(got.contains((1L, Some(10L)))) // matched pair
+    assert(got.contains((2L, None)),      // unmatched -> null click row
+      s"got $got")
+  }
+
   test("session windows split activity on the gap, merge within it") {
     val s = spark
     import s.implicits._
