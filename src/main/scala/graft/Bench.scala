@@ -37,6 +37,12 @@ object Bench {
     // engine actually has. The raw passes are kept in a side field so
     // the variance itself stays auditable.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt max 1
+    // NOTE (measured, round 5): do NOT System.gc() between queries to
+    // release old localCheckpoint blocks — the full collection kicks
+    // ContextCleaner into async removeBlocks/removeBroadcast storms
+    // that land INSIDE the next timed query (total 44s -> 137s,
+    // graph_pagerank 1.8s -> 11.2s). Block accumulation over 86
+    // queries costs far less than forced cleanup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to passes).map { _ =>
