@@ -60,6 +60,23 @@ object ExtendedQueries {
             .as("avg_gap_us"))
     }),
 
+    // PURE range join (no equi key): every ~1000th event anchors a
+    // +-30min "incident window"; count ALL events (any user) inside
+    // each window. Without binning Spark plans this contains-join as a
+    // BroadcastNestedLoopJoin — operators/RangeJoin turns it into a
+    // plain equi-join on 10-minute buckets (pinned in PlanShapeSpec).
+    "join_range_binned" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val win = events(s, d).filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("win_id"),
+          (unix_micros(col("ts")) - 1800000000L).as("lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(ev, "us", win,
+          "lo", "hi", binWidth = 600000000L)
+        .groupBy("win_id").agg(count(lit(1)).as("n_events"))
+    }),
+
     // lag/lead offsets within a partition.
     "window_lag" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -344,6 +361,18 @@ object ExtendedQueries {
                WHERE epoch_us(p.ts) > epoch_us(c.ts)
                  AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
          GROUP BY user_id""",
+
+    // the oracle states the JOIN SEMANTICS directly (plain theta
+    // join) — the binned plan must be result-identical
+    "join_range_binned" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_id AS win_id,
+               epoch_us(ts) - 1800000000 AS lo,
+               epoch_us(ts) + 1800000000 AS hi
+               FROM events WHERE event_id % 997 = 0)
+         SELECT win_id, count(*) AS n_events
+         FROM w JOIN ev ON ev.us BETWEEN w.lo AND w.hi
+         GROUP BY win_id""",
 
     "window_lag" ->
       """SELECT event_id, event_type, value,

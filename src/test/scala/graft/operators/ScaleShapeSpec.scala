@@ -101,3 +101,35 @@ class TopKSpec extends SparkSpec {
     assert(perSalt.max < 4000 / 2) // no sub-partition re-concentrates
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  test("pointInInterval equals the naive theta join, including " +
+      "negatives and exact bin boundaries") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = ((1 to 300).map(i => (i.toLong, rnd.nextLong() % 1000)) ++
+      Seq((900L, -100L), (901L, 0L), (902L, 100L), (903L, 50L)))
+      .toDF("pid", "v")
+    // intervals of mixed widths incl. degenerate, inverted, boundary
+    val ivs = Seq(
+      (1L, -100L, 100L),   // spans negative/positive + exact ends
+      (2L, 0L, 0L),        // degenerate single point
+      (3L, 50L, 49L),      // inverted -> matches nothing
+      (4L, -500L, 500L),   // wide
+      (5L, 95L, 105L)      // straddles a bin boundary (width 100)
+    ).toDF("iid", "lo", "hi")
+    val naive = pts.crossJoin(ivs)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val binned = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi",
+        binWidth = 100L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+    // each qualifying pair appears exactly once (no dedup needed)
+    assert(binned.distinct.size == binned.size)
+  }
+}

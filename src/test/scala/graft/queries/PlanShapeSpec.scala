@@ -74,6 +74,14 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_range_binned: bucketed equi-join, no nested-loop") {
+    // the whole point of the binning: a keyless BETWEEN join must NOT
+    // plan as BroadcastNestedLoopJoin / cartesian
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("sim_quantize: one codegen'd map-side pass, zero shuffles") {
     val p = plan("sim_quantize")
     assert(!p.contains("Exchange"), "quantization must not shuffle")
