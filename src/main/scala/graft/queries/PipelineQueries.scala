@@ -424,6 +424,27 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // RAG/pretraining chunking: overlapping token windows (64-token
+    // chunks, stride 48 → 16-token overlap) — one map-side projection
+    // per chunk row (posexplode over chunk starts + array slice), NO
+    // shuffle, no document-sized arrays past the generator.
+    "text_chunk" -> ((s, d) => {
+      val chunkTok = 64
+      val stride = 48
+      val toks = Dedup.tokens(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(0),
+            greatest(size(col("tk")) - 1, lit(0)), lit(stride)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("tk"), col("start") + 1, lit(chunkTok)).as("ctoks"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ctoks")).as("n_tokens"),
+          array_join(col("ctoks"), " ").as("chunk_text"))
+    }),
+
     // --- multimodal (binary columns; decode is a marked stub) ---
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -995,6 +1016,20 @@ object PipelineQueries {
          $iters
          SELECT id AS doc_id, round(rank, 6) AS rank FROM r10"""
     },
+
+    // chunk_idx = start // stride (same as posexplode's position);
+    // list_slice clamps at the end exactly like Spark's slice
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         s AS (SELECT doc_id, tk, CAST(st AS INTEGER) AS st
+               FROM t, unnest(range(0, greatest(len(tk) - 1, 0) + 1, 48))
+                 AS r(st)),
+         c AS (SELECT doc_id, st // 48 AS chunk_idx,
+               list_slice(tk, st + 1, st + 64) AS ctoks FROM s)
+         SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(ctoks) AS INTEGER) AS n_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+         FROM c""",
 
     "mm_features" ->
       """SELECT doc_id,
