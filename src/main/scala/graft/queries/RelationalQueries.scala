@@ -215,6 +215,18 @@ object RelationalQueries {
           (abs(col("a_orders") - col("e_orders")) <=
             col("e_orders") * (3 * 0.01)).as("orders_ok"))),
 
+    // Grouped HLL sketch: per-priority approximate distinct customers,
+    // 3-sigma bound checked PER GROUP against the exact count (the
+    // grouped face of approx_distinct; oracle is the group keys +
+    // constant truth).
+    "approx_distinct_by" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderpriority").agg(
+        approx_count_distinct(col("o_custkey"), 0.01).as("a_cust"),
+        countDistinct(col("o_custkey")).as("e_cust"))
+        .select(col("o_orderpriority"),
+          (abs(col("a_cust") - col("e_cust")) <=
+            col("e_cust") * (3 * 0.01)).as("cust_ok"))),
+
     // Semi join (EXISTS): customers having ≥1 big order.
     "join_semi" -> ((s, d) => {
       val big = orders(s, d).filter(col("o_totalprice") > 300000)
@@ -482,6 +494,10 @@ object RelationalQueries {
     // flips a column to false and the driver hash goes red.
     "approx_distinct" ->
       "SELECT true AS parts_ok, true AS orders_ok",
+
+    "approx_distinct_by" ->
+      """SELECT DISTINCT o_orderpriority, true AS cust_ok
+         FROM orders""",
 
     "profile_stats_approx" ->
       """SELECT count(*) AS n_rows,
