@@ -77,6 +77,30 @@ object ExtendedQueries {
         .groupBy("win_id").agg(count(lit(1)).as("n_events"))
     }),
 
+    // Ordered-step funnel: users with a view, then a click strictly
+    // after their FIRST view, then a purchase strictly after that
+    // first qualifying click. Each stage is one keyed join + partial
+    // min-aggregate on user_id — the same partitioning reused three
+    // times, no windows over unbounded partitions.
+    "events_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      v.agg(count(lit(1)).as("n"))
+        .select(lit("1_view").as("stage"), col("n"))
+        .union(c.agg(count(lit(1)).as("n"))
+          .select(lit("2_click").as("stage"), col("n")))
+        .union(p.agg(count(lit(1)).as("n"))
+          .select(lit("3_purchase").as("stage"), col("n")))
+    }),
+
     // lag/lead offsets within a partition.
     "window_lag" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -373,6 +397,21 @@ object ExtendedQueries {
          SELECT win_id, count(*) AS n_events
          FROM w JOIN ev ON ev.us BETWEEN w.lo AND w.hi
          GROUP BY win_id""",
+
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.v_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+               GROUP BY e.user_id)
+         SELECT '1_view' AS stage, count(*) AS n FROM v
+         UNION ALL SELECT '2_click', count(*) FROM c
+         UNION ALL SELECT '3_purchase', count(*) FROM p""",
 
     "window_lag" ->
       """SELECT event_id, event_type, value,
