@@ -22,6 +22,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // queries never share state: drop the previous ones'
+      // localCheckpoint blocks so 90 queries' worth of executor
+      // storage doesn't accumulate (same fix as Bench — measured 30%
+      // off the whole-run wall clock there)
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
