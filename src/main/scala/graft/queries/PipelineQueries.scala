@@ -424,6 +424,19 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // Triangle enumeration over the same synthetic doc graph as
+    // graph_pagerank — degree-oriented wedge join (operators/
+    // Triangles), each triangle exactly once, O(m^1.5) bound.
+    "graph_triangles" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e1 = docs.select(col("doc_id").as("id_a"),
+        ((col("doc_id") * 2 + 1) % n).as("id_b"))
+      val e2 = docs.select(col("doc_id").as("id_a"),
+        ((col("doc_id") * 3 + 7) % n).as("id_b"))
+      graft.operators.Triangles.triangles(e1.union(e2))
+    }),
+
     // RAG/pretraining chunking: overlapping token windows (64-token
     // chunks, stride 48 → 16-token overlap) — one map-side projection
     // per chunk row (posexplode over chunk starts + array slice), NO
@@ -1016,6 +1029,32 @@ object PipelineQueries {
          $iters
          SELECT id AS doc_id, round(rank, 6) AS rank FROM r10"""
     },
+
+    // Mirrors Triangles.triangles: same (degree, id) orientation, same
+    // (s, v1 < v2) output convention.
+    "graph_triangles" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+         nn AS (SELECT max(doc_id) + 1 AS n FROM docs),
+         e0 AS (SELECT doc_id AS a, (doc_id * 2 + 1) % (SELECT n FROM nn) AS b
+                FROM docs
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn)
+                FROM docs),
+         und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                 FROM e0 WHERE a <> b),
+         deg AS (SELECT x, count(*) AS d FROM
+                 (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY x),
+         ori AS (SELECT
+                 CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS s,
+                 CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS t
+                 FROM und JOIN deg da ON u = da.x JOIN deg db ON v = db.x),
+         wedge AS (SELECT e1.s, e1.t AS v1, e2.t AS v2 FROM ori e1
+                   JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t)
+         SELECT s, v1, v2 FROM wedge w
+         WHERE EXISTS (SELECT 1 FROM ori o
+                       WHERE (o.s = w.v1 AND o.t = w.v2)
+                          OR (o.s = w.v2 AND o.t = w.v1))""",
 
     // chunk_idx = start // stride (same as posexplode's position);
     // list_slice clamps at the end exactly like Spark's slice

@@ -133,3 +133,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned.distinct.size == binned.size)
   }
 }
+
+class TrianglesSpec extends SparkSpec {
+  test("triangles: planted triangles found exactly once, hub star " +
+      "contributes none, output convention deterministic") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3}, triangle {3,4,5} sharing vertex 3, a star hub
+    // 100 with 20 leaves (no triangles), duplicate + reversed edges
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 1L), (1L, 2L)) ++ // dup/reverse noise
+      (200L to 219L).map(l => (100L, l))).toDF("id_a", "id_b")
+    val got = Triangles.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each triangle exactly once (as a set of vertex sets)
+    assert(got.map(t => Set(t._1, t._2, t._3)).toSet ==
+      Set(Set(1L, 2L, 3L), Set(3L, 4L, 5L)))
+    assert(got.length == 2)
+    // convention: v1 < v2, s not among them
+    got.foreach { case (sv, v1, v2) =>
+      assert(v1 < v2 && sv != v1 && sv != v2)
+    }
+  }
+}
