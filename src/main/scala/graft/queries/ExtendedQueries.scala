@@ -101,6 +101,23 @@ object ExtendedQueries {
           .select(lit("3_purchase").as("stage"), col("n")))
     }),
 
+    // Retention cohort matrix: users bucketed by signup week, counted
+    // distinct in each subsequent activity week — two keyed
+    // aggregations sharing the user_id partitioning, no windows.
+    "events_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+      ev.join(signup, "user_id")
+        .filter(col("ts") >= col("cohort"))
+        .groupBy(to_date(col("cohort")).as("cohort_week"),
+          floor(datediff(to_date(col("ts")), to_date(col("cohort"))) / 7)
+            .as("wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // lag/lead offsets within a partition.
     "window_lag" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -397,6 +414,18 @@ object ExtendedQueries {
          SELECT win_id, count(*) AS n_events
          FROM w JOIN ev ON ev.us BETWEEN w.lo AND w.hi
          GROUP BY win_id""",
+
+    "events_retention" ->
+      """WITH su AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                     FROM events WHERE event_type = 'signup'
+                     GROUP BY user_id)
+         SELECT CAST(su.cohort AS DATE) AS cohort_week,
+           date_diff('day', CAST(su.cohort AS DATE), CAST(e.ts AS DATE))
+             // 7 AS wk,
+           count(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN su ON e.user_id = su.user_id
+         WHERE e.ts >= su.cohort
+         GROUP BY 1, 2""",
 
     "events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
