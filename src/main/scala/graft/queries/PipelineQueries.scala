@@ -175,6 +175,23 @@ object PipelineQueries {
         graft.functions.QuantizeI8.quantize_i8(col("embedding")).as("q"))
     }),
 
+    // Retrieval over the int8 CODES: per-vector symmetric quantization
+    // scales cancel in cosine (cos(c*s/127, q) == cos(c, q)), so
+    // quantized top-k needs no dequantization at all — the 4x-smaller
+    // codes are scanned directly (cast to double for the codegen'd
+    // dot; a cast, not an interpreted HOF). Deterministic end to end:
+    // integer codes + double folds on both engines.
+    "sim_ann_quantized" -> ((s, d) => {
+      graft.functions.QuantizeI8.register(s)
+      val codes = embeddings(s, d).select(col("vec_id"),
+        graft.functions.QuantizeI8.quantize_i8(col("embedding"))
+          .cast("array<double>").as("qv"))
+      val q = codes.filter(col("vec_id") === 0)
+        .select("qv").head().getSeq[Double](0).map(_.toFloat)
+      Similarity.topK(codes, "vec_id", "qv", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     "sim_topk" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
@@ -781,6 +798,22 @@ object PipelineQueries {
             [CAST(CASE WHEN s = 0 THEN 0 ELSE round(127 * x / s) END
                   AS TINYINT) FOR x IN v] AS q
           FROM sc""",
+
+    "sim_ann_quantized" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                 greatest(list_max(v), -list_min(v)) AS s FROM v),
+          qz AS (SELECT vec_id,
+                 [CAST(CASE WHEN s = 0 THEN 0 ELSE round(127 * x / s) END
+                       AS DOUBLE) FOR x IN v] AS qv
+                 FROM sc),
+          q AS (SELECT qv AS q FROM qz WHERE vec_id = 0)
+          SELECT vec_id, round(sc2, 6) AS score FROM (
+            SELECT z.vec_id,
+              ${dotSql("z.qv", "q.q")} /
+                (${normSql("z.qv")} * ${normSql("q.q")}) AS sc2
+            FROM qz z CROSS JOIN q)
+          ORDER BY sc2 DESC, vec_id LIMIT 10""",
 
     "sim_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),

@@ -463,6 +463,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized retrieval: top-10 over int8 codes matches float " +
+      "top-10 closely (scales cancel in cosine)") {
+    graft.functions.QuantizeI8.register(spark)
+    val codes = emb.select(col("vec_id"),
+      graft.functions.QuantizeI8.quantize_i8(col("embedding"))
+        .cast("array<double>").as("qv"))
+    val qq = codes.filter(col("vec_id") === 0)
+      .select("qv").head().getSeq[Double](0).map(_.toFloat)
+    val quant = Similarity.topK(codes, "vec_id", "qv", qq, 10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(quant.contains(0L)) // the query is still its own top hit
+    val overlap = quant.intersect(exact).size
+    assert(overlap >= 8, s"recall $overlap/10 after int8 quantization")
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
