@@ -28,4 +28,15 @@ object Sampling {
     */
   def stratifiedKeep(key: Column, salt: String, pctCol: Column): Column =
     hashBucket(key, salt, 100) < pctCol
+
+  /** Importance sampling: keep with probability `weight * rate`
+    * (clamped at 1 by construction when weight * rate <= 1) — the
+    * curation shape that keeps MORE of the high-quality documents.
+    * A 1e6-bucket uniform gives ~1e-6 rate resolution; still one
+    * map-side pushable predicate, still exactly reproducible by the
+    * oracle (same md5 uniform, same single double multiply).
+    */
+  def weightedKeep(key: Column, salt: String, weight: Column,
+      rate: Double): Column =
+    hashBucket(key, salt, 1000000) < weight * (rate * 1e6)
 }

@@ -441,6 +441,16 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // Quality-weighted importance sampling: keep probability =
+    // quality * 0.5, so high-quality docs survive preferentially —
+    // one deterministic map-side predicate (oracle re-derives exact
+    // membership).
+    "sample_weighted" -> ((s, d) =>
+      documents(s, d)
+        .filter(graft.ext.Sampling.weightedKeep(col("doc_id"), "graftw",
+          TextAnalysis.qualityScore(col("text")), 0.5))
+        .select("doc_id", "lang", "source")),
+
     // Triangle enumeration over the same synthetic doc graph as
     // graph_pagerank — degree-oriented wedge join (operators/
     // Triangles), each triangle exactly once, O(m^1.5) bound.
@@ -968,6 +978,25 @@ object PipelineQueries {
          WHERE ('0x' || substr(md5('graft' || doc_id), 1, 8))::BIGINT % 100
            < CASE WHEN lang = 'en' THEN 20
                   WHEN lang = 'de' THEN 50 ELSE 80 END""",
+
+    // same quality expression as pipeline_filter's (proven green
+    // there); one double multiply by 500000.0 mirrors weight*(rate*1e6)
+    "sample_weighted" -> {
+      val stops = "['the','a','of','and','in','to','is','on']"
+      val quality =
+        s"""(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+            + CAST(len(list_distinct(ws)) AS DOUBLE)
+              / CAST(greatest(len(ws), 1) AS DOUBLE) * 0.3
+            + (1.0 - CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len([t FOR t IN ws IF list_contains($stops, t)])
+                  AS DOUBLE) / len(ws) END) * 0.3)"""
+      s"""WITH w AS (SELECT doc_id, lang, source, $Toks AS ws
+                     FROM documents)
+          SELECT doc_id, lang, source FROM w
+          WHERE ('0x' || substr(md5('graftw' || doc_id), 1, 8))::BIGINT
+                  % 1000000
+            < $quality * 500000.0"""
+    },
 
     "pipeline_filter" -> {
       val stops = "['the','a','of','and','in','to','is','on']"
