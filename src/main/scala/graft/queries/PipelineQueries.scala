@@ -169,10 +169,16 @@ object PipelineQueries {
     // Per-vector symmetric int8 quantization (4x embedding storage/
     // shuffle cut): one codegen'd map-side expression, no shuffle —
     // codes oracle-checked against DuckDB's round() element by element.
+    // Output is posexploded to scalar (vec_id, pos, code) rows: the
+    // driver's canonicalizer sorts cells with pandas and cannot hash
+    // an array column, so every oracle-gated query must emit scalar
+    // top-level columns only (pinned by OutputShapeSpec).
     "sim_quantize" -> ((s, d) => {
       graft.functions.QuantizeI8.register(s)
-      embeddings(s, d).select(col("vec_id"),
-        graft.functions.QuantizeI8.quantize_i8(col("embedding")).as("q"))
+      embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.QuantizeI8.quantize_i8(col("embedding"))))
+        .select(col("vec_id"), col("pos"), col("col").as("code"))
     }),
 
     // Retrieval over the int8 CODES: per-vector symmetric quantization
@@ -799,15 +805,20 @@ object PipelineQueries {
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)
     // — DuckDB round on DOUBLE is ties-away-from-zero, same as the
-    // expression's floor/ceil formulation.
+    // expression's floor/ceil formulation. Exploded to scalar
+    // (vec_id, pos, code) rows — DuckDB zips multiple unnests in the
+    // same SELECT positionally, mirroring Spark's posexplode.
     "sim_quantize" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
           sc AS (SELECT vec_id, v,
-                 greatest(list_max(v), -list_min(v)) AS s FROM v)
-          SELECT vec_id,
-            [CAST(CASE WHEN s = 0 THEN 0 ELSE round(127 * x / s) END
-                  AS TINYINT) FOR x IN v] AS q
-          FROM sc""",
+                 greatest(list_max(v), -list_min(v)) AS s FROM v),
+          e AS (SELECT vec_id,
+                unnest(range(len(v))) AS pos,
+                unnest([CAST(CASE WHEN s = 0 THEN 0
+                             ELSE round(127 * x / s) END
+                        AS TINYINT) FOR x IN v]) AS code
+                FROM sc)
+          SELECT vec_id, CAST(pos AS INT) AS pos, code FROM e""",
 
     "sim_ann_quantized" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
