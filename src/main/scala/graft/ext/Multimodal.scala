@@ -145,11 +145,18 @@ object Multimodal {
       Some((le16(6), le16(8)))
     else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var p = 2
-      while (p + 3 < bytes.length) {
+      while (p + 1 < bytes.length) {
         if (u8(p) != 0xFF) return None // lost marker sync
+        // any run of 0xFF before the marker id is legal fill/padding
+        // (B.1.1.2) — without the skip, 0xFF lands in the length
+        // branch and misparses the segment
+        while (p + 1 < bytes.length && u8(p + 1) == 0xFF) p += 1
+        if (p + 1 >= bytes.length) return None
         val m = u8(p + 1)
+        if (m == 0xD9) return None // EOI: image ended with no SOF
         if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) p += 2 // standalone
         else {
+          if (p + 3 >= bytes.length) return None
           val len = be16(p + 2)
           if (len < 2 || p + 2 + len > bytes.length) return None
           if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&

@@ -33,8 +33,12 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // `(c - pmod(c, w))` is the exact floor-multiple of w at or below
+    // c; integral `div` keeps the quotient exact for the full long
+    // range (double `/` would mis-round for |values| >= 2^53 and drop
+    // matches at bucket edges).
     def bin(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
     val pb = points.withColumn("__bin", bin(col(pointCol)))
     val ib = intervals
       .filter(col(loCol) <= col(hiCol))

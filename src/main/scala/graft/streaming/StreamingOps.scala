@@ -33,6 +33,50 @@ object StreamingOps {
       mapRules: Seq[(String, String)]): DataFrame =
     Engine.transform(stream, mapRules)
 
+  /** Resolve (and sanity-check) the checkpoint dir for a
+    * source→output stream under `<sheetsDir>/_checkpoint/`.
+    *
+    * The checkpoint is keyed `<source>__<output>` so re-pointing
+    * either sheet never resumes another stream's progress. Two
+    * failure modes of a KEY CHANGE are handled here rather than left
+    * to silent data loss:
+    *
+    *  - a legacy `_checkpoint/<output>` dir (the pre-keying layout)
+    *    is migrated by rename: its recorded progress belongs to this
+    *    exact source→output pair under the old naming, and abandoning
+    *    it would restart batch ids at 0 against an output
+    *    `_spark_metadata` sink log that already has those ids
+    *    committed — FileStreamSink would silently SKIP the re-read
+    *    batches.
+    *  - a fresh checkpoint key over an output dir that already has a
+    *    sink log (e.g. `source` was re-pointed but `output` kept) is
+    *    refused loudly: restarted batch ids would collide with
+    *    committed ones and the new source's data would be dropped.
+    */
+  def resolveCheckpoint(sheetsDir: String, source: String,
+      output: String): String = {
+    val base = new java.io.File(sheetsDir, "_checkpoint")
+    val keyed = new java.io.File(base, s"${source}__$output")
+    val legacy = new java.io.File(base, output)
+    val sinkLog = new java.io.File(
+      new java.io.File(sheetsDir, output), "_spark_metadata")
+    if (!keyed.exists() && legacy.exists()) {
+      if (!legacy.renameTo(keyed))
+        throw new IllegalStateException(
+          s"cannot migrate legacy checkpoint $legacy -> $keyed")
+      System.err.println(
+        s"[graft] migrated legacy checkpoint $legacy -> $keyed")
+    } else if (!keyed.exists() && sinkLog.exists()) {
+      throw new IllegalStateException(
+        s"output '$output' has a sink log ($sinkLog) but checkpoint " +
+        s"$keyed does not exist — its progress belongs to a different " +
+        "source/output pairing. Restarting batch ids over a committed " +
+        "sink log would silently drop data; point `output` at a fresh " +
+        "directory (or restore the matching checkpoint).")
+    }
+    keyed.toString
+  }
+
   /** Streaming analog of `Engine.runMapping`: an unbounded CSV
     * "Source sheet" directory → the compiled RuleSet → an append-mode
     * parquet sink with a checkpoint. The same Map-sheet rules run

@@ -53,10 +53,12 @@ object RunMappingStreamCli {
       // `output` must not resume from another sink's progress, and
       // re-pointing `source` while keeping the same `output` must not
       // resume from a file log recorded against the old source dir —
-      // either would silently skip (or double-read) source files
+      // either would silently skip (or double-read) source files.
+      // resolveCheckpoint also migrates the legacy <output>-keyed dir
+      // and refuses a fresh key over an already-committed sink log.
       val q = StreamingOps.runMappingStream(spark, srcDir, headers,
         mapRules, outDir,
-        s"$dir/_checkpoint/${config.source}__${config.output}",
+        StreamingOps.resolveCheckpoint(dir, config.source, config.output),
         maxFiles)
       q.processAllAvailable()
       q.stop()

@@ -582,6 +582,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageDims(Array.emptyByteArray).isEmpty)
   }
 
+  test("JPEG walker: 0xFF fill bytes before a marker are skipped, " +
+      "EOI terminates the walk") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // SOI, then fill bytes 0xFF 0xFF before a legal SOF0 (10x20)
+    val filled = b(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xC0,
+      0x00, 0x0B, 8, 0x00, 20, 0x00, 10, 1, 0x11, 0x00, 0x00)
+    assert(Multimodal.decodeImageDims(filled).contains((10, 20)))
+    // SOI then immediate EOI: valid walk, no SOF -> None (the old
+    // walker read a phantom length past EOI)
+    assert(Multimodal.decodeImageDims(b(0xFF, 0xD8, 0xFF, 0xD9)).isEmpty)
+    // APP0 segment, then EOI, then garbage AFTER the image end — the
+    // walk must stop at EOI rather than misparse the tail
+    val eoiThenJunk = b(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x02,
+      0xFF, 0xD9, 0x12, 0x34, 0x56)
+    assert(Multimodal.decodeImageDims(eoiThenJunk).isEmpty)
+  }
+
   test("imageDecode through the codec seam extracts real dims " +
       "distributed; non-images decode as 0x0, not exceptions") {
     val s = spark

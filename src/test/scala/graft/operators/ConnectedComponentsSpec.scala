@@ -21,6 +21,14 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("empty edge set: converges to empty labels, does not trip the " +
+      "overflow guard (null Σlabel means no-nodes only before round 0)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ConnectedComponents.labels(empty).collect().isEmpty)
+  }
+
   test("long path converges within iteration budget") {
     val s = spark
     import s.implicits._

@@ -132,6 +132,24 @@ class RangeJoinSpec extends SparkSpec {
     // each qualifying pair appears exactly once (no dedup needed)
     assert(binned.distinct.size == binned.size)
   }
+
+  test("bin arithmetic is exact beyond 2^53 (double division would " +
+      "mis-bucket edge values)") {
+    val s = spark
+    import s.implicits._
+    // 2^60 + k values: a double cannot represent these exactly, so a
+    // `/`-based bin() rounds some quotients to the wrong bucket and
+    // drops boundary matches
+    val base = 1L << 60
+    val pts = (0L to 10L).map(k => (k, base + k)).toDF("pid", "v")
+    val ivs = Seq((1L, base, base + 4L), (2L, base + 5L, base + 10L),
+      (3L, -base - 10L, -base)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi",
+        binWidth = 3L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == (0L to 4L).map((_, 1L)) ++ (5L to 10L).map((_, 2L)))
+  }
 }
 
 class TrianglesSpec extends SparkSpec {

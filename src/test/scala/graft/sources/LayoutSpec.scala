@@ -177,6 +177,23 @@ class ZOrderSpec extends SparkSpec {
     assert(got.toSeq == rows.map { case (x, y) => ref(x, y, 16) })
   }
 
+  test("negative keys: pmod bucketing matches the oracle's " +
+      "((v % m) + m) % m mirror, and bare % would not") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq(-65537L, -65536L, -1L, 0L, 1L, 65535L, 65536L)
+    val got = keys.toDF("v")
+      .select(pmod($"v", lit(65536L)).as("b"))
+      .collect().map(_.getLong(0))
+    // Math.floorMod is the ((v % m) + m) % m the DuckDB oracle uses
+    assert(got.toSeq == keys.map(Math.floorMod(_, 65536L)))
+    // and the divergence the mirror exists to paper over is real:
+    // DuckDB-style dividend-sign % disagrees on every negative key
+    assert(keys.filter(_ < 0).exists(v => v % 65536L != Math.floorMod(v, 65536L)))
+    // bucketed negatives stay in-range for the shift interleave
+    assert(got.forall(b => b >= 0 && b < 65536L))
+  }
+
   test("z-order clustering concentrates 2-D range boxes in few files " +
       "where a 1-D sort touches every file") {
     val s = spark

@@ -107,6 +107,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("unbounded stream"))
   }
 
+  test("resolveCheckpoint: migrates a legacy output-keyed checkpoint; " +
+      "re-pointed source over a committed sink log fails loudly") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("sckpt")
+    val srcDir = java.nio.file.Files.createDirectory(root.resolve("src"))
+    java.nio.file.Files.write(srcDir.resolve("b1.csv"),
+      "id,amount\n1,5\n2,20".getBytes)
+    val rules = Seq(("Id", "src[id]"))
+    val out = root.resolve("out").toString
+    // simulate a PRE-KEYING deployment: checkpoint at _checkpoint/out
+    val legacy = root.resolve("_checkpoint").resolve("out")
+    val q1 = StreamingOps.runMappingStream(s, srcDir.toString,
+      Seq("id", "amount"), rules, out, legacy.toString)
+    q1.processAllAvailable(); q1.stop()
+    // upgrade: resolveCheckpoint renames the legacy dir to the keyed
+    // path, so the resumed stream keeps its batch-id progress …
+    val keyed = StreamingOps.resolveCheckpoint(root.toString, "src", "out")
+    assert(keyed.endsWith("src__out"))
+    assert(!java.nio.file.Files.exists(legacy))
+    java.nio.file.Files.write(srcDir.resolve("b2.csv"),
+      "id,amount\n3,30".getBytes)
+    val q2 = StreamingOps.runMappingStream(s, srcDir.toString,
+      Seq("id", "amount"), rules, out, keyed)
+    q2.processAllAvailable(); q2.stop()
+    // … no skipped and no double-read batches across the migration
+    val got = s.read.parquet(out).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("1", "2", "3"))
+    // re-pointing `source` keeping the same committed `output` must
+    // not silently restart batch ids over the sink log — loud failure
+    val e = intercept[IllegalStateException] {
+      StreamingOps.resolveCheckpoint(root.toString, "src2", "out")
+    }
+    assert(e.getMessage.contains("sink log"))
+    // a genuinely fresh pairing (new output) resolves fine
+    assert(StreamingOps.resolveCheckpoint(root.toString, "src2", "out2")
+      .endsWith("src2__out2"))
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
