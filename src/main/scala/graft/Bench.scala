@@ -69,7 +69,18 @@ object Bench {
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, t, _) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
+    // Raw per-pass times go to a SIDE FILE: the driver captures only a
+    // bounded stdout tail, and round 5's inline passes blob pushed the
+    // summary's head out of that window (BENCH_r05 "parsed": null).
+    // The compact one-line summary must be the LAST stdout line.
+    val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW",
+      "target/bench_passes.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
+      s"""{"passes":$raw,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,6 +55,44 @@ object TextAnalysis {
     (lenScore * 0.4 + diversity * 0.3 + stopOk * 0.3)
   }
 
+  // --- Gopher-style composite quality gate ---
+  // The four public heuristics from the Gopher corpus-filtering recipe
+  // (Rae et al. 2021, appendix A1.1), each as a pure column
+  // expression: mean word length in a sane band, low symbol-to-word
+  // ratio, mostly-alphabetic words, and stop-word presence. All are
+  // exact integer-ratio doubles, so the indicator thresholds compare
+  // identically cross-engine and the composite is oracle-checkable.
+
+  /** Fraction of tokens containing '#' or an ellipsis (0 if empty). */
+  def symbolWordRatio(ws: Column): Column =
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      size(filter(ws, t => t.contains("#") || t.contains("...")))
+        .cast("double") / size(ws))
+
+  /** Fraction of tokens with at least one letter (tokens are already
+    * lowercased by `tokens`).
+    */
+  def alphaWordFrac(ws: Column): Column =
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      size(filter(ws, t => t.rlike("[a-z]"))).cast("double") / size(ws))
+
+  /** Number of DISTINCT stopwords present in the document. */
+  def distinctStopwords(ws: Column): Column =
+    size(array_intersect(ws, array(Stopwords.map(lit): _*)))
+
+  /** Composite Gopher-style quality in {0, .25, .5, .75, 1}: the mean
+    * of the four pass/fail indicators. A continuous keep-weight for
+    * `Sampling.weightedKeep` and a hard gate at 1.0.
+    */
+  def gopherScore(text: Column): Column = {
+    val ws = tokens(text)
+    val mwl = avgTokenLength(ws)
+    (when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.0) +
+      when(symbolWordRatio(ws) <= 0.1, 1.0).otherwise(0.0) +
+      when(alphaWordFrac(ws) >= 0.8, 1.0).otherwise(0.0) +
+      when(distinctStopwords(ws) >= 2, 1.0).otherwise(0.0)) / 4
+  }
+
   /** Marker-word language/domain ID: score = marker occurrences per
     * class, argmax with a fixed precedence order on ties. The pattern
     * (tiny broadcast lexicon + argmax, one map-side pass) is the same

@@ -82,35 +82,53 @@ object ExtendedQueries {
     // first qualifying click. Each stage is one keyed join + partial
     // min-aggregate on user_id — the same partitioning reused three
     // times, no windows over unbounded partitions.
+    // Conversion funnel: first view -> first later click -> first
+    // later purchase per user. ONE exchange on user_id end to end:
+    // the staged minima are chained window aggregates over the same
+    // partitioning (each stage's condition reads the previous stage's
+    // column), the per-user reduce reuses that partitioning
+    // exchange-free, and the 3-stage unpivot is a 1-row stack. The
+    // v1 shape (per-stage groupBy + join against the previous stage)
+    // re-aggregated the events scan 6x and only avoided shuffle
+    // joins because an all-users aggregate happens to broadcast at
+    // test SF — at 100 TB those joins are sort-merge with two more
+    // exchanges each; this shape is SF-independent.
     "events_funnel" -> ((s, d) => {
-      val ev = events(s, d)
+      val w = Window.partitionBy("user_id")
+      val staged = events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("v_ts"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") > col("v_ts"))
-        .groupBy("user_id").agg(min("ts").as("c_ts"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") > col("c_ts"))
-        .groupBy("user_id").agg(min("ts").as("p_ts"))
-      v.agg(count(lit(1)).as("n"))
-        .select(lit("1_view").as("stage"), col("n"))
-        .union(c.agg(count(lit(1)).as("n"))
-          .select(lit("2_click").as("stage"), col("n")))
-        .union(p.agg(count(lit(1)).as("n"))
-          .select(lit("3_purchase").as("stage"), col("n")))
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("v_ts"), col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("c_ts"), col("ts"))).over(w))
+      staged.groupBy("user_id").agg(
+          max(col("v_ts").isNotNull).as("has_v"),
+          max(col("c_ts").isNotNull).as("has_c"),
+          max(col("p_ts").isNotNull).as("has_p"))
+        .agg(sum(when(col("has_v"), 1L).otherwise(0L)).as("nv"),
+          sum(when(col("has_c"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("has_p"), 1L).otherwise(0L)).as("np"))
+        .select(expr("stack(3, '1_view', nv, '2_click', nc, " +
+          "'3_purchase', np) AS (stage, n)"))
     }),
 
     // Retention cohort matrix: users bucketed by signup week, counted
-    // distinct in each subsequent activity week — two keyed
-    // aggregations sharing the user_id partitioning, no windows.
+    // distinct in each subsequent activity week. The cohort stamp is
+    // a window MIN over the same user_id partitioning instead of an
+    // aggregate+self-join (a null cohort — user never signed up — is
+    // dropped by the >= filter, exactly the inner join's semantics),
+    // so the only user_id exchange is the window's and no join node
+    // exists at any SF.
     "events_retention" -> ((s, d) => {
-      val ev = events(s, d)
+      val w = Window.partitionBy("user_id")
+      events(s, d)
         .select(col("user_id"), col("ts"), col("event_type"))
-      val signup = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
-      ev.join(signup, "user_id")
+        .withColumn("cohort", min(when(col("event_type") === "signup",
+          date_trunc("week", col("ts")))).over(w))
         .filter(col("ts") >= col("cohort"))
         .groupBy(to_date(col("cohort")).as("cohort_week"),
           floor(datediff(to_date(col("ts")), to_date(col("cohort"))) / 7)

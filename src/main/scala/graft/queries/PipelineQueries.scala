@@ -257,6 +257,30 @@ object PipelineQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // Gopher-style composite quality: four public heuristics as exact
+    // indicator columns plus their mean — the per-document score that
+    // sample_quality weights by and pipeline_filter gates on. One
+    // map-side projection, no shuffle.
+    "text_quality" -> ((s, d) => {
+      val ws = Dedup.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.avgTokenLength(ws).as("mean_word_len"),
+        TextAnalysis.symbolWordRatio(ws).as("symbol_ratio"),
+        TextAnalysis.alphaWordFrac(ws).as("alpha_frac"),
+        TextAnalysis.distinctStopwords(ws).as("n_stop_distinct"),
+        TextAnalysis.gopherScore(col("text")).as("gq"))
+    }),
+
+    // Importance sampling weighted by the Gopher composite: a doc
+    // passing k of the 4 gates keeps with probability k/4 * rate —
+    // still one pushable map-side predicate (weightedKeep).
+    "sample_quality" -> ((s, d) =>
+      documents(s, d)
+        .filter(Sampling.weightedKeep(col("doc_id"), "graftq",
+          TextAnalysis.gopherScore(col("text")), 0.5))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "text_langid" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.markerLangId(col("text")).as("pred_lang"))),
@@ -351,15 +375,23 @@ object PipelineQueries {
       val tok = documents(s, d)
         .select(col("doc_id"),
           posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+      val stops = Seq("the", "a", "of", "and", "in", "to", "is", "on")
       val perDoc = tok.groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
         countDistinct(col("t")).as("n_uniq"),
-        marks(Seq("the", "a", "of", "and", "in", "to", "is", "on"))
-          .as("n_stop"),
+        marks(stops).as("n_stop"),
         marks(Seq("the", "a", "big", "small", "fast", "slow")).as("s_eng"),
         marks(Seq("query", "table", "join", "sort", "merge", "scan"))
           .as("s_db"),
-        marks(Seq("spark", "vector", "stream", "batch", "data")).as("s_ml"))
+        marks(Seq("spark", "vector", "stream", "batch", "data")).as("s_ml"),
+        // Gopher-gate signals in aggregate form (same values as the
+        // array formulation in text_quality — identical token stream)
+        sum(length(col("t"))).as("sum_len"),
+        sum(when(col("t").contains("#") || col("t").contains("..."), 1L)
+          .otherwise(0L)).as("n_sym"),
+        sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        countDistinct(when(col("t").isin(stops: _*), col("t")))
+          .as("n_stop_d"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val bgStats = tok.withColumn("prev", lag("t", 1).over(w))
         .filter(col("prev").isNotNull)
@@ -376,17 +408,29 @@ object PipelineQueries {
       val dup2 = when(coalesce(col("n_g"), lit(0L)) === 0, lit(0.0))
         .otherwise(lit(1.0) -
           col("n_gd").cast("double") / col("n_g"))
+      // Gopher composite from the aggregate signals — n_tokens >= 1
+      // always (posexplode of the never-empty token array), so the
+      // ratios need no zero guards here
+      val mwl = col("sum_len").cast("double") / col("n_tokens")
+      val gq = (when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.0) +
+        when(col("n_sym").cast("double") / col("n_tokens") <= 0.1, 1.0)
+          .otherwise(0.0) +
+        when(col("n_alpha").cast("double") / col("n_tokens") >= 0.8, 1.0)
+          .otherwise(0.0) +
+        when(col("n_stop_d") >= 2, 1.0).otherwise(0.0)) / 4
       perDoc.join(bgStats, Seq("doc_id"), "left")
         .withColumn("quality", quality)
         .withColumn("dup2", dup2)
+        .withColumn("gq", gq)
         .filter(col("n_tokens").between(20, 5000) &&
-          col("dup2") <= 0.1 && col("quality") >= 0.62)
+          col("dup2") <= 0.1 && col("quality") >= 0.62 &&
+          col("gq") >= 0.75)
         .select(col("doc_id"),
           when(col("s_eng") >= col("s_db") && col("s_eng") >= col("s_ml"),
             lit("eng"))
             .when(col("s_db") >= col("s_ml"), lit("db"))
             .otherwise(lit("ml")).as("pred_lang"),
-          col("quality"))
+          col("quality"), col("gq"))
     }),
 
     // Benchmark-contamination check: fraction of each eval doc's
@@ -540,6 +584,31 @@ object PipelineQueries {
   private val NormText =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val Toks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  // Gopher-gate signals over a token list `ws` (mirrors
+  // TextAnalysis.{avgTokenLength,symbolWordRatio,alphaWordFrac,
+  // distinctStopwords} — exact integer-ratio doubles on both engines).
+  private val GopherSignalsSql =
+    """CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(list_sum([length(t) FOR t IN ws]) AS DOUBLE) / len(ws)
+       END AS mwl,
+       CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(len([t FOR t IN ws
+           IF contains(t, '#') OR contains(t, '...')]) AS DOUBLE) / len(ws)
+       END AS sym,
+       CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(len([t FOR t IN ws IF regexp_matches(t, '[a-z]')])
+           AS DOUBLE) / len(ws)
+       END AS alpha,
+       len(list_intersect(ws,
+         ['the','a','of','and','in','to','is','on'])) AS nstop"""
+
+  // Composite = mean of the four indicators (reads the aliases above).
+  private val GopherGqSql =
+    """((CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN sym <= 0.1 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN alpha >= 0.8 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN nstop >= 2 THEN 1.0 ELSE 0.0 END)) / 4"""
 
   /** Shared MinHash-LSH oracle scaffold over any shingle-set CTE
     * `sh2(doc_id, ts)`: one md5 per shingle, double hashing
@@ -908,6 +977,25 @@ object PipelineQueries {
                  AS DOUBLE) / len(ws) END) * 0.3) AS quality
           FROM (SELECT doc_id, text, $Toks AS ws FROM documents)""",
 
+    "text_quality" ->
+      s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
+          q AS (SELECT doc_id, $GopherSignalsSql FROM w)
+          SELECT doc_id, mwl AS mean_word_len, sym AS symbol_ratio,
+            alpha AS alpha_frac, nstop AS n_stop_distinct,
+            $GopherGqSql AS gq
+          FROM q""",
+
+    // weightedKeep with the Gopher composite as the weight: same md5
+    // uniform as sample_weighted, salt 'graftq', rate 0.5 -> 500000.
+    "sample_quality" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, $Toks AS ws
+                     FROM documents),
+          q AS (SELECT doc_id, lang, source, $GopherSignalsSql FROM w)
+          SELECT doc_id, lang, source FROM q
+          WHERE ('0x' || substr(md5('graftq' || doc_id), 1, 8))::BIGINT
+                  % 1000000
+            < $GopherGqSql * 500000.0""",
+
     "text_langid" ->
       s"""SELECT doc_id,
           CASE
@@ -1031,15 +1119,17 @@ object PipelineQueries {
                 len([t FOR t IN ws IF list_contains(
                   ['query','table','join','sort','merge','scan'], t)]) AS s_db,
                 len([t FOR t IN ws IF list_contains(
-                  ['spark','vector','stream','batch','data'], t)]) AS s_ml
-                FROM g)
+                  ['spark','vector','stream','batch','data'], t)]) AS s_ml,
+                $GopherSignalsSql
+                FROM g),
+          q2 AS (SELECT *, $GopherGqSql AS gq FROM q)
           SELECT doc_id,
             CASE WHEN s_eng >= s_db AND s_eng >= s_ml THEN 'eng'
                  WHEN s_db >= s_ml THEN 'db' ELSE 'ml' END AS pred_lang,
-            quality
-          FROM q
+            quality, gq
+          FROM q2
           WHERE len(ws) BETWEEN 20 AND 5000 AND dup2 <= 0.1
-            AND quality >= 0.62"""
+            AND quality >= 0.62 AND gq >= 0.75"""
     },
 
     "contamination_check" ->

@@ -644,6 +644,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getString(3) == "eng") // all-zero tie -> eng precedence
   }
 
+  test("gopher gate: each signal and the composite on pinned docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // all 4 gates pass: mwl in [3,10], no symbols, alphabetic, 2 stops
+      "the quick brown fox jumps over a lazy dog",
+      // symbol gate fails: 2 of 4 tokens carry # / ellipsis
+      "the ### rest... of",
+      // alpha + mwl gates fail: all-numeric short tokens, but 'the of'
+      "1 2 3 4 5 6 7 8 the of"
+    ).toDF("text")
+    val ws = TextAnalysis.tokens(col("text"))
+    val rows = docs.select(
+      TextAnalysis.avgTokenLength(ws).as("mwl"),
+      TextAnalysis.symbolWordRatio(ws).as("sym"),
+      TextAnalysis.alphaWordFrac(ws).as("alpha"),
+      TextAnalysis.distinctStopwords(ws).as("nstop"),
+      TextAnalysis.gopherScore(col("text")).as("gq")).collect()
+    assert(rows(0).getDouble(0) == 33.0 / 9)
+    assert(rows(0).getDouble(1) == 0.0)
+    assert(rows(0).getDouble(2) == 1.0)
+    assert(rows(0).getInt(3) == 2) // the, a
+    assert(rows(0).getDouble(4) == 1.0)
+    assert(rows(1).getDouble(1) == 0.5) // ### and rest...
+    assert(rows(1).getDouble(4) == 0.5) // mwl + stops pass; sym + alpha fail
+    assert(rows(2).getDouble(2) == 0.2) // 2 of 10 alphabetic
+    assert(rows(2).getInt(3) == 2)
+    assert(rows(2).getDouble(4) == 0.5) // sym + stops pass; mwl + alpha fail
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val s = spark
     import s.implicits._

@@ -193,4 +193,30 @@ class PlanShapeSpec extends SparkSpec {
       assert("Scan parquet".r.findAllIn(p).size <= 2, q)
     }
   }
+
+  test("events_funnel: one events scan, one user_id exchange, no joins") {
+    val p = plan("events_funnel")
+    // chained window minima over one partitioning — the v1 shape
+    // (stage aggregates joined stage-to-stage) scanned events 6x and
+    // its joins only broadcast because test-SF aggregates are small
+    assert("Scan parquet".r.findAllIn(p).size <= 2) // tree + detail
+    assert(!p.contains("Join"))
+    assert("Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "exactly one user_id exchange feeds all three funnel stages")
+  }
+
+  test("events_retention: cohort via window min — no join, one " +
+      "user_id exchange") {
+    val p = plan("events_retention")
+    assert("Scan parquet".r.findAllIn(p).size <= 2)
+    assert(!p.contains("Join"))
+    assert("Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+  }
+
+  test("graph_triangles: wedge join is an equi-join, never " +
+      "nested-loop/cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
 }
