@@ -351,6 +351,93 @@ object PipelineQueries {
         .select(col("doc_id"), col("term"), col("rn"), col("score"))
     }),
 
+    // Corpus vocabulary: term -> total occurrences + document
+    // frequency, top 50 by tf (term tie-break). The canonical
+    // vocab-build job: partial aggregation does the reduction
+    // map-side, the top-k is over the already-tiny term table.
+    "vocab_topk" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("tf"), col("term")).limit(50)),
+
+    // Conjunctive keyword search (inverted-index AND semantics):
+    // docs containing ALL query terms. The isin filter drops
+    // non-matching tokens before the shuffle, so the aggregate sees
+    // only |terms| rows per candidate doc at any corpus size.
+    "search_and" -> ((s, d) => {
+      val terms = Seq("spark", "join", "window")
+      documents(s, d)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy("doc_id").agg(countDistinct(col("t")).as("n_hit"))
+        .filter(col("n_hit") === terms.size)
+        .select(col("doc_id"))
+    }),
+
+    // BM25 (k1=1.2, b=0.75) top-10 for a fixed 3-term query. The
+    // per-term tf's are PIVOTED to columns by conditional aggregation
+    // so the score is a fixed-order 3-term sum — bit-deterministic
+    // cross-engine (a per-(doc,term)-row SUM would add in shuffle
+    // order). Corpus stats (N, Σdl, df per term) are one 1-row
+    // aggregate broadcast back — the same bounded-crossJoin pattern
+    // as the IVF centroids. ln() is IEEE-identical on both engines
+    // (proven by text_tfidf).
+    "search_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "window")
+      val (k1, b) = (1.2, 0.75)
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      val aggs = count(lit(1)).as("dl") +:
+        terms.map(t => sum(when(col("t") === t, 1L).otherwise(0L))
+          .as(s"tf_$t"))
+      // two consumers (stats + scoring): checkpoint the skinny
+      // per-doc table so the corpus is tokenized once, not twice
+      val perDoc = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(false)
+      val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .as(s"df_$t"))
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      val avgdl = col("sumdl").cast("double") / col("n")
+      def part(t: String) = {
+        val tf = col(s"tf_$t").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+        // lit(2.2), not (k1 + 1): the Scala sum 1.2 + 1 is one ulp
+        // BELOW the double nearest to 2.2, while the oracle's literal
+        // 2.2 converts to that nearest double — the raw scores would
+        // order-diverge at the top-k boundary
+        idf * tf * lit(2.2) /
+          (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+      }
+      perDoc.crossJoin(broadcast(stats))
+        .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+        .withColumn("score", terms.map(part).reduce(_ + _))
+        .orderBy(desc("score"), col("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // 7-day rolling distinct active users per observed day. Sliding
+    // distinct-count doesn't fit a window frame (no DISTINCT in
+    // frames), so each (day, user) contributes itself to the 7 days
+    // it is visible from — explode of a 7-element sequence, then one
+    // keyed distinct aggregate; days never observed are dropped.
+    "events_rolling_dau" -> ((s, d) => {
+      // two consumers (observed-day set + the 7-day explode):
+      // checkpoint the distinct (day, user) table — one events scan
+      val du = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint(false)
+      val days = du.select(col("day").as("as_of")).distinct()
+      du.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("as_of"))
+        .join(days, "as_of")
+        .groupBy("as_of").agg(countDistinct(col("user_id")).as("dau7"))
+    }),
+
     // Deterministic stratified sampling: per-lang keep rates, hash
     // bucket on doc_id — map-side filter, shuffle-free, reproducible.
     "sample_stratified" -> ((s, d) => {
@@ -1057,6 +1144,66 @@ object PipelineQueries {
                    AS top_tok_ratio FROM tk GROUP BY 1)
           SELECT gs.doc_id, n_tokens, dup2_frac, top_tok_ratio
           FROM gs JOIN tr ON gs.doc_id = tr.doc_id""",
+
+    "vocab_topk" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS term FROM documents)
+          SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM tk GROUP BY term
+          ORDER BY tf DESC, term LIMIT 50""",
+
+    "search_and" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS t FROM documents)
+          SELECT doc_id FROM tk
+          WHERE t IN ('spark', 'join', 'window')
+          GROUP BY doc_id
+          HAVING count(DISTINCT t) = 3""",
+
+    // Mirrors search_bm25's fixed-order arithmetic: same pivoted tf
+    // columns, same parenthesization, ln() on both engines.
+    "search_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+          pd AS (SELECT doc_id, count(*) AS dl,
+                 sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+                 sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf_join,
+                 sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf_window
+                 FROM tk GROUP BY doc_id),
+          st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                 sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                 sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+                 FROM pd),
+          sc AS (SELECT doc_id,
+            ln(1.0 + (n - df_spark + 0.5) / (df_spark + 0.5))
+              * CAST(tf_spark AS DOUBLE) * 2.2
+              / (CAST(tf_spark AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                          / (CAST(sumdl AS DOUBLE) / n)))
+            + ln(1.0 + (n - df_join + 0.5) / (df_join + 0.5))
+              * CAST(tf_join AS DOUBLE) * 2.2
+              / (CAST(tf_join AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                          / (CAST(sumdl AS DOUBLE) / n)))
+            + ln(1.0 + (n - df_window + 0.5) / (df_window + 0.5))
+              * CAST(tf_window AS DOUBLE) * 2.2
+              / (CAST(tf_window AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                          / (CAST(sumdl AS DOUBLE) / n))) AS score_raw
+            FROM pd CROSS JOIN st
+            WHERE tf_spark + tf_join + tf_window > 0)
+          SELECT doc_id, round(score_raw, 6) AS score FROM sc
+          ORDER BY score_raw DESC, doc_id LIMIT 10""",
+
+    "events_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+          days AS (SELECT DISTINCT day FROM du),
+          e AS (SELECT user_id,
+                unnest([day + CAST(i AS INTEGER) FOR i IN range(0, 7)])
+                  AS as_of FROM du)
+          SELECT as_of, count(DISTINCT user_id) AS dau7
+          FROM e
+          WHERE as_of IN (SELECT day FROM days)
+          GROUP BY as_of""",
 
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
