@@ -107,6 +107,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("unbounded stream"))
   }
 
+  test("gopher quality gate runs unchanged over a stream (stateless " +
+      "column expression, no watermark needed)") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("gq").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b1.csv"),
+      ("text\n" +
+        "the quick brown fox jumps over a lazy dog\n" +  // gq = 1.0
+        "1 2 3 4 5 6 7 8 the of\n").getBytes)            // gq = 0.5
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("header", true).csv(src)
+    val gated = stream.filter(
+      graft.ext.TextAnalysis.gopherScore(org.apache.spark.sql.functions
+        .col("text")) >= 0.75)
+    val q = gated.writeStream.format("memory").queryName("gq_gate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.sql("SELECT text FROM gq_gate").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("the quick brown fox jumps over a lazy dog"))
+  }
+
   test("resolveCheckpoint: migrates a legacy output-keyed checkpoint; " +
       "re-pointed source over a committed sink log fails loudly") {
     val s = spark
