@@ -172,6 +172,53 @@ object ExtendedQueries {
         coalesce(col("5-LOW"), lit(0L)).as("n_low"))
     }),
 
+    // UNPIVOT (melt): wide per-priority aggregates back to long
+    // (metric, val) rows via stack — the generator-side inverse of
+    // pivot_agg. Values cast double so one stack column type fits all.
+    "unpivot_agg" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderpriority").agg(
+          count(lit(1)).cast("double").as("n_orders"),
+          countDistinct(col("o_custkey")).cast("double").as("n_cust"))
+        .select(col("o_orderpriority"),
+          expr("stack(2, 'n_orders', n_orders, 'n_cust', n_cust)" +
+            " AS (metric, val)"))),
+
+    // first/last/nth over the full partition frame (ROWS UNBOUNDED
+    // both ways): values come straight from storage, so cross-engine
+    // determinism needs only the unique (ts, event_id) ordering.
+    "window_nth" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d).select(col("event_id"), col("event_type"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 3).over(w).as("third_v"))
+    }),
+
+    // Time-series gap-fill: complete the per-type daily calendar
+    // (sequence over each type's observed [min, max] span), then LOCF
+    // — last(ignoreNulls) over the day order. The calendar explode is
+    // per GROUP (bounded by span days), never per event, and the one
+    // window reuses the event_type partitioning — the standard
+    // resample shape at any scale.
+    "events_gapfill" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // two consumers: bounds + the join
+      val cal = daily.groupBy("event_type")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("n"), ignoreNulls = true).over(w).as("n_locf"))
+    }),
+
     // Exact interpolated percentiles (Spark `percentile` ==
     // DuckDB `quantile_cont`), rounded 6dp for merge-order noise.
     "percentile_agg" -> ((s, d) =>
@@ -485,6 +532,45 @@ object ExtendedQueries {
          COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
          COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_low
          FROM orders GROUP BY o_orderstatus""",
+
+    "unpivot_agg" ->
+      """WITH w AS (SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_cust
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val
+           FROM w
+         UNION ALL
+         SELECT o_orderpriority, 'n_cust', n_cust FROM w""",
+
+    "window_nth" ->
+      """SELECT event_id, event_type,
+         first_value(value) OVER w AS first_v,
+         last_value(value) OVER w AS last_v,
+         nth_value(value, 3) OVER w AS third_v
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)""",
+
+    "events_gapfill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+           FROM daily GROUP BY 1),
+         cal AS (SELECT event_type,
+             unnest([lo + CAST(i AS INTEGER)
+                     FOR i IN range(0, hi - lo + 1)]) AS day
+           FROM b),
+         j AS (SELECT c.event_type, c.day, d.n
+           FROM cal c LEFT JOIN daily d
+             ON c.event_type = d.event_type AND c.day = d.day)
+         SELECT event_type, day, coalesce(n, 0) AS n,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf
+         FROM j""",
 
     "percentile_agg" ->
       """SELECT l_returnflag,

@@ -91,6 +91,52 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    // The fact side reduces FIRST (filter + groupBy custkey via the
+    // orders join), so the customer/nation attribute joins see one
+    // row per customer — at 100 TB the pre-aggregation, not the
+    // attribute join, carries the data volume. Revenue is decimal
+    // end-to-end (exact → deterministic ordering).
+    "q10_returned" -> ((s, d) => {
+      val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(4, 2)) -
+              col("l_discount").cast(DecimalType(4, 2)))).as("rev"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val per = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum(col("rev")).as("revd"))
+      per
+        .join(customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .orderBy(desc("revd"), col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revd").cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the fact self-reduction
+    // (groupBy orderkey, HAVING on the sum) runs before any
+    // dimension join, so the join input is the tiny qualifying set.
+    "q18_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 150)
+      big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"),
+          col("sum_qty_d").cast("double").as("sum_qty"))
+    }),
+
     // TPC-H Q5 shape: snowflake join chain, broadcast dims, one fact
     // shuffle join (orders⋈lineitem), supplier-nation co-location
     // condition.
@@ -617,6 +663,36 @@ object RelationalQueries {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q10_returned" ->
+      """WITH rev AS (SELECT l.l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(4,2)) -
+                CAST(l_discount AS DECIMAL(4,2))) AS rev
+           FROM lineitem l WHERE l_returnflag = 'R'),
+         per AS (SELECT o_custkey, SUM(rev.rev) AS revd
+           FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+           WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY o_custkey)
+         SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(per.revd AS DOUBLE) AS revenue
+         FROM per
+         JOIN customer c ON per.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         ORDER BY per.revd DESC, c.c_custkey LIMIT 20""",
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+           FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(big.sum_qty_d AS DOUBLE) AS sum_qty
+         FROM big
+         JOIN orders o ON big.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""",
 
     "q3_join_topk" ->
       """SELECT o_orderkey,
