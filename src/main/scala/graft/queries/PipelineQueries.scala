@@ -205,6 +205,19 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Product-quantization retrieval — the third compression tier
+    // (float32 -> int8 -> m-byte PQ codes): ADC over the codes picks
+    // 80 candidates, exact cosine rescores to top-10. Deterministic
+    // codebooks (first-16 subvectors) + fixed-order pivoted ADC sum
+    // -> full SQL oracle; recall pinned in SimilaritySpec.
+    "sim_pq" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.pqTopKRescored(embeddings(s, d), "vec_id", "embedding",
+          q, m = 8, nCentroids = 16, k = 10, nCand = 80)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // IVF ANN — deterministic coarse cells (first 16 vectors), probe-2
     // search, exact scores within probed cells. Fully deterministic
     // (tie-breaks pinned) → SQL oracle below replicates cell
@@ -957,6 +970,53 @@ object PipelineQueries {
                            UNION ALL SELECT * FROM rescue))
           SELECT qid, cid, rank, round(cs, 6) AS cos
           FROM ranked WHERE rank <= 5""",
+
+    // Mirrors pqTopK: same codebooks (first-16 subvectors), same
+    // argmax tie-break (sc DESC, c), same fixed-order 8-subspace ADC
+    // sum via single-element pivot sums.
+    "sim_pq" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          ms AS (SELECT unnest(range(0, 8)) AS sm),
+          q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+          cb AS (SELECT ms.sm, b.vec_id AS c,
+                 list_slice(b.v, ms.sm*8 + 1, ms.sm*8 + 8) AS cent,
+                 list_slice(q.qv, ms.sm*8 + 1, ms.sm*8 + 8) AS qm
+                 FROM (SELECT vec_id, v FROM v WHERE vec_id < 16) b,
+                      ms, q),
+          cb2 AS (SELECT sm, c, cent,
+                  list_sum(list_transform(range(1, 9),
+                    i -> qm[i] * cent[i])) AS qdot,
+                  list_sum(list_transform(cent, x -> x * x)) / 2 AS half
+                  FROM cb),
+          enc AS (SELECT s.vec_id, k.sm, k.c, k.qdot,
+                  list_sum(list_transform(range(1, 9),
+                    i -> list_slice(s.v, k.sm*8 + 1, k.sm*8 + 8)[i]
+                         * k.cent[i])) - k.half AS sc
+                  FROM v s CROSS JOIN cb2 k),
+          best AS (SELECT vec_id, sm, qdot,
+                   row_number() OVER (PARTITION BY vec_id, sm
+                                      ORDER BY sc DESC, c) AS rn
+                   FROM enc),
+          piv AS (SELECT vec_id,
+                  sum(CASE WHEN sm = 0 THEN qdot END) AS s0,
+                  sum(CASE WHEN sm = 1 THEN qdot END) AS s1,
+                  sum(CASE WHEN sm = 2 THEN qdot END) AS s2,
+                  sum(CASE WHEN sm = 3 THEN qdot END) AS s3,
+                  sum(CASE WHEN sm = 4 THEN qdot END) AS s4,
+                  sum(CASE WHEN sm = 5 THEN qdot END) AS s5,
+                  sum(CASE WHEN sm = 6 THEN qdot END) AS s6,
+                  sum(CASE WHEN sm = 7 THEN qdot END) AS s7
+                  FROM best WHERE rn = 1 GROUP BY vec_id),
+          scq AS (SELECT vec_id,
+                  s0+s1+s2+s3+s4+s5+s6+s7 AS score_raw FROM piv),
+          cand AS (SELECT vec_id FROM scq
+                   ORDER BY score_raw DESC, vec_id LIMIT 80),
+          ex AS (SELECT s.vec_id,
+                 ${dotSql("s.v", "q.qv")} /
+                   (${normSql("s.v")} * ${normSql("q.qv")}) AS cs
+                 FROM v s JOIN cand USING (vec_id) CROSS JOIN q)
+          SELECT vec_id, round(cs, 6) AS score FROM ex
+          ORDER BY cs DESC, vec_id LIMIT 10""",
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)

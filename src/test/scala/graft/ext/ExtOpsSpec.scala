@@ -480,6 +480,25 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 8, s"recall $overlap/10 after int8 quantization")
   }
 
+  test("PQ: ADC candidates + exact rescore recover the brute-force " +
+      "top-10; rescored scores are exact cosine") {
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queryVec, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val pq = Similarity.pqTopKRescored(emb, "vec_id", "embedding",
+        queryVec, m = 8, nCentroids = 16, k = 10, nCand = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // measured: raw ADC alone recalls 4/10 here (coarse first-16
+    // codebooks) — the 80-candidate rescore stage is what makes PQ a
+    // retrieval operator rather than a compression demo
+    val overlap = pq.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    assert(overlap >= 7, s"recall $overlap/10 after PQ+rescore")
+    assert(pq.head._1 == 0L) // query finds itself
+    // rescored scores are the exact cosine, not the ADC approximation
+    val bruteAll = Similarity.topK(emb, "vec_id", "embedding", queryVec,
+      500).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    pq.foreach { case (id, sc) => assert(bruteAll(id) == sc) }
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
