@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, RollingHash64, Sampling, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, Multimodal, RollingHash64, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** LLM-training-data pipeline operators (driver mandate): dedup,
@@ -449,6 +449,54 @@ object PipelineQueries {
             .as("as_of"))
         .join(days, "as_of")
         .groupBy("as_of").agg(countDistinct(col("user_id")).as("dau7"))
+    }),
+
+    // Count-Min frequency estimates for the exact top-10 tokens: the
+    // d*w-counter sketch is built in one pass (corpus-size-independent
+    // summary), estimates probe it with the same md5-derived double
+    // hashing — deterministic, so the DuckDB oracle rebuilds the
+    // sketch bit-for-bit and the estimates hash-match exactly.
+    // CMS guarantees est >= true; w=2048 keeps the overcount under
+    // eps*N ≈ N/1000 here.
+    "approx_freq_cms" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("t"))
+      val sk = CountMin.sketch(tok, "t", d = 4, w = 2048)
+      val top = tok.groupBy("t").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), col("t")).limit(10)
+      CountMin.estimate(sk, top.select("t"), "t", d = 4, w = 2048)
+        .join(top, "t")
+        .select(col("t"), col("true_cnt"), col("est"))
+    }),
+
+    // Fixed-SIZE deterministic reservoir per stratum: exactly 5 docs
+    // per lang, chosen by smallest md5 of a salted key — the
+    // hash-order makes "random" membership reproducible cross-engine
+    // and re-runnable (same corpus -> same sample), unlike rate-based
+    // sampling which only bounds the EXPECTED size. One window per
+    // stratum over skinny rows.
+    "sample_reservoir" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(
+        md5(concat(lit("graftr"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+    }),
+
+    // Per-type percentile winsorization (outlier clamping): p05/p95
+    // from the exact interpolated percentile, ROUNDED 6dp on both
+    // engines before the clamp (the unrounded aggregate is
+    // merge-order sensitive in the last bits), then one broadcast
+    // join back — stats side is |event_type| rows at any scale.
+    "events_winsorize" -> ((s, d) => {
+      val pct = events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.05)"), 6).as("lo"),
+        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+      events(s, d).join(broadcast(pct), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(greatest(least(col("value"), col("hi")), col("lo")), 6)
+            .as("value_w"))
     }),
 
     // Deterministic stratified sampling: per-lang keep rates, hash
@@ -1278,6 +1326,44 @@ object PipelineQueries {
               row_number() OVER (PARTITION BY doc_id
                                  ORDER BY score DESC, term) AS rn
             FROM sc) WHERE rn <= 3""",
+
+    // Rebuilds the d=4 x w=2048 sketch with the same md5-derived
+    // double hashing (all operands non-negative -> % == pmod).
+    "approx_freq_cms" ->
+      s"""WITH tk AS (SELECT unnest($Toks) AS t FROM documents),
+          hx AS (SELECT t,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(md5(t), 9, 8))::BIGINT AS h2 FROM tk),
+          cells AS (SELECT rr.r, (h1 + rr.r * h2) % 4294967311 % 2048 AS c
+                    FROM hx, (SELECT unnest(range(0, 4)) AS r) rr),
+          sk AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+          top AS (SELECT t, count(*) AS true_cnt FROM tk GROUP BY t
+                  ORDER BY true_cnt DESC, t LIMIT 10),
+          qc AS (SELECT top.t, top.true_cnt, rr.r,
+                 (('0x' || substr(md5(top.t), 1, 8))::BIGINT
+                  + rr.r * ('0x' || substr(md5(top.t), 9, 8))::BIGINT)
+                   % 4294967311 % 2048 AS c
+                 FROM top, (SELECT unnest(range(0, 4)) AS r) rr)
+          SELECT qc.t, qc.true_cnt, min(coalesce(sk.cnt, 0)) AS est
+          FROM qc LEFT JOIN sk ON qc.r = sk.r AND qc.c = sk.c
+          GROUP BY qc.t, qc.true_cnt""",
+
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, rn FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('graftr' || doc_id), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5""",
+
+    "events_winsorize" ->
+      """WITH pct AS (SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type,
+           round(greatest(least(e.value, p.hi), p.lo), 6) AS value_w
+         FROM events e JOIN pct p ON e.event_type = p.event_type""",
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents

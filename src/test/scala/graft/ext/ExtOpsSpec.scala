@@ -515,6 +515,28 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class CountMinSpec extends SparkSpec {
+  test("estimates always over-count, never under; exact when sparse") {
+    val s = spark
+    import s.implicits._
+    val keys = (Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++
+      (1 to 50).map(i => s"noise$i")).toDF("k")
+    val truth = Map("alpha" -> 100L, "beta" -> 37L)
+    val sk = CountMin.sketch(keys, "k", d = 4, w = 64)
+    // sketch never exceeds d*w rows no matter the key count
+    assert(sk.count() <= 4 * 64)
+    val qs = (truth.keys.toSeq :+ "absent").toDF("k")
+    val est = CountMin.estimate(sk, qs, "k", d = 4, w = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // CMS guarantee: est >= true (collisions only ADD)
+    truth.foreach { case (k, t) => assert(est(k) >= t, k) }
+    // with 52 distinct keys in 64 columns x 4 rows, the min over
+    // rows is exact here; the never-seen key reads (near) zero
+    assert(est("alpha") == 100L && est("beta") == 37L)
+    assert(est("absent") <= 50L) // bounded by the heaviest collision
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("extractFeatures: byte-derived stub features, null/empty safe") {
     val s = spark
