@@ -427,6 +427,55 @@ object RelationalQueries {
           .cast("long").as("bucket_lo"))
         .agg(count(lit(1)).as("n"))),
 
+    // Equi-DEPTH histogram: quartile edges (rounded 6dp on both
+    // engines — the raw interpolated percentile is merge-order noisy
+    // in the last bits) broadcast back over one scan. Completes the
+    // profiling pair with the fixed-width profile_histogram.
+    "profile_histogram_eqdepth" -> ((s, d) => {
+      val edges = orders(s, d).agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("q2"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+      orders(s, d).crossJoin(broadcast(edges))
+        .select(when(col("o_totalprice") <= col("q1"), 0)
+          .when(col("o_totalprice") <= col("q2"), 1)
+          .when(col("o_totalprice") <= col("q3"), 2)
+          .otherwise(3).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }),
+
+    // Data-quality expectations in one pass + one anti join: rule
+    // violation counts (non-positive price, null key) and referential
+    // integrity (orders whose custkey has no customer row). The FK
+    // check is a left-anti join — the scalable form of NOT IN.
+    "profile_expectations" -> ((s, d) => {
+      val o = orders(s, d)
+      val rules = o.agg(
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("n_nonpos_price"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("n_null_cust"),
+        count(lit(1)).as("n_rows"))
+      val fk = o.join(customer(s, d).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_fk_orphans"))
+      rules.crossJoin(fk)
+    }),
+
+    // Per-type 3-sigma anomaly flags: mean/stddev rounded 6dp on both
+    // engines before the threshold compare (raw double aggregates are
+    // merge-order sensitive), stats side broadcast — |event_type|
+    // rows at any scale.
+    "events_anomaly" -> ((s, d) => {
+      val ev = events(s, d)
+      val st = ev.groupBy("event_type").agg(
+        round(avg(col("value")), 6).as("mu"),
+        round(stddev_samp(col("value")), 6).as("sd"))
+      ev.join(broadcast(st), "event_type")
+        .filter(col("value") > col("mu") + lit(3) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
     // MERGE/upsert maintenance pass: changeset derived from orders
     // (big spenders re-segmented + synthetic inserts on negative
     // keys), applied to the customer snapshot via one full-outer
@@ -585,6 +634,40 @@ object RelationalQueries {
            AS bucket_lo,
          count(*) AS n
          FROM orders GROUP BY 1""",
+
+    "profile_histogram_eqdepth" ->
+      """WITH e AS (SELECT
+             round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS q2,
+             round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+           FROM orders)
+         SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                     WHEN o_totalprice <= q2 THEN 1
+                     WHEN o_totalprice <= q3 THEN 2
+                     ELSE 3 END AS bucket,
+           count(*) AS n
+         FROM orders CROSS JOIN e GROUP BY 1""",
+
+    "profile_expectations" ->
+      """SELECT
+           (SELECT CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT)
+            FROM orders) AS n_nonpos_price,
+           (SELECT CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+            FROM orders) AS n_null_cust,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS n_fk_orphans""",
+
+    "events_anomaly" ->
+      """WITH st AS (SELECT event_type,
+             round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value
+         FROM events e JOIN st ON e.event_type = st.event_type
+         WHERE e.value > st.mu + 3 * st.sd""",
 
     // Mirrors Scd2.applyChanges: current rows of really-changed keys
     // close at the change date; new versions open; unchanged keys keep
