@@ -37,6 +37,20 @@ object Bench {
     // engine actually has. The raw passes are kept in a side field so
     // the variance itself stays auditable.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt max 1
+    // Host-speed calibration: a fixed, data-independent workload
+    // (hash-agg over a generated range) timed min-of-3 AFTER warmup.
+    // Round-over-round query times divide out host drift via this
+    // number — round 6's box measured ~1.2x slower than round 5's on
+    // untouched scan-only queries, which would otherwise read as a
+    // uniform regression.
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("xxhash64(id) % 1024 AS b")
+        .groupBy("b").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calib = calibrate()
     // NOTE (measured, round 5): do NOT System.gc() between queries to
     // release old localCheckpoint blocks — the full collection kicks
     // ContextCleaner into async removeBlocks/removeBroadcast storms
@@ -80,7 +94,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second calibration AFTER the query loop: if calib2 >> calib the
+    // host got busy mid-run and the totals are inflated, not the code
+    val calib2 = calibrate()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib2":$calib2,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
