@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.RollingHash64
-import graft.functions.DotDouble
+import graft.functions.{DotDouble, QuantizeI8, SignBands}
 
 /** Spark extensions entry point: registers the library's native
   * Catalyst expressions as SQL functions. Enable with
@@ -26,5 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
       (children: Seq[Expression]) => DotDouble(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sign_bands"),
+      new ExpressionInfo(classOf[SignBands].getName, "sign_bands"),
+      (children: Seq[Expression]) =>
+        SignBands(children(0), children(1), children(2), children(3))))
   }
 }

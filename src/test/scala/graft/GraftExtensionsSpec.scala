@@ -12,10 +12,17 @@ class GraftExtensionsSpec extends SparkSpec {
     org.apache.spark.sql.GraftTestShims.applyExtensions(ext, spark)
     val r = spark.sql(
       """SELECT rolling_hash64('hi') AS rh,
-                dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp""")
+                dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+                quantize_i8(array(1.0D, -2.0D, 0.5D)) AS q,
+                sign_bands(array(1.0D, 1.0D),
+                  array(1.0D, 0.0D, 0.0D, 1.0D, -1.0D, 0.0D), 1, 3) AS sb""")
       .head()
     assert(r.getLong(0) ==
       graft.ext.RollingHash64.hash("hi".getBytes("UTF-8")))
     assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[Byte](2) == Seq[Byte](64, -127, 32))
+    // planes (1,0), (0,1), (-1,0) against vec (1,1): signs +,+,- ->
+    // one band of 3 rows packs bits 1,1,0
+    assert(r.getSeq[Long](3) == Seq(3L))
   }
 }
