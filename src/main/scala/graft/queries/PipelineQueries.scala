@@ -624,6 +624,58 @@ object PipelineQueries {
             .as("pack_id"))
     }),
 
+    // The END-TO-END curation pipeline in one query — what a corpus
+    // run actually executes: exact-dedup survivor selection → Gopher
+    // quality gate → train-split decontamination against the eval
+    // shingle set → token-budget sequence packing. Every stage is the
+    // already-proven operator (dedup_exact / text_quality /
+    // contamination_check / pack_sequences) composed on one lineage:
+    // the window dedup shuffles skinny fingerprints, the gates are
+    // map-side, the decontam semi-join ships shingle keys only, and
+    // the final pack window runs over the (much smaller) curated set.
+    "pipeline_curate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nt = TextAnalysis.normalized(col("text"))
+      // 1. exact near-identical removal: min doc_id per content hash
+      val wd = Window.partitionBy("fa", "fb")
+      val survivors = docs
+        .select(col("doc_id"), xxhash64(nt).as("fa"),
+          xxhash64(lit(42L), nt).as("fb"))
+        .withColumn("keep", min("doc_id").over(wd))
+        .filter(col("doc_id") === col("keep")).select("doc_id")
+      // 2. train split + Gopher gate (map-side)
+      val gated = docs.join(survivors, "doc_id")
+        .filter(col("doc_id") % 10 =!= 0 &&
+          TextAnalysis.gopherScore(col("text")) >= 0.75)
+        .localCheckpoint(false) // three consumers below
+      // 3. decontamination: drop train docs sharing > 20% of their
+      // 3-gram shingles with the eval split
+      val evalSh = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select("shingle").distinct()
+      val trainSh = Dedup.shingleRows(gated, "doc_id", "text")
+        .localCheckpoint(false) // two consumers: totals + semi join
+      val nC = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("n_c"))
+      val bad = trainSh.groupBy("id").agg(count(lit(1)).as("n_s"))
+        .join(nC, Seq("id"), "left")
+        .filter(coalesce(col("n_c"), lit(0L)).cast("double") /
+          col("n_s") > 0.2)
+        .select(col("id").as("doc_id"))
+      val clean = gated.join(bad, Seq("doc_id"), "left_anti")
+      // 4. pack into fixed-token-budget batches
+      val wp = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clean
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          size(Dedup.tokens(col("text"))).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(wp))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
+            .as("pack_id"))
+    }),
+
     // PageRank over a deterministic synthetic doc graph (each doc
     // links to (2i+1)%N and (3i+7)%N — same construction in the
     // oracle, like synthPii). Exercises operators/PageRank: 10
@@ -1441,6 +1493,52 @@ object PipelineQueries {
             CAST(coalesce(n_contam, 0) AS DOUBLE) / n_shingles
               AS contam_frac
           FROM tot LEFT JOIN con ON tot.doc_id = con.doc_id""",
+
+    // Stage-by-stage mirror of pipeline_curate, assembled from the
+    // proven fragments (md5-grouped exact dedup, Gopher signals,
+    // 3-gram shingle decontamination, running-sum packing).
+    "pipeline_curate" ->
+      s"""WITH nrm AS (SELECT doc_id, lang, text, $NormText AS nt
+                       FROM documents),
+          surv AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nt),
+          gt AS (SELECT n.doc_id, n.lang, n.text, $Toks AS ws
+                 FROM nrm n JOIN surv USING (doc_id)
+                 WHERE n.doc_id % 10 <> 0),
+          gs AS (SELECT doc_id, lang, text, ws, $GopherSignalsSql
+                 FROM gt),
+          train AS (SELECT doc_id, lang, text, ws FROM gs
+                    WHERE $GopherGqSql >= 0.75),
+          we AS (SELECT doc_id, $Toks AS ws FROM documents
+                 WHERE doc_id % 10 = 0),
+          she AS (SELECT doc_id,
+                  list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] FOR i IN range(0, greatest(len(ws)-2, 0))])
+                    AS ts FROM we),
+          evs AS (SELECT DISTINCT unnest(ts) AS shingle FROM she
+                  WHERE len(ts) > 0),
+          sht AS (SELECT doc_id,
+                  list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] FOR i IN range(0, greatest(len(ws)-2, 0))])
+                    AS ts FROM train),
+          tr AS (SELECT doc_id, unnest(ts) AS shingle FROM sht
+                 WHERE len(ts) > 0),
+          nc AS (SELECT doc_id, count(*) AS n_c FROM tr
+                 WHERE shingle IN (SELECT shingle FROM evs)
+                 GROUP BY doc_id),
+          ns AS (SELECT doc_id, count(*) AS n_s FROM tr GROUP BY doc_id),
+          bad AS (SELECT ns.doc_id FROM ns LEFT JOIN nc USING (doc_id)
+                  WHERE CAST(coalesce(nc.n_c, 0) AS DOUBLE) / ns.n_s
+                    > 0.2),
+          clean AS (SELECT doc_id, lang, len(ws) AS n_tok,
+                    doc_id % 8 AS shard FROM train
+                    WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+          c2 AS (SELECT doc_id, lang, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum FROM clean)
+          SELECT doc_id, lang, n_tok,
+            CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
+          FROM c2""",
 
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
