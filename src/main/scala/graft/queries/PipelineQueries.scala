@@ -624,6 +624,34 @@ object PipelineQueries {
             .as("pack_id"))
     }),
 
+    // The corpus health report — per-lang / per-source / overall
+    // rollup of curation signals in one GROUPING SETS pass over a
+    // lineage that already carries the exact-dup flag and the Gopher
+    // composite. Every aggregated value is order-independent (counts,
+    // integer token sums, and gq sums — gq is quarter-valued, so
+    // double addition is exact), making the whole report
+    // deterministic with no decimal casts.
+    "corpus_report" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nt = TextAnalysis.normalized(col("text"))
+      val wd = Window.partitionBy("fa", "fb")
+      docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(Dedup.tokens(col("text"))).as("n_tok"),
+          TextAnalysis.gopherScore(col("text")).as("gq"),
+          xxhash64(nt).as("fa"), xxhash64(lit(42L), nt).as("fb"))
+        .withColumn("is_dup",
+          (col("doc_id") =!= min("doc_id").over(wd)).cast("long"))
+        .createOrReplaceTempView("cr_docs")
+      s.sql("""SELECT lang, source, COUNT(*) AS n_docs,
+                 SUM(CAST(n_tok AS BIGINT)) AS n_tokens,
+                 SUM(gq) / COUNT(*) AS avg_gq,
+                 SUM(is_dup) AS n_dups
+               FROM cr_docs
+               GROUP BY GROUPING SETS ((lang), (source), (lang, source),
+                 ())""")
+    }),
+
     // The END-TO-END curation pipeline in one query — what a corpus
     // run actually executes: exact-dedup survivor selection → Gopher
     // quality gate → train-split decontamination against the eval
@@ -1493,6 +1521,26 @@ object PipelineQueries {
             CAST(coalesce(n_contam, 0) AS DOUBLE) / n_shingles
               AS contam_frac
           FROM tot LEFT JOIN con ON tot.doc_id = con.doc_id""",
+
+    // CAST(SUM(bigint)) back to BIGINT: DuckDB widens integer SUM to
+    // HUGEINT, which the gate's type-tagged fingerprint reds against
+    // Spark's LONG (the r03 lesson).
+    "corpus_report" ->
+      s"""WITH base AS (SELECT doc_id, lang, source, $Toks AS ws,
+             $NormText AS nt FROM documents),
+          gs AS (SELECT doc_id, lang, source, len(ws) AS n_tok, nt,
+                 $GopherSignalsSql FROM base),
+          fl AS (SELECT doc_id, lang, source, n_tok, nt,
+                 $GopherGqSql AS gq FROM gs),
+          dd AS (SELECT fl.*, CASE WHEN doc_id <> min(doc_id)
+                   OVER (PARTITION BY nt) THEN 1 ELSE 0 END AS is_dup
+                 FROM fl)
+          SELECT lang, source, COUNT(*) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+            SUM(gq) / COUNT(*) AS avg_gq,
+            CAST(SUM(is_dup) AS BIGINT) AS n_dups
+          FROM dd
+          GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""",
 
     // Stage-by-stage mirror of pipeline_curate, assembled from the
     // proven fragments (md5-grouped exact dedup, Gopher signals,
