@@ -110,4 +110,29 @@ class StreamingJoinSpec extends SparkSpec {
     q.stop()
     assert(got == Set((1L, "paid"), (2L, "organic"))) // 300 drops (inner)
   }
+
+  test("ingest dedup: stream-static anti join drops docs whose " +
+      "fingerprint already exists in the corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // the static corpus side: fingerprints of already-ingested docs —
+    // the batch Dedup.tokens/normalized machinery reused verbatim
+    val corpus = Seq("the quick brown fox", "known document")
+      .toDF("text")
+      .select(graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val in = MemoryStream[String]
+    val incoming = in.toDF().toDF("text")
+      .withColumn("fp", graft.ext.TextAnalysis.fingerprint(col("text")))
+    val q = incoming.join(corpus, Seq("fp"), "left_anti")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    in.addData("THE  quick   Brown fox", // dup after normalization
+      "a genuinely new document",
+      "known document")                  // exact dup
+    q.processAllAvailable(); q.stop()
+    val got = s.sql("SELECT text FROM ingest_dedup").collect()
+      .map(_.getString(0))
+    assert(got.toSeq == Seq("a genuinely new document"))
+  }
 }
