@@ -34,6 +34,9 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_fp: String)
 
+  case class Resized(doc_id: Long, width: Int, height: Int,
+    out_w: Int, out_h: Int)
+
   /** Value of byte `pos` (1-based) of a binary column as 0..255
     * (0 when the payload is shorter) — a codegen'd expression, the
     * building block for header-field extraction.
@@ -177,6 +180,36 @@ object Multimodal {
   def imageDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val (w, h) = decodeImageDims(bytes).getOrElse((0, 0))
     MediaFeatures(id, bytes.length, md5hex(bytes, 0, bytes.length), w, h)
+  }
+
+  /** Resize planning behind the codec seam: decodes the REAL header
+    * dims, then computes the aspect-preserving fit into a
+    * `maxDim`-square box with pure integer floor arithmetic
+    * (`out = max(1, side * maxDim / longSide)` — no doubles, so the
+    * target box is oracle-checkable exactly). Images already inside
+    * the box pass through unscaled; undecodable payloads come out
+    * 0x0. A real implementation would hand (bytes, out_w, out_h) to
+    * the codec's resampler right here — the planning arithmetic and
+    * the partition-wise plumbing are the Spark-side contract.
+    */
+  def resizeTo(df: DataFrame, idCol: String, binCol: String,
+      maxDim: Int): Dataset[Resized] = {
+    require(maxDim >= 1, s"maxDim must be positive, got $maxDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImageDims(Option(bytes).getOrElse(Array.emptyByteArray))
+          match {
+          case Some((w, h)) if w > 0 && h > 0 =>
+            val m = math.max(w, h)
+            if (m <= maxDim) Resized(id, w, h, w, h)
+            else Resized(id, w, h,
+              math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+          case _ => Resized(id, 0, 0, 0, 0)
+        }
+      })
   }
 
   /** CODEC SEAM — the one place imperative per-blob code belongs.

@@ -783,29 +783,47 @@ object PipelineQueries {
     // codec seam. The oracle independently recomputes the planted
     // dims (and exact payload sizes), so any parser or construction
     // bug goes hash-red.
-    "mm_dims" -> ((s, d) => {
-      def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
-        unhex(lpad(hex(c), hexDigits, "0"))
-      val w = (col("doc_id") % 640 + 1).cast("int")
-      val h = (col("doc_id") % 480 + 1).cast("int")
-      // PNG: signature + IHDR length/type + w + h + depth/color/
-      // compression/filter/interlace (29 bytes)
-      val png = concat(
-        unhex(lit("89504E470D0A1A0A0000000D49484452")),
-        be(w, 8), be(h, 8), unhex(lit("0802000000")))
-      // JPEG: SOI + APP0(JFIF) + SOF0 with h/w (39 bytes) — the APP0
-      // segment exercises the marker walker's length-skip
-      val jpg = concat(
-        unhex(lit("FFD8FFE000104A46494600010100000100010000")),
-        unhex(lit("FFC0001108")), be(h, 4), be(w, 4),
-        unhex(lit("03011100021101031101")))
-      val payload = when(col("doc_id") % 2 === 0, png).otherwise(jpg)
+    "mm_dims" -> ((s, d) =>
       Multimodal.decodeWithCodec(
-          documents(s, d).select(col("doc_id"), payload.as("payload")),
+          documents(s, d).select(col("doc_id"),
+            syntheticImagePayload.as("payload")),
           "doc_id", "payload", Multimodal.imageDecode)
-        .toDF().select("doc_id", "n_bytes", "width", "height")
-    })
+        .toDF().select("doc_id", "n_bytes", "width", "height")),
+
+    // Resize pass over the same REAL-header payloads: decode actual
+    // dims, fit into a 256 box with exact integer arithmetic (the
+    // pixel resample is the stub; the planning math and partitionwise
+    // plumbing are real and oracle-checked).
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeTo(
+          documents(s, d).select(col("doc_id"),
+            syntheticImagePayload.as("payload")),
+          "doc_id", "payload", maxDim = 256)
+        .toDF())
   )
+
+  /** Valid PNG (even doc_id) / JPEG (odd) bytes with the dims planted
+    * from doc_id — shared by mm_dims and mm_resize; oracles recompute
+    * the planted values independently.
+    */
+  private def syntheticImagePayload: org.apache.spark.sql.Column = {
+    def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
+      unhex(lpad(hex(c), hexDigits, "0"))
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    // PNG: signature + IHDR length/type + w + h + depth/color/
+    // compression/filter/interlace (29 bytes)
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be(w, 8), be(h, 8), unhex(lit("0802000000")))
+    // JPEG: SOI + APP0(JFIF) + SOF0 with h/w (39 bytes) — the APP0
+    // segment exercises the marker walker's length-skip
+    val jpg = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000")),
+      unhex(lit("FFC0001108")), be(h, 4), be(w, 4),
+      unhex(lit("03011100021101031101")))
+    when(col("doc_id") % 2 === 0, png).otherwise(jpg)
+  }
 
   // ---- DuckDB oracles ----
 
@@ -1696,6 +1714,21 @@ object PipelineQueries {
            AS n_bytes,
          CAST(doc_id % 640 + 1 AS INTEGER) AS width,
          CAST(doc_id % 480 + 1 AS INTEGER) AS height
-         FROM documents"""
+         FROM documents""",
+
+    // Integer floor fit into the 256 box: out = max(1, side*256 //
+    // longSide) when the long side exceeds 256, else pass-through.
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 640 + 1 AS INTEGER) AS w,
+             CAST(doc_id % 480 + 1 AS INTEGER) AS h
+           FROM documents),
+          m AS (SELECT doc_id, w, h, greatest(w, h) AS ls FROM d)
+          SELECT doc_id, w AS width, h AS height,
+            CAST(CASE WHEN ls <= 256 THEN w
+                 ELSE greatest(1, w * 256 // ls) END AS INTEGER) AS out_w,
+            CAST(CASE WHEN ls <= 256 THEN h
+                 ELSE greatest(1, h * 256 // ls) END AS INTEGER) AS out_h
+          FROM m"""
   )
 }
