@@ -198,6 +198,42 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // kNN weak labeling: every 50th vector treated as unlabeled and
+    // classified by majority vote of its 5 nearest neighbors — the
+    // proven knnJoin (shared banding, guaranteed k) composed with a
+    // broadcast label join and one per-query argmax window. Ties ->
+    // smaller label, deterministic.
+    "sim_knn_classify" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val knn = Similarity.knnJoin(emb.filter(col("vec_id") % 50 === 0),
+        emb, "vec_id", "embedding", k = 5, EmbedBands, EmbedRowsPerBand)
+      knn.join(emb.select(col("vec_id").as("cid"), col("label")), "cid")
+        .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("votes"), col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    }),
+
+    // Per-class embedding prototypes (the weak-label/centroid table a
+    // training pipeline derives per class) — computed over the int8
+    // CODE space so the per-dimension means are integer-sum exact and
+    // order-independent: float sums are shuffle-order noisy, and
+    // float->decimal casts round differently per engine, but codes
+    // are bytes. One explode + one partial-agg'd groupBy; |labels| x
+    // dim output regardless of corpus size.
+    "embed_centroids" -> ((s, d) => {
+      graft.functions.QuantizeI8.register(s)
+      embeddings(s, d)
+        .select(col("label"), posexplode(
+          graft.functions.QuantizeI8.quantize_i8(col("embedding")))
+          .as(Seq("dim", "c")))
+        .groupBy("label", "dim")
+        .agg(sum(col("c").cast("long")).as("sc"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("sc").cast("double") / col("n")).as("centroid"))
+    }),
+
     "sim_topk" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
@@ -849,6 +885,46 @@ object PipelineQueries {
        len(list_intersect(ws,
          ['the','a','of','and','in','to','is','on'])) AS nstop"""
 
+  // Shared k-NN join mirror (query table = every 50th vector, shared
+  // sign-LSH banding, guaranteed k via exact rescue) — used verbatim
+  // by sim_knn_join and composed into sim_knn_classify.
+  private lazy val KnnJoinSql =
+    s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+        pl AS (SELECT vec_id AS pid, v AS pv FROM v
+               WHERE vec_id < ${EmbedBands * EmbedRowsPerBand}),
+        bits AS (SELECT a.vec_id, p.pid,
+                 CASE WHEN ${dotSql("a.v", "p.pv")} > 0
+                      THEN (1::BIGINT << (p.pid % $EmbedRowsPerBand))
+                      ELSE 0::BIGINT END AS bit
+                 FROM v a CROSS JOIN pl p),
+        bands AS (SELECT vec_id, pid // $EmbedRowsPerBand AS band,
+                  SUM(bit) AS bk FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid
+                 FROM bands q JOIN bands b
+                 ON q.band = b.band AND q.bk = b.bk
+                 WHERE q.vec_id % 50 = 0),
+        n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v),
+        starved AS (SELECT vec_id AS qid FROM v
+                    WHERE vec_id % 50 = 0 AND vec_id NOT IN
+                      (SELECT qid FROM cand
+                       GROUP BY qid HAVING count(*) >= 5)),
+        scored AS (SELECT qid, cid,
+                   ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+                   FROM cand JOIN n a ON cand.qid = a.vec_id
+                             JOIN n b ON cand.cid = b.vec_id
+                   WHERE qid NOT IN (SELECT qid FROM starved)),
+        rescue AS (SELECT s.qid, b.vec_id AS cid,
+                   ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+                   FROM starved s JOIN n a ON s.qid = a.vec_id
+                        CROSS JOIN n b),
+        ranked AS (SELECT qid, cid, cs,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cs DESC, cid) AS rank
+                   FROM (SELECT * FROM scored
+                         UNION ALL SELECT * FROM rescue))
+        SELECT qid, cid, rank, round(cs, 6) AS cos
+        FROM ranked WHERE rank <= 5"""
+
   // Composite = mean of the four indicators (reads the aliases above).
   private val GopherGqSql =
     """((CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
@@ -1080,42 +1156,38 @@ object PipelineQueries {
     // cid tie-break keeps k=5. The guaranteed-k fallback is mirrored
     // too: qids with < 5 banded candidates are re-answered entirely by
     // exact brute-force top-5 (knnJoin's `starved` leg).
-    "sim_knn_join" ->
-      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
-          pl AS (SELECT vec_id AS pid, v AS pv FROM v
-                 WHERE vec_id < ${EmbedBands * EmbedRowsPerBand}),
-          bits AS (SELECT a.vec_id, p.pid,
-                   CASE WHEN ${dotSql("a.v", "p.pv")} > 0
-                        THEN (1::BIGINT << (p.pid % $EmbedRowsPerBand))
-                        ELSE 0::BIGINT END AS bit
-                   FROM v a CROSS JOIN pl p),
-          bands AS (SELECT vec_id, pid // $EmbedRowsPerBand AS band,
-                    SUM(bit) AS bk FROM bits GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid
-                   FROM bands q JOIN bands b
-                   ON q.band = b.band AND q.bk = b.bk
-                   WHERE q.vec_id % 50 = 0),
-          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v),
-          starved AS (SELECT vec_id AS qid FROM v
-                      WHERE vec_id % 50 = 0 AND vec_id NOT IN
-                        (SELECT qid FROM cand
-                         GROUP BY qid HAVING count(*) >= 5)),
-          scored AS (SELECT qid, cid,
-                     ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
-                     FROM cand JOIN n a ON cand.qid = a.vec_id
-                               JOIN n b ON cand.cid = b.vec_id
-                     WHERE qid NOT IN (SELECT qid FROM starved)),
-          rescue AS (SELECT s.qid, b.vec_id AS cid,
-                     ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
-                     FROM starved s JOIN n a ON s.qid = a.vec_id
-                          CROSS JOIN n b),
-          ranked AS (SELECT qid, cid, cs,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY cs DESC, cid) AS rank
-                     FROM (SELECT * FROM scored
-                           UNION ALL SELECT * FROM rescue))
-          SELECT qid, cid, rank, round(cs, 6) AS cos
-          FROM ranked WHERE rank <= 5""",
+    "sim_knn_join" -> KnnJoinSql,
+
+    // Majority vote over the PROVEN k-NN join (same SQL, composed):
+    // ties -> smaller label, mirroring the Spark row_number order.
+    "sim_knn_classify" ->
+      s"""WITH knn AS (SELECT * FROM ($KnnJoinSql) t),
+          lab AS (SELECT k.qid, e.label
+                  FROM knn k JOIN embeddings e ON k.cid = e.vec_id),
+          votes AS (SELECT qid, label, count(*) AS votes
+                    FROM lab GROUP BY qid, label),
+          best AS (SELECT qid, label, votes,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY votes DESC, label) AS rn FROM votes)
+          SELECT qid, label AS pred_label, votes FROM best
+          WHERE rn = 1""",
+
+    // Same quantization CTE as sim_quantize, then integer-exact
+    // per-(label, dim) means; SUM(code) cast back to BIGINT (DuckDB
+    // widens to HUGEINT).
+    "embed_centroids" ->
+      s"""WITH v AS (SELECT vec_id, label, $VecD AS v FROM embeddings),
+          sc AS (SELECT vec_id, label, v,
+                 greatest(list_max(v), -list_min(v)) AS s FROM v),
+          e AS (SELECT label,
+                unnest(range(len(v))) AS dim,
+                unnest([CAST(CASE WHEN s = 0 THEN 0
+                             ELSE round(127 * x / s) END
+                        AS TINYINT) FOR x IN v]) AS c
+                FROM sc)
+          SELECT label, CAST(dim AS INTEGER) AS dim,
+            CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid
+          FROM e GROUP BY label, dim""",
 
     // Mirrors pqTopK: same codebooks (first-16 subvectors), same
     // argmax tie-break (sc DESC, c), same fixed-order 8-subspace ADC
