@@ -835,8 +835,78 @@ object PipelineQueries {
           documents(s, d).select(col("doc_id"),
             syntheticImagePayload.as("payload")),
           "doc_id", "payload", maxDim = 256)
-        .toDF())
+        .toDF()),
+
+    // BPE-style pretokenizer counting (mandate: "token counting —
+    // whitespace + a BPE-ish regex"): a GPT-2-shaped alternation
+    // (contraction suffixes | letter runs | digit runs | single other
+    // char), ASCII classes only so Java regex and RE2 agree, no
+    // lookahead (RE2 has none). Both are map-side codegen'd regexes —
+    // one scan, no shuffle, pushdown-friendly.
+    "text_tokens" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)))
+            .as("n_bpe"),
+          length(col("text")).as("n_chars"))
+        .withColumn("chars_per_tok",
+          col("n_chars").cast("double") / col("n_bpe"))),
+
+    // Candidate verification — the stage after MinHash-LSH in a real
+    // dedup pipeline: exact edit distance over the CANDIDATE pairs
+    // only (never all pairs; |cand| ≪ |corpus|²). levenshtein is
+    // classical single-char-edit distance in both engines; the
+    // verified flag is pure integer arithmetic (lev·10 ≤ 3·maxlen ⇔
+    // normalized distance ≤ 0.3), so no float boundary can flip it.
+    "dedup_verify_lev" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+        NumHashes, Bands, JaccardThreshold).select("id_a", "id_b")
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")),
+          "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+          round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+            .as("edit_sim"),
+          when(levenshtein(col("ta"), col("tb")) * 10 <=
+            greatest(length(col("ta")), length(col("tb"))) * 3, 1L)
+            .otherwise(0L).as("verified"))
+    }),
+
+    // Corpus mixing: resample so language shares approach a target
+    // distribution (the data-mixing step before LLM training). Two
+    // aggregates produce a 5-row rate table (capacity K = min over
+    // langs of count/target; rate = target·K/count ≤ 1); membership is
+    // the usual md5 hash-keep — deterministic, oracle-reproducible,
+    // and the per-row work is one broadcast-joined pushable predicate.
+    // No driver collect: counts, K, and rates all stay DataFrames.
+    "pipeline_mix" -> ((s, d) => {
+      val target = typedLit(MixTarget)
+      val counts = documents(s, d).groupBy("lang").count()
+        .withColumn("t", element_at(target, col("lang")))
+      val cap = counts.agg(min(col("count") / col("t")).as("k"))
+      val rates = counts.crossJoin(broadcast(cap))
+        .select(col("lang"), (col("t") * col("k") / col("count")).as("rate"))
+      documents(s, d).join(broadcast(rates), "lang")
+        .filter(Sampling.hashBucket(col("doc_id"), "mix", 1000000) <
+          col("rate") * lit(1e6))
+        .select("doc_id", "lang", "source")
+    })
   )
+
+  /** GPT-2-shaped pretokenizer, restricted to constructs Java regex
+    * and RE2 evaluate identically: leftmost-first alternation, ASCII
+    * classes, no lookahead. */
+  private val BpeIshPattern =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Target language shares for pipeline_mix (sum = 1). */
+  private val MixTarget = Map(
+    "en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
   /** Valid PNG (even doc_id) / JPEG (odd) bytes with the dims planted
     * from doc_id — shared by mm_dims and mm_resize; oracles recompute
@@ -1801,6 +1871,51 @@ object PipelineQueries {
                  ELSE greatest(1, w * 256 // ls) END AS INTEGER) AS out_w,
             CAST(CASE WHEN ls <= 256 THEN h
                  ELSE greatest(1, h * 256 // ls) END AS INTEGER) AS out_h
-          FROM m"""
+          FROM m""",
+
+    // Same pattern text as BpeIshPattern (the leading ' doubles for
+    // the SQL literal); RE2 and Java regex agree on this construct
+    // set. size() on Spark's int array is INTEGER; len() on a DuckDB
+    // list is BIGINT — cast to match Spark.
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         CAST(len($Toks) AS INTEGER) AS n_ws,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS INTEGER) AS n_bpe,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(length(text) AS DOUBLE) /
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS chars_per_tok
+         FROM documents""",
+
+    "dedup_verify_lev" ->
+      s"""WITH cand AS (SELECT id_a, id_b FROM ($minhashOracle))
+         SELECT id_a, id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+             CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6)
+             AS edit_sim,
+           CAST(CASE WHEN levenshtein(a.text, b.text) * 10 <=
+             greatest(length(a.text), length(b.text)) * 3
+             THEN 1 ELSE 0 END AS BIGINT) AS verified
+         FROM cand JOIN documents a ON cand.id_a = a.doc_id
+                   JOIN documents b ON cand.id_b = b.doc_id""",
+
+    // Rates re-derived in SQL with the same double association
+    // (t * k / c, c/t via BIGINT/DOUBLE): identical IEEE both engines.
+    "pipeline_mix" ->
+      """WITH t(lang, t) AS (SELECT lang, CAST(tt AS DOUBLE) FROM (VALUES
+             ('en', 0.40), ('de', 0.15), ('es', 0.15),
+             ('fr', 0.15), ('zh', 0.15)) v(lang, tt)),
+         c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         k AS (SELECT min(c / t) AS k FROM c JOIN t USING (lang)),
+         r AS (SELECT lang, t * k.k / c AS rate
+               FROM c JOIN t USING (lang) CROSS JOIN k)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 < r.rate * 1e6"""
   )
 }

@@ -548,7 +548,83 @@ object RelationalQueries {
       lineitem(s, d).groupBy("l_returnflag")
         .agg(round(graft.functions.GeoMean.geoMean(col("l_quantity")), 6)
           .as("geo_qty"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q6 shape: the pure pushdown query — every predicate
+    // reaches the parquet scan (PushedFilters), no join, no shuffle
+    // beyond the single-row final aggregate. The discount compare runs
+    // in DECIMAL(4,2): the stored doubles are 2dp values, so the cast
+    // is unambiguous and the BETWEEN is exact (a double compare against
+    // 0.07 would hinge on representation error).
+    "q6_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") < 24)
+        .filter(col("l_discount").cast(DecimalType(4, 2))
+          .between(lit(BigDecimal("0.05")), lit(BigDecimal("0.07"))))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            col("l_discount").cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // TPC-H Q4 shape: EXISTS decorrelated to a left-semi join — the
+    // fact side reduces to a distinct-free semi probe, the aggregate
+    // runs over the (tiny) qualifying order set.
+    "q4_priority" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+      val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Profiling: Pearson correlation + OLS slope from exact decimal
+    // component sums (n, Σx, Σy, Σx², Σy², Σxy) — one scan, one
+    // single-row aggregate, the classic distributed-corr shape.
+    // Measures are chosen so every unscaled decimal sum stays below
+    // 2^53 even at sf100 (quantity ≤ 50, discount·100 ≤ 10): the
+    // decimal→double casts are then EXACT, and the final double
+    // formula — written with the same association in the oracle — is
+    // bit-deterministic cross-engine. (corr over price would push Σy²
+    // past 2^53, where decimal→double conversion itself can differ by
+    // 1 ulp between engines.)
+    "profile_corr" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 0))
+      val y = col("l_discount").cast(DecimalType(4, 2)) * lit(100)
+      lineitem(s, d)
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sxd"), sum(y).as("syd"),
+          sum(x * x).as("sxxd"), sum(y * y).as("syyd"),
+          sum(x * y).as("sxyd"))
+        .selectExpr("n",
+          "CAST(sxd AS DOUBLE) / n AS mean_qty",
+          "CAST(syd AS DOUBLE) / n AS mean_disc_pct",
+          """(n * CAST(sxyd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(syd AS DOUBLE))
+             / (sqrt(n * CAST(sxxd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+                * sqrt(n * CAST(syyd AS DOUBLE) - CAST(syd AS DOUBLE) * CAST(syd AS DOUBLE)))
+             AS corr_qty_disc""",
+          """(n * CAST(sxyd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(syd AS DOUBLE))
+             / (n * CAST(sxxd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+             AS beta_disc_on_qty""")
+    }),
+
+    // Window rank distributions: percent_rank/cume_dist per segment.
+    // Both are tie-deterministic (they depend only on the ORDER BY
+    // values, not tie order) and their int-ratio doubles are identical
+    // IEEE cross-engine.
+    "window_cume" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+      customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -882,6 +958,60 @@ object RelationalQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q6_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_quantity < 24
+           AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07""",
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+
+    // Same association as the Spark selectExpr — the component sums
+    // are exact decimals whose unscaled values sit below 2^53, so the
+    // double casts are exact and the formula is bit-deterministic.
+    "profile_corr" ->
+      """WITH c AS (SELECT count(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,0))) AS sxd,
+           SUM(CAST(l_discount AS DECIMAL(4,2)) * 100) AS syd,
+           SUM(CAST(l_quantity AS DECIMAL(18,0)) *
+               CAST(l_quantity AS DECIMAL(18,0))) AS sxxd,
+           SUM((CAST(l_discount AS DECIMAL(4,2)) * 100) *
+               (CAST(l_discount AS DECIMAL(4,2)) * 100)) AS syyd,
+           SUM(CAST(l_quantity AS DECIMAL(18,0)) *
+               (CAST(l_discount AS DECIMAL(4,2)) * 100)) AS sxyd
+           FROM lineitem)
+         SELECT n,
+           CAST(sxd AS DOUBLE) / n AS mean_qty,
+           CAST(syd AS DOUBLE) / n AS mean_disc_pct,
+           (n * CAST(sxyd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(syd AS DOUBLE))
+             / (sqrt(n * CAST(sxxd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+                * sqrt(n * CAST(syyd AS DOUBLE) - CAST(syd AS DOUBLE) * CAST(syd AS DOUBLE)))
+             AS corr_qty_disc,
+           (n * CAST(sxyd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(syd AS DOUBLE))
+             / (n * CAST(sxxd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+             AS beta_disc_on_qty
+         FROM c""",
+
+    "window_cume" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+         percent_rank() OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal) AS pr,
+         cume_dist() OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal) AS cd
+         FROM customer"""
   )
 }

@@ -219,4 +219,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"))
   }
+
+  test("q6_revenue: every predicate pushed, 4-column read") {
+    val p = plan("q6_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate") && p.contains("LessThan(l_quantity"))
+    val read = "ReadSchema: struct<([^>\\n]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.takeWhile(_ != ':')).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_shipdate"), s"got: $read")
+  }
+
+  test("q4_priority: EXISTS decorrelates to a semi join") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("EqualTo(l_returnflag,R)"), "semi probe filter pushed")
+  }
+
+  test("profile_corr: component sums in ONE partial-agg'd scan") {
+    val p = plan("profile_corr")
+    assert("Scan parquet".r.findAllIn(p).size <= 2) // tree + detail
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
+  }
+
+  test("text_tokens: map-side regex pass, zero shuffles") {
+    val p = plan("text_tokens")
+    assert(!p.contains("Exchange"), "token counting must not shuffle")
+  }
+
+  test("dedup_verify_lev: edit distance runs on candidates only — " +
+      "text joins are keyed, never cartesian") {
+    val p = plan("dedup_verify_lev")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pipeline_mix: corpus scan joins the 5-row rate table via " +
+      "broadcast; membership is a post-join filter") {
+    val p = plan("pipeline_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
