@@ -221,9 +221,14 @@ object Dedup {
     *         bucket in >=1 band) whose EXACT shingle Jaccard >= threshold;
     *         id_a < id_b.
     */
-  def minhashPairsFromShingles(shingles: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double, hotCap: Int = 4096,
-      salts: Int = 16): DataFrame = {
+  /** LSH candidate pairs with exact overlap stats — the shared tail of
+    * every shingle-set near-dup/containment operator: band-bucket
+    * candidates, then (|A∩B|, |A|, |B|) per pair via skinny-row joins
+    * through the shingle relation. Scoring (Jaccard, containment, …)
+    * is a cheap projection on top.
+    */
+  def candidateOverlap(shingles: DataFrame, numHashes: Int,
+      bands: Int, hotCap: Int = 4096, salts: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes)
     // The shingle relation feeds FIVE plan legs (both sides of the
@@ -248,11 +253,39 @@ object Dedup {
     inter
       .join(cnt.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(cnt.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+  }
+
+  def minhashPairsFromShingles(shingles: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, hotCap: Int = 4096,
+      salts: Int = 16): DataFrame =
+    candidateOverlap(shingles, numHashes, bands, hotCap, salts)
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** Shingle-set CONTAINMENT over the LSH candidates: |A∩B|/|A| and
+    * |A∩B|/|B| — catches quotes/boilerplate where a short doc sits
+    * inside a long one and symmetric Jaccard stays low. The keep
+    * filter and the near_containment flag are pure integer arithmetic
+    * (2·inter ≥ min(na,nb) ⇔ the smaller side is half-covered), so no
+    * float boundary can flip membership. Caveat, documented: the
+    * candidate generator is symmetric Jaccard-LSH, so an extreme
+    * size-ratio pair can escape banding — production containment
+    * mining would band the SHORTER side's signature only.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    candidateOverlap(shingleRows(df, idCol, textCol), numHashes, bands)
+      .filter(col("n_inter") * 2 >= least(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        round(col("n_inter").cast("double") / col("na"), 6)
+          .as("cont_a_in_b"),
+        round(col("n_inter").cast("double") / col("nb"), 6)
+          .as("cont_b_in_a"),
+        when(col("n_inter") * 10 >= least(col("na"), col("nb")) * 9, 1L)
+          .otherwise(0L).as("near_containment"))
 
   /** Word-3-gram MinHash near-dup pairs (the default corpus config). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -85,6 +85,23 @@ object ExtendedQueries {
     // Conversion funnel: first view -> first later click -> first
     // later purchase per user. ONE exchange on user_id end to end:
     // the staged minima are chained window aggregates over the same
+    // Event-type transition matrix (first-order Markov counts): lag
+    // window per user, then a global bigram aggregate — one user_id
+    // exchange for the window, one partial-agg'd shuffle on the (tiny)
+    // 5×5 transition key space. The tie-break on event_id makes the
+    // sequence — and therefore every count — deterministic.
+    "events_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // partitioning (each stage's condition reads the previous stage's
     // column), the per-user reduce reuses that partitioning
     // exchange-free, and the 3-stage unpivot is a 1-row stack. The
@@ -490,6 +507,15 @@ object ExtendedQueries {
            count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN su ON e.user_id = su.user_id
          WHERE e.ts >= su.cohort
+         GROUP BY 1, 2""",
+
+    "events_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type AS next_type, count(*) AS n
+         FROM t WHERE prev_type IS NOT NULL
          GROUP BY 1, 2""",
 
     "events_funnel" ->

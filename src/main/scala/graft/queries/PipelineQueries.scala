@@ -877,6 +877,15 @@ object PipelineQueries {
             .otherwise(0L).as("verified"))
     }),
 
+    // Shingle-set containment over the LSH candidates — catches
+    // quote/boilerplate inclusion where a short doc sits inside a long
+    // one and symmetric Jaccard stays low (see Dedup.containmentPairs
+    // for the candidate-recall caveat). Keep filter and flag are
+    // integer arithmetic — no float boundary in membership.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        NumHashes, Bands)),
+
     // Corpus mixing: resample so language shares approach a target
     // distribution (the data-mixing step before LLM training). Two
     // aggregates produce a 5-row rate table (capacity K = min over
@@ -1008,7 +1017,12 @@ object PipelineQueries {
     * band join, then exact Jaccard on candidates — mirrors
     * Dedup.minhashPairsFromShingles.
     */
-  private def minhashOracleFrom(shingleCtes: String, threshold: Double,
+  /** The WITH-clause scaffold shared by every LSH oracle: shingle
+    * sets → md5 double-hash signatures → band keys → `cand(id_a,
+    * id_b)` candidate pairs (plus `sh2(doc_id, ts)` still in scope for
+    * exact scoring).
+    */
+  private def lshCandCtes(shingleCtes: String,
       numHashes: Int = NumHashes, nBands: Int = Bands,
       pairCond: String = "a.doc_id < b.doc_id"): String = {
     val P = graft.ext.Dedup.MinhashPrime
@@ -1020,7 +1034,7 @@ object PipelineQueries {
       (0 until rpb)
         .map(r => s"sig[${j * rpb + r + 1}]").mkString(" || '|' || ")
     }.mkString("[", ", ", "]")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        hx AS (SELECT doc_id, [[('0x' || substr(md5(t), 1, 8))::BIGINT,
                                ('0x' || substr(md5(t), 9, 8))::BIGINT]
                               FOR t IN ts] AS hs FROM sh2),
@@ -1029,14 +1043,19 @@ object PipelineQueries {
               unnest(range(0, $nBands)) AS band FROM sg),
        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bd a JOIN bd b
-                ON a.band = b.band AND a.bk = b.bk AND $pairCond)
+                ON a.band = b.band AND a.bk = b.bk AND $pairCond)"""
+  }
+
+  private def minhashOracleFrom(shingleCtes: String, threshold: Double,
+      numHashes: Int = NumHashes, nBands: Int = Bands,
+      pairCond: String = "a.doc_id < b.doc_id"): String =
+    s"""WITH ${lshCandCtes(shingleCtes, numHashes, nBands, pairCond)}
        SELECT id_a, id_b,
          CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
            len(list_distinct(sa.ts || sb.ts)) AS jaccard
        FROM cand JOIN sh2 sa ON cand.id_a = sa.doc_id
                  JOIN sh2 sb ON cand.id_b = sb.doc_id
        WHERE jaccard >= $threshold"""
-  }
 
   /** Word-3-gram shingle CTEs (mirrors Dedup.shingleRows). */
   private val Word3Ctes =
@@ -1902,6 +1921,20 @@ object PipelineQueries {
              THEN 1 ELSE 0 END AS BIGINT) AS verified
          FROM cand JOIN documents a ON cand.id_a = a.doc_id
                    JOIN documents b ON cand.id_b = b.doc_id""",
+
+    "dedup_containment" ->
+      s"""WITH ${lshCandCtes(Word3Ctes)},
+         ov AS (SELECT id_a, id_b,
+             len(list_intersect(sa.ts, sb.ts)) AS n_inter,
+             len(sa.ts) AS na, len(sb.ts) AS nb
+           FROM cand JOIN sh2 sa ON cand.id_a = sa.doc_id
+                     JOIN sh2 sb ON cand.id_b = sb.doc_id)
+         SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           round(CAST(n_inter AS DOUBLE) / na, 6) AS cont_a_in_b,
+           round(CAST(n_inter AS DOUBLE) / nb, 6) AS cont_b_in_a,
+           CAST(CASE WHEN n_inter * 10 >= least(na, nb) * 9
+             THEN 1 ELSE 0 END AS BIGINT) AS near_containment
+         FROM ov WHERE n_inter * 2 >= least(na, nb)""",
 
     // Rates re-derived in SQL with the same double association
     // (t * k / c, c/t via BIGINT/DOUBLE): identical IEEE both engines.

@@ -273,6 +273,31 @@ object RelationalQueries {
           (abs(col("a_cust") - col("e_cust")) <=
             col("e_cust") * (3 * 0.01)).as("cust_ok"))),
 
+    // Sketch PERSIST + MERGE — the two-level shape 100 TB profiling
+    // actually runs: per-shard Datasketches HLL sketches (here one per
+    // event_type) are built in one pass, stored as binary, and
+    // union-merged later into the global estimate — no re-scan of the
+    // raw data. Bound-checked like approx_distinct: merged estimate
+    // within 3σ (lgK=12 → rse ≈ 1.04/2^6 ≈ 1.6%) of exact, and merge
+    // must agree with the direct single-pass sketch to the same bound.
+    "approx_hll_merge" -> ((s, d) => {
+      val ev = events(s, d)
+      val merged = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+        .agg(count(lit(1)).as("n_shards"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = ev.agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+          .as("est_direct"))
+      merged.crossJoin(direct).select(
+        col("n_shards"), col("n_exact"),
+        (abs(col("est_merged") - col("n_exact")) <=
+          col("n_exact") * (3 * 0.016)).as("merged_ok"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          col("n_exact") * (3 * 0.016)).as("merge_consistent"))
+    }),
+
     // Semi join (EXISTS): customers having ≥1 big order.
     "join_semi" -> ((s, d) => {
       val big = orders(s, d).filter(col("o_totalprice") > 300000)
@@ -669,6 +694,12 @@ object RelationalQueries {
     "approx_distinct_by" ->
       """SELECT DISTINCT o_orderpriority, true AS cust_ok
          FROM orders""",
+
+    "approx_hll_merge" ->
+      """SELECT (SELECT count(DISTINCT event_type) FROM events)
+           AS n_shards,
+         (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+         true AS merged_ok, true AS merge_consistent""",
 
     "profile_stats_approx" ->
       """SELECT count(*) AS n_rows,

@@ -261,4 +261,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("events_transitions: one user_id exchange feeds the lag " +
+      "window; the bigram aggregate is partial") {
+    val p = plan("events_transitions")
+    assert(!p.contains("Join"))
+    assert("Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
+  }
+
+  test("approx_hll_merge: sketches merge without re-scanning raw " +
+      "data — two scans total, no Expand") {
+    val p = plan("approx_hll_merge")
+    // formatted explain names each scan twice (tree + detail): one
+    // scan per leg (shard sketches, exact+direct), nothing more
+    assert("Scan parquet".r.findAllIn(p).size <= 4)
+    assert(!p.contains("Expand"))
+  }
+
+  test("dedup_containment: candidates via band buckets — no " +
+      "cartesian, no round-robin corpus reshuffle") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("RoundRobinPartitioning"))
+  }
 }
