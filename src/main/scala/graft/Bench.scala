@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rangeJoin.binWidth", "600000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed

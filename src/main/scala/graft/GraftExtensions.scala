@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SignBands].getName, "sign_bands"),
       (children: Seq[Expression]) =>
         SignBands(children(0), children(1), children(2), children(3))))
+    // Keyless BETWEEN joins → binned equi-joins (opt-in via
+    // spark.graft.rangeJoin.binWidth; see plans/RangeJoinRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

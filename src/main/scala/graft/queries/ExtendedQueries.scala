@@ -77,14 +77,24 @@ object ExtendedQueries {
         .groupBy("win_id").agg(count(lit(1)).as("n_events"))
     }),
 
-    // Ordered-step funnel: users with a view, then a click strictly
-    // after their FIRST view, then a purchase strictly after that
-    // first qualifying click. Each stage is one keyed join + partial
-    // min-aggregate on user_id — the same partitioning reused three
-    // times, no windows over unbounded partitions.
-    // Conversion funnel: first view -> first later click -> first
-    // later purchase per user. ONE exchange on user_id end to end:
-    // the staged minima are chained window aggregates over the same
+    // The SAME range join spelled naively — `points.join(intervals,
+    // v BETWEEN lo AND hi)`, no manual binning. The RangeJoinRewrite
+    // optimizer rule (registered via GraftExtensions, opted in by the
+    // binWidth conf the session builders set) turns it into the
+    // binned equi-join automatically; without the rule Spark plans a
+    // BroadcastNestedLoopJoin. Oracle is join_range_binned's SQL
+    // verbatim — the rewrite must be result-identical, hash-checked.
+    "join_range_auto" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val win = events(s, d).filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("win_id"),
+          (unix_micros(col("ts")) - 1800000000L).as("lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("hi"))
+      ev.join(win, col("us") >= col("lo") && col("us") <= col("hi"))
+        .groupBy("win_id").agg(count(lit(1)).as("n_events"))
+    }),
+
     // Event-type transition matrix (first-order Markov counts): lag
     // window per user, then a global bigram aggregate — one user_id
     // exchange for the window, one partial-agg'd shuffle on the (tiny)
@@ -102,6 +112,9 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Conversion funnel: first view -> first later click -> first
+    // later purchase per user. ONE exchange on user_id end to end:
+    // the staged minima are chained window aggregates over the same
     // partitioning (each stage's condition reads the previous stage's
     // column), the per-user reduce reuses that partitioning
     // exchange-free, and the 3-stage unpivot is a 1-row stack. The
@@ -488,6 +501,18 @@ object ExtendedQueries {
     // the oracle states the JOIN SEMANTICS directly (plain theta
     // join) — the binned plan must be result-identical
     "join_range_binned" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_id AS win_id,
+               epoch_us(ts) - 1800000000 AS lo,
+               epoch_us(ts) + 1800000000 AS hi
+               FROM events WHERE event_id % 997 = 0)
+         SELECT win_id, count(*) AS n_events
+         FROM w JOIN ev ON ev.us BETWEEN w.lo AND w.hi
+         GROUP BY win_id""",
+
+    // identical oracle by design: the auto-rewritten naive spelling
+    // must match the manually binned plan's results
+    "join_range_auto" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
          w AS (SELECT event_id AS win_id,
                epoch_us(ts) - 1800000000 AS lo,

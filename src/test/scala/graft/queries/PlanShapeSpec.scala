@@ -279,6 +279,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"))
   }
 
+  test("join_range_auto: the naive BETWEEN spelling gets the binned " +
+      "plan from the optimizer rule — no nested-loop join") {
+    val p = plan("join_range_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("dedup_containment: candidates via band buckets — no " +
       "cartesian, no round-robin corpus reshuffle") {
     val p = plan("dedup_containment")
