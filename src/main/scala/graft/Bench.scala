@@ -119,16 +119,36 @@ object Bench {
     // The compact one-line summary must be the LAST stdout line.
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW",
       "target/bench_passes.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
-      s"""{"passes":$raw,"sf":"$sfDir"}""" + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
-    }
     // second calibration AFTER the query loop: if calib2 >> calib the
     // host got busy mid-run and the totals are inflated, not the code
     val calib2 = calibrate()
     val calibIo2 = calibrateIo()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib2":$calib2,"calib_io":$calibIo,"calib_io2":$calibIo2,"queries":$qs,"sf":"$sfDir"}""")
+    // Per-query minima AND raw passes both go to the side file: the
+    // driver captures only a ~2kB stdout TAIL, and with 128 queries the
+    // inline per-query map alone is ~3.3kB — BENCH_r03..r06 all came
+    // back "parsed": null because the head of the summary line
+    // (total + calibrations) was truncated away. The LAST stdout line
+    // must therefore carry ONLY the scalars (~170 chars).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
+      s"""{"queries":$qs,"passes":$raw,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
+    }
+    val nFailed = results.count(_._2 < 0)
+    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    // Calibration history survives driver-artifact truncation: append
+    // each run's scalars to a repo-tracked JSONL so round-over-round
+    // host-drift normalization can always be reconstructed from git.
+    try {
+      val hist = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "bench_calib.jsonl"))
+      java.nio.file.Files.writeString(hist, summary + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calib history not written: ${e.getMessage}")
+    }
+    println(summary)
     spark.stop()
   }
 }

@@ -454,17 +454,21 @@ object RelationalQueries {
 
     // Equi-DEPTH histogram: quartile edges (rounded 6dp on both
     // engines — the raw interpolated percentile is merge-order noisy
-    // in the last bits) broadcast back over one scan. Completes the
-    // profiling pair with the fixed-width profile_histogram.
+    // in the last bits) as literals over one scan. Edges come from
+    // ext/ExactQuantiles — exact order statistics in bounded memory —
+    // NOT Spark's exact `percentile`, whose aggregation buffer holds
+    // the entire value multiset in one final reducer (an
+    // executor-memory wall at 100 TB). The final plan is a single
+    // scan + hash-agg with literal edges: no percentile aggregate, no
+    // join (pinned in PlanShapeSpec).
     "profile_histogram_eqdepth" -> ((s, d) => {
-      val edges = orders(s, d).agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
-        round(expr("percentile(o_totalprice, 0.5)"), 6).as("q2"),
-        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
-      orders(s, d).crossJoin(broadcast(edges))
-        .select(when(col("o_totalprice") <= col("q1"), 0)
-          .when(col("o_totalprice") <= col("q2"), 1)
-          .when(col("o_totalprice") <= col("q3"), 2)
+      val qs = graft.ext.ExactQuantiles
+        .percentiles(orders(s, d), "o_totalprice", Seq(0.25, 0.5, 0.75))
+        .map(graft.ext.ExactQuantiles.round6)
+      orders(s, d)
+        .select(when(col("o_totalprice") <= qs(0), 0)
+          .when(col("o_totalprice") <= qs(1), 1)
+          .when(col("o_totalprice") <= qs(2), 2)
           .otherwise(3).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     }),

@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** ExactQuantiles must agree with Spark's exact `percentile` (the
+  * memory-unbounded aggregate it replaces) on every distribution shape
+  * that stresses a different code path: smooth data, heavy ties
+  * (min==max shortcut), skew that forces recursion, and tiny inputs
+  * where interpolation fractions matter.
+  */
+class ExactQuantilesSpec extends SparkSpec {
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def sparkExact(values: Seq[Double], ps: Seq[Double]): Seq[Double] = {
+    val df = values.toDF("v")
+    val row = df.selectExpr(
+      ps.map(p => s"percentile(v, ${p}d)").mkString("array(", ",", ")") +
+        " AS q").head()
+    row.getSeq[Double](0)
+  }
+
+  private def check(values: Seq[Double], ps: Seq[Double],
+      buckets: Int = 64, refineLimit: Long = 1 << 20): Unit = {
+    val got = ExactQuantiles.percentiles(values.toDF("v"), "v", ps,
+      buckets, refineLimit)
+    val want = sparkExact(values, ps)
+    got.zip(want).zip(ps).foreach { case ((g, w), p) =>
+      assert(math.abs(g - w) <= math.ulp(w) * 4, s"p=$p got=$g want=$w")
+    }
+  }
+
+  private val quartiles = Seq(0.25, 0.5, 0.75)
+
+  test("smooth uniform data matches exact percentile") {
+    val rnd = new scala.util.Random(7)
+    check(Seq.fill(5000)(rnd.nextDouble() * 1e5), quartiles)
+  }
+
+  test("interpolation fractions on tiny inputs (n = 1..9)") {
+    val rnd = new scala.util.Random(11)
+    for (n <- 1 to 9)
+      check(Seq.fill(n)(rnd.nextDouble() * 100), Seq(0.1, 0.25, 0.5, 0.9))
+  }
+
+  test("heavy ties: 99% one value exercises the min==max shortcut") {
+    val vs = Seq.fill(3000)(42.0) ++ Seq.fill(15)(7.0) ++ Seq.fill(15)(99.0)
+    check(vs, quartiles)
+  }
+
+  test("all-equal column") {
+    check(Seq.fill(100)(5.5), quartiles)
+  }
+
+  test("skew forcing recursion: refineLimit below the hot bucket size") {
+    // 90% of mass inside one bucket of the 8-bucket first level → the
+    // hot bucket exceeds refineLimit=64 and must recurse, not sort.
+    val rnd = new scala.util.Random(13)
+    val vs = Seq.fill(900)(rnd.nextDouble()) ++          // dense [0,1)
+      Seq.fill(100)(1.0 + rnd.nextDouble() * 999.0)       // sparse tail
+    check(vs, Seq(0.25, 0.5, 0.75, 0.95), buckets = 8, refineLimit = 64)
+  }
+
+  test("nulls are ignored, matching percentile semantics") {
+    val df = Seq[Option[Double]](Some(1.0), None, Some(2.0), Some(3.0),
+      None, Some(4.0)).toDF("v")
+    val got = ExactQuantiles.percentiles(df, "v", Seq(0.5))
+    assert(got == Seq(2.5))
+  }
+
+  test("round6 mirrors Spark round(x, 6)") {
+    val vals = Seq(123456.1234565, 0.0000005, 42.0, 1.9999994999,
+      98765.4321005)
+    val viaSpark = vals.toDF("v")
+      .selectExpr("round(v, 6) AS r").collect().map(_.getDouble(0)).toSeq
+    assert(vals.map(ExactQuantiles.round6) == viaSpark)
+  }
+}

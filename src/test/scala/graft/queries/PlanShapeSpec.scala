@@ -279,6 +279,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"))
   }
 
+  test("profile_histogram_eqdepth: no exact percentile aggregate — " +
+      "final plan is one scan + partial agg with literal edges") {
+    // Spark's exact `percentile` buffers the entire value multiset in
+    // one final reducer — the 100 TB memory wall this query used to
+    // hide. Edges now come from ext/ExactQuantiles (bounded passes),
+    // so the returned plan must be a plain scan + aggregate: no
+    // percentile, no join of any kind.
+    val p = plan("profile_histogram_eqdepth")
+    assert(!p.toLowerCase.contains("percentile"),
+      "exact percentile aggregate crept back into the plan")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    assert("Scan parquet".r.findAllIn(p).size <= 2) // tree + detail
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
+  }
+
   test("join_range_auto: the naive BETWEEN spelling gets the binned " +
       "plan from the optimizer rule — no nested-loop join") {
     val p = plan("join_range_auto")
