@@ -9,7 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.graft.rangeJoin.binWidth", "600000000")
+      .config("spark.graft.rangeJoin.binWidth", "auto")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed

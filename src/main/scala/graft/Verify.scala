@@ -19,7 +19,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // opt into the keyless-range-join rewrite; 10 min (µs) matches
       // the event-window queries' interval length
-      .config("spark.graft.rangeJoin.binWidth", "600000000")
+      .config("spark.graft.rangeJoin.binWidth", "auto")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -206,7 +206,11 @@ object Multimodal {
             val m = math.max(w, h)
             if (m <= maxDim) Resized(id, w, h, w, h)
             else Resized(id, w, h,
-              math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+              // Long arithmetic: PNG headers carry be32 dims, so a
+              // (possibly hostile) header near 2^31 would overflow
+              // `w * maxDim` in Int and emit garbage output dims
+              math.max(1, (w.toLong * maxDim / m).toInt),
+              math.max(1, (h.toLong * maxDim / m).toInt))
           case _ => Resized(id, 0, 0, 0, 0)
         }
       })

@@ -33,12 +33,14 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // `(c - pmod(c, w))` is the exact floor-multiple of w at or below
-    // c; integral `div` keeps the quotient exact for the full long
-    // range (double `/` would mis-round for |values| >= 2^53 and drop
-    // matches at bucket edges).
+    // floor(c / w) as truncating `div` adjusted when the remainder is
+    // negative: exact integer arithmetic for the FULL long range
+    // (double `/` would mis-round for |values| >= 2^53 and drop
+    // matches at bucket edges; the `(c - pmod(c, w)) div w` spelling
+    // overflows for c within w of Long.MinValue).
     def bin(c: org.apache.spark.sql.Column) =
-      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+      call_function("div", c, lit(binWidth)) +
+        when(c % lit(binWidth) < 0, lit(-1L)).otherwise(lit(0L))
     val pb = points.withColumn("__bin", bin(col(pointCol)))
     val ib = intervals
       .filter(col(loCol) <= col(hiCol))

@@ -78,9 +78,10 @@ object ExtendedQueries {
     }),
 
     // The SAME range join spelled naively — `points.join(intervals,
-    // v BETWEEN lo AND hi)`, no manual binning. The RangeJoinRewrite
-    // optimizer rule (registered via GraftExtensions, opted in by the
-    // binWidth conf the session builders set) turns it into the
+    // v BETWEEN lo AND hi)`, no manual binning AND no hand-picked
+    // width: the session builders set binWidth=auto, so the
+    // RangeJoinRewrite optimizer rule derives the width from the p90
+    // interval length at planning time and turns the join into the
     // binned equi-join automatically; without the rule Spark plans a
     // BroadcastNestedLoopJoin. Oracle is join_range_binned's SQL
     // verbatim — the rewrite must be result-identical, hash-checked.

@@ -42,12 +42,18 @@ object StreamingOps {
     * to silent data loss:
     *
     *  - a legacy `_checkpoint/<output>` dir (the pre-keying layout)
-    *    is migrated by rename: its recorded progress belongs to this
-    *    exact source→output pair under the old naming, and abandoning
-    *    it would restart batch ids at 0 against an output
-    *    `_spark_metadata` sink log that already has those ids
-    *    committed — FileStreamSink would silently SKIP the re-read
-    *    batches.
+    *    is migrated by rename — but ONLY after verifying the file
+    *    paths its FileStreamSource log recorded actually live under
+    *    THIS source's directory. The old layout cannot encode the
+    *    source, so a checkpoint left by a DIFFERENT source writing
+    *    the same output would otherwise be silently adopted and the
+    *    stream would resume foreign progress/batch ids — exactly the
+    *    hazard the sink-log refusal below guards against. A verified
+    *    legacy checkpoint's progress belongs to this source→output
+    *    pair, and abandoning it would restart batch ids at 0 against
+    *    an output `_spark_metadata` sink log that already has those
+    *    ids committed — FileStreamSink would silently SKIP the
+    *    re-read batches.
     *  - a fresh checkpoint key over an output dir that already has a
     *    sink log (e.g. `source` was re-pointed but `output` kept) is
     *    refused loudly: restarted batch ids would collide with
@@ -61,6 +67,15 @@ object StreamingOps {
     val sinkLog = new java.io.File(
       new java.io.File(sheetsDir, output), "_spark_metadata")
     if (!keyed.exists() && legacy.exists()) {
+      val foreign = legacySourcePaths(legacy).filterNot(
+        _.startsWith(new java.io.File(sheetsDir, source)
+          .getCanonicalFile.toURI.getPath))
+      if (foreign.nonEmpty)
+        throw new IllegalStateException(
+          s"legacy checkpoint $legacy records progress for a DIFFERENT " +
+          s"source (e.g. ${foreign.head}), not '$source' — adopting it " +
+          "would resume foreign batch ids. Point `output` at a fresh " +
+          "directory (or restore the matching source).")
       if (!legacy.renameTo(keyed))
         throw new IllegalStateException(
           s"cannot migrate legacy checkpoint $legacy -> $keyed")
@@ -75,6 +90,28 @@ object StreamingOps {
         "directory (or restore the matching checkpoint).")
     }
     keyed.toString
+  }
+
+  /** File paths recorded by a checkpoint's FileStreamSource log
+    * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
+    * the stream never committed a batch — nothing to verify then.
+    */
+  private def legacySourcePaths(ckpt: java.io.File): Seq[String] = {
+    val dir = new java.io.File(ckpt, "sources/0")
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isFile).sortBy(_.getName).toSeq
+      .flatMap { f =>
+        val txt =
+          try java.nio.file.Files.readString(f.toPath)
+          catch { case _: Throwable => "" }
+        "\"path\":\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+      }
+      .map { p => // normalize file:///x, file:/x, /x to a plain path
+        try {
+          val u = new java.net.URI(p)
+          if (u.getPath != null) u.getPath else p
+        } catch { case _: Throwable => p }
+      }
   }
 
   /** Streaming analog of `Engine.runMapping`: an unbounded CSV

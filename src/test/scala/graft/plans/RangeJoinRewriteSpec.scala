@@ -66,6 +66,90 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("auto width: rewrite fires with a derived width, results " +
+      "identical to the BNLJ baseline") {
+    val base = withWidth("0")(naive.groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    withWidth("auto") {
+      val df = naive
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "auto mode must derive a width and bin the join")
+      val got = df.groupBy("id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == base)
+    }
+  }
+
+  test("auto width is sane on skewed interval lengths: p90 ignores " +
+      "the one huge interval") {
+    import spark.implicits._
+    // 99 intervals of length ~20, one of length 60000 (3000 bins at
+    // the p90 width — inside the 4096 cap): a width picked from the
+    // MEAN or MAX would be >600 and unselective; p90 must land near
+    // the typical length.
+    val skewed = ((1L to 99L).map(i => (i, i * 10, i * 10 + 19)) :+
+      (100L, 0L, 59999L)).toDF("id", "lo", "hi")
+    def q = points.join(skewed, $"v" >= $"lo" && $"v" <= $"hi")
+    val base = withWidth("0")(q.count())
+    withWidth("auto") {
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      // the chosen width is visible as the bin divisor in the plan
+      val widths = "div (\\d+)".r
+        .findAllMatchIn(q.queryExecution.optimizedPlan.toString)
+        .map(_.group(1).toLong).toSet
+      assert(widths.nonEmpty && widths.forall(w => w >= 10 && w <= 200),
+        s"derived width should track the p90 (~20), got $widths")
+      assert(q.count() == base)
+    }
+  }
+
+  test("auto width declines on open-end sentinel intervals instead " +
+      "of exploding Sequence at runtime") {
+    import spark.implicits._
+    val sentinel = Seq((1L, 10L, 60L), (2L, 0L, Long.MaxValue))
+      .toDF("id", "lo", "hi")
+    def q = points.join(sentinel, $"v" >= $"lo" && $"v" <= $"hi")
+    withWidth("auto") {
+      // widest interval spans ~2^63 bins at any sane width: the rule
+      // must leave the nested-loop plan (correct, just unbinned) —
+      // never a plan that throws "too long sequence" mid-query
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(q.count() == 2001 + 51) // all points + [10,60]
+    }
+  }
+
+  test("malformed width disables the rewrite instead of failing " +
+      "every query in the session") {
+    withWidth("not-a-number") {
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(naive.count() > 0)
+    }
+  }
+
+  test("binning is overflow-safe at the bottom of the long range") {
+    import spark.implicits._
+    // v within w of Long.MinValue: the old `(v - pmod(v, w)) div w`
+    // arithmetic wrapped (or threw under ANSI) and mis-binned
+    val extremes = Seq(Long.MinValue, Long.MinValue + 1,
+      Long.MinValue + 31, -1L, 0L, Long.MaxValue).toDF("v")
+    val iv = Seq((1L, Long.MinValue, Long.MinValue + 100L),
+      (2L, -10L, 10L)).toDF("id", "lo", "hi")
+    def q = extremes.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
+    val base = withWidth("0")(
+      q.select("v", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    withWidth("32") {
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      val got = q.select("v", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == base, s"got $got, want $base")
+    }
+  }
+
   test("guards: cross-side equality or non-integral types leave the " +
       "join untouched") {
     import spark.implicits._

@@ -169,6 +169,35 @@ class StreamingOpsSpec extends SparkSpec {
       .endsWith("src2__out2"))
   }
 
+  test("resolveCheckpoint: refuses to migrate a legacy checkpoint " +
+      "recorded against a DIFFERENT source") {
+    // the pre-keying layout cannot encode the source, so migration
+    // must verify the FileStreamSource log's recorded paths before
+    // adopting progress — a checkpoint left by another source writing
+    // the same output would otherwise resume foreign batch ids
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("sckpt2")
+    val otherSrc = java.nio.file.Files.createDirectory(root.resolve("other"))
+    java.nio.file.Files.write(otherSrc.resolve("b1.csv"),
+      "id,amount\n1,5".getBytes)
+    val legacy = root.resolve("_checkpoint").resolve("out")
+    val q = StreamingOps.runMappingStream(s, otherSrc.toString,
+      Seq("id", "amount"), Seq(("Id", "src[id]")),
+      root.resolve("out").toString, legacy.toString)
+    q.processAllAvailable(); q.stop()
+    // the legacy checkpoint's log records paths under other/, so
+    // resolving for source 'src' must refuse loudly...
+    val e = intercept[IllegalStateException] {
+      StreamingOps.resolveCheckpoint(root.toString, "src", "out")
+    }
+    assert(e.getMessage.contains("DIFFERENT source"))
+    assert(java.nio.file.Files.exists(legacy), "refusal must not move it")
+    // ...while the true owner still migrates cleanly
+    assert(StreamingOps.resolveCheckpoint(root.toString, "other", "out")
+      .endsWith("other__out"))
+    assert(!java.nio.file.Files.exists(legacy))
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
