@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary TRAINING — iterative pair-merge learning, the one
+  * classic LLM-pipeline operator the counting-only `text_tokens`
+  * query does not cover.
+  *
+  * Algorithm (Sennrich et al., "Neural Machine Translation of Rare
+  * Words with Subword Units", ACL 2016): start from characters (the
+  * word-final character carries a `</w>` marker), repeatedly find the
+  * most frequent adjacent symbol pair across the corpus and merge it
+  * into one symbol; the learned merge list IS the tokenizer.
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *   - The ONLY corpus-sized pass is the word-frequency aggregate
+  *     (partial-agg'd hash count). Training then runs entirely on the
+  *     VOCAB-bounded symbol table (top-K words × avg word length
+  *     rows — millions, not trillions), the standard trick that makes
+  *     BPE training tractable: pair counts are weighted by word
+  *     frequency instead of re-scanning text.
+  *   - Each merge round is one lead() window over `word` partitions,
+  *     one partial-agg'd pair count, and two skinny keyed joins to
+  *     apply the merge — all distributed; the driver holds only the
+  *     1-row argmax per round (the PageRank loop discipline), and
+  *     `localCheckpoint` truncates the per-round lineage.
+  *   - Determinism: ties break on (count DESC, left, right) with
+  *     binary string order; greedy left-to-right non-overlap inside
+  *     equal-symbol runs is resolved with the gaps-and-islands
+  *     even-offset rule — a pure function of the data, not of
+  *     partitioning. Every round is ONE aggregate + set operations,
+  *     so a SQL engine can re-derive the whole merge table
+  *     round-by-round (`oracleSql` generates that mirror).
+  */
+object BpeTrain {
+
+  /** Learn `nMerges` merges from the `topWords` most frequent
+    * lowercase words of `textCol`. Returns the merge table:
+    * (merge_round, lhs, rhs, cnt) — row r says "round r merged
+    * symbols lhs+rhs, which co-occurred cnt times (word-frequency
+    * weighted)".
+    */
+  def train(docs: DataFrame, textCol: String, topWords: Int,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val byWord = Window.partitionBy("word").orderBy("pos")
+
+    // corpus pass: lowercase letter-run words, frequency, top-K
+    // (deterministic tie-break on the word itself)
+    val freq = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("word")).limit(topWords)
+
+    // character-level init; the last character carries the
+    // end-of-word marker so merges cannot cross word boundaries.
+    // sequence+substr (not split(word, "")) — Spark's regex split
+    // emits a trailing empty element the SQL mirror would not.
+    var tok = freq
+      .select(col("word"), col("f"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("f"), col("pos"),
+        concat(expr("substr(word, pos, 1)"),
+          when(col("pos") === length(col("word")), lit("</w>"))
+            .otherwise(lit(""))).as("sym"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val withNext = tok.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("sym"), asc("nxt")).limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        // candidate positions; greedy left-to-right non-overlap: in a
+        // run of consecutive candidates (only possible when lhs ==
+        // rhs, e.g. "a a a a"), keep the even offsets from the run
+        // start — gaps-and-islands, no sequential scan needed
+        val cand = withNext
+          .filter(col("sym") === l && col("nxt") === rr)
+          .select("word", "pos")
+        val sel = cand
+          .withColumn("grp", col("pos") - row_number().over(byWord))
+          .withColumn("off", col("pos") -
+            min(col("pos")).over(Window.partitionBy("word", "grp")))
+          .filter(col("off") % 2 === 0)
+          .select(col("word"), col("pos")).localCheckpoint()
+        val mSel = sel.select(col("word").as("mword"), col("pos").as("mpos"))
+        val dSel = sel.select(col("word").as("dword"), col("pos").as("dpos"))
+        tok = tok
+          .join(mSel, col("word") === col("mword") &&
+            col("pos") === col("mpos"), "left")
+          .join(dSel, col("word") === col("dword") &&
+            col("pos") === col("dpos") + 1, "left")
+          .filter(col("dpos").isNull)
+          .select(col("word"), col("f"), col("pos"),
+            when(col("mpos").isNotNull, concat(col("sym"), lit(rr)))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos", row_number().over(byWord))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("merge_round", "lhs", "rhs", "cnt")
+  }
+
+  /** DuckDB re-derivation of the merge table: one CTE block per round
+    * mirroring the Spark computation exactly — same tokenization,
+    * same argmax tie-break, same even-offset overlap rule, same
+    * renumbering. Generated, so Spark and SQL can never drift apart
+    * silently (the ZOrder.zValueNSql precedent).
+    */
+  def oracleSql(table: String, textCol: String, topWords: Int,
+      nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"tok${r - 1}"
+      s"""nx$r AS MATERIALIZED (
+           SELECT word, f, pos, sym,
+                  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM $prev),
+         best$r AS MATERIALIZED (
+           SELECT sym AS l, nxt AS rr, CAST(sum(f) AS BIGINT) AS cnt
+           FROM nx$r WHERE nxt IS NOT NULL
+           GROUP BY sym, nxt ORDER BY cnt DESC, l, rr LIMIT 1),
+         cand$r AS MATERIALIZED (
+           SELECT n.word, n.pos
+           FROM nx$r n, best$r b WHERE n.sym = b.l AND n.nxt = b.rr),
+         sel$r AS MATERIALIZED (
+           SELECT word, pos FROM (
+             SELECT word, pos,
+                    pos - min(pos) OVER (PARTITION BY word, grp) AS off
+             FROM (SELECT word, pos,
+                          pos - row_number() OVER (PARTITION BY word
+                            ORDER BY pos) AS grp
+                   FROM cand$r))
+           WHERE off % 2 = 0),
+         tok$r AS MATERIALIZED (
+           SELECT word, f,
+                  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                  sym
+           FROM (
+             SELECT t.word, t.f, t.pos,
+                    CASE WHEN m.pos IS NOT NULL THEN t.sym || b.rr
+                         ELSE t.sym END AS sym
+             FROM tok${r - 1} t
+             LEFT JOIN best$r b ON true
+             LEFT JOIN sel$r m ON t.word = m.word AND t.pos = m.pos
+             LEFT JOIN sel$r d ON t.word = d.word AND t.pos = d.pos + 1
+             WHERE d.pos IS NULL))"""
+    }.mkString(",\n")
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, rr AS rhs, cnt FROM best$r"
+    }.mkString("\n UNION ALL ")
+    s"""WITH w AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+           SELECT unnest(regexp_extract_all(lower($textCol), '[a-z]+'))
+             AS word FROM $table)
+         GROUP BY word ORDER BY f DESC, word LIMIT $topWords),
+       chars AS MATERIALIZED (
+         SELECT word, f,
+                unnest(generate_series(1, length(word))) AS pos
+         FROM w),
+       tok0 AS MATERIALIZED (
+         SELECT word, f, pos,
+                substr(word, CAST(pos AS INTEGER), 1) ||
+                  CASE WHEN pos = length(word) THEN '</w>' ELSE '' END
+                  AS sym
+         FROM chars),
+       $rounds
+       $out"""
+  }
+}

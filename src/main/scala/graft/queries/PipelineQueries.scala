@@ -31,6 +31,12 @@ object PipelineQueries {
   private val CosineThreshold = 0.45
   // SimHash radius; banding uses SimhashRadius+1 chunks → complete.
   private val SimhashRadius = 8
+  // BPE training size: top-100 words keeps the oracle CTE chain and
+  // the per-round symbol table small at test SF while exercising every
+  // code path (ties, equal-symbol runs, multi-char merges); 10 merges
+  // is enough for learned symbols to stack 3+ characters deep.
+  private val BpeTopWords = 100
+  private val BpeMerges = 10
   // Sign-LSH bands for embedding pair mining: 24 bands x 6 planes.
   // At the (deliberately weak) 0.45 threshold this measures ~0.9
   // recall at sf0.1 with ~3x candidate pruning; at a production
@@ -851,6 +857,17 @@ object PipelineQueries {
           length(col("text")).as("n_chars"))
         .withColumn("chars_per_tok",
           col("n_chars").cast("double") / col("n_bpe"))),
+
+    // BPE vocabulary TRAINING (ext/BpeTrain): iterative pair-merge
+    // learning over the top-K word frequencies — the corpus-sized
+    // work is ONE partial-agg'd word count; every merge round then
+    // runs on the vocab-bounded symbol table (driver-looped like
+    // PageRank, 1-row argmax collect per round, deterministic
+    // tie-breaks). Oracle is a generated DuckDB CTE chain re-deriving
+    // the merge table round-by-round.
+    "text_bpe_train" -> ((s, d) =>
+      graft.ext.BpeTrain.train(documents(s, d), "text",
+        BpeTopWords, BpeMerges)),
 
     // Candidate verification — the stage after MinHash-LSH in a real
     // dedup pipeline: exact edit distance over the CANDIDATE pairs
@@ -1908,6 +1925,10 @@ object PipelineQueries {
              '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
            AS chars_per_tok
          FROM documents""",
+
+    "text_bpe_train" ->
+      graft.ext.BpeTrain.oracleSql("documents", "text",
+        BpeTopWords, BpeMerges),
 
     "dedup_verify_lev" ->
       s"""WITH cand AS (SELECT id_a, id_b FROM ($minhashOracle))

@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** BpeTrain must reproduce the classic hand-derivable merge sequences:
+  * the Sennrich et al. example corpus, and an equal-symbol run where a
+  * wrong overlap rule (merging both positions of "a a a a") would show
+  * up directly in the learned counts.
+  */
+class BpeTrainSpec extends SparkSpec {
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def corpus(wordFreq: (String, Int)*) =
+    wordFreq.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ").split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      .toDF("text")
+
+  test("classic low/lower/newest/widest corpus learns the textbook " +
+      "merge sequence with exact counts") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val got = BpeTrain.train(docs, "text", 10, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      // (e,s) and (s,t</w>) tie at 9 — lexicographic tie-break picks e
+      (1L, "e", "s", 9L),
+      (2L, "es", "t</w>", 9L),
+      (3L, "l", "o", 7L),
+      // (n,e), (e,w), (w,est</w>) tie at 6 — lexicographic pick (e,w)
+      (4L, "e", "w", 6L),
+      // (ew,est</w>) vs (n,ew) tie at 6 — "ew" < "n"
+      (5L, "ew", "est</w>", 6L)))
+  }
+
+  test("equal-symbol runs merge greedily left-to-right, never " +
+      "overlapping") {
+    // "aaaa" = a a a a</w>: the (a,a) candidates at pos 1 and 2
+    // overlap; greedy BPE merges only pos 1 → "aa a a</w>". A rule
+    // that merged both would corrupt the round-2 pair inventory.
+    val docs = corpus("aaaa" -> 3)
+    val got = BpeTrain.train(docs, "text", 10, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "a</w>", 3L),
+      (3L, "aa", "aa</w>", 3L)))
+    // the loop stops once every word is a single symbol (3 < nMerges)
+  }
+
+  test("training is deterministic across runs") {
+    val docs = corpus("banana" -> 4, "bandana" -> 2, "cabana" -> 3)
+    val a = BpeTrain.train(docs, "text", 10, 8).collect().toSeq
+    val b = BpeTrain.train(docs, "text", 10, 8).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
