@@ -92,6 +92,36 @@ object StreamingOps {
     keyed.toString
   }
 
+  /** Streaming corpus CURATION — the always-on ingest shape of the
+    * batch `pipeline_curate` front half: the Gopher quality gate (a
+    * stateless, map-side column predicate — identical code batch and
+    * stream) followed by exact content dedup against everything ever
+    * admitted (state-store `dropDuplicates` keyed on the normalized-
+    * content fingerprint, the same skinny key the batch window dedups
+    * on).
+    *
+    * Works on a batch DataFrame too — `dropDuplicates` is the batch
+    * analog — so one definition IS the equivalence proof surface: the
+    * checkpointed stream over micro-batches must admit exactly the
+    * batch run's rows (StreamingOpsSpec pins this, across a restart).
+    *
+    * State sizing at scale: the dedup state is one 8-byte fingerprint
+    * per admitted doc, partitioned by key across executors. For
+    * bounded state on an unbounded stream, pre-watermark the input
+    * (`withWatermark`) before calling — dedup then forgets
+    * fingerprints older than the horizon, trading cross-epoch dup
+    * recall for O(window) state, the standard production posture.
+    */
+  def curateStream(stream: DataFrame, textCol: String,
+      minQuality: Double = 0.75): DataFrame =
+    stream
+      .filter(graft.ext.TextAnalysis.gopherScore(col(textCol)) >=
+        minQuality)
+      .withColumn("__graft_fp", xxhash64(
+        graft.ext.TextAnalysis.normalized(col(textCol))))
+      .dropDuplicates("__graft_fp")
+      .drop("__graft_fp")
+
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
     * the stream never committed a batch — nothing to verify then.

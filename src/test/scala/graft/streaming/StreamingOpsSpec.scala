@@ -198,6 +198,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(legacy))
   }
 
+  test("streaming curation (gate + dedup) over micro-batches equals " +
+      "the batch result, across a checkpointed restart") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("scurate")
+    val srcDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val good1 = "the quick brown fox jumps over a lazy dog near the river"
+    val good2 = "a small band of travelers crossed the old stone bridge at dawn"
+    val good3 = "her garden was full of bright flowers and the air smelled sweet"
+    val bad = "1 2 3 4 5 6 7 8 9 10 11 12"
+    def write(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        ("text\n" + rows.mkString("\n")).getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stream() = StreamingOps.curateStream(
+      s.readStream.schema(schema).option("header", true)
+        .option("maxFilesPerTrigger", 1).csv(srcDir.toString), "text")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // epoch 1: two micro-batches; good1 duplicated ACROSS batches —
+    // only the state store can catch that
+    write("b1.csv", Seq(good1, bad))
+    write("b2.csv", Seq(good2, good1))
+    val q1 = stream(); q1.processAllAvailable(); q1.stop()
+    // epoch 2 after a RESTART: a dup of epoch-1 content plus fresh
+    // rows — admitted state must survive via the checkpoint
+    write("b3.csv", Seq(good3, good2, bad))
+    val q2 = stream(); q2.processAllAvailable(); q2.stop()
+    val streamed = s.read.parquet(out).collect()
+      .map(_.getString(0)).sorted.toSeq
+    // batch reference: the SAME operator over all files at once
+    val batch = StreamingOps.curateStream(
+      s.read.schema(schema).option("header", true).csv(srcDir.toString),
+      "text").collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(good2, good1, good3).sorted,
+      "gate drops the low-quality rows; dedup admits each text once")
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
