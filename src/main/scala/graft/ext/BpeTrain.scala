@@ -43,7 +43,13 @@ object BpeTrain {
     * weighted)".
     */
   def train(docs: DataFrame, textCol: String, topWords: Int,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): DataFrame =
+    trainState(docs, textCol, topWords, nMerges)._1
+
+  /** The training loop itself: returns (merge table, final symbol
+    * table) so `train` and `segment` share one implementation. */
+  private def trainState(docs: DataFrame, textCol: String, topWords: Int,
+      nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val byWord = Window.partitionBy("word").orderBy("pos")
 
@@ -111,9 +117,21 @@ object BpeTrain {
         r += 1
       }
     }
-    spark.createDataFrame(merges.result())
-      .toDF("merge_round", "lhs", "rhs", "cnt")
+    (spark.createDataFrame(merges.result())
+      .toDF("merge_round", "lhs", "rhs", "cnt"), tok)
   }
+
+  /** The learned tokenizer APPLIED: the vocabulary's subword
+    * segmentation after `nMerges` training rounds — (word, f, pos,
+    * sym) rows, i.e. the final state of the same training loop. This
+    * is how a real pipeline tokenizes at scale: segment the DISTINCT
+    * vocabulary once (vocab-bounded work), then join documents to the
+    * per-word segmentation — never re-run merges per document.
+    */
+  def segment(docs: DataFrame, textCol: String, topWords: Int,
+      nMerges: Int): DataFrame =
+    trainState(docs, textCol, topWords, nMerges)._2
+      .select(col("word"), col("f"), col("pos"), col("sym"))
 
   /** DuckDB re-derivation of the merge table: one CTE block per round
     * mirroring the Spark computation exactly — same tokenization,
@@ -122,6 +140,21 @@ object BpeTrain {
     * silently (the ZOrder.zValueNSql precedent).
     */
   def oracleSql(table: String, textCol: String, topWords: Int,
+      nMerges: Int): String = {
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, rr AS rhs, cnt FROM best$r"
+    }.mkString("\n UNION ALL ")
+    chainSql(table, textCol, topWords, nMerges) + "\n" + out
+  }
+
+  /** Oracle for `segment`: the same generated chain, selecting the
+    * final round's symbol table instead of the merge list. */
+  def segmentOracleSql(table: String, textCol: String, topWords: Int,
+      nMerges: Int): String =
+    chainSql(table, textCol, topWords, nMerges) +
+      s"\n SELECT word, f, pos, sym FROM tok$nMerges"
+
+  private def chainSql(table: String, textCol: String, topWords: Int,
       nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       val prev = s"tok${r - 1}"
@@ -159,9 +192,6 @@ object BpeTrain {
              LEFT JOIN sel$r d ON t.word = d.word AND t.pos = d.pos + 1
              WHERE d.pos IS NULL))"""
     }.mkString(",\n")
-    val out = (1 to nMerges).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, rr AS rhs, cnt FROM best$r"
-    }.mkString("\n UNION ALL ")
     s"""WITH w AS MATERIALIZED (
          SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
            SELECT unnest(regexp_extract_all(lower($textCol), '[a-z]+'))
@@ -177,7 +207,6 @@ object BpeTrain {
                   CASE WHEN pos = length(word) THEN '</w>' ELSE '' END
                   AS sym
          FROM chars),
-       $rounds
-       $out"""
+       $rounds"""
   }
 }

@@ -869,6 +869,15 @@ object PipelineQueries {
       graft.ext.BpeTrain.train(documents(s, d), "text",
         BpeTopWords, BpeMerges)),
 
+    // The learned tokenizer APPLIED: each vocabulary word's subword
+    // segmentation after the merge rounds — the final symbol table of
+    // the same training loop. Real pipelines tokenize this way at
+    // scale: segment the DISTINCT vocabulary once, then join documents
+    // against it (never re-run merges per document).
+    "text_bpe_segment" -> ((s, d) =>
+      graft.ext.BpeTrain.segment(documents(s, d), "text",
+        BpeTopWords, BpeMerges)),
+
     // Candidate verification — the stage after MinHash-LSH in a real
     // dedup pipeline: exact edit distance over the CANDIDATE pairs
     // only (never all pairs; |cand| ≪ |corpus|²). levenshtein is
@@ -1928,6 +1937,10 @@ object PipelineQueries {
 
     "text_bpe_train" ->
       graft.ext.BpeTrain.oracleSql("documents", "text",
+        BpeTopWords, BpeMerges),
+
+    "text_bpe_segment" ->
+      graft.ext.BpeTrain.segmentOracleSql("documents", "text",
         BpeTopWords, BpeMerges),
 
     "dedup_verify_lev" ->

@@ -50,6 +50,20 @@ class BpeTrainSpec extends SparkSpec {
     // the loop stops once every word is a single symbol (3 < nMerges)
   }
 
+  test("segment returns the learned segmentation of each vocab word") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val seg = BpeTrain.segment(docs, "text", 10, 5).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (w, rows) => w -> rows.sortBy(_._2).map(_._3).toSeq }
+    // after merges es, est</w>, lo, ew, ewest</w>:
+    assert(seg("low") == Seq("lo", "w</w>"))
+    assert(seg("lower") == Seq("lo", "w", "e", "r</w>"))
+    assert(seg("newest") == Seq("n", "ewest</w>"))
+    assert(seg("widest") == Seq("w", "i", "d", "est</w>"))
+  }
+
   test("training is deterministic across runs") {
     val docs = corpus("banana" -> 4, "bandana" -> 2, "cabana" -> 3)
     val a = BpeTrain.train(docs, "text", 10, 8).collect().toSeq
