@@ -878,6 +878,57 @@ object PipelineQueries {
       graft.ext.BpeTrain.segment(documents(s, d), "text",
         BpeTopWords, BpeMerges)),
 
+    // LM-based quality scoring (the CCNet/KenLM shape): train add-one
+    // smoothed bigram statistics on a REFERENCE split (doc_id%5==0),
+    // score every other doc's bigrams under that model. Scale shape:
+    // training is two partial-agg'd counts over the reference; scoring
+    // is one lag window per doc (one doc_id exchange) + two keyed
+    // joins against the vocab-bounded count tables. Determinism: the
+    // integer signals (n_bigrams, n_known, the 80%-known keep flag)
+    // are exact; the likelihood sum rounds each IEEE-identical
+    // probability (integer/integer double division) to 8dp and sums
+    // as DECIMAL — order-independent, so no shuffle order can move
+    // the hash. No log(): libm log10 is not correctly-rounded and can
+    // differ across engines in the last ulp; the rational form keeps
+    // every per-bigram value bit-identical instead.
+    "text_lm_score" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = (df: DataFrame) => df.select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as(Seq("pos", "w")))
+      val ref = toks(docs.filter(col("doc_id") % 5 === 0))
+      val uni = ref.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+      val big = ref
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bigR = big.select(col("w1").as("b1"), col("w2").as("b2"),
+        col("c2"))
+      toks(docs.filter(col("doc_id") % 5 =!= 0))
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .join(uni, col("w") === col("w1"), "left").drop("w1")
+        .join(bigR, col("w") === col("b1") && col("w2") === col("b2"),
+          "left").drop("b1", "b2")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          col("c2").isNotNull.cast("long").as("known"),
+          round((coalesce(col("c2"), lit(0L)) + lit(1L)) /
+            (coalesce(col("c1"), lit(0L)) + col("v")), 8)
+            .cast("decimal(20,8)").as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("known")).as("n_known"),
+          sum(col("p")).as("sum_p"),
+          // exact integer keep rule: >= 80% of bigram starts seen in
+          // the reference model
+          (sum(col("known")) * 5 >= count(lit(1)) * 4).as("lm_keep"))
+    }),
+
     // Candidate verification — the stage after MinHash-LSH in a real
     // dedup pipeline: exact edit distance over the CANDIDATE pairs
     // only (never all pairs; |cand| ≪ |corpus|²). levenshtein is
@@ -1942,6 +1993,49 @@ object PipelineQueries {
     "text_bpe_segment" ->
       graft.ext.BpeTrain.segmentOracleSql("documents", "text",
         BpeTopWords, BpeMerges),
+
+    // Parallel unnests zip positionally in DuckDB — that provides the
+    // in-doc token order the lag window needs. Integer/integer `/` is
+    // double division in both engines (bit-identical IEEE); sum of the
+    // 8dp-rounded DECIMAL casts is order-independent.
+    "text_lm_score" ->
+      """WITH rt AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS ws
+             FROM documents WHERE doc_id % 5 = 0),
+         rtok AS (SELECT doc_id, unnest(ws) AS w,
+                  unnest(generate_series(1, len(ws))) AS pos FROM rt),
+         uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM rtok GROUP BY w),
+         rbig AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+             SELECT w AS w1,
+                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             FROM rtok)
+           WHERE w2 IS NOT NULL GROUP BY w1, w2),
+         vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         st AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS ws
+             FROM documents WHERE doc_id % 5 <> 0),
+         stok AS (SELECT doc_id, unnest(ws) AS w,
+                  unnest(generate_series(1, len(ws))) AS pos FROM st),
+         sbig AS (SELECT doc_id, w1, w2 FROM (
+             SELECT doc_id, w AS w1,
+                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             FROM stok)
+           WHERE w2 IS NOT NULL),
+         scored AS (
+           SELECT s.doc_id,
+                  CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
+                  CAST(round((COALESCE(b.c2, 0) + 1) /
+                    (COALESCE(u.c1, 0) + vv.v), 8) AS DECIMAL(20,8)) AS p
+           FROM sbig s
+           LEFT JOIN uni u ON s.w1 = u.w1
+           LEFT JOIN rbig b ON s.w1 = b.w1 AND s.w2 = b.w2
+           CROSS JOIN vv)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(known) AS BIGINT) AS n_known,
+           sum(p) AS sum_p,
+           (sum(known) * 5 >= count(*) * 4) AS lm_keep
+         FROM scored GROUP BY doc_id""",
 
     "dedup_verify_lev" ->
       s"""WITH cand AS (SELECT id_a, id_b FROM ($minhashOracle))

@@ -294,6 +294,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
   }
 
+  test("text_lm_score: bigram model joins are keyed (no cartesian " +
+      "beyond the 1-row vocab broadcast); aggs are partial") {
+    val p = plan("text_lm_score")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join allowed is the 1-row vocab-size
+    // broadcast (the text_tfidf corpus-stats pattern)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2) // tree+detail
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
+  }
+
   test("join_range_auto: the naive BETWEEN spelling gets the binned " +
       "plan from the optimizer rule — no nested-loop join") {
     val p = plan("join_range_auto")
