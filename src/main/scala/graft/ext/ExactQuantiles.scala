@@ -62,6 +62,161 @@ object ExactQuantiles {
     }
   }
 
+  /** GROUPED exact percentiles — `GROUP BY g` + `percentile(v, p)`
+   *  without the per-group full-multiset aggregation buffer. Returns a
+   *  DataFrame (groupCol, p0, p1, ... one double per `ps` entry).
+   *
+   *  Same passes as the global path, vectorized over groups: one
+   *  grouped min/max/count (G rows to the driver — profiling group
+   *  cardinality must be driver-bounded, enforced by `maxGroups`); one
+   *  histogram pass where each row's bucket comes from ITS group's
+   *  range via a broadcast stats join (G×B counts to the driver); one
+   *  filtered scan where a window partitioned by (group, bucket) sorts
+   *  only the rank-carrying buckets — each task ≤ refineLimit rows.
+   *  Oversized buckets recurse through the proven single-group path.
+   */
+  def groupedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], buckets: Int = 2048,
+      refineLimit: Long = 4L * 1024 * 1024,
+      maxGroups: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val stats = base.groupBy("g")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n")).collect()
+    require(stats.length <= maxGroups,
+      s"groupedPercentiles: ${stats.length} groups exceed $maxGroups — " +
+        "driver-side rank targets need bounded group cardinality")
+    val gField = base.schema("g")
+
+    // per-group rank targets, exactly the global path's arithmetic
+    case class GT(g: Any, mn: Double, mx: Double, n: Long,
+        targets: Seq[(Long, Long, Double)])
+    val gts = stats.map { r =>
+      val n = r.getLong(3)
+      GT(r.get(0), r.getDouble(1), r.getDouble(2), n,
+        ps.map { p =>
+          val pos = (n - 1).toDouble * p
+          val lo = math.floor(pos).toLong
+          (lo + 1L, math.ceil(pos).toLong + 1L, pos - lo)
+        })
+    }.toSeq
+    val (flat, ranged) = gts.partition(t => t.mn == t.mx)
+
+    val resolved: Map[Any, Map[Long, Double]] =
+      if (ranged.isEmpty) Map.empty
+      else {
+        // histogram pass: bucket width is per-group, delivered to every
+        // row by a broadcast join on the (tiny) stats table
+        val statsDf = spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              ranged.map(t => Row(t.g, t.mn, t.mx))).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            gField.copy(name = "sg"),
+            org.apache.spark.sql.types.StructField("mn",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("mx",
+              org.apache.spark.sql.types.DoubleType))))
+        val bucketOf = least(lit(buckets - 1), greatest(lit(0),
+          floor((col("v") - col("mn")) /
+            ((col("mx") - col("mn")) / buckets)).cast("int")))
+        val binned = base
+          .join(broadcast(statsDf), col("g") === col("sg"))
+          .select(col("g"), col("v"), bucketOf.as("b"))
+        val hist: Map[Any, Seq[(Int, Long)]] = binned
+          .groupBy("g", "b").agg(count(lit(1)).as("c")).collect()
+          .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1)
+          .map { case (g, rs) =>
+            g -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+
+        // driver cumsum per group → (group, bucket) -> local ranks
+        case class Need(g: Any, b: Int, before: Long, cnt: Long,
+            locals: Seq[(Long, Long)]) // (globalRank, localRank)
+        val needs: Seq[Need] = ranged.flatMap { t =>
+          val buckets0 = hist(t.g)
+          var cum = 0L
+          val cumBefore = buckets0.map { case (b, c) =>
+            val before = cum; cum += c; (b, before, c) }
+          val ranks = t.targets.flatMap(x => Seq(x._1, x._2)).distinct
+          ranks.map { r =>
+            val (b, before, c) = cumBefore
+              .find { case (_, bef, c) => r > bef && r <= bef + c }.get
+            (b, before, c, r)
+          }.groupBy(x => (x._1, x._2, x._3))
+            .map { case ((b, before, c), xs) =>
+              Need(t.g, b, before, c,
+                xs.map(x => (x._4, x._4 - before)).distinct) }
+        }
+
+        val (big, small) = needs.partition(_.cnt > refineLimit)
+        val fromSmall: Seq[(Any, Long, Double)] =
+          if (small.isEmpty) Nil
+          else {
+            val candDf = spark.createDataFrame(
+              new java.util.ArrayList[Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(
+                  small.map(nd => Row(nd.g, nd.b))).asJava),
+              org.apache.spark.sql.types.StructType(Seq(
+                gField.copy(name = "cg"),
+                org.apache.spark.sql.types.StructField("cb",
+                  org.apache.spark.sql.types.IntegerType))))
+            val wanted: Set[(Any, Int, Long)] = small.flatMap(nd =>
+              nd.locals.map { case (_, lr) => (nd.g, nd.b, lr) }).toSet
+            // pre-collect rank filter: only the wanted local ranks
+            // (plus same-rank rows of other candidate buckets) reach
+            // the driver — never a bucket's full contents
+            val rankSet = wanted.map(_._3.toInt).toSeq.distinct.sorted
+            val picked = binned
+              .join(broadcast(candDf),
+                col("g") === col("cg") && col("b") === col("cb"))
+              .withColumn("r", row_number().over(
+                Window.partitionBy("g", "b").orderBy("v")))
+              .filter(col("r").isin(rankSet: _*))
+              .collect()
+              .map(r => (r.get(0), r.getInt(2), r.getInt(5).toLong) ->
+                r.getDouble(1))
+              .filter { case (k, _) => wanted.contains(k) }.toMap
+            small.flatMap(nd => nd.locals.map { case (gr, lr) =>
+              (nd.g, gr, picked((nd.g, nd.b, lr))) })
+          }
+        val fromBig: Seq[(Any, Long, Double)] = big.flatMap { nd =>
+          val inBucket = binned
+            .filter(col("g") === lit(nd.g) && col("b") === nd.b)
+            .select("v")
+          val Row(bmn: Double, bmx: Double) =
+            inBucket.agg(min(col("v")), max(col("v"))).head()
+          val at =
+            if (bmn == bmx) nd.locals.map(_._2).distinct
+              .map(_ -> bmn).toMap
+            else orderStatistics(inBucket, bmn, bmx, nd.cnt,
+              nd.locals.map(_._2).distinct.sorted, buckets, refineLimit)
+          nd.locals.map { case (gr, lr) => (nd.g, gr, at(lr)) }
+        }
+        (fromSmall ++ fromBig).groupBy(_._1)
+          .map { case (g, xs) => g -> xs.map(x => (x._2, x._3)).toMap }
+      }
+
+    val rows = gts.map { t =>
+      val at: Long => Double =
+        if (t.mn == t.mx) _ => t.mn else resolved(t.g)
+      Row.fromSeq(t.g +: t.targets.map { case (loR, hiR, frac) =>
+        val a = at(loR)
+        if (frac == 0.0) a else a + (at(hiR) - a) * frac
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(
+        gField.copy(name = groupCol) +:
+          ps.indices.map(i => org.apache.spark.sql.types.StructField(
+            s"p$i", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Round like Spark's `round(col, 6)` / DuckDB's `round(x, 6)`
    *  (HALF_UP on the decimal expansion) so a driver-computed edge can
    *  stand in for an in-plan rounded aggregate bit-for-bit. */

@@ -527,14 +527,18 @@ object PipelineQueries {
     }),
 
     // Per-type percentile winsorization (outlier clamping): p05/p95
-    // from the exact interpolated percentile, ROUNDED 6dp on both
-    // engines before the clamp (the unrounded aggregate is
-    // merge-order sensitive in the last bits), then one broadcast
-    // join back — stats side is |event_type| rows at any scale.
+    // from ext/ExactQuantiles.groupedPercentiles — bounded passes, not
+    // Spark's grouped `percentile` whose per-group buffer holds the
+    // group's full value multiset (a hot event type at 100 TB is an
+    // executor-memory wall) — ROUNDED 6dp on both engines before the
+    // clamp (the raw interpolation is merge-order sensitive in the
+    // last bits), then one broadcast join back — stats side is
+    // |event_type| rows at any scale.
     "events_winsorize" -> ((s, d) => {
-      val pct = events(s, d).groupBy("event_type").agg(
-        round(expr("percentile(value, 0.05)"), 6).as("lo"),
-        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+      val pct = graft.ext.ExactQuantiles.groupedPercentiles(
+          events(s, d), "event_type", "value", Seq(0.05, 0.95))
+        .select(col("event_type"), round(col("p0"), 6).as("lo"),
+          round(col("p1"), 6).as("hi"))
       events(s, d).join(broadcast(pct), "event_type")
         .select(col("event_id"), col("event_type"),
           round(greatest(least(col("value"), col("hi")), col("lo")), 6)

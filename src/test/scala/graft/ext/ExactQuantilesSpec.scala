@@ -68,6 +68,39 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(got == Seq(2.5))
   }
 
+  test("groupedPercentiles matches exact grouped percentile across " +
+      "mixed group shapes (ties, skew, singletons)") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(4000) { i =>
+      val g = s"g${i % 5}"
+      val v = (i % 5) match {
+        case 0 => rnd.nextDouble() * 1e5          // smooth
+        case 1 => 42.0                             // all ties
+        case 2 => if (rnd.nextBoolean()) 1.0 else rnd.nextDouble() * 1e6
+        case 3 => rnd.nextGaussian()               // negatives
+        case _ => rnd.nextDouble()
+      }
+      (g, v)
+    } :+ (("solo", 7.5))                           // n = 1 group
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.1, 0.5, 0.9)
+    // compare against Spark's exact percentile per group
+    val want = df.groupBy("g").agg(
+      org.apache.spark.sql.functions
+        .expr("percentile(v, array(0.1d, 0.5d, 0.9d))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val gotQ = ExactQuantiles
+      .groupedPercentiles(df, "g", "v", ps, buckets = 64,
+        refineLimit = 128)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(gotQ.keySet == want.keySet)
+    for (g <- want.keySet; i <- ps.indices)
+      assert(math.abs(gotQ(g)(i) - want(g)(i)) <=
+        math.ulp(want(g)(i)) * 4, s"group $g p=${ps(i)}")
+  }
+
   test("round6 mirrors Spark round(x, 6)") {
     val vals = Seq(123456.1234565, 0.0000005, 42.0, 1.9999994999,
       98765.4321005)

@@ -294,6 +294,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
   }
 
+  test("no exact percentile aggregate anywhere — every quantile " +
+      "query uses the bounded-memory path") {
+    // Spark's exact percentile buffers a group's full value multiset
+    // in its aggregation buffer — a hot group at 100 TB is an
+    // executor-memory wall. All three former users now go through
+    // ext/ExactQuantiles.
+    for (q <- Seq("percentile_agg", "events_winsorize",
+        "profile_histogram_eqdepth"))
+      assert(!plan(q).toLowerCase.contains("percentile"),
+        s"$q: exact percentile crept back into the plan")
+  }
+
   test("text_lm_score: bigram model joins are keyed (no cartesian " +
       "beyond the 1-row vocab broadcast); aggs are partial") {
     val p = plan("text_lm_score")
