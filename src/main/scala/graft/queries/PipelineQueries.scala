@@ -545,6 +545,32 @@ object PipelineQueries {
             .as("value_w"))
     }),
 
+    // Robust (median/MAD) anomaly flags — the outlier-resistant
+    // companion to events_anomaly's 3-sigma rule, whose mean/stddev an
+    // adversarial heavy tail can drag until real outliers pass. Median
+    // and MAD come from ext/ExactQuantiles.groupedPercentiles (bounded
+    // passes, never the full-multiset percentile buffer); both are
+    // rounded 6dp before the threshold compare, stats sides broadcast
+    // — |event_type| rows at any scale. 4.4478 = 3 x 1.4826 (the
+    // normal-consistency constant), a decimal literal both engines
+    // parse to the same double.
+    "events_anomaly_mad" -> ((s, d) => {
+      val ev = events(s, d)
+      val med = graft.ext.ExactQuantiles.groupedPercentiles(
+          ev, "event_type", "value", Seq(0.5))
+        .select(col("event_type"), round(col("p0"), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med"))
+          .as("adev"))
+      val mad = graft.ext.ExactQuantiles.groupedPercentiles(
+          dev, "event_type", "adev", Seq(0.5))
+        .select(col("event_type"), round(col("p0"), 6).as("mad"))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .filter(col("value") > col("med") + lit(4.4478) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
     // Deterministic stratified sampling: per-lang keep rates, hash
     // bucket on doc_id — map-side filter, shuffle-free, reproducible.
     "sample_stratified" -> ((s, d) => {
@@ -2002,6 +2028,20 @@ object PipelineQueries {
     // in-doc token order the lag window needs. Integer/integer `/` is
     // double division in both engines (bit-identical IEEE); sum of the
     // 8dp-rounded DECIMAL casts is order-independent.
+    "events_anomaly_mad" ->
+      """WITH med AS (SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med
+           FROM events GROUP BY event_type),
+         dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type,
+             round(quantile_cont(adev, 0.5), 6) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value
+         FROM events e
+         JOIN med USING (event_type) JOIN mad USING (event_type)
+         WHERE e.value > med + 4.4478 * mad""",
+
     "text_lm_score" ->
       """WITH rt AS (SELECT doc_id,
                regexp_extract_all(lower(text), '[a-z]+') AS ws
