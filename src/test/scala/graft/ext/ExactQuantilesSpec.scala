@@ -26,7 +26,12 @@ class ExactQuantilesSpec extends SparkSpec {
       buckets, refineLimit)
     val want = sparkExact(values, ps)
     got.zip(want).zip(ps).foreach { case ((g, w), p) =>
-      assert(math.abs(g - w) <= math.ulp(w) * 4, s"p=$p got=$g want=$w")
+      // interpolation formula variants (`a + (b-a)f` here, matching
+      // DuckDB quantile_cont, vs Spark's `a(1-f) + bf`) are
+      // algebraically equal but differ by ~|a|·eps — far below the
+      // 6dp oracle rounding, but above a strict few-ulp bound
+      val tol = math.max(math.ulp(w) * 4, math.abs(w) * 1e-12)
+      assert(math.abs(g - w) <= tol, s"p=$p got=$g want=$w")
     }
   }
 
@@ -96,9 +101,32 @@ class ExactQuantilesSpec extends SparkSpec {
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
         r.getDouble(3))).toMap
     assert(gotQ.keySet == want.keySet)
-    for (g <- want.keySet; i <- ps.indices)
-      assert(math.abs(gotQ(g)(i) - want(g)(i)) <=
-        math.ulp(want(g)(i)) * 4, s"group $g p=${ps(i)}")
+    for (g <- want.keySet; i <- ps.indices) {
+      val w = want(g)(i) // same formula-variant tolerance as check()
+      assert(math.abs(gotQ(g)(i) - w) <=
+        math.max(math.ulp(w) * 4, math.abs(w) * 1e-12),
+        s"group $g p=${ps(i)}")
+    }
+  }
+
+  test("property: random multisets (duplicates, negatives, extreme " +
+      "magnitudes) match exact percentile at random cut points") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val valueGen = Gen.frequency(
+      (5, Gen.choose(-1e6, 1e6)),
+      (3, Gen.choose(0, 20).map(_.toDouble)),       // heavy ties
+      (1, Gen.oneOf(1e-12, -1e-12, 1e15, -1e15)))   // extremes
+    for (round <- 0 until 6) {
+      val n = sample(Gen.choose(1, 400), 100 + round)
+      val values = (0 until n).map(i =>
+        sample(valueGen, round * 1000L + i))
+      val ps = (0 until 3).map(i =>
+        sample(Gen.choose(0.0, 1.0), 7000L + round * 10 + i))
+      check(values, ps, buckets = 32, refineLimit = 16)
+    }
   }
 
   test("round6 mirrors Spark round(x, 6)") {
