@@ -4,15 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** BPE vocabulary TRAINING — iterative pair-merge learning, the one
-  * classic LLM-pipeline operator the counting-only `text_tokens`
-  * query does not cover.
+/** BPE vocabulary TRAINING and ENCODING — iterative pair-merge
+  * learning, the one classic LLM-pipeline operator the counting-only
+  * `text_tokens` query does not cover, plus the apply side.
   *
   * Algorithm (Sennrich et al., "Neural Machine Translation of Rare
   * Words with Subword Units", ACL 2016): start from characters (the
   * word-final character carries a `</w>` marker), repeatedly find the
   * most frequent adjacent symbol pair across the corpus and merge it
-  * into one symbol; the learned merge list IS the tokenizer.
+  * into one symbol; the learned merge list IS the tokenizer. Encoding
+  * replays the merge list (in learned order) over a vocabulary.
   *
   * Scale shape — the part that matters at 100 TB:
   *   - The ONLY corpus-sized pass is the word-frequency aggregate
@@ -20,7 +21,9 @@ import org.apache.spark.sql.functions._
   *     VOCAB-bounded symbol table (top-K words × avg word length
   *     rows — millions, not trillions), the standard trick that makes
   *     BPE training tractable: pair counts are weighted by word
-  *     frequency instead of re-scanning text.
+  *     frequency instead of re-scanning text. Encoding likewise
+  *     segments the DISTINCT vocabulary once; documents then join the
+  *     per-word segmentation — merges never re-run per document.
   *   - Each merge round is one lead() window over `word` partitions,
   *     one partial-agg'd pair count, and two skinny keyed joins to
   *     apply the merge — all distributed; the driver holds only the
@@ -43,43 +46,110 @@ object BpeTrain {
     * weighted)".
     */
   def train(docs: DataFrame, textCol: String, topWords: Int,
+      nMerges: Int): DataFrame = {
+    val (merges, _) = trainLoop(docs, textCol, topWords, nMerges)
+    docs.sparkSession.createDataFrame(merges)
+      .toDF("merge_round", "lhs", "rhs", "cnt")
+  }
+
+  /** The learned tokenizer applied to the TRAINING vocabulary: the
+    * top-K words' subword segmentation — the final symbol table of
+    * the training loop itself.
+    */
+  def segment(docs: DataFrame, textCol: String, topWords: Int,
       nMerges: Int): DataFrame =
-    trainState(docs, textCol, topWords, nMerges)._1
+    trainLoop(docs, textCol, topWords, nMerges)._2
+      .select(col("word"), col("f"), col("pos"), col("sym"))
 
-  /** The training loop itself: returns (merge table, final symbol
-    * table) so `train` and `segment` share one implementation. */
-  private def trainState(docs: DataFrame, textCol: String, topWords: Int,
-      nMerges: Int): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+  /** The learned tokenizer applied to the FULL corpus vocabulary:
+    * train on the top-K words, then replay the merge list (in learned
+    * order) over EVERY distinct word — out-of-vocabulary words
+    * degrade gracefully to whatever prefixes/characters the learned
+    * merges cover, exactly like a production BPE encoder. Output is
+    * the per-word segmentation (word, f, pos, sym); tokenizing
+    * documents is then a join against this table.
+    */
+  def encode(docs: DataFrame, textCol: String, topWords: Int,
+      nMerges: Int): DataFrame = {
+    val (merges, _) = trainLoop(docs, textCol, topWords, nMerges)
+    val allFreq = words(docs, textCol)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    var tok = initTok(allFreq)
+    for ((_, l, rr, _) <- merges) tok = applyMerge(tok, l, rr)
+    tok.select(col("word"), col("f"), col("pos"), col("sym"))
+  }
+
+  private def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col(textCol)),
+      lit("[a-z]+"), lit(0))).as("word"))
+
+  /** Character-level init; the last character carries the end-of-word
+    * marker so merges cannot cross word boundaries. sequence+substr
+    * (not split(word, "")) — Spark's regex split emits a trailing
+    * empty element the SQL mirror would not.
+    */
+  private def initTok(freq: DataFrame): DataFrame = freq
+    .select(col("word"), col("f"),
+      explode(sequence(lit(1), length(col("word")))).as("pos"))
+    .select(col("word"), col("f"), col("pos"),
+      concat(expr("substr(word, pos, 1)"),
+        when(col("pos") === length(col("word")), lit("</w>"))
+          .otherwise(lit(""))).as("sym"))
+    .localCheckpoint()
+
+  /** One merge application: replace every non-overlapping adjacent
+    * (l, rr) pair with the concatenated symbol, renumber positions.
+    * Greedy left-to-right non-overlap: in a run of consecutive
+    * candidates (only possible when l == rr, e.g. "a a a a"), keep
+    * the even offsets from the run start — gaps-and-islands, no
+    * sequential scan needed.
+    */
+  private def applyMerge(tok: DataFrame, l: String, rr: String)
+      : DataFrame = {
     val byWord = Window.partitionBy("word").orderBy("pos")
+    val cand = tok
+      .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      .filter(col("sym") === l && col("nxt") === rr)
+      .select("word", "pos")
+    val sel = cand
+      .withColumn("grp", col("pos") - row_number().over(byWord))
+      .withColumn("off", col("pos") -
+        min(col("pos")).over(Window.partitionBy("word", "grp")))
+      .filter(col("off") % 2 === 0)
+      .select(col("word"), col("pos")).localCheckpoint()
+    val mSel = sel.select(col("word").as("mword"), col("pos").as("mpos"))
+    val dSel = sel.select(col("word").as("dword"), col("pos").as("dpos"))
+    tok
+      .join(mSel, col("word") === col("mword") &&
+        col("pos") === col("mpos"), "left")
+      .join(dSel, col("word") === col("dword") &&
+        col("pos") === col("dpos") + 1, "left")
+      .filter(col("dpos").isNull)
+      .select(col("word"), col("f"), col("pos"),
+        when(col("mpos").isNotNull, concat(col("sym"), lit(rr)))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(byWord))
+      .localCheckpoint()
+  }
 
+  /** The training loop: returns (merge list, final symbol table) so
+    * train / segment / encode share one implementation. */
+  private def trainLoop(docs: DataFrame, textCol: String, topWords: Int,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val byWord = Window.partitionBy("word").orderBy("pos")
     // corpus pass: lowercase letter-run words, frequency, top-K
     // (deterministic tie-break on the word itself)
-    val freq = docs
-      .select(explode(regexp_extract_all(lower(col(textCol)),
-        lit("[a-z]+"), lit(0))).as("word"))
+    val freq = words(docs, textCol)
       .groupBy("word").agg(count(lit(1)).as("f"))
       .orderBy(desc("f"), asc("word")).limit(topWords)
-
-    // character-level init; the last character carries the
-    // end-of-word marker so merges cannot cross word boundaries.
-    // sequence+substr (not split(word, "")) — Spark's regex split
-    // emits a trailing empty element the SQL mirror would not.
-    var tok = freq
-      .select(col("word"), col("f"),
-        explode(sequence(lit(1), length(col("word")))).as("pos"))
-      .select(col("word"), col("f"), col("pos"),
-        concat(expr("substr(word, pos, 1)"),
-          when(col("pos") === length(col("word")), lit("</w>"))
-            .otherwise(lit(""))).as("sym"))
-      .localCheckpoint()
-
+    var tok = initTok(freq)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
-      val withNext = tok.withColumn("nxt", lead(col("sym"), 1).over(byWord))
-      val best = withNext.filter(col("nxt").isNotNull)
+      val best = tok
+        .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+        .filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum(col("f")).as("cnt"))
         .orderBy(desc("cnt"), asc("sym"), asc("nxt")).limit(1)
         .collect()
@@ -88,50 +158,12 @@ object BpeTrain {
         val (l, rr, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, l, rr, c))
-        // candidate positions; greedy left-to-right non-overlap: in a
-        // run of consecutive candidates (only possible when lhs ==
-        // rhs, e.g. "a a a a"), keep the even offsets from the run
-        // start — gaps-and-islands, no sequential scan needed
-        val cand = withNext
-          .filter(col("sym") === l && col("nxt") === rr)
-          .select("word", "pos")
-        val sel = cand
-          .withColumn("grp", col("pos") - row_number().over(byWord))
-          .withColumn("off", col("pos") -
-            min(col("pos")).over(Window.partitionBy("word", "grp")))
-          .filter(col("off") % 2 === 0)
-          .select(col("word"), col("pos")).localCheckpoint()
-        val mSel = sel.select(col("word").as("mword"), col("pos").as("mpos"))
-        val dSel = sel.select(col("word").as("dword"), col("pos").as("dpos"))
-        tok = tok
-          .join(mSel, col("word") === col("mword") &&
-            col("pos") === col("mpos"), "left")
-          .join(dSel, col("word") === col("dword") &&
-            col("pos") === col("dpos") + 1, "left")
-          .filter(col("dpos").isNull)
-          .select(col("word"), col("f"), col("pos"),
-            when(col("mpos").isNotNull, concat(col("sym"), lit(rr)))
-              .otherwise(col("sym")).as("sym"))
-          .withColumn("pos", row_number().over(byWord))
-          .localCheckpoint()
+        tok = applyMerge(tok, l, rr)
         r += 1
       }
     }
-    (spark.createDataFrame(merges.result())
-      .toDF("merge_round", "lhs", "rhs", "cnt"), tok)
+    (merges.result(), tok)
   }
-
-  /** The learned tokenizer APPLIED: the vocabulary's subword
-    * segmentation after `nMerges` training rounds — (word, f, pos,
-    * sym) rows, i.e. the final state of the same training loop. This
-    * is how a real pipeline tokenizes at scale: segment the DISTINCT
-    * vocabulary once (vocab-bounded work), then join documents to the
-    * per-word segmentation — never re-run merges per document.
-    */
-  def segment(docs: DataFrame, textCol: String, topWords: Int,
-      nMerges: Int): DataFrame =
-    trainState(docs, textCol, topWords, nMerges)._2
-      .select(col("word"), col("f"), col("pos"), col("sym"))
 
   /** DuckDB re-derivation of the merge table: one CTE block per round
     * mirroring the Spark computation exactly — same tokenization,
@@ -144,41 +176,81 @@ object BpeTrain {
     val out = (1 to nMerges).map { r =>
       s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, rr AS rhs, cnt FROM best$r"
     }.mkString("\n UNION ALL ")
-    chainSql(table, textCol, topWords, nMerges) + "\n" + out
+    s"WITH ${trainCtes(table, textCol, topWords, nMerges)}\n $out"
   }
 
   /** Oracle for `segment`: the same generated chain, selecting the
     * final round's symbol table instead of the merge list. */
   def segmentOracleSql(table: String, textCol: String, topWords: Int,
       nMerges: Int): String =
-    chainSql(table, textCol, topWords, nMerges) +
-      s"\n SELECT word, f, pos, sym FROM tok$nMerges"
+    s"WITH ${trainCtes(table, textCol, topWords, nMerges)}\n" +
+      s" SELECT word, f, pos, sym FROM tok$nMerges"
 
-  private def chainSql(table: String, textCol: String, topWords: Int,
+  /** Oracle for `encode`: the train chain feeds a second apply-only
+    * chain over the FULL vocabulary — each round reuses `best{r}`
+    * (no argmax) and the same candidate/overlap/rebuild CTEs. */
+  def encodeOracleSql(table: String, textCol: String, topWords: Int,
       nMerges: Int): String = {
-    val rounds = (1 to nMerges).map { r =>
-      val prev = s"tok${r - 1}"
-      s"""nx$r AS MATERIALIZED (
-           SELECT word, f, pos, sym,
-                  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-           FROM $prev),
+    val applyRounds = (1 to nMerges)
+      .map(r => roundCtes("f", r, best = false)).mkString(",\n")
+    s"""WITH ${trainCtes(table, textCol, topWords, nMerges)},
+       ${initCtes("f", table, textCol, limit = None)},
+       $applyRounds
+       SELECT word, f, pos, sym FROM ftok$nMerges"""
+  }
+
+  /** The w/chars/tok0 CTE triple: top-K vocabulary when `limit` is
+    * set (training), the full distinct vocabulary otherwise
+    * (encoding). All MATERIALIZED: DuckDB inlines plain CTEs, and a
+    * 10-round chain re-expands the scan exponentially without it. */
+  private def initCtes(p: String, table: String, textCol: String,
+      limit: Option[Int]): String = {
+    val lim = limit.map(k => s"ORDER BY f DESC, word LIMIT $k")
+      .getOrElse("")
+    s"""${p}w AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+           SELECT unnest(regexp_extract_all(lower($textCol), '[a-z]+'))
+             AS word FROM $table)
+         GROUP BY word $lim),
+       ${p}chars AS MATERIALIZED (
+         SELECT word, f,
+                unnest(generate_series(1, length(word))) AS pos
+         FROM ${p}w),
+       ${p}tok0 AS MATERIALIZED (
+         SELECT word, f, pos,
+                substr(word, CAST(pos AS INTEGER), 1) ||
+                  CASE WHEN pos = length(word) THEN '</w>' ELSE '' END
+                  AS sym
+         FROM ${p}chars)"""
+  }
+
+  /** One round's CTEs under prefix `p`: pair inventory, (for training
+    * only) the argmax `best{r}`, candidates, the even-offset overlap
+    * rule, and the rebuilt symbol table. Apply-only chains (`best =
+    * false`) join the TRAIN chain's `best{r}` instead. */
+  private def roundCtes(p: String, r: Int, best: Boolean): String = {
+    val bestCte = if (!best) "" else s"""
          best$r AS MATERIALIZED (
            SELECT sym AS l, nxt AS rr, CAST(sum(f) AS BIGINT) AS cnt
            FROM nx$r WHERE nxt IS NOT NULL
-           GROUP BY sym, nxt ORDER BY cnt DESC, l, rr LIMIT 1),
-         cand$r AS MATERIALIZED (
+           GROUP BY sym, nxt ORDER BY cnt DESC, l, rr LIMIT 1),"""
+    s"""${p}nx$r AS MATERIALIZED (
+           SELECT word, f, pos, sym,
+                  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM ${p}tok${r - 1}),$bestCte
+         ${p}cand$r AS MATERIALIZED (
            SELECT n.word, n.pos
-           FROM nx$r n, best$r b WHERE n.sym = b.l AND n.nxt = b.rr),
-         sel$r AS MATERIALIZED (
+           FROM ${p}nx$r n, best$r b WHERE n.sym = b.l AND n.nxt = b.rr),
+         ${p}sel$r AS MATERIALIZED (
            SELECT word, pos FROM (
              SELECT word, pos,
                     pos - min(pos) OVER (PARTITION BY word, grp) AS off
              FROM (SELECT word, pos,
                           pos - row_number() OVER (PARTITION BY word
                             ORDER BY pos) AS grp
-                   FROM cand$r))
+                   FROM ${p}cand$r))
            WHERE off % 2 = 0),
-         tok$r AS MATERIALIZED (
+         ${p}tok$r AS MATERIALIZED (
            SELECT word, f,
                   row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
                   sym
@@ -186,27 +258,18 @@ object BpeTrain {
              SELECT t.word, t.f, t.pos,
                     CASE WHEN m.pos IS NOT NULL THEN t.sym || b.rr
                          ELSE t.sym END AS sym
-             FROM tok${r - 1} t
+             FROM ${p}tok${r - 1} t
              LEFT JOIN best$r b ON true
-             LEFT JOIN sel$r m ON t.word = m.word AND t.pos = m.pos
-             LEFT JOIN sel$r d ON t.word = d.word AND t.pos = d.pos + 1
+             LEFT JOIN ${p}sel$r m ON t.word = m.word AND t.pos = m.pos
+             LEFT JOIN ${p}sel$r d ON t.word = d.word AND t.pos = d.pos + 1
              WHERE d.pos IS NULL))"""
-    }.mkString(",\n")
-    s"""WITH w AS MATERIALIZED (
-         SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
-           SELECT unnest(regexp_extract_all(lower($textCol), '[a-z]+'))
-             AS word FROM $table)
-         GROUP BY word ORDER BY f DESC, word LIMIT $topWords),
-       chars AS MATERIALIZED (
-         SELECT word, f,
-                unnest(generate_series(1, length(word))) AS pos
-         FROM w),
-       tok0 AS MATERIALIZED (
-         SELECT word, f, pos,
-                substr(word, CAST(pos AS INTEGER), 1) ||
-                  CASE WHEN pos = length(word) THEN '</w>' ELSE '' END
-                  AS sym
-         FROM chars),
+  }
+
+  private def trainCtes(table: String, textCol: String, topWords: Int,
+      nMerges: Int): String = {
+    val rounds = (1 to nMerges)
+      .map(r => roundCtes("", r, best = true)).mkString(",\n")
+    s"""${initCtes("", table, textCol, Some(topWords))},
        $rounds"""
   }
 }

@@ -37,6 +37,11 @@ object PipelineQueries {
   // is enough for learned symbols to stack 3+ characters deep.
   private val BpeTopWords = 100
   private val BpeMerges = 10
+  // encode trains on a DELIBERATELY small vocabulary: the synthetic
+  // corpus has only ~31 distinct words, so a top-12 model leaves the
+  // majority out-of-vocabulary — the gate then actually exercises the
+  // OOV degradation path (partial merges over unseen words).
+  private val BpeEncodeTrainWords = 12
   // Sign-LSH bands for embedding pair mining: 24 bands x 6 planes.
   // At the (deliberately weak) 0.45 threshold this measures ~0.9
   // recall at sf0.1 with ~3x candidate pruning; at a production
@@ -907,6 +912,15 @@ object PipelineQueries {
     "text_bpe_segment" -> ((s, d) =>
       graft.ext.BpeTrain.segment(documents(s, d), "text",
         BpeTopWords, BpeMerges)),
+
+    // Tokenize the FULL corpus vocabulary with the learned merges:
+    // train on the top-K, replay the merge list over every distinct
+    // word (OOV words degrade gracefully to whatever the merges
+    // cover, like a production BPE encoder). Documents then tokenize
+    // by joining this per-word table — merges never re-run per doc.
+    "text_bpe_encode" -> ((s, d) =>
+      graft.ext.BpeTrain.encode(documents(s, d), "text",
+        BpeEncodeTrainWords, BpeMerges)),
 
     // LM-based quality scoring (the CCNet/KenLM shape): train add-one
     // smoothed bigram statistics on a REFERENCE split (doc_id%5==0),
@@ -2023,6 +2037,10 @@ object PipelineQueries {
     "text_bpe_segment" ->
       graft.ext.BpeTrain.segmentOracleSql("documents", "text",
         BpeTopWords, BpeMerges),
+
+    "text_bpe_encode" ->
+      graft.ext.BpeTrain.encodeOracleSql("documents", "text",
+        BpeEncodeTrainWords, BpeMerges),
 
     // Parallel unnests zip positionally in DuckDB — that provides the
     // in-doc token order the lag window needs. Integer/integer `/` is

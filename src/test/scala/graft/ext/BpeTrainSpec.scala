@@ -64,6 +64,23 @@ class BpeTrainSpec extends SparkSpec {
     assert(seg("widest") == Seq("w", "i", "d", "est</w>"))
   }
 
+  test("encode replays merges over the FULL vocabulary; OOV words " +
+      "get partial merges, never an error") {
+    // train sees only the top-2 words (newest x6, widest x3); "lowest"
+    // never enters training but shares the e-s-t</w> suffix, so the
+    // learned merges (e,s) and (es,t</w>) still compress it
+    val docs = corpus("newest" -> 6, "widest" -> 3, "lowest" -> 1)
+    val seg = BpeTrain.encode(docs, "text", 2, 3).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (w, rows) => w -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(seg.keySet == Set("newest", "widest", "lowest"),
+      "every distinct word must be segmented, in or out of vocab")
+    assert(seg("lowest").contains("est</w>"),
+      s"OOV word should still benefit from learned merges: " +
+        seg("lowest").mkString("|"))
+  }
+
   test("training is deterministic across runs") {
     val docs = corpus("banana" -> 4, "bandana" -> 2, "cabana" -> 3)
     val a = BpeTrain.train(docs, "text", 10, 8).collect().toSeq
