@@ -653,6 +653,103 @@ object RelationalQueries {
         col("c_acctbal"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
+    }),
+
+    // TPC-H Q7 shape: bilateral nation-pair trade volume by ship year.
+    // The 2-of-25-nations filter lands on supplier/customer BEFORE the
+    // fact joins (via broadcast of the 2-row nation subset), so the
+    // orderkey/suppkey/custkey shuffles carry only qualifying rows.
+    // supplier/customer scale with the corpus, so those joins stay
+    // shuffle joins (AQE may still broadcast them at small SF).
+    "q7_nation_volume" -> ((s, d) => {
+      val nn = nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = supplier(s, d)
+        .join(broadcast(nn.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = customer(s, d)
+        .join(broadcast(nn.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_nation")
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+      l.join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(revenueSum("revenue"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution. Double
+    // grouping: fact reduces to one row per customer first (join-side
+    // pushed predicate), then the per-count histogram is a tiny
+    // second aggregate.
+    "q13_order_dist" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share in a month. Conditional
+    // decimal sums (exact) → one final double division, spelled
+    // identically in the oracle so the IEEE result is bit-equal.
+    "q14_promo_share" -> ((s, d) => {
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) -
+          col("l_discount").cast(DecimalType(4, 2))))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)).as("promo_d"),
+          sum(rev).as("all_d"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          (lit(100.0) * coalesce(col("promo_d").cast("double"), lit(0.0)) /
+            col("all_d").cast("double")).as("promo_share"),
+          col("n_rows"))
+    }),
+
+    // TPC-H Q17 shape: small-quantity revenue for one brand. The
+    // correlated per-part AVG becomes a groupBy on the brand-filtered
+    // fact slice (semi-reduced BEFORE aggregating — no all-parts agg),
+    // then a partkey self-join of two already-small sides.
+    "q17_small_qty" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_brand") === "Brand#1")
+        .select("p_partkey")
+      val lb = lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = lb.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      lb.join(avgq, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          (coalesce(sum(dec(col("l_extendedprice"))).cast("double"),
+            lit(0.0)) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
     })
   )
 
@@ -1047,6 +1144,63 @@ object RelationalQueries {
            ORDER BY c_acctbal) AS pr,
          cume_dist() OVER (PARTITION BY c_mktsegment
            ORDER BY c_acctbal) AS cd
-         FROM customer"""
+         FROM customer""",
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS DOUBLE) AS revenue
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey
+           AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+                (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3""",
+
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+
+    "q14_promo_share" ->
+      """WITH a AS (SELECT
+           SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             END) AS promo_d,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             AS all_d,
+           COUNT(*) AS n_rows
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+         SELECT 100.0 * coalesce(CAST(promo_d AS DOUBLE), 0.0)
+             / CAST(all_d AS DOUBLE) AS promo_share,
+           n_rows
+         FROM a""",
+
+    "q17_small_qty" ->
+      """WITH lb AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#1'),
+         avgq AS (SELECT l_partkey AS a_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+           FROM lb GROUP BY l_partkey)
+         SELECT coalesce(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE), 0.0) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_rows
+         FROM lb JOIN avgq ON l_partkey = a_partkey
+         WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty"""
   )
 }
