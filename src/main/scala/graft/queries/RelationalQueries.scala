@@ -750,6 +750,97 @@ object RelationalQueries {
           (coalesce(sum(dec(col("l_extendedprice"))).cast("double"),
             lit(0.0)) / lit(7.0)).as("avg_yearly"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q2 shape: best-offer-per-part with a correlated MIN. The
+    // "offer book" is lineitem reduced to one row per (part, supplier)
+    // BEFORE the min-per-part subquery, and both the region gate
+    // (broadcast 1-row region → ~n/5 nations → supplier semi) and the
+    // part attribute filter prune their side ahead of the partkey
+    // joins. MIN over DECIMAL is exact, so best = mn never suffers a
+    // float-equality hazard.
+    "q2_min_offer" -> ((s, d) => {
+      val eurNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      val sup = supplier(s, d)
+        .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val offers = lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dec(col("l_extendedprice"))).as("best"),
+          first(col("s_name")).as("s_name"),
+          first(col("s_acctbal")).as("s_acctbal"))
+      val mins = offers.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("best")).as("mn"))
+      val p = part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      offers
+        .join(mins, col("l_partkey") === col("m_partkey") &&
+          col("best") === col("mn"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+          col("s_name"), col("s_acctbal"),
+          col("best").cast("double").as("best_price"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the scalar
+    // MAX subquery compares exact decimal totals, so the max-equality
+    // filter is deterministic (the classic Q15 float trap).
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) -
+            col("l_discount").cast(DecimalType(4, 2)))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.join(broadcast(mx), col("total_rev") === col("mx"))
+        .join(supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q16 shape: supplier diversity per part attribute group,
+    // with a NOT IN exclusion (anti-join on the skinny supplier key
+    // set — broadcastable: it only carries excluded suppliers).
+    "q16_supplier_cnt" -> ((s, d) => {
+      val excluded = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("x_suppkey"))
+      val p = part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 19, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("x_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates.
+    // The part-side conjuncts (brand, size) are pushable per-branch;
+    // the residual OR runs post-join. One partkey join, no Expand.
+    "q19_disjunctive" -> ((s, d) => {
+      val j = lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+      j.filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+        .agg(revenueSum("revenue"), count(lit(1)).as("n_rows"))
     })
   )
 
@@ -1201,6 +1292,61 @@ object RelationalQueries {
                AS DOUBLE), 0.0) / 7.0 AS avg_yearly,
            COUNT(*) AS n_rows
          FROM lb JOIN avgq ON l_partkey = a_partkey
-         WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty"""
+         WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""",
+
+    "q2_min_offer" ->
+      """WITH eur AS (SELECT n_nationkey FROM nation JOIN region
+             ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         sup AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier
+           JOIN eur ON s_nationkey = n_nationkey),
+         offers AS (SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS best
+           FROM lineitem JOIN sup ON s_suppkey = l_suppkey
+           GROUP BY 1, 2),
+         mins AS (SELECT l_partkey AS m_partkey, min(best) AS mn
+           FROM offers GROUP BY 1)
+         SELECT p_partkey, p_name, l_suppkey, s_name, s_acctbal,
+           CAST(best AS DOUBLE) AS best_price
+         FROM offers JOIN mins ON l_partkey = m_partkey AND best = mn
+         JOIN part ON p_partkey = l_partkey
+         JOIN sup ON s_suppkey = l_suppkey
+         WHERE p_size <= 15 AND p_type = 'LARGE'""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE)
+             AS total_revenue
+         FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+         COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 19, 25, 36, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS DOUBLE) AS revenue,
+         COUNT(*) AS n_rows
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)"""
   )
 }
