@@ -841,6 +841,188 @@ object RelationalQueries {
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30)))
         .agg(revenueSum("revenue"), count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside a region, by
+    // order year. Every dimension prunes before the fact joins
+    // (region→nation→customer semi-chain, type-filtered part); the
+    // share is a conditional/total pair of exact decimal sums with
+    // one final double division.
+    "q8_market_share" -> ((s, d) => {
+      val asiaN = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val cust = customer(s, d)
+        .join(broadcast(asiaN), col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val supN = supplier(s, d)
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val p = part(s, d).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))
+      lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("supp_nation") === "NATION_3", rev)).as("nat_d"),
+          sum(rev).as("all_d"), count(lit(1)).as("n_rows"))
+        .select(col("o_year"),
+          (lit(100.0) * coalesce(col("nat_d").cast("double"), lit(0.0)) /
+            col("all_d").cast("double")).as("mkt_share"),
+          col("n_rows"))
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation × order year for one
+    // part family. No supplycost column exists, so cost is modeled as
+    // half the retail value shipped: both the revenue and cost sums
+    // stay exact decimal and the 0.5 factor is applied once, in
+    // double, after aggregation — identical IEEE in the oracle.
+    "q9_profit" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val supN = supplier(s, d)
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("snk"),
+          col("n_name"))), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "n_name")
+      val o = orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))
+      lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "o_year")
+        .agg(sum(rev).as("rev_d"),
+          sum(dec(col("l_quantity")) * dec(col("p_retailprice")))
+            .as("cost_d"),
+          count(lit(1)).as("n_rows"))
+        .select(col("n_name"), col("o_year"),
+          (col("rev_d").cast("double") -
+            lit(0.5) * col("cost_d").cast("double")).as("profit"),
+          col("n_rows"))
+    }),
+
+    // TPC-H Q11 shape: "important" keys by value share — a scalar
+    // subquery over the SAME pre-aggregated per-key table (computed
+    // once, reused for both the total and the filter; the 1-row total
+    // broadcasts).
+    "q11_important_parts" -> ((s, d) => {
+      val pv = lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("val_d"))
+      val tot = pv.agg(sum(col("val_d")).cast("double").as("tot"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("val_d").cast("double") > lit(0.0006) * col("tot"))
+        .select(col("l_partkey"), col("val_d").cast("double")
+          .as("part_value"))
+    }),
+
+    // TPC-H Q12 shape: priority-class line counts per return flag
+    // (shipmode stand-in) for one ship year — conditional counts on a
+    // single orderkey join.
+    "q12_priority_class" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+        .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
+    // TPC-H Q20 shape: suppliers shipping an outsized share of one
+    // part family — nested IN subqueries become a broadcast semi
+    // (red parts) + one per-supplier aggregate compared against a
+    // broadcast 1-row mean. Scale-free threshold (1.2× mean), unlike
+    // the spec's absolute quantity, so the query stays selective at
+    // any SF.
+    "q20_excess_supply" -> ((s, d) => {
+      val redParts = part(s, d).filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val redl = lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      val per = redl.groupBy("l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty_d"))
+      val stats = redl.agg(
+        sum(dec(col("l_quantity"))).cast("double").as("tot"),
+        countDistinct(col("l_suppkey")).as("nsup"))
+      per.crossJoin(broadcast(stats))
+        .filter(col("qty_d").cast("double") >
+          lit(1.2) * col("tot") / col("nsup"))
+        .join(supplier(s, d).select("s_suppkey", "s_name", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("qty_d").cast("double").as("red_qty"))
+    }),
+
+    // TPC-H Q21 shape: suppliers solely responsible for returns on
+    // multi-supplier orders. The EXISTS/NOT-EXISTS pair collapses into
+    // ONE per-order aggregate (distinct suppliers, distinct returning
+    // suppliers) joined back to the fact — two orderkey exchanges
+    // total, no correlated re-scans.
+    "q21_sole_returner" -> ((s, d) => {
+      val l97 = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val ord = l97.groupBy(col("l_orderkey").as("o_key"))
+        .agg(countDistinct(col("l_suppkey")).as("nsup"),
+          countDistinct(when(col("l_returnflag") === "R",
+            col("l_suppkey"))).as("nret"))
+      l97.filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_key"))
+        .filter(col("nsup") >= 2 && col("nret") === 1)
+        .join(supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape: well-funded customers gone idle. The scalar
+    // AVG broadcast-crosses (1 row), the "no recent orders" NOT EXISTS
+    // is a left-anti against the date-pruned orders slice, and the
+    // customer-code grouping keys on a substring.
+    "q22_idle_customers" -> ((s, d) => {
+      val avgbal = customer(s, d).filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("ab"))
+      val recent = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("r_custkey"))
+      customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        .crossJoin(broadcast(avgbal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("r_custkey"), "left_anti")
+        .groupBy(substring(col("c_name"), 17, 2).as("code"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     })
   )
 
@@ -1347,6 +1529,113 @@ object RelationalQueries {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
              AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-             AND l_quantity BETWEEN 20 AND 30)"""
+             AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q8_market_share" ->
+      """WITH base AS (SELECT year(o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             AS rev,
+           n2.n_name AS supp_nation
+           FROM part, lineitem, orders, customer, supplier,
+             nation n1, nation n2, region
+           WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+             AND o_custkey = c_custkey
+             AND c_nationkey = n1.n_nationkey
+             AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+             AND p_type = 'STANDARD'
+             AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         SELECT o_year,
+           100.0 * coalesce(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+               THEN rev END) AS DOUBLE), 0.0)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_rows
+         FROM base GROUP BY o_year""",
+
+    "q9_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS DOUBLE)
+         - 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+             CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+         COUNT(*) AS n_rows
+         FROM part, lineitem, orders, supplier, nation
+         WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+           AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+           AND p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val_d
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, CAST(val_d AS DOUBLE) AS part_value
+         FROM pv
+         WHERE CAST(val_d AS DOUBLE) >
+           0.0006 * (SELECT CAST(SUM(val_d) AS DOUBLE) FROM pv)""",
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_returnflag""",
+
+    "q20_excess_supply" ->
+      """WITH redl AS (SELECT l_suppkey, l_quantity FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+             WHERE p_name LIKE 'red%')),
+         per AS (SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+           FROM redl GROUP BY l_suppkey),
+         stats AS (SELECT
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS tot,
+             COUNT(DISTINCT l_suppkey) AS nsup
+           FROM redl)
+         SELECT s_suppkey, s_name, n_name,
+           CAST(qty_d AS DOUBLE) AS red_qty
+         FROM per, stats, supplier, nation
+         WHERE CAST(qty_d AS DOUBLE) > 1.2 * tot / nsup
+           AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey""",
+
+    "q21_sole_returner" ->
+      """WITH l97 AS (SELECT l_orderkey, l_suppkey, l_returnflag
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+         ord AS (SELECT l_orderkey AS o_key,
+             COUNT(DISTINCT l_suppkey) AS nsup,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+               THEN l_suppkey END) AS nret
+           FROM l97 GROUP BY l_orderkey)
+         SELECT s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+         FROM l97 l JOIN ord ON l.l_orderkey = ord.o_key
+         JOIN supplier ON s_suppkey = l.l_suppkey
+         WHERE l.l_returnflag = 'R' AND ord.nsup >= 2 AND ord.nret = 1
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q22_idle_customers" ->
+      """WITH avgbal AS (SELECT
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS ab
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT substr(c_name, 17, 2) AS code, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT ab FROM avgbal)
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY 1"""
   )
 }
