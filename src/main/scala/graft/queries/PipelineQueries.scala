@@ -1025,6 +1025,85 @@ object PipelineQueries {
         .filter(Sampling.hashBucket(col("doc_id"), "mix", 1000000) <
           col("rate") * lit(1e6))
         .select("doc_id", "lang", "source")
+    }),
+
+    // Exact-substring duplication signal at word-5-gram granularity
+    // (the Lee et al. "deduplicating training data" family): per doc,
+    // the positions whose 5-gram recurs ANYWHERE in the corpus and the
+    // tokens those windows cover. Grams travel as md5 hex, so every
+    // shuffle key is 32 bytes regardless of text length; the dup-gram
+    // set is one skinny hash-aggregate re-applied as a semi-join; the
+    // covered-token union is an explode over the (already small)
+    // duplicated positions only. dup_ratio is an int-ratio double —
+    // no float-sum order dependence.
+    "dedup_spans" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = tok
+        .select(col("doc_id"), col("pos"), col("w"),
+          lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"),
+          lead("w", 3).over(w).as("w3"), lead("w", 4).over(w).as("w4"))
+        .filter(col("w4").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
+            col("w4"))).as("g"))
+      val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("g")
+      val dupPos = grams.join(dup, Seq("g"), "left_semi")
+      val docStats = tok.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"))
+      val gramCnt = dupPos.groupBy(col("doc_id").as("g_doc"))
+        .agg(count(lit(1)).as("dup_grams"))
+      val covered = dupPos
+        .select(col("doc_id").as("c_doc"),
+          explode(sequence(col("pos"), col("pos") + 4)).as("ti"))
+        .groupBy("c_doc").agg(countDistinct(col("ti")).as("dup_tokens"))
+      docStats
+        .join(gramCnt, col("doc_id") === col("g_doc"), "left")
+        .join(covered, col("doc_id") === col("c_doc"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")).as("dup_ratio"))
+    }),
+
+    // Deterministic train/val/test split: membership is a pure md5
+    // function of doc_id, so the split is stable under reordering,
+    // re-partitioning, and incremental re-runs — no leakage between
+    // sets across pipeline versions. 14/1/1 sixteenths.
+    "pipeline_split" -> ((s, d) => {
+      val b = Sampling.hashBucket(col("doc_id"), "split", 16)
+      documents(s, d)
+        .select(col("n_chars"),
+          when(b === 15, "test").when(b === 14, "val")
+            .otherwise("train").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Hashed-feature linear classifier (fasttext-shaped): each token
+    // hashes into one of 8192 buckets whose pseudo-weight is
+    // (bucket − 4096)/8192 — the slot a trained weight table would
+    // fill. The margin accumulates as an INTEGER sum of bucket
+    // offsets (exact, associative — safe under any aggregation
+    // order) and converts to double once at the end; one map-side
+    // explode + one partial-agg'd groupBy at any corpus size.
+    "text_classify_hash" -> ((s, d) => {
+      RollingHash64.register(s)
+      documents(s, d)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+        .select(col("doc_id"),
+          (pmod(RollingHash64.rolling_hash64(col("t")), lit(8192L)) -
+            lit(4096L)).as("wb"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wb")).as("acc"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("acc").cast("double") / lit(8192.0) / col("n_tokens"))
+            .as("margin"),
+          (col("acc") > 0L).as("keep"))
     })
   )
 
@@ -2139,6 +2218,69 @@ object PipelineQueries {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-           % 1000000 < r.rate * 1e6"""
+           % 1000000 < r.rate * 1e6""",
+
+    "dedup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,
+             generate_subscripts(ws, 1) - 1 AS pos
+           FROM (SELECT doc_id, $Toks AS ws FROM documents)),
+         led AS (SELECT doc_id, pos, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+             lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+           FROM tok),
+         grams AS (SELECT doc_id, pos,
+             md5(concat_ws(' ', w, w1, w2, w3, w4)) AS g
+           FROM led WHERE w4 IS NOT NULL),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+         dp AS (SELECT doc_id, pos FROM grams
+           WHERE g IN (SELECT g FROM dup)),
+         ds AS (SELECT doc_id, count(*) AS n_tokens FROM tok
+           GROUP BY doc_id),
+         gc AS (SELECT doc_id, count(*) AS dup_grams FROM dp
+           GROUP BY doc_id),
+         cv AS (SELECT doc_id, count(DISTINCT ti) AS dup_tokens
+           FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS ti
+             FROM dp)
+           GROUP BY doc_id)
+         SELECT ds.doc_id, ds.n_tokens,
+           CAST(coalesce(gc.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CAST(coalesce(cv.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(cv.dup_tokens, 0) AS DOUBLE) / ds.n_tokens
+             AS dup_ratio
+         FROM ds LEFT JOIN gc ON ds.doc_id = gc.doc_id
+           LEFT JOIN cv ON ds.doc_id = cv.doc_id""",
+
+    "pipeline_split" ->
+      """WITH b AS (SELECT n_chars,
+           ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 16 AS bk
+           FROM documents)
+         SELECT CASE WHEN bk = 15 THEN 'test'
+             WHEN bk = 14 THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM b GROUP BY 1""",
+
+    // Margin re-derived with the same integer accumulation: per-token
+    // rolling hash mod 8192 (HUGEINT mod = Spark pmod here since
+    // 2^64 ≡ 0 (mod 8192)), summed as BIGINT, one double conversion.
+    "text_classify_hash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+         h AS (SELECT doc_id,
+             list_reduce(list_prepend(0::HUGEINT,
+               [unicode(c)::HUGEINT FOR c IN string_split(t, '')
+                IF c != '']),
+               (a, x) -> (a * ${graft.ext.RollingHash64.Base} + x)
+                         % 18446744073709551616::HUGEINT) AS hh
+           FROM tok),
+         wb AS (SELECT doc_id,
+             CAST(hh % 8192 AS BIGINT) - 4096 AS wb FROM h)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(CAST(SUM(wb) AS BIGINT) AS DOUBLE) / 8192.0 / count(*)
+             AS margin,
+           CAST(SUM(wb) AS BIGINT) > 0 AS keep
+         FROM wb GROUP BY doc_id"""
   )
 }
