@@ -1037,6 +1037,13 @@ object PipelineQueries {
     // duplicated positions only. dup_ratio is an int-ratio double —
     // no float-sum order dependence.
     "dedup_spans" -> ((s, d) => {
+      // n_tokens is map-side size() on the raw scan — no explode, no
+      // shuffle. The heavy gram subtree runs ONCE: the exploded
+      // covered-index rows keep 5 rows per duplicated position, so
+      // dup_grams falls out of the same aggregate as count/5 (exact
+      // integer division) instead of a second pass.
+      val base = documents(s, d).select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
       val tok = documents(s, d).select(col("doc_id"),
         posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
       val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1048,22 +1055,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("pos"),
           md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
             col("w4"))).as("g"))
-      val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1).select("g")
-      val dupPos = grams.join(dup, Seq("g"), "left_semi")
-      val docStats = tok.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"))
-      val gramCnt = dupPos.groupBy(col("doc_id").as("g_doc"))
-        .agg(count(lit(1)).as("dup_grams"))
-      val covered = dupPos
-        .select(col("doc_id").as("c_doc"),
+      // duplicated-gram membership as a count over a window keyed by
+      // the gram hash — ONE exchange of the gram table, versus the
+      // aggregate+semi-join spelling which materializes the gram
+      // subtree twice (once per side of the semi)
+      val wg = Window.partitionBy("g")
+      val stats = grams
+        .withColumn("cnt", count(lit(1)).over(wg))
+        .filter(col("cnt") > 1)
+        .select(col("doc_id").as("s_doc"),
           explode(sequence(col("pos"), col("pos") + 4)).as("ti"))
-        .groupBy("c_doc").agg(countDistinct(col("ti")).as("dup_tokens"))
-      docStats
-        .join(gramCnt, col("doc_id") === col("g_doc"), "left")
-        .join(covered, col("doc_id") === col("c_doc"), "left")
+        .groupBy("s_doc")
+        .agg(countDistinct(col("ti")).as("dup_tokens"),
+          count(lit(1)).as("n5"))
+      base
+        .join(stats, col("doc_id") === col("s_doc"), "left")
         .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(expr("n5 div 5"), lit(0L)).as("dup_grams"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
             col("n_tokens")).as("dup_ratio"))

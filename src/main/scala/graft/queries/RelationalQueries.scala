@@ -732,19 +732,20 @@ object RelationalQueries {
     }),
 
     // TPC-H Q17 shape: small-quantity revenue for one brand. The
-    // correlated per-part AVG becomes a groupBy on the brand-filtered
-    // fact slice (semi-reduced BEFORE aggregating — no all-parts agg),
-    // then a partkey self-join of two already-small sides.
+    // correlated per-part AVG becomes a WINDOW over the brand-filtered
+    // fact slice — one scan, one partkey exchange, no self-join (the
+    // groupBy+rejoin spelling read the brand slice twice; same exact
+    // sum/count arithmetic, so the oracle's correlated form matches).
     "q17_small_qty" -> ((s, d) => {
       val p = part(s, d).filter(col("p_brand") === "Brand#1")
         .select("p_partkey")
-      val lb = lineitem(s, d)
+      val w = Window.partitionBy("l_partkey")
+      lineitem(s, d)
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      val avgq = lb.groupBy(col("l_partkey").as("a_partkey"))
-        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
-          .as("avg_qty"))
-      lb.join(avgq, col("l_partkey") === col("a_partkey"))
+        .withColumn("avg_qty",
+          sum(dec(col("l_quantity"))).over(w).cast("double") /
+            count(lit(1)).over(w))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(
           (coalesce(sum(dec(col("l_extendedprice"))).cast("double"),
@@ -767,22 +768,26 @@ object RelationalQueries {
       val sup = supplier(s, d)
         .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal")
+      // One offers aggregate, then the per-part MIN as a window over
+      // the SAME reduced table — the groupBy+rejoin spelling computed
+      // the whole offers subtree twice. Supplier attributes join
+      // AFTER the winner filter (they're functionally determined by
+      // suppkey), keeping the aggregate hash-based — carrying them
+      // through via first() forced a SortAggregate.
       val offers = lineitem(s, d)
         .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(sup.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(min(dec(col("l_extendedprice"))).as("best"),
-          first(col("s_name")).as("s_name"),
-          first(col("s_acctbal")).as("s_acctbal"))
-      val mins = offers.groupBy(col("l_partkey").as("m_partkey"))
-        .agg(min(col("best")).as("mn"))
+        .agg(min(dec(col("l_extendedprice"))).as("best"))
+      val wm = Window.partitionBy("l_partkey")
       val p = part(s, d)
         .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
         .select("p_partkey", "p_name")
       offers
-        .join(mins, col("l_partkey") === col("m_partkey") &&
-          col("best") === col("mn"))
+        .withColumn("mn", min(col("best")).over(wm))
+        .filter(col("best") === col("mn"))
         .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
           col("s_name"), col("s_acctbal"),
           col("best").cast("double").as("best_price"))
