@@ -330,4 +330,60 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("RoundRobinPartitioning"))
   }
+
+  private def scansOf(p: String, table: String): Int =
+    s"$table\\.parquet".r.findAllIn(p).size
+
+  test("q17_small_qty: correlated AVG is a window — lineitem scanned " +
+      "ONCE, no self-join of the brand slice") {
+    val p = plan("q17_small_qty")
+    assert(scansOf(p, "lineitem") == 1, "brand slice read twice")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("q2_min_offer: one offers aggregate + per-part window min — " +
+      "lineitem scanned ONCE, no duplicated offers subtree") {
+    val p = plan("q2_min_offer")
+    assert(scansOf(p, "lineitem") == 1, "offers subtree materialized twice")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_spans: gram subtree runs once (window count, no " +
+      "aggregate+semi double-materialization); docs scanned twice " +
+      "(map-side size() + gram branch)") {
+    val p = plan("dedup_spans")
+    assert(scansOf(p, "documents") == 2, "gram subtree duplicated")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_classify_hash: map-side explode + ONE exchange (the " +
+      "doc_id aggregate) — nothing shuffles token rows twice") {
+    val p = plan("text_classify_hash")
+    assert(scansOf(p, "documents") == 1)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      "token rows crossed more than one exchange")
+  }
+
+  test("q14_promo_share: shipdate month bounds reach the parquet scan") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"))
+  }
+
+  test("q22_idle_customers: NOT EXISTS is an anti-join against the " +
+      "date-pruned orders slice, scalar avg broadcasts") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("q21_sole_returner: the per-order EXISTS stats join back " +
+      "without cartesian or nested-loop fallback") {
+    val p = plan("q21_sole_returner")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(scansOf(p, "lineitem") <= 2)
+  }
 }
