@@ -1092,6 +1092,21 @@ object PipelineQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Deterministic exact-k evaluation sample per stratum: order each
+    // language by an md5 draw (a pure function of doc_id — stable
+    // across runs, partitionings, and incremental re-runs) and keep
+    // the first K via the skew-safe two-phase TopK, so a hot stratum
+    // never collapses into one task. Same result as the plain window
+    // (total order), which is what the oracle spells.
+    "sample_fixed_k" -> ((s, d) => {
+      val df = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(concat(lit("fk"), col("doc_id").cast("string"))).as("draw"))
+      graft.operators.TopK.topKPerKey(df, Seq("lang"),
+        Seq(col("draw").asc, col("doc_id").asc), k = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+    }),
+
     // Hashed-feature linear classifier (fasttext-shaped): each token
     // hashes into one of 8192 buckets whose pseudo-weight is
     // (bucket − 4096)/8192 — the slot a trained weight table would
@@ -2270,6 +2285,14 @@ object PipelineQueries {
            count(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1""",
+
+    "sample_fixed_k" ->
+      """SELECT doc_id, lang, n_chars, rank FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('fk' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rank
+           FROM documents) WHERE rank <= 50""",
 
     // Margin re-derived with the same integer accumulation: per-token
     // rolling hash mod 8192 (HUGEINT mod = Spark pmod here since

@@ -1010,6 +1010,22 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // k-anonymity audit (data-governance profiling): quasi-identifier
+    // groups below k rows are re-identification risks. Two-level
+    // aggregate — the QI groupBy is map-side combined, the audit
+    // summary is one tiny final row; nothing here grows with the
+    // table beyond the distinct-QI count.
+    "profile_kanon" -> ((s, d) =>
+      customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("group_size") < 5, 1L).otherwise(0L))
+            .as("risky_groups"),
+          sum(when(col("group_size") < 5, col("group_size"))
+            .otherwise(0L)).as("risky_rows"),
+          min(col("group_size")).as("min_group_size"))),
+
     // TPC-H Q22 shape: well-funded customers gone idle. The scalar
     // AVG broadcast-crosses (1 row), the "no recent orders" NOT EXISTS
     // is a left-anti against the date-pruned orders slice, and the
@@ -1627,6 +1643,18 @@ object RelationalQueries {
          WHERE l.l_returnflag = 'R' AND ord.nsup >= 2 AND ord.nret = 1
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "profile_kanon" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey,
+           count(*) AS group_size
+           FROM customer GROUP BY 1, 2)
+         SELECT count(*) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS risky_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+             AS BIGINT) AS risky_rows,
+           min(group_size) AS min_group_size
+         FROM g""",
 
     "q22_idle_customers" ->
       """WITH avgbal AS (SELECT
