@@ -198,3 +198,74 @@ class GeoMeanSpec extends SparkSpec {
     assert(math.abs(gm - 4.0) < 1e-9)
   }
 }
+
+/** Differential test for the dedup_spans query: the distributed
+  * window/semi pipeline vs an in-memory sliding-window reference, on
+  * crafted corner cases AND seeded random corpora (small vocabulary →
+  * dense gram collisions).
+  */
+class DedupSpansSpec extends SparkSpec {
+
+  private def reference(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    val grams = toks.toSeq.flatMap { case (id, ws) =>
+      ws.sliding(5).zipWithIndex.collect {
+        case (g, i) if g.size == 5 => (id, i, g.mkString(" "))
+      }
+    }
+    val counts = grams.groupBy(_._3).map { case (g, v) => g -> v.size }
+    val dup = grams.filter(p => counts(p._3) > 1)
+    toks.map { case (id, ws) =>
+      val mine = dup.filter(_._1 == id)
+      val covered = mine.flatMap(p => p._2 to (p._2 + 4)).toSet
+      id -> (ws.size.toLong, mine.size.toLong, covered.size.toLong)
+    }
+  }
+
+  private def run(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    graft.SparkEntry.queries("dedup_spans")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("dup_tokens"))))
+      .toMap
+  }
+
+  test("crafted corners: identical docs, internal repetition, " +
+      "short docs, overlap merging") {
+    val docs = Seq(
+      1L -> "a b c d e f g",          // dup of doc 2 → fully covered
+      2L -> "a b c d e f g",
+      3L -> "x y z w",                // < 5 tokens → no grams
+      4L -> "p p p p p p p p p",      // self-repeating gram
+      5L -> "unique words only here never repeated anywhere")
+    val got = run(docs)
+    val want = reference(docs)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // spot-check the semantics the reference encodes
+    assert(got(1L) == ((7L, 3L, 7L)))  // 3 positions, all 7 tokens covered
+    assert(got(3L) == ((4L, 0L, 0L)))
+    assert(got(4L)._2 == 5L)           // 9 tokens → 5 self-dup positions
+  }
+
+  test("seeded random corpora match the reference") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    for (_ <- 1 to 3) {
+      val docs = (1L to 15L).map { id =>
+        val n = 3 + rnd.nextInt(12)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      assert(run(docs) == reference(docs))
+    }
+  }
+}
