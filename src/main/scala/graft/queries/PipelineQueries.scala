@@ -1055,14 +1055,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("pos"),
           md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
             col("w4"))).as("g"))
-      // duplicated-gram membership as a count over a window keyed by
-      // the gram hash — ONE exchange of the gram table, versus the
-      // aggregate+semi-join spelling which materializes the gram
-      // subtree twice (once per side of the semi)
-      val wg = Window.partitionBy("g")
-      val stats = grams
-        .withColumn("cnt", count(lit(1)).over(wg))
-        .filter(col("cnt") > 1)
+      // duplicated-gram membership via a map-side-combined aggregate
+      // + semi join — NOT a count over a gram-keyed window: a
+      // corpus-frequent boilerplate gram (the precise thing this op
+      // targets) would funnel every occurrence into one window task
+      // with no partial aggregation. localCheckpoint materializes the
+      // gram table once so the semi's two sides don't recompute the
+      // tokenize+window subtree.
+      val gramsC = grams.localCheckpoint()
+      val dup = gramsC.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("g")
+      val stats = gramsC.join(dup, Seq("g"), "left_semi")
         .select(col("doc_id").as("s_doc"),
           explode(sequence(col("pos"), col("pos") + 4)).as("ti"))
         .groupBy("s_doc")
@@ -1110,24 +1113,24 @@ object PipelineQueries {
     // Hashed-feature linear classifier (fasttext-shaped): each token
     // hashes into one of 8192 buckets whose pseudo-weight is
     // (bucket − 4096)/8192 — the slot a trained weight table would
-    // fill. The margin accumulates as an INTEGER sum of bucket
+    // fill. Buckets come from md5 (Sampling.hashBucket), which both
+    // engines compute over the token's UTF-8 BYTES — unlike a
+    // codepoint fold, the mirror stays exact for non-ASCII tokens
+    // too. The margin accumulates as an INTEGER sum of bucket
     // offsets (exact, associative — safe under any aggregation
     // order) and converts to double once at the end; one map-side
     // explode + one partial-agg'd groupBy at any corpus size.
-    "text_classify_hash" -> ((s, d) => {
-      RollingHash64.register(s)
+    "text_classify_hash" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
         .select(col("doc_id"),
-          (pmod(RollingHash64.rolling_hash64(col("t")), lit(8192L)) -
-            lit(4096L)).as("wb"))
+          (Sampling.hashBucket(col("t"), "w", 8192) - lit(4096L)).as("wb"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("wb")).as("acc"))
         .select(col("doc_id"), col("n_tokens"),
           (col("acc").cast("double") / lit(8192.0) / col("n_tokens"))
             .as("margin"),
-          (col("acc") > 0L).as("keep"))
-    })
+          (col("acc") > 0L).as("keep")))
   )
 
   /** GPT-2-shaped pretokenizer, restricted to constructs Java regex
@@ -2295,19 +2298,15 @@ object PipelineQueries {
            FROM documents) WHERE rank <= 50""",
 
     // Margin re-derived with the same integer accumulation: per-token
-    // rolling hash mod 8192 (HUGEINT mod = Spark pmod here since
-    // 2^64 ≡ 0 (mod 8192)), summed as BIGINT, one double conversion.
+    // md5 bucket (first 8 hex chars as BIGINT, mod 8192 — identical
+    // UTF-8 byte hashing in both engines), summed as BIGINT, one
+    // double conversion.
     "text_classify_hash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
-         h AS (SELECT doc_id,
-             list_reduce(list_prepend(0::HUGEINT,
-               [unicode(c)::HUGEINT FOR c IN string_split(t, '')
-                IF c != '']),
-               (a, x) -> (a * ${graft.ext.RollingHash64.Base} + x)
-                         % 18446744073709551616::HUGEINT) AS hh
-           FROM tok),
          wb AS (SELECT doc_id,
-             CAST(hh % 8192 AS BIGINT) - 4096 AS wb FROM h)
+             ('0x' || substr(md5('w' || t), 1, 8))::BIGINT % 8192
+               - 4096 AS wb
+           FROM tok)
          SELECT doc_id, count(*) AS n_tokens,
            CAST(CAST(SUM(wb) AS BIGINT) AS DOUBLE) / 8192.0 / count(*)
              AS margin,

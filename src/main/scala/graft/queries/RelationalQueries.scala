@@ -36,10 +36,15 @@ object RelationalQueries {
     * double→decimal cast is itself lossy at the 10th decimal, drifting
     * the total by ~4e-7 over 5e4 rows.
     */
+  /** The exact per-row revenue product — every conditional/windowed
+    * variant must use THIS expression so a precision change reaches
+    * all of them (and their oracles) at once. */
+  private def revenueProduct: org.apache.spark.sql.Column =
+    dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) -
+        col("l_discount").cast(DecimalType(4, 2)))
   private def revenueSum(alias: String) =
-    sum(dec(col("l_extendedprice")) *
-      (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-      .cast("double").as(alias)
+    sum(revenueProduct).cast("double").as(alias)
 
   /** Production-shape approximate profiling: one scan, one partial
     * aggregate, no Expand — every distinct count is an HLL sketch
@@ -100,9 +105,7 @@ object RelationalQueries {
     "q10_returned" -> ((s, d) => {
       val l = lineitem(s, d).filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"),
-          (dec(col("l_extendedprice")) *
-            (lit(1).cast(DecimalType(4, 2)) -
-              col("l_discount").cast(DecimalType(4, 2)))).as("rev"))
+          revenueProduct.as("rev"))
       val o = orders(s, d)
         .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -712,9 +715,7 @@ object RelationalQueries {
     // decimal sums (exact) → one final double division, spelled
     // identically in the oracle so the IEEE result is bit-equal.
     "q14_promo_share" -> ((s, d) => {
-      val rev = (dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(4, 2)) -
-          col("l_discount").cast(DecimalType(4, 2))))
+      val rev = revenueProduct
       lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
@@ -801,9 +802,7 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast(DecimalType(4, 2)) -
-            col("l_discount").cast(DecimalType(4, 2)))).as("total_rev"))
+        .agg(sum(revenueProduct).as("total_rev"))
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       rev.join(broadcast(mx), col("total_rev") === col("mx"))
         .join(supplier(s, d).select("s_suppkey", "s_name"),
@@ -873,9 +872,7 @@ object RelationalQueries {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-      val rev = dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(4, 2)) -
-          col("l_discount").cast(DecimalType(4, 2)))
+      val rev = revenueProduct
       lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey",
           "l_extendedprice", "l_discount")
@@ -906,9 +903,7 @@ object RelationalQueries {
         .select("s_suppkey", "n_name")
       val o = orders(s, d).select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      val rev = dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(4, 2)) -
-          col("l_discount").cast(DecimalType(4, 2)))
+      val rev = revenueProduct
       lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_discount")
@@ -971,9 +966,12 @@ object RelationalQueries {
         .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
       val per = redl.groupBy("l_suppkey")
         .agg(sum(dec(col("l_quantity"))).as("qty_d"))
-      val stats = redl.agg(
-        sum(dec(col("l_quantity"))).cast("double").as("tot"),
-        countDistinct(col("l_suppkey")).as("nsup"))
+      // tot/nsup derive EXACTLY from the already-reduced per-supplier
+      // table (decimal addition is associative; one row per supplier
+      // by construction) — no second scan of the fact side
+      val stats = per.agg(
+        sum(col("qty_d")).cast("double").as("tot"),
+        count(lit(1)).as("nsup"))
       per.crossJoin(broadcast(stats))
         .filter(col("qty_d").cast("double") >
           lit(1.2) * col("tot") / col("nsup"))
@@ -1616,11 +1614,9 @@ object RelationalQueries {
          per AS (SELECT l_suppkey,
              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
            FROM redl GROUP BY l_suppkey),
-         stats AS (SELECT
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-               AS tot,
-             COUNT(DISTINCT l_suppkey) AS nsup
-           FROM redl)
+         stats AS (SELECT CAST(SUM(qty_d) AS DOUBLE) AS tot,
+             COUNT(*) AS nsup
+           FROM per)
          SELECT s_suppkey, s_name, n_name,
            CAST(qty_d AS DOUBLE) AS red_qty
          FROM per, stats, supplier, nation

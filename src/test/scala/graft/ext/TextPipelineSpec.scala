@@ -208,8 +208,13 @@ class DedupSpansSpec extends SparkSpec {
 
   private def reference(docs: Seq[(Long, String)])
       : Map[Long, (Long, Long, Long)] = {
+    // mirror Spark's lower(trim(text)) + split(_, "\\s+") EXACTLY:
+    // trim strips SPACES only (not \t/\n), and Spark's split keeps
+    // trailing empty tokens (limit -1) where Java's default drops them
     val toks = docs.map { case (id, t) =>
-      id -> t.trim.toLowerCase.split("\\s+").toSeq
+      val stripped = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse
+      id -> stripped.toLowerCase.split("\\s+", -1).toSeq
     }.toMap
     val grams = toks.toSeq.flatMap { case (id, ws) =>
       ws.sliding(5).zipWithIndex.collect {
@@ -247,7 +252,9 @@ class DedupSpansSpec extends SparkSpec {
       2L -> "a b c d e f g",
       3L -> "x y z w",                // < 5 tokens → no grams
       4L -> "p p p p p p p p p",      // self-repeating gram
-      5L -> "unique words only here never repeated anywhere")
+      5L -> "unique words only here never repeated anywhere",
+      6L -> " a b c d e f g\n",       // space trim + trailing \n →
+      7L -> "\ta b c d e f g")        // phantom "" token; leading \t
     val got = run(docs)
     val want = reference(docs)
     assert(got == want, s"\ngot  $got\nwant $want")

@@ -349,11 +349,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dedup_spans: gram subtree runs once (window count, no " +
-      "aggregate+semi double-materialization); docs scanned twice " +
-      "(map-side size() + gram branch)") {
+  test("dedup_spans: gram subtree runs once (checkpointed before the " +
+      "dup semi-join) — final plan scans documents only for the " +
+      "map-side size() branch; no hot-gram window") {
     val p = plan("dedup_spans")
-    assert(scansOf(p, "documents") == 2, "gram subtree duplicated")
+    assert(scansOf(p, "documents") == 1, "gram subtree recomputed")
+    assert(p.contains("ExistingRDD"), "gram checkpoint missing")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
