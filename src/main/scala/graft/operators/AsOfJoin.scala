@@ -50,4 +50,75 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__t", "__side", "__pay")
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row of the
+    * same key with right.ts >= left.ts (ties match). Same
+    * union-sort-window cost shape as [[lastEarlier]]; left rows sort
+    * BEFORE right rows at equal timestamps so an equal-ts right lands
+    * in the left row's forward frame. Several right rows sharing
+    * (key, ts) resolve to the min struct — deterministic.
+    */
+  def firstLater(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(0))
+    val r = right.select(col(keyCol), col(rightTs).as("__t"),
+        struct((col(rightTs) +: payloadCols.map(col)): _*).as("__pay"))
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__t"), col("__side"), col("__pay"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("asof", first(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__t", "__side", "__pay")
+  }
+
+  /** Nearest as-of (timestamp keys): the right row minimizing the
+    * absolute time distance; an exact tie prefers the EARLIER side
+    * (pandas merge_asof direction='nearest' with a deterministic
+    * tie). ONE shuffle by key feeds BOTH direction windows — the
+    * backward pass sees equal-ts rights (they sort first), the
+    * forward pass starts strictly after them, which is harmless: an
+    * equal-ts match has distance 0 and the backward side wins ties
+    * by definition.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(col(keyCol), col(rightTs).as("__t"),
+        struct((col(rightTs) +: payloadCols.map(col)): _*).as("__pay"))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val ord = Seq(col("__t"), col("__side"), col("__pay"))
+    val wb = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // distance in the ts column's own integral domain: micros for
+    // timestamps, the raw value for integral keys
+    val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros
+        case _ => _.cast("long")
+      }
+    val distB = toLong(col("__t")) - toLong(col(s"__back.$rightTs"))
+    val distF = toLong(col(s"__fwd.$rightTs")) - toLong(col("__t"))
+    unioned
+      .withColumn("__back", last(col("__pay"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first(col("__pay"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("asof",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(distB <= distF, col("__back"))
+          .otherwise(col("__fwd")))
+      .drop("__t", "__side", "__pay", "__back", "__fwd")
+  }
 }

@@ -42,6 +42,42 @@ object ExtendedQueries {
           col("asof.value").as("click_value"))
     }),
 
+    // Forward as-of: each purchase enriched with the NEXT click
+    // (click.ts >= purchase.ts) — same union-sort-window shape as the
+    // backward join, one user_id shuffle. Clicks pre-reduce to one
+    // row per (user, ts) (min value) so the attached payload is
+    // deterministic at any SF.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(min(col("value")).as("value"))
+      AsOfJoin.firstLater(purchases, clicks, "user_id", "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof.ts")).as("click_us"),
+          col("asof.value").as("click_value"))
+    }),
+
+    // Nearest as-of: the click minimizing |Δt| around each purchase,
+    // exact tie → earlier. Both direction windows share ONE user_id
+    // exchange.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(min(col("value")).as("value"))
+      AsOfJoin.nearest(purchases, clicks, "user_id", "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof.ts")).as("click_us"),
+          col("asof.value").as("click_value"))
+    }),
+
     // Range join: click->purchase conversions within one hour, same
     // user. Equi key (user) + range predicate: shuffles once on the
     // key, the range filter applies inside the joined partitions.
@@ -499,6 +535,45 @@ object ExtendedQueries {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    // min-ts-per-direction + equi lookup on the deduped click table —
+    // engine-neutral spelling of forward/nearest ASOF semantics
+    "join_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, min(value) AS value FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         f AS (SELECT p.event_id, p.user_id, p.ts, min(c.ts) AS fts
+           FROM p LEFT JOIN c
+             ON p.user_id = c.user_id AND c.ts >= p.ts
+           GROUP BY 1, 2, 3)
+         SELECT f.event_id, f.user_id, epoch_us(f.ts) AS purchase_us,
+           epoch_us(fts) AS click_us, c.value AS click_value
+         FROM f LEFT JOIN c
+           ON f.user_id = c.user_id AND c.ts = fts""",
+
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, min(value) AS value FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         bf AS (SELECT p.event_id, p.user_id, p.ts,
+             max(CASE WHEN c.ts <= p.ts THEN c.ts END) AS bts,
+             min(CASE WHEN c.ts >= p.ts THEN c.ts END) AS fts
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+           GROUP BY 1, 2, 3),
+         pick AS (SELECT event_id, user_id, ts,
+             CASE WHEN bts IS NULL THEN fts
+                  WHEN fts IS NULL THEN bts
+                  WHEN epoch_us(ts) - epoch_us(bts)
+                       <= epoch_us(fts) - epoch_us(ts) THEN bts
+                  ELSE fts END AS mts
+           FROM bf)
+         SELECT pick.event_id, pick.user_id,
+           epoch_us(pick.ts) AS purchase_us,
+           epoch_us(mts) AS click_us, c.value AS click_value
+         FROM pick LEFT JOIN c
+           ON pick.user_id = c.user_id AND c.ts = mts""",
 
     "join_range" ->
       """SELECT user_id, COUNT(*) AS n_pairs,

@@ -38,4 +38,74 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("extra"), col("asof.x")).head()
     assert(row.getString(0) == "payload" && row.getDouble(1) == 2.5)
   }
+
+  test("firstLater picks earliest later row per key, ties inclusive") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L),  // before both rights -> picks t=50
+      (1L, 50L),  // equal-ts tie -> inclusive (right at 50 matches)
+      (1L, 95L),  // after all rights -> null
+      (2L, 10L)   // key with no rights -> null
+    ).toDF("k", "t")
+    val right = Seq(
+      (1L, 50L, "a"),
+      (1L, 90L, "b")
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.firstLater(left, right, "k", "t", "t", Seq("v"))
+      .select(col("k"), col("t"), col("asof.v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some("a")),
+      (1L, 50L, Some("a")),
+      (1L, 95L, None),
+      (2L, 10L, None)))
+  }
+
+  test("nearest minimizes |dt|, exact tie prefers the earlier side, " +
+      "matches brute force on seeded random data") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 60L),  // back 50 (d=10) vs fwd 90 (d=30) -> back
+      (1L, 80L),  // back 50 (d=30) vs fwd 90 (d=10) -> fwd
+      (1L, 70L),  // exact tie d=20 both sides -> earlier (50)
+      (1L, 50L),  // d=0 backward -> 50
+      (2L, 10L)   // no rights -> null
+    ).toDF("k", "t")
+    val right = Seq((1L, 50L, "a"), (1L, 90L, "b")).toDF("k", "t", "v")
+    val got = AsOfJoin.nearest(left, right, "k", "t", "t", Seq("v"))
+      .select(col("k"), col("t"), col("asof.v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 60L, Some("a")),
+      (1L, 80L, Some("b")),
+      (1L, 70L, Some("a")),
+      (1L, 50L, Some("a")),
+      (2L, 10L, None)))
+
+    // seeded random differential vs brute force
+    val rnd = new scala.util.Random(11)
+    val ls = (1 to 80).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val rs = (1 to 40).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .groupBy(x => (x._1, x._2)).map(_._2.minBy(_._3)).toSeq // dedupe
+    val gotR = AsOfJoin.nearest(ls.toDF("k", "t", "id"),
+        rs.toDF("k", "t", "v"), "k", "t", "t", Seq("v"))
+      .select(col("id"), col("asof.v").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val brute = ls.map { case (k, t, id) =>
+      val cands = rs.filter(_._1 == k)
+      id -> (if (cands.isEmpty) None else {
+        val best = cands.minBy(c =>
+          (math.abs(c._2 - t), c._2 >= t && c._2 != t, c._3))
+        Some(best._3)
+      })
+    }.toMap
+    assert(gotR == brute)
+  }
 }
