@@ -245,6 +245,25 @@ object PipelineQueries {
           (col("sc").cast("double") / col("n")).as("centroid"))
     }),
 
+    // Higher-order array functions as codegen'd expressions (no UDF):
+    // L2 norm (aggregate fold), positive-component count (filter),
+    // max-abs (transform + array_max), reverse self-dot (zip_with).
+    // The embedding's element order is FIXED, so every double fold is
+    // the same IEEE sequence in both engines — array folds are
+    // deterministic where shuffle-order double sums are not.
+    "array_hof" -> ((s, d) =>
+      embeddings(s, d).select(col("vec_id"),
+        expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+          CAST(0 AS DOUBLE), (a, x) -> a + x * x)""").as("norm2"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        expr("""array_max(transform(embedding,
+          x -> abs(CAST(x AS DOUBLE))))""").as("max_abs"),
+        expr("""aggregate(zip_with(
+            transform(embedding, x -> CAST(x AS DOUBLE)),
+            reverse(transform(embedding, x -> CAST(x AS DOUBLE))),
+            (a, b) -> a * b),
+          CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("self_rev_dot"))),
+
     "sim_topk" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
@@ -1624,6 +1643,21 @@ object PipelineQueries {
                 (${normSql("cell.v")} * ${normSql("q.qv")}) AS s
             FROM cell JOIN qc ON cell.cid = qc.cid CROSS JOIN q)
           ORDER BY s DESC, vec_id LIMIT 10""",
+
+    // same left-to-right folds over the SAME element order; v[-i]
+    // pairs element i with its mirror (1-based index lambda)
+    "array_hof" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings)
+          SELECT vec_id,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (a, x) -> a + x) AS norm2,
+            CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+            list_aggregate(list_transform(v, x -> abs(x)), 'max')
+              AS max_abs,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, (x, i) -> x * v[-i])), (a, x) -> a + x)
+              AS self_rev_dot
+          FROM v""",
 
     "sim_topk" ->
       s"""WITH q AS (SELECT $VecD AS qv FROM embeddings WHERE vec_id = 0),
