@@ -42,6 +42,20 @@ object ExtendedQueries {
           col("asof.value").as("click_value"))
     }),
 
+    // Null-safe equality join (<=>): both sides map status 'P' to
+    // NULL; <=> matches NULL with NULL where plain = silently drops
+    // those rows — the classic dimension-key-with-unknowns join bug.
+    "join_nullsafe" -> ((s, d) => {
+      val l = orders(s, d)
+        .groupBy(expr("nullif(o_orderstatus, 'P')").as("st"))
+        .agg(count(lit(1)).as("n_orders"))
+      val r = orders(s, d)
+        .groupBy(expr("nullif(o_orderstatus, 'P')").as("st2"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+      l.join(r, col("st") <=> col("st2"))
+        .select(col("st"), col("n_orders"), col("n_custs"))
+    }),
+
     // Forward as-of: each purchase enriched with the NEXT click
     // (click.ts >= purchase.ts) — same union-sort-window shape as the
     // backward join, one user_id shuffle. Clicks pre-reduce to one
@@ -535,6 +549,14 @@ object ExtendedQueries {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    "join_nullsafe" ->
+      """WITH l AS (SELECT nullif(o_orderstatus, 'P') AS st,
+           count(*) AS n_orders FROM orders GROUP BY 1),
+         r AS (SELECT nullif(o_orderstatus, 'P') AS st2,
+           count(DISTINCT o_custkey) AS n_custs FROM orders GROUP BY 1)
+         SELECT st, n_orders, n_custs
+         FROM l JOIN r ON st IS NOT DISTINCT FROM st2""",
 
     // min-ts-per-direction + equi lookup on the deduped click table —
     // engine-neutral spelling of forward/nearest ASOF semantics
