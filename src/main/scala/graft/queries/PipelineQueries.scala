@@ -1099,6 +1099,49 @@ object PipelineQueries {
             col("n_tokens")).as("dup_ratio"))
     }),
 
+    // The remediation side of dedup_spans: REMOVE every token covered
+    // by a duplicated 5-gram window and fingerprint the cleaned text
+    // (md5 over the order-preserved kept tokens — full-text compare
+    // without shipping full text, the text_pii pattern). Same
+    // checkpointed gram table; the kept set is a (doc_id, pos)
+    // anti-join — skinny keys only.
+    "dedup_spans_clean" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      val tok = documents(s, d).select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = tok
+        .select(col("doc_id"), col("pos"), col("w"),
+          lead("w", 1).over(w).as("w1"), lead("w", 2).over(w).as("w2"),
+          lead("w", 3).over(w).as("w3"), lead("w", 4).over(w).as("w4"))
+        .filter(col("w4").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
+            col("w4"))).as("g"))
+        .localCheckpoint()
+      val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("g")
+      val covered = grams.join(dup, Seq("g"), "left_semi")
+        .select(col("doc_id").as("c_doc"),
+          explode(sequence(col("pos"), col("pos") + 4)).as("ti"))
+        .distinct()
+      val kept = tok.join(covered,
+        col("doc_id") === col("c_doc") && col("pos") === col("ti"),
+        "left_anti")
+      val agg = kept.groupBy(col("doc_id").as("a_doc"))
+        .agg(count(lit(1)).as("n_kept"),
+          collect_list(struct(col("pos"), col("w"))).as("lst"))
+        .select(col("a_doc"), col("n_kept"),
+          md5(array_join(
+            expr("transform(array_sort(lst), s -> s.w)"), " "))
+            .as("clean_fp"))
+      base.join(agg, col("doc_id") === col("a_doc"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+    }),
+
     // Deterministic train/val/test split: membership is a pure md5
     // function of doc_id, so the split is stable under reordering,
     // re-partitioning, and incremental re-runs — no leakage between
@@ -2311,6 +2354,35 @@ object PipelineQueries {
              AS dup_ratio
          FROM ds LEFT JOIN gc ON ds.doc_id = gc.doc_id
            LEFT JOIN cv ON ds.doc_id = cv.doc_id""",
+
+    "dedup_spans_clean" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,
+             generate_subscripts(ws, 1) - 1 AS pos
+           FROM (SELECT doc_id, $Toks AS ws FROM documents)),
+         led AS (SELECT doc_id, pos, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+             lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+           FROM tok),
+         grams AS (SELECT doc_id, pos,
+             md5(concat_ws(' ', w, w1, w2, w3, w4)) AS g
+           FROM led WHERE w4 IS NOT NULL),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+         cv AS (SELECT DISTINCT doc_id, ti FROM (
+           SELECT doc_id, unnest(range(pos, pos + 5)) AS ti
+           FROM grams WHERE g IN (SELECT g FROM dup))),
+         kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+           LEFT JOIN cv ON t.doc_id = cv.doc_id AND t.pos = cv.ti
+           WHERE cv.ti IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS clean_fp
+           FROM kept GROUP BY doc_id),
+         base AS (SELECT doc_id, len($Toks) AS n_tokens FROM documents)
+         SELECT b.doc_id, b.n_tokens,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.clean_fp, md5('')) AS clean_fp
+         FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
 
     "pipeline_split" ->
       """WITH b AS (SELECT n_chars,
