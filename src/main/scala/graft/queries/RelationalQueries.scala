@@ -1024,6 +1024,22 @@ object RelationalQueries {
             .otherwise(0L)).as("risky_rows"),
           min(col("group_size")).as("min_group_size"))),
 
+    // l-diversity audit — k-anonymity's companion: a QI group whose
+    // SENSITIVE attribute (market segment) takes too few distinct
+    // values leaks it even when the group is large. Same two-level
+    // aggregate shape as profile_kanon.
+    "profile_ldiv" -> ((s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("c_mktsegment")).as("l_div"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("l_div") < 3, 1L).otherwise(0L))
+            .as("low_diversity_groups"),
+          min(col("l_div")).as("min_l"),
+          sum(when(col("l_div") < 3, col("group_size"))
+            .otherwise(0L)).as("exposed_rows"))),
+
     // TPC-H Q22 shape: well-funded customers gone idle. The scalar
     // AVG broadcast-crosses (1 row), the "no recent orders" NOT EXISTS
     // is a left-anti against the date-pruned orders slice, and the
@@ -1650,6 +1666,18 @@ object RelationalQueries {
            CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
              AS BIGINT) AS risky_rows,
            min(group_size) AS min_group_size
+         FROM g""",
+
+    "profile_ldiv" ->
+      """WITH g AS (SELECT c_nationkey, count(*) AS group_size,
+           count(DISTINCT c_mktsegment) AS l_div
+           FROM customer GROUP BY 1)
+         SELECT count(*) AS n_groups,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_diversity_groups,
+           min(l_div) AS min_l,
+           CAST(SUM(CASE WHEN l_div < 3 THEN group_size ELSE 0 END)
+             AS BIGINT) AS exposed_rows
          FROM g""",
 
     "q22_idle_customers" ->

@@ -275,4 +275,44 @@ class DedupSpansSpec extends SparkSpec {
       assert(run(docs) == reference(docs))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedup_spans_clean removes exactly the covered tokens and " +
+      "fingerprints the order-preserved remainder") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g",
+      2L -> "a b c d e f g",          // full dup → empty remainder
+      3L -> "x y z a b c d e tail",   // prefix-shifted partial overlap
+      4L -> "short doc here")
+    val dir = java.nio.file.Files.createTempDirectory("spansc").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_spans_clean")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("clean_fp")))).toMap
+    // reference: recompute covered sets in-memory
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq }.toMap
+    val grams = toks.toSeq.flatMap { case (id, ws) =>
+      ws.sliding(5).zipWithIndex.collect {
+        case (g, i) if g.size == 5 => (id, i, g.mkString(" ")) } }
+    val counts = grams.groupBy(_._3).map { case (g, v) => g -> v.size }
+    val want = toks.map { case (id, ws) =>
+      val covered = grams
+        .filter(p => p._1 == id && counts(p._3) > 1)
+        .flatMap(p => p._2 to (p._2 + 4)).toSet
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !covered(i) => w }
+      id -> ((kept.size.toLong, md5hex(kept.mkString(" "))))
+    }
+    assert(got == want, s"\ngot  $got\nwant $want")
+    assert(got(2L) == ((0L, md5hex(""))))          // fully removed
+    assert(got(3L) == ((4L, md5hex("x y z tail")))) // gap-preserving
+    assert(got(4L) == ((3L, md5hex("short doc here"))))
+  }
 }
