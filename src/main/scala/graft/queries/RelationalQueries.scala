@@ -1024,6 +1024,34 @@ object RelationalQueries {
             .otherwise(0L)).as("risky_rows"),
           min(col("group_size")).as("min_group_size"))),
 
+    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001):
+    // orders not strictly dominated on (price ↓, recency ↑). The
+    // NOT-EXISTS-a-dominator semantics collapse to a running max over
+    // a range frame ending 1 cent before the current price (integer
+    // cents → exact frame bound): keep a row iff no STRICTLY cheaper
+    // row is STRICTLY more recent. TWO phases so no window ever holds
+    // the whole table: a salted local pass prunes each slice to its
+    // own frontier (a global survivor survives every subset it's in),
+    // then the global pass runs on the tiny union of local fronts.
+    "skyline_pareto" -> ((s, d) => {
+      val price_c = round(col("o_totalprice") * 100).cast("long")
+      def frontier(df: DataFrame, parts: Seq[String]): DataFrame = {
+        val w = (if (parts.isEmpty) Window.orderBy(price_c)
+          else Window.partitionBy(parts.map(col): _*).orderBy(price_c))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        df.withColumn("__best", max(col("date_epoch")).over(w))
+          .filter(col("__best").isNull ||
+            col("date_epoch") >= col("__best"))
+          .drop("__best")
+      }
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_timestamp(col("o_orderdate")).as("date_epoch"))
+        .withColumn("__salt", pmod(xxhash64(col("o_orderkey")), lit(32L)))
+      frontier(frontier(base, Seq("__salt")).drop("__salt"), Nil)
+        .select("o_orderkey", "o_totalprice", "date_epoch")
+    }),
+
     // l-diversity audit — k-anonymity's companion: a QI group whose
     // SENSITIVE attribute (market segment) takes too few distinct
     // values leaks it even when the group is large. Same two-level
@@ -1667,6 +1695,17 @@ object RelationalQueries {
              AS BIGINT) AS risky_rows,
            min(group_size) AS min_group_size
          FROM g""",
+
+    // direct NOT-EXISTS-dominator spelling — the two-phase window
+    // must be result-identical
+    "skyline_pareto" ->
+      """SELECT o_orderkey, o_totalprice,
+         CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch
+         FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM orders d
+           WHERE CAST(round(d.o_totalprice * 100) AS BIGINT)
+                 < CAST(round(o.o_totalprice * 100) AS BIGINT)
+             AND d.o_orderdate > o.o_orderdate)""",
 
     "profile_ldiv" ->
       """WITH g AS (SELECT c_nationkey, count(*) AS group_size,
