@@ -380,6 +380,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"))
   }
 
+  test("skyline_pareto: phase 1 windows over the salt partitions — " +
+      "no single window ever holds the whole table") {
+    val p = plan("skyline_pareto")
+    assert(p.contains("hashpartitioning(__salt"),
+      "local-frontier phase lost its salt partitioning")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 2,
+      "expected exactly the local + global frontier windows")
+  }
+
   test("q21_sole_returner: the per-order EXISTS stats join back " +
       "without cartesian or nested-loop fallback") {
     val p = plan("q21_sole_returner")
