@@ -32,9 +32,12 @@ object AsOfJoin {
     * If several right rows share (key, ts), the surviving payload is
     * the max struct (deterministic tiebreak on payload order).
     */
-  def lastEarlier(left: DataFrame, right: DataFrame, keyCol: String,
+  def lastEarlier(left: DataFrame, right0: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    // a right row with no timestamp matches nothing — left in, it
+    // would sort nulls-first and become a phantom "earliest" payload
+    val right = right0.filter(col(rightTs).isNotNull)
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
@@ -58,9 +61,10 @@ object AsOfJoin {
     * in the left row's forward frame. Several right rows sharing
     * (key, ts) resolve to the min struct — deterministic.
     */
-  def firstLater(left: DataFrame, right: DataFrame, keyCol: String,
+  def firstLater(left: DataFrame, right0: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    val right = right0.filter(col(rightTs).isNotNull)
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(0))
@@ -86,9 +90,10 @@ object AsOfJoin {
     * equal-ts match has distance 0 and the backward side wins ties
     * by definition.
     */
-  def nearest(left: DataFrame, right: DataFrame, keyCol: String,
+  def nearest(left: DataFrame, right0: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    val right = right0.filter(col(rightTs).isNotNull)
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))

@@ -1108,8 +1108,11 @@ object PipelineQueries {
     "dedup_spans_clean" -> ((s, d) => {
       val base = documents(s, d).select(col("doc_id"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      // tok feeds BOTH the gram branch and the kept-token anti-join —
+      // checkpointed so the corpus is tokenized/exploded exactly once
       val tok = documents(s, d).select(col("doc_id"),
         posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+        .localCheckpoint()
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val grams = tok
         .select(col("doc_id"), col("pos"), col("w"),

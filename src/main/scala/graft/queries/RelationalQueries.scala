@@ -1024,25 +1024,39 @@ object RelationalQueries {
             .otherwise(0L)).as("risky_rows"),
           min(col("group_size")).as("min_group_size"))),
 
-    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001):
-    // orders not strictly dominated on (price ↓, recency ↑). The
-    // NOT-EXISTS-a-dominator semantics collapse to a running max over
-    // a range frame ending 1 cent before the current price (integer
-    // cents → exact frame bound): keep a row iff no STRICTLY cheaper
-    // row is STRICTLY more recent. TWO phases so no window ever holds
-    // the whole table: a salted local pass prunes each slice to its
-    // own frontier (a global survivor survives every subset it's in),
-    // then the global pass runs on the tiny union of local fronts.
+    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) on
+    // (price ↓, recency ↑), textbook dominance: d dominates o iff
+    // d is ≤ on price AND ≥ on recency AND strictly better on at
+    // least one. Collapses to TWO window aggregates over ONE sort by
+    // integer cents: dominated iff a STRICTLY cheaper row is at least
+    // as recent (range frame ending 1 cent before), or an EQUAL-price
+    // row is strictly more recent (range frame [0,0] = the price tie
+    // group). Two phases: a salted local pass prunes each slice to
+    // its own frontier (dominance is transitive, so a global survivor
+    // survives every subset), then the global pass runs on the union
+    // of local fronts — sized by the skyline, not the table, whenever
+    // dominance prunes (a worst-case anti-correlated table has an
+    // O(n) skyline, where EVERY exact algorithm's output is the
+    // table).
     "skyline_pareto" -> ((s, d) => {
       val price_c = round(col("o_totalprice") * 100).cast("long")
       def frontier(df: DataFrame, parts: Seq[String]): DataFrame = {
-        val w = (if (parts.isEmpty) Window.orderBy(price_c)
-          else Window.partitionBy(parts.map(col): _*).orderBy(price_c))
-          .rangeBetween(Window.unboundedPreceding, -1)
-        df.withColumn("__best", max(col("date_epoch")).over(w))
-          .filter(col("__best").isNull ||
-            col("date_epoch") >= col("__best"))
-          .drop("__best")
+        def w(lo: Any, hi: Long) = {
+          val base = if (parts.isEmpty) Window.orderBy(price_c)
+            else Window.partitionBy(parts.map(col): _*).orderBy(price_c)
+          lo match {
+            case l: Long => base.rangeBetween(l, hi)
+            case _ => base.rangeBetween(Window.unboundedPreceding, hi)
+          }
+        }
+        df.withColumn("__bestCheaper",
+            max(col("date_epoch")).over(w(None, -1L)))
+          .withColumn("__bestEqual",
+            max(col("date_epoch")).over(w(0L, 0L)))
+          .filter((col("__bestCheaper").isNull ||
+              col("date_epoch") > col("__bestCheaper")) &&
+            col("date_epoch") === col("__bestEqual"))
+          .drop("__bestCheaper", "__bestEqual")
       }
       val base = orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -1696,16 +1710,20 @@ object RelationalQueries {
            min(group_size) AS min_group_size
          FROM g""",
 
-    // direct NOT-EXISTS-dominator spelling — the two-phase window
-    // must be result-identical
+    // direct NOT-EXISTS-dominator spelling of the textbook dominance
+    // (≤/≥ on both dims, strict on at least one) — the two-phase
+    // window must be result-identical
     "skyline_pareto" ->
       """SELECT o_orderkey, o_totalprice,
          CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch
          FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM orders d
            WHERE CAST(round(d.o_totalprice * 100) AS BIGINT)
-                 < CAST(round(o.o_totalprice * 100) AS BIGINT)
-             AND d.o_orderdate > o.o_orderdate)""",
+                 <= CAST(round(o.o_totalprice * 100) AS BIGINT)
+             AND d.o_orderdate >= o.o_orderdate
+             AND (CAST(round(d.o_totalprice * 100) AS BIGINT)
+                  < CAST(round(o.o_totalprice * 100) AS BIGINT)
+               OR d.o_orderdate > o.o_orderdate))""",
 
     "profile_ldiv" ->
       """WITH g AS (SELECT c_nationkey, count(*) AS group_size,

@@ -74,7 +74,10 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 50L),  // d=0 backward -> 50
       (2L, 10L)   // no rights -> null
     ).toDF("k", "t")
-    val right = Seq((1L, 50L, "a"), (1L, 90L, "b")).toDF("k", "t", "v")
+    // the null-ts right row must be ignored, not become a phantom
+    // nulls-first "earliest" match (key 2 has ONLY the null-ts row)
+    val right = Seq((1L, Some(50L), "a"), (1L, Some(90L), "b"),
+      (2L, Option.empty[Long], "z")).toDF("k", "t", "v")
     val got = AsOfJoin.nearest(left, right, "k", "t", "t", Seq("v"))
       .select(col("k"), col("t"), col("asof.v").as("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1),

@@ -385,8 +385,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("skyline_pareto")
     assert(p.contains("hashpartitioning(__salt"),
       "local-frontier phase lost its salt partitioning")
-    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 2,
-      "expected exactly the local + global frontier windows")
+    // 2 frames (strictly-cheaper + price-tie) × 2 phases
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 4,
+      "expected the 2-frame local + global frontier windows")
   }
 
   test("q21_sole_returner: the per-order EXISTS stats join back " +
