@@ -947,13 +947,14 @@ object PipelineQueries {
     // training is two partial-agg'd counts over the reference; scoring
     // is one lag window per doc (one doc_id exchange) + two keyed
     // joins against the vocab-bounded count tables. Determinism: the
-    // integer signals (n_bigrams, n_known, the 80%-known keep flag)
-    // are exact; the likelihood sum rounds each IEEE-identical
-    // probability (integer/integer double division) to 8dp and sums
-    // as DECIMAL — order-independent, so no shuffle order can move
-    // the hash. No log(): libm log10 is not correctly-rounded and can
-    // differ across engines in the last ulp; the rational form keeps
-    // every per-bigram value bit-identical instead.
+    // hash path is pure long arithmetic — each smoothed probability
+    // is scaled to an integer, p_scaled = (c2+1)*1e8 DIV (c1+v)
+    // (floor division of non-negative longs, identical in Spark and
+    // DuckDB), and summed as BIGINT. No doubles anywhere: log() is
+    // not correctly-rounded across libms, and even round(double, 8)
+    // disagrees between engines near half-way boundaries (Spark
+    // rounds the exact decimal expansion of the binary double,
+    // DuckDB rounds in float space) — r07's one red row.
     "text_lm_score" -> ((s, d) => {
       val docs = documents(s, d)
       val toks = (df: DataFrame) => df.select(col("doc_id"),
@@ -980,9 +981,8 @@ object PipelineQueries {
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           col("c2").isNotNull.cast("long").as("known"),
-          round((coalesce(col("c2"), lit(0L)) + lit(1L)) /
-            (coalesce(col("c1"), lit(0L)) + col("v")), 8)
-            .cast("decimal(20,8)").as("p"))
+          expr("(coalesce(c2, CAST(0 AS BIGINT)) + 1) * 100000000 DIV " +
+            "(coalesce(c1, CAST(0 AS BIGINT)) + v)").as("p"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("known")).as("n_known"),
@@ -2272,15 +2272,15 @@ object PipelineQueries {
          scored AS (
            SELECT s.doc_id,
                   CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
-                  CAST(round((COALESCE(b.c2, 0) + 1) /
-                    (COALESCE(u.c1, 0) + vv.v), 8) AS DECIMAL(20,8)) AS p
+                  CAST((COALESCE(b.c2, 0) + 1) * 100000000 //
+                    (COALESCE(u.c1, 0) + vv.v) AS BIGINT) AS p
            FROM sbig s
            LEFT JOIN uni u ON s.w1 = u.w1
            LEFT JOIN rbig b ON s.w1 = b.w1 AND s.w2 = b.w2
            CROSS JOIN vv)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(known) AS BIGINT) AS n_known,
-           sum(p) AS sum_p,
+           CAST(sum(p) AS BIGINT) AS sum_p,
            (sum(known) * 5 >= count(*) * 4) AS lm_keep
          FROM scored GROUP BY doc_id""",
 
