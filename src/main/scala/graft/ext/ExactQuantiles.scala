@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
  *  driver-side structure is O(B + |ps|); every executor task sorts at
  *  most `refineLimit` rows.
  *
+ *  ONE implementation serves every caller: the core is the grouped
+ *  MULTI-value-column path (each scan computes stats/histograms for
+ *  all requested value columns at once — an unpivot-explode makes the
+ *  column id part of the composite key); the single-column grouped
+ *  and the global entry points are thin wrappers (global = one
+ *  constant group).
+ *
  *  Determinism: bucket ids are a pure function of the value (never of
  *  partitioning), histogram counts are exact integers, and the value
  *  at a global rank is unique even under ties — so the result is
@@ -38,106 +45,123 @@ import org.apache.spark.sql.functions._
 object ExactQuantiles {
 
   /** Exact `quantile_cont`-style percentiles of `valueCol` (nulls
-   *  ignored), one double per requested `ps` entry. */
+   *  ignored), one double per requested `ps` entry. Global = the
+   *  grouped path with one constant group. */
   def percentiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                   buckets: Int = 8192,
                   refineLimit: Long = 4L * 1024 * 1024): Seq[Double] = {
-    val base = df.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    val Row(mn: Double, mx: Double, n: Long) =
-      base.agg(min(col("v")), max(col("v")), count(lit(1))).head()
-    require(n > 0, s"percentiles($valueCol) over empty input")
-    // quantile_cont: pos = (n-1)*p; interpolate between the values at
-    // 1-indexed global ranks floor(pos)+1 and ceil(pos)+1.
-    val targets = ps.map { p =>
-      val pos = (n - 1).toDouble * p
-      val lo = math.floor(pos).toLong
-      (lo + 1L, math.ceil(pos).toLong + 1L, pos - lo)
-    }
-    val ranks = targets.flatMap(t => Seq(t._1, t._2)).distinct.sorted
-    val at = orderStatistics(base, mn, mx, n, ranks, buckets, refineLimit)
-    targets.map { case (loR, hiR, frac) =>
-      val a = at(loR)
-      if (frac == 0.0) a else a + (at(hiR) - a) * frac
-    }
+    val out = groupedPercentilesMulti(
+        df.select(lit(0).as("__all"), col(valueCol)),
+        "__all", Seq(valueCol -> ps), buckets, refineLimit)
+      .collect()
+    require(out.nonEmpty, s"percentiles($valueCol) over empty input")
+    ps.indices.map(i => out.head.getDouble(i + 1))
   }
 
   /** GROUPED exact percentiles — `GROUP BY g` + `percentile(v, p)`
    *  without the per-group full-multiset aggregation buffer. Returns a
-   *  DataFrame (groupCol, p0, p1, ... one double per `ps` entry).
-   *
-   *  Same passes as the global path, vectorized over groups: one
-   *  grouped min/max/count (G rows to the driver — profiling group
-   *  cardinality must be driver-bounded, enforced by `maxGroups`); one
-   *  histogram pass where each row's bucket comes from ITS group's
-   *  range via a broadcast stats join (G×B counts to the driver); one
-   *  filtered scan where a window partitioned by (group, bucket) sorts
-   *  only the rank-carrying buckets — each task ≤ refineLimit rows.
-   *  Oversized buckets recurse through the proven single-group path.
-   */
+   *  DataFrame (groupCol, p0, p1, ... one double per `ps` entry). */
   def groupedPercentiles(df: DataFrame, groupCol: String,
       valueCol: String, ps: Seq[Double], buckets: Int = 2048,
       refineLimit: Long = 4L * 1024 * 1024,
+      maxGroups: Int = 10000): DataFrame =
+    groupedPercentilesMulti(df, groupCol, Seq(valueCol -> ps), buckets,
+      refineLimit, maxGroups)
+
+  /** Grouped exact percentiles over SEVERAL value columns in the same
+   *  scans. `specs` is (valueCol, ps) per column; the output flattens
+   *  to (groupCol, p0, p1, ...) in spec order — p-indices run across
+   *  specs, so Seq(a -> Seq(.5), b -> Seq(.25, .9)) yields p0 = a@.5,
+   *  p1 = b@.25, p2 = b@.9.
+   *
+   *  Same passes as the single-column path, vectorized over BOTH the
+   *  groups and the value columns: an explode of |specs| (column-id,
+   *  value) structs per row makes the column id part of the composite
+   *  key, so one grouped min/max/count, one histogram pass (per-key
+   *  range via a broadcast stats join), and one windowed candidate
+   *  scan cover every column — |specs|× fewer jobs than calling the
+   *  single-column path per column, and the input is scanned once per
+   *  pass instead of once per pass per column. Oversized buckets
+   *  recurse through `orderStatistics`. Groups where a column is
+   *  all-null yield null for that column's percentiles. */
+  def groupedPercentilesMulti(df: DataFrame, groupCol: String,
+      specs: Seq[(String, Seq[Double])], buckets: Int = 2048,
+      refineLimit: Long = 4L * 1024 * 1024,
       maxGroups: Int = 10000): DataFrame = {
     val spark = df.sparkSession
-    val base = df.select(col(groupCol).as("g"),
-        col(valueCol).cast("double").as("v"))
+    require(specs.nonEmpty, "groupedPercentilesMulti: no value columns")
+    // unpivot: (g, c, v) rows, c = spec index — the column id joins the
+    // group in every key so all downstream passes stay single-job
+    val cv = explode(array(specs.zipWithIndex.map { case ((vc, _), i) =>
+      struct(lit(i).as("c"), col(vc).cast("double").as("v")) }: _*))
+    val base = df.select(col(groupCol).as("g"), cv.as("cv"))
+      .select(col("g"), col("cv.c").as("c"), col("cv.v").as("v"))
       .filter(col("v").isNotNull && col("g").isNotNull)
-    val stats = base.groupBy("g")
+    val stats = base.groupBy("g", "c")
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         count(lit(1)).as("n")).collect()
-    require(stats.length <= maxGroups,
-      s"groupedPercentiles: ${stats.length} groups exceed $maxGroups — " +
+    require(stats.map(_.get(0)).distinct.length <= maxGroups,
+      s"groupedPercentilesMulti: group count exceeds $maxGroups — " +
         "driver-side rank targets need bounded group cardinality")
     val gField = base.schema("g")
 
-    // per-group rank targets, exactly the global path's arithmetic
-    case class GT(g: Any, mn: Double, mx: Double, n: Long,
+    // per-(group, column) rank targets — quantile_cont arithmetic:
+    // pos = (n-1)*p, interpolate between 1-indexed ranks floor(pos)+1
+    // and ceil(pos)+1
+    case class GT(g: Any, c: Int, mn: Double, mx: Double, n: Long,
         targets: Seq[(Long, Long, Double)])
     val gts = stats.map { r =>
-      val n = r.getLong(3)
-      GT(r.get(0), r.getDouble(1), r.getDouble(2), n,
-        ps.map { p =>
+      val n = r.getLong(4)
+      GT(r.get(0), r.getInt(1), r.getDouble(2), r.getDouble(3), n,
+        specs(r.getInt(1))._2.map { p =>
           val pos = (n - 1).toDouble * p
           val lo = math.floor(pos).toLong
           (lo + 1L, math.ceil(pos).toLong + 1L, pos - lo)
         })
     }.toSeq
-    val (flat, ranged) = gts.partition(t => t.mn == t.mx)
+    val ranged = gts.filter(t => t.mn != t.mx)
 
-    val resolved: Map[Any, Map[Long, Double]] =
+    val resolved: Map[(Any, Int), Map[Long, Double]] =
       if (ranged.isEmpty) Map.empty
       else {
-        // histogram pass: bucket width is per-group, delivered to every
-        // row by a broadcast join on the (tiny) stats table
+        // histogram pass: bucket width is per-(group, column),
+        // delivered to every row by a broadcast join on the (tiny)
+        // stats table
         val statsDf = spark.createDataFrame(
           new java.util.ArrayList[Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(
-              ranged.map(t => Row(t.g, t.mn, t.mx))).asJava),
+              ranged.map(t => Row(t.g, t.c, t.mn, t.mx))).asJava),
           org.apache.spark.sql.types.StructType(Seq(
             gField.copy(name = "sg"),
+            org.apache.spark.sql.types.StructField("sc",
+              org.apache.spark.sql.types.IntegerType),
             org.apache.spark.sql.types.StructField("mn",
               org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.types.StructField("mx",
               org.apache.spark.sql.types.DoubleType))))
-        val bucketOf = least(lit(buckets - 1), greatest(lit(0),
-          floor((col("v") - col("mn")) /
-            ((col("mx") - col("mn")) / buckets)).cast("int")))
+        // clamp in DOUBLE space before floor/cast: Catalyst may
+        // reorder stacked recursion filters so this expression sees
+        // rows far outside [mn, mx], where the raw ratio exceeds int
+        // range and an after-the-floor clamp would ANSI-overflow
+        val bucketOf = floor(least(lit((buckets - 1).toDouble),
+          greatest(lit(0.0), (col("v") - col("mn")) /
+            ((col("mx") - col("mn")) / buckets)))).cast("int")
         val binned = base
-          .join(broadcast(statsDf), col("g") === col("sg"))
-          .select(col("g"), col("v"), bucketOf.as("b"))
-        val hist: Map[Any, Seq[(Int, Long)]] = binned
-          .groupBy("g", "b").agg(count(lit(1)).as("c")).collect()
-          .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+          .join(broadcast(statsDf),
+            col("g") === col("sg") && col("c") === col("sc"))
+          .select(col("g"), col("c"), col("v"), bucketOf.as("b"))
+        val hist: Map[(Any, Int), Seq[(Int, Long)]] = binned
+          .groupBy("g", "c", "b").agg(count(lit(1)).as("cnt")).collect()
+          .map(r => ((r.get(0), r.getInt(1)), r.getInt(2), r.getLong(3)))
           .groupBy(_._1)
-          .map { case (g, rs) =>
-            g -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+          .map { case (k, rs) =>
+            k -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
 
-        // driver cumsum per group → (group, bucket) -> local ranks
-        case class Need(g: Any, b: Int, before: Long, cnt: Long,
+        // driver cumsum per key → (key, bucket) -> local ranks
+        case class Need(g: Any, c: Int, b: Int, before: Long, cnt: Long,
             locals: Seq[(Long, Long)]) // (globalRank, localRank)
         val needs: Seq[Need] = ranged.flatMap { t =>
-          val buckets0 = hist(t.g)
+          val buckets0 = hist((t.g, t.c))
           var cum = 0L
           val cumBefore = buckets0.map { case (b, c) =>
             val before = cum; cum += c; (b, before, c) }
@@ -148,44 +172,49 @@ object ExactQuantiles {
             (b, before, c, r)
           }.groupBy(x => (x._1, x._2, x._3))
             .map { case ((b, before, c), xs) =>
-              Need(t.g, b, before, c,
+              Need(t.g, t.c, b, before, c,
                 xs.map(x => (x._4, x._4 - before)).distinct) }
         }
 
         val (big, small) = needs.partition(_.cnt > refineLimit)
-        val fromSmall: Seq[(Any, Long, Double)] =
+        val fromSmall: Seq[(Any, Int, Long, Double)] =
           if (small.isEmpty) Nil
           else {
             val candDf = spark.createDataFrame(
               new java.util.ArrayList[Row](
                 scala.jdk.CollectionConverters.SeqHasAsJava(
-                  small.map(nd => Row(nd.g, nd.b))).asJava),
+                  small.map(nd => Row(nd.g, nd.c, nd.b))).asJava),
               org.apache.spark.sql.types.StructType(Seq(
                 gField.copy(name = "cg"),
+                org.apache.spark.sql.types.StructField("cc",
+                  org.apache.spark.sql.types.IntegerType),
                 org.apache.spark.sql.types.StructField("cb",
                   org.apache.spark.sql.types.IntegerType))))
-            val wanted: Set[(Any, Int, Long)] = small.flatMap(nd =>
-              nd.locals.map { case (_, lr) => (nd.g, nd.b, lr) }).toSet
+            val wanted: Set[(Any, Int, Int, Long)] = small.flatMap(nd =>
+              nd.locals.map { case (_, lr) => (nd.g, nd.c, nd.b, lr) })
+              .toSet
             // pre-collect rank filter: only the wanted local ranks
             // (plus same-rank rows of other candidate buckets) reach
             // the driver — never a bucket's full contents
-            val rankSet = wanted.map(_._3.toInt).toSeq.distinct.sorted
+            val rankSet = wanted.map(_._4.toInt).toSeq.distinct.sorted
             val picked = binned
-              .join(broadcast(candDf),
-                col("g") === col("cg") && col("b") === col("cb"))
+              .join(broadcast(candDf), col("g") === col("cg") &&
+                col("c") === col("cc") && col("b") === col("cb"))
               .withColumn("r", row_number().over(
-                Window.partitionBy("g", "b").orderBy("v")))
+                Window.partitionBy("g", "c", "b").orderBy("v")))
               .filter(col("r").isin(rankSet: _*))
+              .select(col("g"), col("c"), col("b"), col("r"), col("v"))
               .collect()
-              .map(r => (r.get(0), r.getInt(2), r.getInt(5).toLong) ->
-                r.getDouble(1))
+              .map(r => (r.get(0), r.getInt(1), r.getInt(2),
+                r.getInt(3).toLong) -> r.getDouble(4))
               .filter { case (k, _) => wanted.contains(k) }.toMap
             small.flatMap(nd => nd.locals.map { case (gr, lr) =>
-              (nd.g, gr, picked((nd.g, nd.b, lr))) })
+              (nd.g, nd.c, gr, picked((nd.g, nd.c, nd.b, lr))) })
           }
-        val fromBig: Seq[(Any, Long, Double)] = big.flatMap { nd =>
+        val fromBig: Seq[(Any, Int, Long, Double)] = big.flatMap { nd =>
           val inBucket = binned
-            .filter(col("g") === lit(nd.g) && col("b") === nd.b)
+            .filter(col("g") === lit(nd.g) && col("c") === nd.c &&
+              col("b") === nd.b)
             .select("v")
           val Row(bmn: Double, bmx: Double) =
             inBucket.agg(min(col("v")), max(col("v"))).head()
@@ -194,26 +223,34 @@ object ExactQuantiles {
               .map(_ -> bmn).toMap
             else orderStatistics(inBucket, bmn, bmx, nd.cnt,
               nd.locals.map(_._2).distinct.sorted, buckets, refineLimit)
-          nd.locals.map { case (gr, lr) => (nd.g, gr, at(lr)) }
+          nd.locals.map { case (gr, lr) => (nd.g, nd.c, gr, at(lr)) }
         }
-        (fromSmall ++ fromBig).groupBy(_._1)
-          .map { case (g, xs) => g -> xs.map(x => (x._2, x._3)).toMap }
+        (fromSmall ++ fromBig).groupBy(x => (x._1, x._2))
+          .map { case (k, xs) => k -> xs.map(x => (x._3, x._4)).toMap }
       }
 
-    val rows = gts.map { t =>
-      val at: Long => Double =
-        if (t.mn == t.mx) _ => t.mn else resolved(t.g)
-      Row.fromSeq(t.g +: t.targets.map { case (loR, hiR, frac) =>
-        val a = at(loR)
-        if (frac == 0.0) a else a + (at(hiR) - a) * frac
+    val byKey = gts.map(t => (t.g, t.c) -> t).toMap
+    val rows = gts.map(_.g).distinct.map { g =>
+      Row.fromSeq(g +: specs.zipWithIndex.flatMap { case ((_, ps), c) =>
+        byKey.get((g, c)) match {
+          case None => ps.map(_ => null) // column all-null in this group
+          case Some(t) =>
+            val at: Long => Double =
+              if (t.mn == t.mx) _ => t.mn else resolved((g, c))
+            t.targets.map { case (loR, hiR, frac) =>
+              val a = at(loR)
+              if (frac == 0.0) a else a + (at(hiR) - a) * frac
+            }
+        }
       })
     }
+    val nPs = specs.map(_._2.length).sum
     spark.createDataFrame(
       new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       org.apache.spark.sql.types.StructType(
         gField.copy(name = groupCol) +:
-          ps.indices.map(i => org.apache.spark.sql.types.StructField(
+          (0 until nPs).map(i => org.apache.spark.sql.types.StructField(
             s"p$i", org.apache.spark.sql.types.DoubleType))))
   }
 
@@ -226,7 +263,8 @@ object ExactQuantiles {
       .toDouble
 
   /** Values at the given 1-indexed global ranks of `base.v` sorted
-   *  ascending, within the known range [mn, mx] of count n. */
+   *  ascending, within the known range [mn, mx] of count n — the
+   *  recursion step for oversized candidate buckets. */
   private def orderStatistics(base: DataFrame, mn: Double, mx: Double,
       n: Long, ranks: Seq[Long], buckets: Int,
       refineLimit: Long): Map[Long, Double] = {
@@ -234,9 +272,12 @@ object ExactQuantiles {
     if (mn == mx) return ranks.map(_ -> mn).toMap
     val width = (mx - mn) / buckets
     // Pure function of the value: same bucket on every run, and the
-    // clamp folds fp edge cases (v == mx) into the last bucket.
-    val bucketOf = least(lit(buckets - 1),
-      greatest(lit(0), floor((col("v") - mn) / width).cast("int")))
+    // clamp folds fp edge cases (v == mx) into the last bucket. The
+    // clamp runs in DOUBLE space BEFORE floor/cast — combined
+    // recursion filters can evaluate this on out-of-range rows where
+    // the raw ratio would ANSI-overflow the int cast.
+    val bucketOf = floor(least(lit((buckets - 1).toDouble),
+      greatest(lit(0.0), (col("v") - mn) / width))).cast("int")
     val hist = base.groupBy(bucketOf.as("b")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // driver-side cumulative walk over ≤ `buckets` entries

@@ -301,24 +301,23 @@ object ExtendedQueries {
     }),
 
     // Exact interpolated percentiles (== DuckDB `quantile_cont`),
-    // rounded 6dp — computed by ext/ExactQuantiles.groupedPercentiles,
-    // NOT Spark's exact grouped `percentile`, whose per-group buffer
-    // materializes that group's full value multiset (at 100 TB a hot
-    // group is an executor-memory wall — the same scale-killer the
-    // equi-depth histogram had). Bounded passes instead: grouped
-    // min/max/count, per-group-range histogram via broadcast stats
-    // join, one windowed candidate scan.
-    "percentile_agg" -> ((s, d) => {
-      val li = lineitem(s, d)
-      val qty = graft.ext.ExactQuantiles.groupedPercentiles(
-        li, "l_returnflag", "l_quantity", Seq(0.5))
-        .select(col("l_returnflag"), round(col("p0"), 6).as("p50_qty"))
-      val price = graft.ext.ExactQuantiles.groupedPercentiles(
-        li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.9))
-        .select(col("l_returnflag"), round(col("p0"), 6).as("p25_price"),
-          round(col("p1"), 6).as("p90_price"))
-      qty.join(price, "l_returnflag")
-    }),
+    // rounded 6dp — computed by ext/ExactQuantiles, NOT Spark's exact
+    // grouped `percentile`, whose per-group buffer materializes that
+    // group's full value multiset (at 100 TB a hot group is an
+    // executor-memory wall — the same scale-killer the equi-depth
+    // histogram had). Bounded passes instead: grouped min/max/count,
+    // per-group-range histogram via broadcast stats join, one windowed
+    // candidate scan — and the MULTI-column variant computes both
+    // value columns' stats and histograms in the SAME scans (r07 ran
+    // the machinery once per column, 2× the passes and an 8× local
+    // regression).
+    "percentile_agg" -> ((s, d) =>
+      graft.ext.ExactQuantiles.groupedPercentilesMulti(
+        lineitem(s, d), "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.25, 0.9)))
+        .select(col("l_returnflag"), round(col("p0"), 6).as("p50_qty"),
+          round(col("p1"), 6).as("p25_price"),
+          round(col("p2"), 6).as("p90_price"))),
 
     // Quantile SKETCH (the scan-tier companion to the HLL distinct
     // sketch): approx_percentile with accuracy A bounds rank error by

@@ -109,6 +109,51 @@ class ExactQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("groupedPercentilesMulti: two value columns in shared scans " +
+      "match per-column exact percentiles, flattened p-index order") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(3000) { i =>
+      (s"g${i % 3}", rnd.nextDouble() * 1e4, rnd.nextGaussian() * 50)
+    }
+    val df = rows.toDF("g", "a", "b")
+    val want = df.groupBy("g").agg(
+      org.apache.spark.sql.functions
+        .expr("percentile(a, 0.5d)").as("a50"),
+      org.apache.spark.sql.functions
+        .expr("percentile(b, array(0.25d, 0.9d))").as("bq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getSeq[Double](2))).toMap
+    val got = ExactQuantiles.groupedPercentilesMulti(df, "g",
+        Seq("a" -> Seq(0.5), "b" -> Seq(0.25, 0.9)),
+        buckets = 64, refineLimit = 256)
+      .collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet) {
+      val (a50, bq) = want(g)
+      val ws = Seq(a50, bq(0), bq(1))
+      got(g).zip(ws).foreach { case (gv, w) =>
+        assert(math.abs(gv - w) <=
+          math.max(math.ulp(w) * 4, math.abs(w) * 1e-12), s"group $g")
+      }
+    }
+  }
+
+  test("groupedPercentilesMulti: a group where one column is all-null " +
+      "yields null for that column only") {
+    val df = Seq(("g1", Some(1.0), Option.empty[Double]),
+      ("g1", Some(2.0), None), ("g1", Some(3.0), None),
+      ("g2", Some(4.0), Some(10.0)), ("g2", Some(6.0), Some(20.0)))
+      .toDF("g", "a", "b")
+    val got = ExactQuantiles.groupedPercentilesMulti(df, "g",
+        Seq("a" -> Seq(0.5), "b" -> Seq(0.5)))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got("g1") == (Some(2.0), None))
+    assert(got("g2") == (Some(5.0), Some(15.0)))
+  }
+
   test("property: random multisets (duplicates, negatives, extreme " +
       "magnitudes) match exact percentile at random cut points") {
     import org.scalacheck.Gen
