@@ -1027,44 +1027,19 @@ object RelationalQueries {
     // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) on
     // (price ↓, recency ↑), textbook dominance: d dominates o iff
     // d is ≤ on price AND ≥ on recency AND strictly better on at
-    // least one. Collapses to TWO window aggregates over ONE sort by
-    // integer cents: dominated iff a STRICTLY cheaper row is at least
-    // as recent (range frame ending 1 cent before), or an EQUAL-price
-    // row is strictly more recent (range frame [0,0] = the price tie
-    // group). Two phases: a salted local pass prunes each slice to
-    // its own frontier (dominance is transitive, so a global survivor
-    // survives every subset), then the global pass runs on the union
-    // of local fronts — sized by the skyline, not the table, whenever
-    // dominance prunes (a worst-case anti-correlated table has an
-    // O(n) skyline, where EVERY exact algorithm's output is the
-    // table).
-    "skyline_pareto" -> ((s, d) => {
-      val price_c = round(col("o_totalprice") * 100).cast("long")
-      def frontier(df: DataFrame, parts: Seq[String]): DataFrame = {
-        def w(lo: Any, hi: Long) = {
-          val base = if (parts.isEmpty) Window.orderBy(price_c)
-            else Window.partitionBy(parts.map(col): _*).orderBy(price_c)
-          lo match {
-            case l: Long => base.rangeBetween(l, hi)
-            case _ => base.rangeBetween(Window.unboundedPreceding, hi)
-          }
-        }
-        df.withColumn("__bestCheaper",
-            max(col("date_epoch")).over(w(None, -1L)))
-          .withColumn("__bestEqual",
-            max(col("date_epoch")).over(w(0L, 0L)))
-          .filter((col("__bestCheaper").isNull ||
-              col("date_epoch") > col("__bestCheaper")) &&
-            col("date_epoch") === col("__bestEqual"))
-          .drop("__bestCheaper", "__bestEqual")
-      }
-      val base = orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          unix_timestamp(col("o_orderdate")).as("date_epoch"))
-        .withColumn("__salt", pmod(xxhash64(col("o_orderkey")), lit(32L)))
-      frontier(frontier(base, Seq("__salt")).drop("__salt"), Nil)
-        .select("o_orderkey", "o_totalprice", "date_epoch")
-    }),
+    // least one. operators/Skyline runs the bucketed prefix-max plan:
+    // per-price-bucket windows plus a constant-size (≤ bucket count)
+    // prefix table — no window's input ever depends on the data
+    // distribution, closing r07's phase-2 bound where an
+    // anti-correlated table survived the salted local pass whole and
+    // landed in one unpartitioned window task.
+    "skyline_pareto" -> ((s, d) =>
+      graft.operators.Skyline.frontier2d(
+        orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          unix_timestamp(col("o_orderdate")).as("date_epoch"),
+          round(col("o_totalprice") * 100).cast("long").as("__price_c")),
+        "__price_c", "date_epoch")
+        .select("o_orderkey", "o_totalprice", "date_epoch")),
 
     // l-diversity audit — k-anonymity's companion: a QI group whose
     // SENSITIVE attribute (market segment) takes too few distinct

@@ -175,3 +175,61 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 }
+
+/** Skyline's scale contract: no window's input may depend on the data
+  * distribution. The worst case for the r07 salted two-phase plan was
+  * an ANTI-CORRELATED table — every point on the frontier, so the
+  * local pass pruned nothing and the whole table reached one
+  * unpartitioned global window task. The bucketed prefix-max plan
+  * bounds every data-sized window by its bucket and the only
+  * unpartitioned window by the constant bucket count.
+  */
+class SkylineSpec extends SparkSpec {
+  private def naive(rows: Seq[(Long, Long, Long)]): Set[Long] =
+    rows.filter { case (_, p, r) =>
+      !rows.exists { case (_, p2, r2) =>
+        p2 <= p && r2 >= r && (p2 < p || r2 > r) }
+    }.map(_._1).toSet
+
+  test("anti-correlated input (worst case): every point survives and " +
+      "no unpartitioned window reads table-sized input") {
+    val s = spark
+    import s.implicits._
+    // price and recency ascending together: every cheaper row is also
+    // less recent, so nothing dominates anything (for minimize-price /
+    // maximize-recency this IS the anti-correlated all-frontier case)
+    val rows = (1L to 2000L).map(i => (i, i * 10L, i * 10L))
+    val df = rows.toDF("id", "price", "rec")
+    val out = Skyline.frontier2d(df, "price", "rec", buckets = 16)
+    assert(out.count() == 2000L)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("hashpartitioning(__bucket"),
+      "data-sized windows must partition by bucket")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      "only the bucket-aggregate prefix window may be unpartitioned")
+  }
+
+  test("matches the quadratic definition on mixed data with ties, " +
+      "dominated clusters, and duplicate points") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 400L).map { i =>
+      (i, (rnd.nextInt(50) + 1).toLong, (rnd.nextInt(50) + 1).toLong)
+    } ++ Seq((401L, 1L, 60L), (402L, 1L, 60L)) // duplicate frontier pts
+    val df = rows.toDF("id", "price", "rec")
+    val got = Skyline.frontier2d(df, "price", "rec", buckets = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naive(rows))
+  }
+
+  test("single-bucket degenerate input (all prices equal) stays exact") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 100L).map(i => (i, 7L, i))
+    val got = Skyline.frontier2d(rows.toDF("id", "price", "rec"),
+      "price", "rec").select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L)) // only the max-recency row survives the tie
+  }
+}

@@ -380,14 +380,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"))
   }
 
-  test("skyline_pareto: phase 1 windows over the salt partitions — " +
-      "no single window ever holds the whole table") {
+  test("skyline_pareto: data-sized windows partition by price bucket; " +
+      "the only unpartitioned window reads the bucket aggregate") {
     val p = plan("skyline_pareto")
-    assert(p.contains("hashpartitioning(__salt"),
-      "local-frontier phase lost its salt partitioning")
-    // 2 frames (strictly-cheaper + price-tie) × 2 phases
-    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 4,
-      "expected the 2-frame local + global frontier windows")
+    assert(p.contains("hashpartitioning(__bucket"),
+      "frontier windows lost their bucket partitioning")
+    // the prefix-max window is the sole SinglePartition exchange and
+    // its input is the per-bucket aggregate (≤ bucket-count rows), so
+    // no unpartitioned window ever sees table-sized input
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      "more than one unpartitioned exchange in the skyline plan")
+    assert(p.contains("max(__bmax"),
+      "prefix max no longer reads the bounded bucket aggregate")
   }
 
   test("q21_sole_returner: the per-order EXISTS stats join back " +
