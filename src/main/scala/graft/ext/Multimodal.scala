@@ -216,6 +216,76 @@ object Multimodal {
       })
   }
 
+  // ---- real pixel resample (uncompressed gray8 raster) ----
+
+  case class ResampledImage(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, pix_sum: Long)
+
+  /** Minimal uncompressed raster: "G8" magic + big-endian u16 width +
+    * u16 height + exactly width*height gray pixel bytes, row-major.
+    * None on bad magic, non-positive dims, or a length mismatch —
+    * at 100 TB decode failures must be data, not exceptions.
+    */
+  def decodeGray8(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != '8') None
+    else {
+      val w = ((bytes(2) & 0xFF) << 8) | (bytes(3) & 0xFF)
+      val h = ((bytes(4) & 0xFF) << 8) | (bytes(5) & 0xFF)
+      if (w <= 0 || h <= 0 || bytes.length != 6 + w * h) None
+      else Some((w, h,
+        java.util.Arrays.copyOfRange(bytes, 6, bytes.length)))
+    }
+  }
+
+  /** REAL pixel resample — decode gray8 payloads, aspect-fit into a
+    * `maxDim` box (same integer planning as `resizeTo`), then
+    * nearest-neighbor sample the ACTUAL pixels: output pixel (x, y)
+    * reads source (x*w DIV out_w, y*h DIV out_h) — pure integer
+    * arithmetic, so an oracle can replay it exactly. Emits a
+    * position-weighted checksum Σ px(y,x)·(y·out_w + x + 1) of the
+    * resampled image (weights catch transposes and row-order bugs a
+    * plain sum would miss). Undecodable payloads come out all-zero.
+    *
+    * Same partition-wise codec-seam shape as `decodeWithCodec`: the
+    * per-blob work is imperative but embarrassingly parallel — no
+    * shuffle, no driver involvement, output skinny regardless of
+    * payload size.
+    */
+  def resampleNearest(df: DataFrame, idCol: String, binCol: String,
+      maxDim: Int): Dataset[ResampledImage] = {
+    require(maxDim >= 1, s"maxDim must be positive, got $maxDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeGray8(Option(bytes).getOrElse(Array.emptyByteArray))
+          match {
+          case Some((w, h, px)) =>
+            val m = math.max(w, h)
+            val (ow, oh) =
+              if (m <= maxDim) (w, h)
+              else (math.max(1, (w.toLong * maxDim / m).toInt),
+                math.max(1, (h.toLong * maxDim / m).toInt))
+            var sum = 0L
+            var y = 0
+            while (y < oh) {
+              val sy = (y.toLong * h / oh).toInt
+              var x = 0
+              while (x < ow) {
+                val sx = (x.toLong * w / ow).toInt
+                sum += (px(sy * w + sx) & 0xFF).toLong *
+                  (y.toLong * ow + x + 1)
+                x += 1
+              }
+              y += 1
+            }
+            ResampledImage(id, w, h, ow, oh, sum)
+          case None => ResampledImage(id, 0, 0, 0, 0, 0L)
+        }
+      })
+  }
+
   /** CODEC SEAM — the one place imperative per-blob code belongs.
     * Partition-wise (`mapPartitions`): at scale each task decodes its
     * partition's blobs with no shuffle; a real codec (JNI/FFI) would

@@ -897,6 +897,23 @@ object PipelineQueries {
           "doc_id", "payload", maxDim = 256)
         .toDF()),
 
+    // REAL pixel resample, end to end: uncompressed gray8 rasters
+    // (dims and every pixel planted from doc_id) are synthesized as
+    // actual bytes with pure built-in expressions, then
+    // Multimodal.resampleNearest decodes the payload, aspect-fits it
+    // into an 8-px box, and nearest-neighbor samples the REAL pixels
+    // behind the partition-wise codec seam. The output is a
+    // position-weighted checksum of the resampled image that the
+    // oracle replays from the planted pixel function with the same
+    // integer arithmetic — any construction, decode, NN-mapping, or
+    // row-order bug goes hash-red.
+    "mm_resample" -> ((s, d) =>
+      Multimodal.resampleNearest(
+          documents(s, d).select(col("doc_id"),
+            syntheticGray8Payload.as("payload")),
+          "doc_id", "payload", maxDim = 8)
+        .toDF()),
+
     // BPE-style pretokenizer counting (mandate: "token counting —
     // whitespace + a BPE-ish regex"): a GPT-2-shaped alternation
     // (contraction suffixes | letter runs | digit runs | single other
@@ -1229,6 +1246,26 @@ object PipelineQueries {
       unhex(lit("FFC0001108")), be(h, 4), be(w, 4),
       unhex(lit("03011100021101031101")))
     when(col("doc_id") % 2 === 0, png).otherwise(jpg)
+  }
+
+  /** Uncompressed gray8 raster ("G8" + be16 w + be16 h + w·h pixel
+    * bytes) with dims AND every pixel planted from doc_id:
+    * px(y, x) = (doc_id + 7y + 13x) mod 256. Built with pure
+    * expressions (transform over a sequence → hex string → unhex), so
+    * real pixel bytes flow through the DataFrame into the codec seam.
+    * Dims stay small (4..27 × 4..19) — the payload is an expression,
+    * not testdata, and the oracle replays every output pixel.
+    */
+  private def syntheticGray8Payload: org.apache.spark.sql.Column = {
+    def be(c: org.apache.spark.sql.Column, hexDigits: Int) =
+      unhex(lpad(hex(c), hexDigits, "0"))
+    val w = (col("doc_id") % 24 + 4).cast("int")
+    val h = (col("doc_id") % 16 + 4).cast("int")
+    val pixHex = array_join(
+      transform(sequence(lit(0), w * h - 1), i =>
+        lpad(hex((col("doc_id") + floor(i / w).cast("int") * 7 +
+          (i % w) * 13) % 256), 2, "0")), "")
+    concat(unhex(lit("4738")), be(w, 4), be(h, 4), unhex(pixHex))
   }
 
   // ---- DuckDB oracles ----
@@ -2197,6 +2234,33 @@ object PipelineQueries {
             CAST(CASE WHEN ls <= 256 THEN h
                  ELSE greatest(1, h * 256 // ls) END AS INTEGER) AS out_h
           FROM m""",
+
+    // Replays the planted gray8 pixels and the exact integer NN
+    // mapping (src = out_coord * src_dim // out_dim) per output pixel,
+    // then the same position-weighted checksum — all BIGINT
+    // arithmetic, no floats anywhere.
+    "mm_resample" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 16 + 4 AS INTEGER) AS h
+           FROM documents),
+         o AS (SELECT doc_id, w, h,
+             CAST(CASE WHEN greatest(w, h) <= 8 THEN w
+                  ELSE greatest(1, w * 8 // greatest(w, h)) END
+               AS INTEGER) AS out_w,
+             CAST(CASE WHEN greatest(w, h) <= 8 THEN h
+                  ELSE greatest(1, h * 8 // greatest(w, h)) END
+               AS INTEGER) AS out_h
+           FROM d),
+         px AS (SELECT doc_id, w, h, out_w, out_h, y, x,
+             (doc_id + 7 * ((y * h) // out_h) +
+              13 * ((x * w) // out_w)) % 256 AS v
+           FROM o
+           CROSS JOIN unnest(range(0, out_h)) AS ry(y)
+           CROSS JOIN unnest(range(0, out_w)) AS rx(x))
+         SELECT doc_id, w AS width, h AS height, out_w, out_h,
+           CAST(sum(v * (y * out_w + x + 1)) AS BIGINT) AS pix_sum
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
 
     // Same pattern text as BpeIshPattern (the leading ' doubles for
     // the SQL literal); RE2 and Java regex agree on this construct

@@ -666,6 +666,47 @@ class MultimodalSpec extends SparkSpec {
       assert(f.n_bytes == bytes.length)
     }
   }
+
+  test("resampleNearest: hand-computed NN downsample of real gray8 " +
+      "pixels; pass-through inside the box; corrupt payloads all-zero") {
+    val s = spark
+    import s.implicits._
+    def gray8(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+      Array[Byte]('G', '8', (w >> 8).toByte, w.toByte,
+        (h >> 8).toByte, h.toByte) ++
+        Array.tabulate(w * h)(i => px(i / w, i % w).toByte)
+    // 4x2 image downsampled into a 2-px box -> 2x1: out pixel x reads
+    // src (x*4 DIV 2, 0*2 DIV 1) = cols 0 and 2 of row 0
+    val img = gray8(4, 2, (y, x) => 10 * y + x) // row0: 0 1 2 3
+    val small = gray8(2, 2, (y, x) => 100 + y * 2 + x) // fits the box
+    val rows = Seq(
+      (1L, img), (2L, small),
+      (3L, "junk".getBytes),
+      (4L, gray8(3, 3, (_, _) => 0).dropRight(1))) // truncated
+    val got = Multimodal.resampleNearest(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload", maxDim = 2)
+      .collect().sortBy(_.doc_id)
+    // doc 1: out pixels (0,0)=src(0,0)=0, (0,1)=src(0,2)=2 ->
+    // checksum 0*1 + 2*2 = 4
+    assert(got(0) == Multimodal.ResampledImage(1L, 4, 2, 2, 1, 4L))
+    // doc 2 passes through: px 100 101 102 103, weights 1..4
+    assert(got(1) == Multimodal.ResampledImage(2L, 2, 2, 2, 2,
+      100L * 1 + 101 * 2 + 102 * 3 + 103 * 4))
+    assert(got(2) == Multimodal.ResampledImage(3L, 0, 0, 0, 0, 0L))
+    assert(got(3) == Multimodal.ResampledImage(4L, 0, 0, 0, 0, 0L))
+  }
+
+  test("decodeGray8 round-trips dims and pixels; rejects bad magic, " +
+      "zero dims, and length mismatches") {
+    val ok = Array[Byte]('G', '8', 0, 2, 0, 3, 1, 2, 3, 4, 5, 6)
+    val Some((w, h, px)) = Multimodal.decodeGray8(ok)
+    assert((w, h) == (2, 3) && px.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    assert(Multimodal.decodeGray8(ok.updated(0, 'X'.toByte)).isEmpty)
+    assert(Multimodal.decodeGray8(
+      Array[Byte]('G', '8', 0, 0, 0, 3)).isEmpty) // w = 0
+    assert(Multimodal.decodeGray8(ok.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeGray8(Array.emptyByteArray).isEmpty)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
