@@ -371,6 +371,99 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Global symmetric int8 scale S = max |x| over the corpus — one
+    * scalar aggregate of exact float→double widenings, so both
+    * engines derive the identical S.
+    */
+  private def i8Scale(df: DataFrame, vecCol: String): Double = {
+    val v = col(vecCol).cast("array<double>")
+    val s = df.agg(max(greatest(array_max(v), lit(0.0) - array_min(v))))
+      .head().getDouble(0)
+    require(s > 0, "i8Scale: corpus is all-zero")
+    s
+  }
+
+  /** (id, sm, a) rows: each vector's m subvectors quantized to int8
+    * codes under the global scale S — code = round(x·127/S), Spark's
+    * HALF_UP-on-double round == DuckDB's ties-away round, so codes
+    * are integer-exact cross-engine.
+    */
+  private def subCodes(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, sub: Int, s: Double): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sm"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("sm"),
+        transform(slice(col("v"), col("sm") * sub + 1, lit(sub)),
+          x => round(x * 127.0 / s).cast("int")).as("a"))
+
+  /** Per-subspace PQ codebooks trained with Lloyd over the int8
+    * subvector codes in PURE INTEGER arithmetic — every quantity both
+    * engines can replay bit-for-bit, so the trained codebooks are as
+    * SQL-oracle-checkable as the old first-N ones (which recalled
+    * only 3-4/10 raw on clustered corpora):
+    *   - init: subvector codes of the first nCentroids vectors;
+    *   - assign: argmin integer L2 ⇔ argmax 2·a·c − |c|² (exact
+    *     integer-valued doubles through the codegen'd dot), ties to
+    *     the smaller centroid id;
+    *   - update: per-dim floor(sum/count) — sums are exact in double
+    *     far below 2^53 and a non-integer rational mean is ≥ 1/count
+    *     from the nearest integer, so the IEEE division cannot cross
+    *     a floor boundary in either engine. Empty cells keep their
+    *     previous centroid.
+    * Per round: one broadcast-join assignment pass and one
+    * m·nCentroids·sub-bounded mean collect — the PageRank-style
+    * driver loop, constant in corpus size.
+    */
+  def pqTrainedCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCentroids: Int, iters: Int = 3)
+      : (Double, Map[(Int, Int), Seq[Int]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim must divide into $m subspaces")
+    val s = i8Scale(df, vecCol)
+    val codes = subCodes(df, idCol, vecCol, m, sub, s)
+      .localCheckpoint(false)
+    var cents: Map[(Int, Int), Seq[Int]] =
+      codes.filter(col("id") < nCentroids).collect()
+        .map(r => ((r.getInt(1), r.getLong(0).toInt),
+          r.getSeq[Int](2).toSeq)).toMap
+    require(cents.size == m * nCentroids,
+      s"pq init needs dense ids 0..${nCentroids - 1}; got ${cents.size}" +
+        s" of ${m * nCentroids} subvectors")
+    for (_ <- 0 until iters) {
+      val centDf = cents.toSeq.map { case ((sm, c), cent) => (sm, c, cent) }
+        .toDF("sm", "c", "cent")
+      val a = col("a").cast("array<double>")
+      val ct = col("cent").cast("array<double>")
+      val best = codes.join(broadcast(centDf), "sm")
+        .select(col("id"), col("sm"), col("c"), col("a"),
+          (lit(2.0) * dot(df, a, ct) - dot(df, ct, ct)).as("sc"))
+        .groupBy("id", "sm")
+        .agg(max(struct(col("sc"), (lit(0) - col("c")).as("negc"),
+          col("a"))).as("b"))
+        .select(col("sm"), (lit(0) - col("b.negc")).as("c"),
+          col("b.a").as("a"))
+      val means = best
+        .select(col("sm"), col("c"), posexplode(col("a")).as(Seq("d", "x")))
+        .groupBy("sm", "c", "d")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) +
+          lit(0.5)).cast("int").as("mv"))
+        .collect() // bounded: m * nCentroids * sub rows
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.map { case (key, old) =>
+        key -> byKey.get(key).fold(old) { rs =>
+          val arr = old.toArray
+          rs.foreach(r => arr(r.getInt(2)) = r.getInt(3))
+          arr.toSeq
+        }
+      }
+    }
+    (s, cents)
+  }
+
   /** Product-quantization ADC top-k — the third compression tier of
     * the similarity stack (float32 scan → int8 codes → PQ codes):
     * m sub-codebooks of nCentroids centroids encode each vector as m
@@ -380,76 +473,91 @@ object Similarity {
     *
     * Deterministic end to end, so the whole operator is
     * SQL-oracle-checkable:
-    *   - codebooks: subvectors of the first `nCentroids` corpus
-    *     vectors (the same fixed-quantizer device as the IVF oracle
-    *     path; swap in Lloyd-trained sub-codebooks for production);
-    *   - encode: per (vector, subspace) argmax of
-    *     dot(v_m, c) - |c|^2/2 (≡ argmin L2), ties to the smaller
-    *     centroid id via a struct max — one relational aggregate, no
-    *     UDFs;
-    *   - ADC: score = Σ_m dot(q_m, centroid(code_m)) accumulated as
-    *     PIVOTED per-subspace columns summed in fixed order (a row
-    *     SUM would add in shuffle order and break bit-determinism).
+    *   - codebooks: `pqTrainedCodebooks` — integer-exact Lloyd over
+    *     the int8 subvector codes (replaces r07's first-N subvectors,
+    *     which recalled 3-4/10 raw and leaned entirely on the rescore
+    *     stage);
+    *   - encode: per (vector, subspace) argmax of 2·a·c − |c|²
+    *     (≡ argmin integer L2 on codes), ties to the smaller centroid
+    *     id via a struct max — one relational aggregate, no UDFs;
+    *   - ADC: score = Σ_m dot(q_m, centroid(code_m)) over the
+    *     QUANTIZED query — an exact integer per subspace, accumulated
+    *     as PIVOTED per-subspace columns summed in fixed order; the
+    *     ranking equals raw-space ADC up to the (S/127)² scale factor.
     *
-    * Scale shape: the 128-row codebook broadcast-joins against the
-    * corpus (m*nCentroids expansion feeds one partial-agg'd groupBy),
-    * encode is one shuffle by (id); at rest only the code table would
-    * be stored and the ADC scan never touches raw vectors.
+    * Scale shape: the m·nCentroids-row codebook broadcast-joins
+    * against the code table (expansion feeds one partial-agg'd
+    * groupBy), encode is one shuffle by (id); at rest only the code
+    * table would be stored and the ADC scan never touches raw vectors.
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, iters: Int = 3): DataFrame = {
     val dim = query.length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.orderBy(idCol).limit(nCentroids).select(vecCol)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val (s, cents) = pqTrainedCodebooks(df, idCol, vecCol, m,
+      nCentroids, iters)
+    // classic ADC: the QUERY stays raw double (no query-side
+    // quantization error); per-(subspace, centroid) qdot is a strict
+    // left fold over integer centroids — deterministic and replayable
+    // as list_sum(list_transform(...)) on the oracle side
     val qd = query.map(_.toDouble)
-    // (subspace, centroid id, dot(q_m, cent), |cent|^2/2, cent) —
-    // m*nCentroids rows, driver-built, broadcast. The driver-side
-    // folds are strict left folds, matching DotDouble and DuckDB's
-    // list_sum(list_transform(...)) element order.
     val cb = (for {
       sm <- 0 until m
-      c <- base.indices
+      c <- 0 until nCentroids
     } yield {
-      val cent = base(c).slice(sm * sub, (sm + 1) * sub)
+      val cent = cents((sm, c))
       val qm = qd.slice(sm * sub, (sm + 1) * sub)
-      val qdot = qm.zip(cent).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
-      val half = cent.foldLeft(0.0)((acc, x) => acc + x * x) / 2
-      (sm, c, qdot, half, cent)
-    }).toDF("sm", "c", "qdot", "half", "cent")
-    val enc = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .join(broadcast(cb))
+      val qdot = qm.zip(cent).foldLeft(0.0)((acc, p) =>
+        acc + p._1 * p._2)
+      val sq = cent.foldLeft(0L)((acc, x) => acc + x.toLong * x)
+      (sm, c, qdot, sq, cent)
+    }).toDF("sm", "c", "qdot", "sq", "cent")
+    val a = col("a").cast("array<double>")
+    val enc = subCodes(df, idCol, vecCol, m, sub, s)
+      .join(broadcast(cb), "sm")
       .select(col("id"), col("sm"), col("c"), col("qdot"),
-        (dot(df, slice(col("v"), col("sm") * sub + 1, lit(sub)),
-          col("cent")) - col("half")).as("sc"))
+        // int8-exact subvector norm — stored with the codes, as real
+        // IVF-PQ systems keep a per-vector norm scalar
+        dot(df, a, a).cast("long").as("naa"),
+        (lit(2.0) * dot(df, a, col("cent").cast("array<double>")) -
+          col("sq")).as("sc"))
     // argmax per (id, subspace): struct max orders by sc, then -c
-    // (ties -> smaller centroid id), and carries qdot of the winner
+    // (ties -> smaller centroid id), and carries the winner's qdot
+    // plus the (centroid-independent) subvector norm term
     val best = enc.groupBy(col("id"), col("sm"))
       .agg(max(struct(col("sc"), (lit(0) - col("c")).as("negc"),
-        col("qdot"))).as("b"))
-      .select(col("id"), col("sm"), col("b.qdot").as("bqd"))
-    val pivotCols = (0 until m).map(sm =>
-      sum(when(col("sm") === sm, col("bqd"))).as(s"s$sm"))
+        col("qdot"), col("naa"))).as("b"))
+      .select(col("id"), col("sm"), col("b.qdot").as("bqd"),
+        col("b.naa").as("bna"))
+    val pivotCols = (0 until m).flatMap(sm => Seq(
+      sum(when(col("sm") === sm, col("bqd"))).as(s"s$sm"),
+      sum(when(col("sm") === sm, col("bna"))).as(s"n$sm")))
+    // rank by ADC dot over the vector's int8-accurate norm — the
+    // cosine-shaped score the exact reference ranking uses. Numerator
+    // folds and the integer norm are deterministic; the sqrt+divide is
+    // IEEE-identical cross-engine.
+    val qsum = (0 until m).map(sm => col(s"s$sm")).reduce(_ + _)
+    val nsum = (0 until m).map(sm => col(s"n$sm")).reduce(_ + _)
     best.groupBy("id").agg(pivotCols.head, pivotCols.tail: _*)
       .select(col("id").as(idCol),
-        (0 until m).map(sm => col(s"s$sm")).reduce(_ + _).as("score"))
+        when(nsum === 0L, lit(0.0))
+          .otherwise(qsum / sqrt(nsum.cast("double"))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
 
   /** Two-stage PQ retrieval: ADC over the codes selects `nCand`
     * candidates (the cheap scan — codes only, never raw vectors),
-    * then ONLY those candidates are exact-cosine rescored. The
-    * classic recall fix for coarse codebooks: measured here, first-16
-    * codebooks alone recall 3-4/10 vs brute force; with an 8k
-    * candidate stage the top-k is exact-quality while the full-corpus
-    * scan still reads m-byte codes. The candidate list is broadcast
-    * into the rescore join (bounded by nCand).
+    * then ONLY those candidates are exact-cosine rescored — the
+    * standard recall belt-and-braces even with trained codebooks
+    * (raw trained ADC recalls ≥8/10 here, pinned in SimilaritySpec;
+    * r07's first-N codebooks managed 3-4/10 and leaned entirely on
+    * this stage). The candidate list is broadcast into the rescore
+    * join (bounded by nCand).
     */
   def pqTopKRescored(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,

@@ -272,15 +272,21 @@ object PipelineQueries {
     }),
 
     // Product-quantization retrieval — the third compression tier
-    // (float32 -> int8 -> m-byte PQ codes): ADC over the codes picks
-    // 80 candidates, exact cosine rescores to top-10. Deterministic
-    // codebooks (first-16 subvectors) + fixed-order pivoted ADC sum
-    // -> full SQL oracle; recall pinned in SimilaritySpec.
+    // (float32 -> int8 -> PQ codes): ADC over the codes picks 80
+    // candidates, exact cosine rescores to top-10. Codebooks are
+    // TRAINED — integer-exact Lloyd over int8 subvector codes, every
+    // step replayable in SQL, so the 3-round training is part of the
+    // generated oracle. Operating point m=32/nc=64: these embeddings
+    // are unclustered with ~0.005 cosine margins between exact top-10
+    // neighbors, so coarse 8-dim subspaces cannot rank them (measured
+    // 3-6/10 raw regardless of training); 2-dim subspaces with 64
+    // trained centroids reach 8/10 raw at ~10x compression — pinned
+    // in SimilaritySpec.
     "sim_pq" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       Similarity.pqTopKRescored(embeddings(s, d), "vec_id", "embedding",
-          q, m = 8, nCentroids = 16, k = 10, nCand = 80)
+          q, m = 32, nCentroids = 64, k = 10, nCand = 80)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -1471,6 +1477,90 @@ object PipelineQueries {
   }
 
   private val VecD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** Generated sim_pq oracle: replays `Similarity.pqTrainedCodebooks`
+    * (global int8 scale, subvector codes, `PqIters` unrolled integer
+    * Lloyd rounds) and the cosine-shaped ADC + exact rescore. Every
+    * training quantity is integer (or an IEEE-identical float step),
+    * so the full train-then-search pipeline is hash-checkable — the
+    * same generated-oracle device as the BPE rounds.
+    */
+  private lazy val PqOracleSql: String = {
+    val m = 32; val sub = 2; val nc = 64; val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""a$k AS (SELECT cd.vec_id, cd.sm, cd.a, ck.c,
+             2 * list_sum(list_transform(range(1, ${sub + 1}),
+                 i -> CAST(cd.a[i] * ck.cent[i] AS BIGINT))) -
+             list_sum(list_transform(ck.cent,
+                 x -> CAST(x * x AS BIGINT))) AS sc
+             FROM cd JOIN c${k - 1} ck USING (sm)),
+         b$k AS (SELECT vec_id, sm, a, c, row_number() OVER (
+                 PARTITION BY vec_id, sm ORDER BY sc DESC, c) AS rn
+                 FROM a$k),
+         m$k AS (SELECT sm, c, d, CAST(floor(
+                 CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER)
+                   AS mv
+                 FROM (SELECT b.sm, b.c, r.d, b.a[r.d + 1] AS x
+                       FROM b$k b
+                       CROSS JOIN unnest(range(0, $sub)) AS r(d)
+                       WHERE b.rn = 1) GROUP BY sm, c, d),
+         n$k AS (SELECT sm, c, list(mv ORDER BY d) AS cent
+                 FROM m$k GROUP BY sm, c),
+         c$k AS (SELECT p.sm, p.c, coalesce(n.cent, p.cent) AS cent
+                 FROM c${k - 1} p LEFT JOIN n$k n
+                 ON p.sm = n.sm AND p.c = n.c)"""
+    }.mkString(",\n")
+    val pivQ = (0 until m).map(i =>
+      s"sum(CASE WHEN sm = $i THEN qdot END) AS s$i").mkString(",\n")
+    val chainQ = (0 until m).map(i => s"s$i").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+        s0c AS (SELECT max(greatest(list_max(v), -list_min(v))) AS s
+                FROM v),
+        ms AS (SELECT unnest(range(0, $m)) AS sm),
+        cd AS (SELECT vec_id, ms.sm,
+               list_transform(
+                 list_slice(v.v, ms.sm*$sub + 1, ms.sm*$sub + $sub),
+                 x -> CAST(round(x * 127.0 / s0c.s) AS INTEGER)) AS a
+               FROM v, ms, s0c),
+        c0 AS (SELECT sm, CAST(vec_id AS INTEGER) AS c, a AS cent
+               FROM cd WHERE vec_id < $nc),
+        $iterCtes,
+        qr AS (SELECT ms.sm,
+               list_slice(v.v, ms.sm*$sub + 1, ms.sm*$sub + $sub) AS qm
+               FROM v, ms WHERE v.vec_id = 0),
+        cb AS (SELECT ci.sm, ci.c, ci.cent,
+               list_sum(list_transform(range(1, ${sub + 1}),
+                 i -> qr.qm[i] * CAST(ci.cent[i] AS DOUBLE))) AS qdot,
+               list_sum(list_transform(ci.cent,
+                 x -> CAST(x * x AS BIGINT))) AS sq
+               FROM c$iters ci JOIN qr USING (sm)),
+        enc AS (SELECT cd.vec_id, cb.sm, cb.c, cb.qdot,
+                list_sum(list_transform(cd.a,
+                  x -> CAST(x * x AS BIGINT))) AS naa,
+                2 * list_sum(list_transform(range(1, ${sub + 1}),
+                  i -> CAST(cd.a[i] * cb.cent[i] AS BIGINT))) - cb.sq
+                  AS sc
+                FROM cd JOIN cb USING (sm)),
+        best AS (SELECT vec_id, sm, qdot, naa, row_number() OVER (
+                 PARTITION BY vec_id, sm ORDER BY sc DESC, c) AS rn
+                 FROM enc),
+        piv AS (SELECT vec_id,
+                $pivQ,
+                sum(naa) AS nsum
+                FROM best WHERE rn = 1 GROUP BY vec_id),
+        scq AS (SELECT vec_id, CASE WHEN nsum = 0 THEN 0.0
+                ELSE ($chainQ) / sqrt(CAST(nsum AS DOUBLE)) END AS score
+                FROM piv),
+        cand AS (SELECT vec_id FROM scq
+                 ORDER BY score DESC, vec_id LIMIT 80),
+        q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        ex AS (SELECT s.vec_id,
+               ${dotSql("s.v", "q.qv")} /
+                 (${normSql("s.v")} * ${normSql("q.qv")}) AS cs
+               FROM v s JOIN cand USING (vec_id) CROSS JOIN q)
+        SELECT vec_id, round(cs, 6) AS score FROM ex
+        ORDER BY cs DESC, vec_id LIMIT 10"""
+  }
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
   private def normSql(v: String) =
@@ -1606,52 +1696,12 @@ object PipelineQueries {
             CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid
           FROM e GROUP BY label, dim""",
 
-    // Mirrors pqTopK: same codebooks (first-16 subvectors), same
-    // argmax tie-break (sc DESC, c), same fixed-order 8-subspace ADC
-    // sum via single-element pivot sums.
-    "sim_pq" ->
-      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
-          ms AS (SELECT unnest(range(0, 8)) AS sm),
-          q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
-          cb AS (SELECT ms.sm, b.vec_id AS c,
-                 list_slice(b.v, ms.sm*8 + 1, ms.sm*8 + 8) AS cent,
-                 list_slice(q.qv, ms.sm*8 + 1, ms.sm*8 + 8) AS qm
-                 FROM (SELECT vec_id, v FROM v WHERE vec_id < 16) b,
-                      ms, q),
-          cb2 AS (SELECT sm, c, cent,
-                  list_sum(list_transform(range(1, 9),
-                    i -> qm[i] * cent[i])) AS qdot,
-                  list_sum(list_transform(cent, x -> x * x)) / 2 AS half
-                  FROM cb),
-          enc AS (SELECT s.vec_id, k.sm, k.c, k.qdot,
-                  list_sum(list_transform(range(1, 9),
-                    i -> list_slice(s.v, k.sm*8 + 1, k.sm*8 + 8)[i]
-                         * k.cent[i])) - k.half AS sc
-                  FROM v s CROSS JOIN cb2 k),
-          best AS (SELECT vec_id, sm, qdot,
-                   row_number() OVER (PARTITION BY vec_id, sm
-                                      ORDER BY sc DESC, c) AS rn
-                   FROM enc),
-          piv AS (SELECT vec_id,
-                  sum(CASE WHEN sm = 0 THEN qdot END) AS s0,
-                  sum(CASE WHEN sm = 1 THEN qdot END) AS s1,
-                  sum(CASE WHEN sm = 2 THEN qdot END) AS s2,
-                  sum(CASE WHEN sm = 3 THEN qdot END) AS s3,
-                  sum(CASE WHEN sm = 4 THEN qdot END) AS s4,
-                  sum(CASE WHEN sm = 5 THEN qdot END) AS s5,
-                  sum(CASE WHEN sm = 6 THEN qdot END) AS s6,
-                  sum(CASE WHEN sm = 7 THEN qdot END) AS s7
-                  FROM best WHERE rn = 1 GROUP BY vec_id),
-          scq AS (SELECT vec_id,
-                  s0+s1+s2+s3+s4+s5+s6+s7 AS score_raw FROM piv),
-          cand AS (SELECT vec_id FROM scq
-                   ORDER BY score_raw DESC, vec_id LIMIT 80),
-          ex AS (SELECT s.vec_id,
-                 ${dotSql("s.v", "q.qv")} /
-                   (${normSql("s.v")} * ${normSql("q.qv")}) AS cs
-                 FROM v s JOIN cand USING (vec_id) CROSS JOIN q)
-          SELECT vec_id, round(cs, 6) AS score FROM ex
-          ORDER BY cs DESC, vec_id LIMIT 10""",
+    // Mirrors pqTopK end to end, TRAINING INCLUDED: the generated CTE
+    // chain replays the int8 quantization, 3 unrolled integer-Lloyd
+    // rounds (argmin by sc DESC/c tie-break, round-to-nearest integer
+    // means, empty cells keep their centroid), then the raw-query ADC
+    // with the int8-norm denominator and the fixed-order pivot sum.
+    "sim_pq" -> PqOracleSql,
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)

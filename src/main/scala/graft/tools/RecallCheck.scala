@@ -13,9 +13,9 @@ object RecallCheck {
       val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       val exact = Similarity.topK(emb, "vec_id", "embedding", q, 10)
         .collect().map(_.getLong(0)).toSet
-      val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, 8, 16, 10)
+      val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, 32, 64, 10)
         .collect().map(_.getLong(0)).toSet
-      val pqr = Similarity.pqTopKRescored(emb, "vec_id", "embedding", q, 8, 16, 10, 80)
+      val pqr = Similarity.pqTopKRescored(emb, "vec_id", "embedding", q, 32, 64, 10, 80)
         .collect().map(_.getLong(0)).toSet
       println(s"RECALL $d: adc=${(exact & pq).size}/10 rescored=${(exact & pqr).size}/10")
     }
