@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -121,6 +121,61 @@ object StreamingOps {
         graft.ext.TextAnalysis.normalized(col(textCol))))
       .dropDuplicates("__graft_fp")
       .drop("__graft_fp")
+
+  /** Trained LM bigram table (the text_lm_score model's keep-flag
+    * half): bigram counts over a REFERENCE corpus, keyed by the single
+    * string "w1 w2" so the streaming gate joins one skinny column.
+    * Train once in batch, then broadcast into `lmGate` — the
+    * model-update cadence is a redeploy of this static table, the
+    * standard stream-scoring posture.
+    */
+  def lmTrainBigrams(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(bigramsOf(textCol)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+
+  /** Per-doc bigrams as a map-side array — zip of the token array
+    * with itself shifted by one; no window, so the same expression
+    * runs on a stream (the batch scorer's lag-window formulation
+    * cannot).
+    */
+  private def bigramsOf(textCol: String): Column = {
+    val tk = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+      lit(0))
+    val n = greatest(size(tk) - 1, lit(0))
+    zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Model-based quality gate for streams — the LM keep rule
+    * (≥ 80% of a doc's bigrams known to the reference model) computed
+    * incrementally: explode the map-side bigram array, STREAM-STATIC
+    * BROADCAST join against the trained table (no shuffle of the
+    * static side, no state), then one watermarked windowed aggregate
+    * re-assembles the per-doc counts — the only stateful step, sized
+    * by in-flight docs within the watermark horizon.
+    *
+    * Emits (idCol, n_bigrams, n_known, lm_keep) per doc whose window
+    * closes; docs with ZERO bigrams produce no rows (same as the
+    * batch scorer, which only scores docs with ≥ 1 bigram). The same
+    * code runs on a batch frame (watermark skipped) — StreamingOpsSpec
+    * pins stream-vs-batch equivalence of the keep flag.
+    */
+  def lmGate(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, bigrams: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    wm.select(col(idCol), col(tsCol), explode(bigramsOf(textCol))
+        .as("__bg"))
+      .join(broadcast(bigrams.select(col("bg").as("__tbg"))),
+        col("__bg") === col("__tbg"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__tbg").isNotNull.cast("long")).as("n_known"))
+      .select(col(idCol), col("n_bigrams"), col("n_known"),
+        (col("n_known") * 5 >= col("n_bigrams") * 4).as("lm_keep"))
+  }
 
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when

@@ -240,6 +240,58 @@ class StreamingOpsSpec extends SparkSpec {
       "gate drops the low-quality rows; dedup admits each text once")
   }
 
+  test("lmGate: model-based keep flags on a stream equal the batch " +
+      "run — trained bigram table as a stream-static broadcast join") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // reference corpus -> the static model (batch-trained once)
+    val ref = Seq(
+      "the cat sat on the mat",
+      "the dog sat on the rug",
+      "a cat and a dog").toDF("text")
+    val bigrams = StreamingOps.lmTrainBigrams(ref, "text")
+    // docs: mostly-known bigrams (keep), mostly-novel (drop), exactly
+    // at the 80% boundary, and a no-bigram doc (no output row)
+    val docs = Seq(
+      (1L, t(0), "the cat sat on the rug"),         // all 5 known
+      (2L, t(1), "quantum flux capacitors hum"),     // 0 of 3 known
+      (3L, t(2), "the cat sat on the mat quietly"),  // 5 of 6 -> 83%
+      (4L, t(3), "word"),                            // no bigrams
+      (5L, t(95), "flush event far in the future"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.lmGate(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", bigrams)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    // two micro-batches; the late flush row advances the watermark so
+    // the first windows close and emit
+    in.addData(docs.take(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT doc_id, n_bigrams, n_known, lm_keep FROM lm_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    q.stop()
+    // batch reference: the SAME operator over the same rows
+    val batch = StreamingOps.lmGate(
+        docs.toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", bigrams)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // the flush doc's window never closes on the stream — compare the
+    // emitted horizon
+    assert(streamed == batch.filter(_._1 != 5L))
+    assert(streamed == Set((1L, 5L, 5L, true), (2L, 3L, 0L, false),
+      (3L, 6L, 5L, true)), "keep iff >= 80% of bigrams known; " +
+      "bigram-less docs emit nothing")
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
