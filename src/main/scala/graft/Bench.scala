@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The LAST stdout line, and the ONLY thing the driver reliably
+    * sees: scalars only. The driver keeps a bounded stdout tail, and
+    * r03-r06 all came back "parsed": null because an inline per-query
+    * map pushed the head of this line out of the window —
+    * BenchSummarySpec pins the length so that regression cannot
+    * return silently.
+    */
+  def summaryLine(total: Double, calib: Double, calib2: Double,
+      calibIo: Double, calibIo2: Double, nQueries: Int, nFailed: Int,
+      sfDir: String): String =
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sf":"$sfDir"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,7 +147,8 @@ object Bench {
       System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
     }
     val nFailed = results.count(_._2 < 0)
-    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val summary = summaryLine(total, calib, calib2, calibIo, calibIo2,
+      results.size, nFailed, sfDir)
     // Calibration history survives driver-artifact truncation: append
     // each run's scalars to a repo-tracked JSONL so round-over-round
     // host-drift normalization can always be reconstructed from git.

@@ -76,7 +76,12 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"), col("__pay"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     unioned
-      .withColumn("asof", first(col("__pay"), ignoreNulls = true).over(w))
+      // a null LEFT ts sorts nulls-first and would otherwise see every
+      // right row in its forward frame and claim the earliest payload;
+      // it must get a null asof, mirroring lastEarlier (where the
+      // empty backward frame yields null for the same input)
+      .withColumn("asof", when(col("__t").isNotNull,
+        first(col("__pay"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 0)
       .drop("__t", "__side", "__pay")
   }
@@ -93,6 +98,14 @@ object AsOfJoin {
   def nearest(left: DataFrame, right0: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    // the micros/long converter below is chosen from the LEFT ts
+    // dtype but applied to both sides — mixed dtypes would compute
+    // distances in mixed units (or fail analysis) instead of
+    // diverging silently
+    require(left.schema(leftTs).dataType ==
+        right0.schema(rightTs).dataType,
+      s"nearest: leftTs ${left.schema(leftTs).dataType} and rightTs " +
+        s"${right0.schema(rightTs).dataType} must have the same type")
     val right = right0.filter(col(rightTs).isNotNull)
     val l = left
       .withColumn("__t", col(leftTs))
@@ -120,7 +133,11 @@ object AsOfJoin {
       .withColumn("__fwd", first(col("__pay"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
       .withColumn("asof",
-        when(col("__back").isNull, col("__fwd"))
+        // null LEFT ts: no distance is defined — null asof, matching
+        // lastEarlier/firstLater (without this branch the row would
+        // sort nulls-first and claim the earliest right payload)
+        when(col("__t").isNull, lit(null))
+          .when(col("__back").isNull, col("__fwd"))
           .when(col("__fwd").isNull, col("__back"))
           .when(distB <= distF, col("__back"))
           .otherwise(col("__fwd")))

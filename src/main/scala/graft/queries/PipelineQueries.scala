@@ -1101,10 +1101,11 @@ object PipelineQueries {
       // + semi join — NOT a count over a gram-keyed window: a
       // corpus-frequent boilerplate gram (the precise thing this op
       // targets) would funnel every occurrence into one window task
-      // with no partial aggregation. localCheckpoint materializes the
-      // gram table once so the semi's two sides don't recompute the
-      // tokenize+window subtree.
-      val gramsC = grams.localCheckpoint()
+      // with no partial aggregation. The LAZY localCheckpoint
+      // materializes the gram table at first use (eager would launch
+      // Spark jobs at query-CONSTRUCTION time) so the semi's two
+      // sides don't recompute the tokenize+window subtree.
+      val gramsC = grams.localCheckpoint(false)
       val dup = gramsC.groupBy("g").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1).select("g")
       val stats = gramsC.join(dup, Seq("g"), "left_semi")
@@ -1135,7 +1136,7 @@ object PipelineQueries {
       // checkpointed so the corpus is tokenized/exploded exactly once
       val tok = documents(s, d).select(col("doc_id"),
         posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val grams = tok
         .select(col("doc_id"), col("pos"), col("w"),
@@ -1145,7 +1146,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("pos"),
           md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
             col("w4"))).as("g"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1).select("g")
       val covered = grams.join(dup, Seq("g"), "left_semi")

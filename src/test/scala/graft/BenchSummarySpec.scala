@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench summary must stay a short, parseable, LAST stdout line:
+  * the driver keeps only a bounded stdout tail, and r03-r06 shipped
+  * "parsed": null because a fat summary's head fell out of that
+  * window. This pins the contract without needing a SparkSession.
+  */
+class BenchSummarySpec extends AnyFunSuite {
+  private def line = Bench.summaryLine(
+    total = 12345.678, calib = 100.123, calib2 = 100.456,
+    calibIo = 50.789, calibIo2 = 50.012, nQueries = 9999,
+    nFailed = 9999, sfDir = "/root/testdata/sf0.1")
+
+  test("summary stays far inside the driver's stdout tail window") {
+    assert(line.length < 300, s"summary grew to ${line.length} chars")
+  }
+
+  test("summary is one line of valid JSON with the driver's keys") {
+    assert(!line.contains("\n"))
+    for (key <- Seq("\"metric\"", "\"value\"", "\"unit\"", "\"calib\"",
+        "\"calib2\"", "\"calib_io\"", "\"calib_io2\"", "\"n_queries\"",
+        "\"n_failed\"", "\"sf\""))
+      assert(line.contains(key), s"missing $key")
+    // cheap structural JSON check: balanced braces, no trailing comma
+    assert(line.head == '{' && line.last == '}')
+    assert(!line.contains(",}"))
+  }
+}

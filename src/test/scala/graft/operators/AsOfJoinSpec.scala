@@ -111,4 +111,39 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(gotR == brute)
   }
+
+  test("null LEFT ts yields a null asof in all three operators — " +
+      "never a phantom nulls-first match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, Option.empty[Long], "nullts"),
+      (1L, Some(60L), "ok")).toDF("k", "t", "tag")
+    val right = Seq((1L, 50L, "a"), (1L, 90L, "b")).toDF("k", "t", "v")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select(col("tag"), col("asof.v").as("v")).collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val back = run(AsOfJoin.lastEarlier(left, right, "k", "t", "t",
+      Seq("v")))
+    val fwd = run(AsOfJoin.firstLater(left, right, "k", "t", "t",
+      Seq("v")))
+    val near = run(AsOfJoin.nearest(left, right, "k", "t", "t",
+      Seq("v")))
+    assert(back("nullts").isEmpty && fwd("nullts").isEmpty &&
+      near("nullts").isEmpty, "null left ts must not match")
+    // the non-null row still joins normally in the same run
+    assert(back("ok").contains("a") && fwd("ok").contains("b") &&
+      near("ok").contains("a"))
+  }
+
+  test("nearest rejects mixed leftTs/rightTs dtypes up front") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 60L)).toDF("k", "t")
+    val right = Seq((1L, new java.sql.Timestamp(50000L), "a"))
+      .toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(left, right, "k", "t", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("same type"))
+  }
 }

@@ -363,7 +363,10 @@ class PlanShapeSpec extends SparkSpec {
       "doc_id aggregate) — nothing shuffles token rows twice") {
     val p = plan("text_classify_hash")
     assert(scansOf(p, "documents") == 1)
-    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+    // bound, not an exact count: benign planner/AQE changes may add
+    // nodes, but a SECOND exchange of token rows is the regression
+    // this pin protects against
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
       "token rows crossed more than one exchange")
   }
 
