@@ -31,6 +31,9 @@ object AsOfJoin {
     *
     * If several right rows share (key, ts), the surviving payload is
     * the max struct (deterministic tiebreak on payload order).
+    * Null-timestamp convention (all three operators): a right row
+    * with a null ts matches nothing; a LEFT row with a null ts gets
+    * a null `asof` — never a phantom nulls-first match.
     */
   def lastEarlier(left: DataFrame, right0: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
