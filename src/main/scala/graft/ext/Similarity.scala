@@ -383,19 +383,32 @@ object Similarity {
     s
   }
 
-  /** (id, sm, a) rows: each vector's m subvectors quantized to int8
-    * codes under the global scale S — code = round(x·127/S), Spark's
-    * HALF_UP-on-double round == DuckDB's ties-away round, so codes
-    * are integer-exact cross-engine.
+  /** (id, a) rows: the full vector quantized to int8 codes under the
+    * global scale S — code = round(x·127/S), Spark's HALF_UP-on-double
+    * round == DuckDB's ties-away round, so codes are integer-exact
+    * cross-engine.
     */
-  private def subCodes(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, sub: Int, s: Double): DataFrame =
+  private def fullCodes(df: DataFrame, idCol: String, vecCol: String,
+      s: Double): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        explode(sequence(lit(0), lit(m - 1))).as("sm"),
-        col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), col("sm"),
-        transform(slice(col("v"), col("sm") * sub + 1, lit(sub)),
-          x => round(x * 127.0 / s).cast("int")).as("a"))
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 127.0 / s).cast("int")).as("a"))
+
+  /** Best-centroid-per-subspace column for the `a` code column against
+    * a codebook snapshot: one [[graft.functions.PqBestCodes]] call —
+    * assignment costs a codegen'd three-level loop in a projection,
+    * never a join or shuffle. The per-element semantics (integer
+    * argmax of 2·a_m·cent_c − |cent_c|², ties to the smallest centroid
+    * id) are documented on the expression.
+    */
+  private def pqBestCol(df: DataFrame, cents: Map[(Int, Int), Seq[Int]],
+      m: Int, nCentroids: Int, sub: Int): Column = {
+    graft.functions.PqBestCodes.register(df.sparkSession)
+    val flat = (0 until m).flatMap(sm =>
+      (0 until nCentroids).flatMap(c => cents((sm, c))))
+    graft.functions.PqBestCodes.pq_best_codes(col("a"), flat,
+      nCentroids, sub)
+  }
 
   /** Per-subspace PQ codebooks trained with Lloyd over the int8
     * subvector codes in PURE INTEGER arithmetic — every quantity both
@@ -403,51 +416,71 @@ object Similarity {
     * SQL-oracle-checkable as the old first-N ones (which recalled
     * only 3-4/10 raw on clustered corpora):
     *   - init: subvector codes of the first nCentroids vectors;
-    *   - assign: argmin integer L2 ⇔ argmax 2·a·c − |c|² (exact
-    *     integer-valued doubles through the codegen'd dot), ties to
-    *     the smaller centroid id;
-    *   - update: per-dim floor(sum/count) — sums are exact in double
-    *     far below 2^53 and a non-integer rational mean is ≥ 1/count
-    *     from the nearest integer, so the IEEE division cannot cross
-    *     a floor boundary in either engine. Empty cells keep their
+    *   - assign: argmin integer L2 ⇔ argmax 2·a·c − |c|², ties to the
+    *     smaller centroid id — computed MAP-SIDE per vector row by
+    *     [[graft.functions.PqBestCodes]] with the codebook in a
+    *     codegen reference object (an earlier broadcast-join
+    *     formulation expanded every vector ×nc through a shuffled
+    *     argmax aggregate: 10M-row shuffles per round at sf0.1 and
+    *     8.4s for the whole operator; an unrolled-literal-expression
+    *     formulation OOM'd Janino at m=32·nc=64 — see the
+    *     expression's doc);
+    *   - update: per-dim floor(sum/count + 0.5) — sums are exact in
+    *     double far below 2^53 and a non-half rational mean is
+    *     ≥ 1/(2·count) from the nearest boundary, so the IEEE
+    *     division floors identically in both engines (and exact .5
+    *     boundaries divide out exactly). Empty cells keep their
     *     previous centroid.
-    * Per round: one broadcast-join assignment pass and one
-    * m·nCentroids·sub-bounded mean collect — the PageRank-style
+    * Per round: one map-side projection + one m·sub-per-vector
+    * explode into a 2048-row mean aggregate — the PageRank-style
     * driver loop, constant in corpus size.
     */
   def pqTrainedCodebooks(df: DataFrame, idCol: String, vecCol: String,
       m: Int, nCentroids: Int, iters: Int = 3)
       : (Double, Map[(Int, Int), Seq[Int]]) = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    val (s, _, cents) = pqTrainCore(df, idCol, vecCol, m, nCentroids,
+      iters)
+    (s, cents)
+  }
+
+  /** Training core that also hands back the MATERIALIZED code table
+    * (localCheckpoint'd), so the ADC scan can reuse it. Reuse is not
+    * just a perf nicety: building the score arrays over an
+    * un-materialized `transform(...)` projection lets the optimizer
+    * inline the whole array construction into each of the ~m·nc·sub
+    * element_at terms, and the resulting expression tree OOMs Janino
+    * (observed: 6 MiB task binaries, heap exhaustion in codegen).
+    * Against a checkpointed table `a` is a plain attribute and the
+    * generated code stays linear in m·nc·sub.
+    */
+  private def pqTrainCore(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCentroids: Int, iters: Int)
+      : (Double, DataFrame, Map[(Int, Int), Seq[Int]]) = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
     val s = i8Scale(df, vecCol)
-    val codes = subCodes(df, idCol, vecCol, m, sub, s)
-      .localCheckpoint(false)
+    val codes = fullCodes(df, idCol, vecCol, s).localCheckpoint(false)
     var cents: Map[(Int, Int), Seq[Int]] =
       codes.filter(col("id") < nCentroids).collect()
-        .map(r => ((r.getInt(1), r.getLong(0).toInt),
-          r.getSeq[Int](2).toSeq)).toMap
+        .flatMap { r =>
+          val full = r.getSeq[Int](1)
+          (0 until m).map(sm => ((sm, r.getLong(0).toInt),
+            full.slice(sm * sub, (sm + 1) * sub).toSeq))
+        }.toMap
     require(cents.size == m * nCentroids,
       s"pq init needs dense ids 0..${nCentroids - 1}; got ${cents.size}" +
         s" of ${m * nCentroids} subvectors")
     for (_ <- 0 until iters) {
-      val centDf = cents.toSeq.map { case ((sm, c), cent) => (sm, c, cent) }
-        .toDF("sm", "c", "cent")
-      val a = col("a").cast("array<double>")
-      val ct = col("cent").cast("array<double>")
-      val best = codes.join(broadcast(centDf), "sm")
-        .select(col("id"), col("sm"), col("c"), col("a"),
-          (lit(2.0) * dot(df, a, ct) - dot(df, ct, ct)).as("sc"))
-        .groupBy("id", "sm")
-        .agg(max(struct(col("sc"), (lit(0) - col("c")).as("negc"),
-          col("a"))).as("b"))
-        .select(col("sm"), (lit(0) - col("b.negc")).as("c"),
-          col("b.a").as("a"))
-      val means = best
-        .select(col("sm"), col("c"), posexplode(col("a")).as(Seq("d", "x")))
+      val withBest = codes.select(col("a"),
+        pqBestCol(codes, cents, m, nCentroids, sub).as("__bc"))
+      val structs = array((0 until m).flatMap(sm =>
+        (0 until sub).map(d => struct(lit(sm).as("sm"),
+          element_at(col("__bc"), sm + 1).as("c"), lit(d).as("d"),
+          element_at(col("a"), sm * sub + d + 1).as("x")))): _*)
+      val means = withBest.select(explode(structs).as("e"))
+        .select(col("e.sm").as("sm"), col("e.c").as("c"),
+          col("e.d").as("d"), col("e.x").as("x"))
         .groupBy("sm", "c", "d")
         .agg(floor(sum(col("x")).cast("double") / count(lit(1)) +
           lit(0.5)).cast("int").as("mv"))
@@ -461,7 +494,7 @@ object Similarity {
         }
       }
     }
-    (s, cents)
+    (s, codes, cents)
   }
 
   /** Product-quantization ADC top-k — the third compression tier of
@@ -485,10 +518,11 @@ object Similarity {
     *     as PIVOTED per-subspace columns summed in fixed order; the
     *     ranking equals raw-space ADC up to the (S/127)² scale factor.
     *
-    * Scale shape: the m·nCentroids-row codebook broadcast-joins
-    * against the code table (expansion feeds one partial-agg'd
-    * groupBy), encode is one shuffle by (id); at rest only the code
-    * table would be stored and the ADC scan never touches raw vectors.
+    * Scale shape: encode + ADC are ONE codegen'd map-side projection
+    * (codebook and per-centroid qdots baked in as literals — at
+    * m·nc ≤ a few thousand constants that is well inside expression
+    * limits) followed only by the top-k; no join, no shuffle, and the
+    * scan never touches raw vectors once codes are at rest.
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,
@@ -496,56 +530,39 @@ object Similarity {
     val dim = query.length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val (s, cents) = pqTrainedCodebooks(df, idCol, vecCol, m,
+    val (_, codes, cents) = pqTrainCore(df, idCol, vecCol, m,
       nCentroids, iters)
     // classic ADC: the QUERY stays raw double (no query-side
     // quantization error); per-(subspace, centroid) qdot is a strict
     // left fold over integer centroids — deterministic and replayable
     // as list_sum(list_transform(...)) on the oracle side
     val qd = query.map(_.toDouble)
-    val cb = (for {
-      sm <- 0 until m
-      c <- 0 until nCentroids
-    } yield {
-      val cent = cents((sm, c))
-      val qm = qd.slice(sm * sub, (sm + 1) * sub)
-      val qdot = qm.zip(cent).foldLeft(0.0)((acc, p) =>
-        acc + p._1 * p._2)
-      val sq = cent.foldLeft(0L)((acc, x) => acc + x.toLong * x)
-      (sm, c, qdot, sq, cent)
-    }).toDF("sm", "c", "qdot", "sq", "cent")
-    val a = col("a").cast("array<double>")
-    val enc = subCodes(df, idCol, vecCol, m, sub, s)
-      .join(broadcast(cb), "sm")
-      .select(col("id"), col("sm"), col("c"), col("qdot"),
-        // int8-exact subvector norm — stored with the codes, as real
+    val qdotArr: Int => Column = sm =>
+      array((0 until nCentroids).map { c =>
+        val cent = cents((sm, c))
+        val qm = qd.slice(sm * sub, (sm + 1) * sub)
+        lit(qm.zip(cent).foldLeft(0.0)((acc, p) => acc + p._1 * p._2))
+      }: _*)
+    val aD = col("a").cast("array<double>")
+    val withBest = codes
+      .select(col("id"),
+        // int8-exact vector norm — stored with the codes, as real
         // IVF-PQ systems keep a per-vector norm scalar
-        dot(df, a, a).cast("long").as("naa"),
-        (lit(2.0) * dot(df, a, col("cent").cast("array<double>")) -
-          col("sq")).as("sc"))
-    // argmax per (id, subspace): struct max orders by sc, then -c
-    // (ties -> smaller centroid id), and carries the winner's qdot
-    // plus the (centroid-independent) subvector norm term
-    val best = enc.groupBy(col("id"), col("sm"))
-      .agg(max(struct(col("sc"), (lit(0) - col("c")).as("negc"),
-        col("qdot"), col("naa"))).as("b"))
-      .select(col("id"), col("sm"), col("b.qdot").as("bqd"),
-        col("b.naa").as("bna"))
-    val pivotCols = (0 until m).flatMap(sm => Seq(
-      sum(when(col("sm") === sm, col("bqd"))).as(s"s$sm"),
-      sum(when(col("sm") === sm, col("bna"))).as(s"n$sm")))
+        dot(df, aD, aD).cast("long").as("__naa"),
+        pqBestCol(codes, cents, m, nCentroids, sub).as("__bc"))
     // rank by ADC dot over the vector's int8-accurate norm — the
-    // cosine-shaped score the exact reference ranking uses. Numerator
-    // folds and the integer norm are deterministic; the sqrt+divide is
-    // IEEE-identical cross-engine.
-    val qsum = (0 until m).map(sm => col(s"s$sm")).reduce(_ + _)
-    val nsum = (0 until m).map(sm => col(s"n$sm")).reduce(_ + _)
-    best.groupBy("id").agg(pivotCols.head, pivotCols.tail: _*)
+    // cosine-shaped score the exact reference ranking uses. The
+    // numerator adds the per-subspace qdots of each winning centroid
+    // in fixed sm order (same left chain as the oracle); the one
+    // float step (sqrt + divide) is IEEE-identical cross-engine.
+    val qsum = (0 until m).map(sm =>
+      element_at(qdotArr(sm), element_at(col("__bc"), sm + 1) + 1))
+      .reduce(_ + _)
+    withBest
       .select(col("id").as(idCol),
-        when(nsum === 0L, lit(0.0))
-          .otherwise(qsum / sqrt(nsum.cast("double"))).as("score"))
+        when(col("__naa") === 0L, lit(0.0))
+          .otherwise(qsum / sqrt(col("__naa").cast("double")))
+          .as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
