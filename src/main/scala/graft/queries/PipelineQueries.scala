@@ -69,6 +69,49 @@ object PipelineQueries {
       (id % 90 + 10).cast("string"), lit("-"),
       ((id * 11) % 9000 + 1000).cast("string"))
 
+  /** Per-bigram LM scores under the add-one smoothed bigram model of
+    * the reference split (doc_id%5==0) — the shared scoring chain of
+    * `text_lm_score` and `pipeline_ccnet_buckets`. Returns one row per
+    * scored bigram of every NON-reference doc: (doc_id, known, p)
+    * where p = (c2+1)*1e8 DIV (c1+v) is the integer-scaled smoothed
+    * probability (floor division of non-negative longs — identical in
+    * Spark and DuckDB; no doubles anywhere: log() is not
+    * correctly-rounded across libms, and even round(double, 8)
+    * disagrees between engines near half-way boundaries — r07's one
+    * red row). Scale shape: training is two partial-agg'd counts over
+    * the reference; scoring is one lag window per doc (one doc_id
+    * exchange) + two keyed joins against the vocab-bounded count
+    * tables.
+    */
+  private def lmBigramScores(docs: DataFrame): DataFrame = {
+    val toks = (df: DataFrame) => df.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as(Seq("pos", "w")))
+    val ref = toks(docs.filter(col("doc_id") % 5 === 0))
+    val uni = ref.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val big = ref
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigR = big.select(col("w1").as("b1"), col("w2").as("b2"),
+      col("c2"))
+    toks(docs.filter(col("doc_id") % 5 =!= 0))
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .join(uni, col("w") === col("w1"), "left").drop("w1")
+      .join(bigR, col("w") === col("b1") && col("w2") === col("b2"),
+        "left").drop("b1", "b2")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        col("c2").isNotNull.cast("long").as("known"),
+        expr("(coalesce(c2, CAST(0 AS BIGINT)) + 1) * 100000000 DIV " +
+          "(coalesce(c1, CAST(0 AS BIGINT)) + v)").as("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
     // Group key is a 128-bit fingerprint built from two independent
@@ -964,55 +1007,57 @@ object PipelineQueries {
       graft.ext.BpeTrain.encode(documents(s, d), "text",
         BpeEncodeTrainWords, BpeMerges)),
 
-    // LM-based quality scoring (the CCNet/KenLM shape): train add-one
-    // smoothed bigram statistics on a REFERENCE split (doc_id%5==0),
-    // score every other doc's bigrams under that model. Scale shape:
-    // training is two partial-agg'd counts over the reference; scoring
-    // is one lag window per doc (one doc_id exchange) + two keyed
-    // joins against the vocab-bounded count tables. Determinism: the
-    // hash path is pure long arithmetic — each smoothed probability
-    // is scaled to an integer, p_scaled = (c2+1)*1e8 DIV (c1+v)
-    // (floor division of non-negative longs, identical in Spark and
-    // DuckDB), and summed as BIGINT. No doubles anywhere: log() is
-    // not correctly-rounded across libms, and even round(double, 8)
-    // disagrees between engines near half-way boundaries (Spark
-    // rounds the exact decimal expansion of the binary double,
-    // DuckDB rounds in float space) — r07's one red row.
-    "text_lm_score" -> ((s, d) => {
-      val docs = documents(s, d)
-      val toks = (df: DataFrame) => df.select(col("doc_id"),
-        posexplode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as(Seq("pos", "w")))
-      val ref = toks(docs.filter(col("doc_id") % 5 === 0))
-      val uni = ref.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
-      val big = ref
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy("doc_id").orderBy("pos")))
-        .filter(col("w2").isNotNull)
-        .groupBy(col("w").as("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
-      val vocab = uni.agg(count(lit(1)).as("v"))
-      val bigR = big.select(col("w1").as("b1"), col("w2").as("b2"),
-        col("c2"))
-      toks(docs.filter(col("doc_id") % 5 =!= 0))
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy("doc_id").orderBy("pos")))
-        .filter(col("w2").isNotNull)
-        .join(uni, col("w") === col("w1"), "left").drop("w1")
-        .join(bigR, col("w") === col("b1") && col("w2") === col("b2"),
-          "left").drop("b1", "b2")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          col("c2").isNotNull.cast("long").as("known"),
-          expr("(coalesce(c2, CAST(0 AS BIGINT)) + 1) * 100000000 DIV " +
-            "(coalesce(c1, CAST(0 AS BIGINT)) + v)").as("p"))
+    // LM-based quality scoring (the CCNet/KenLM shape): per-doc
+    // aggregate of the shared `lmBigramScores` chain (scale shape and
+    // the integer-exact determinism argument live on that helper).
+    "text_lm_score" -> ((s, d) =>
+      lmBigramScores(documents(s, d))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("known")).as("n_known"),
           sum(col("p")).as("sum_p"),
           // exact integer keep rule: >= 80% of bigram starts seen in
           // the reference model
-          (sum(col("known")) * 5 >= count(lit(1)) * 4).as("lm_keep"))
+          (sum(col("known")) * 5 >= count(lit(1)) * 4).as("lm_keep"))),
+
+    // CCNet-style perplexity bucketing: split the scored corpus into
+    // head/middle/tail TERCILES per language by LM score (head = most
+    // reference-like; CCNet trains only on head+middle and uses tail
+    // as the discard/low-quality stratum). Exactness: a doc's score is
+    // the integer mean avg_p = sum_p DIV n_bigrams of the scaled
+    // bigram probabilities — no interpolated quantile EDGE anywhere
+    // (quantile_cont edges are doubles whose last-ULP placement near
+    // an integer score could legally differ cross-engine and flip a
+    // boundary doc). Instead: per-(lang, avg_p) counts, one cumulative
+    // window DESCENDING over the DISTINCT score values, and a tie
+    // group buckets wholesale by its start rank vs n/3 and 2n/3 —
+    // pure long arithmetic, CCNet's ties-go-together semantics.
+    // Scale shape: the count aggregate is map-side partial; the
+    // cumulative window's input is one row per distinct score value
+    // per lang — bounded by the score RANGE (0..1e8), not the corpus
+    // — and docs get their bucket back via an equi-join on
+    // (lang, avg_p), never a per-doc window.
+    "pipeline_ccnet_buckets" -> ((s, d) => {
+      val docs = documents(s, d)
+      val scored = lmBigramScores(docs)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          expr("sum_p DIV n_bigrams").as("avg_p"))
+      val vc = scored.groupBy("lang", "avg_p")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = vc.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang").orderBy(col("avg_p").desc)))
+      val tot = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      val lab = cum.join(broadcast(tot), "lang")
+        .select(col("lang"), col("avg_p"),
+          when(col("cum") - col("cnt") < expr("n DIV 3"), "head")
+            .when(col("cum") - col("cnt") < expr("(2 * n) DIV 3"),
+              "middle")
+            .otherwise("tail").as("bucket"))
+      scored.join(lab, Seq("lang", "avg_p"))
+        .select("doc_id", "lang", "avg_p", "bucket")
     }),
 
     // Candidate verification — the stage after MinHash-LSH in a real
@@ -1408,6 +1453,44 @@ object PipelineQueries {
 
   private def minhashOracle: String =
     minhashOracleFrom(Word3Ctes, JaccardThreshold)
+
+  /** Bigram-LM scoring CTEs ending in `scored(doc_id, known, p)` —
+    * the DuckDB mirror of `lmBigramScores` (shared by text_lm_score
+    * and pipeline_ccnet_buckets).
+    */
+  private val LmScoredCtes =
+    """rt AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents WHERE doc_id % 5 = 0),
+       rtok AS (SELECT doc_id, unnest(ws) AS w,
+                unnest(generate_series(1, len(ws))) AS pos FROM rt),
+       uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1
+               FROM rtok GROUP BY w),
+       rbig AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+           SELECT w AS w1,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM rtok)
+         WHERE w2 IS NOT NULL GROUP BY w1, w2),
+       vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       st AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents WHERE doc_id % 5 <> 0),
+       stok AS (SELECT doc_id, unnest(ws) AS w,
+                unnest(generate_series(1, len(ws))) AS pos FROM st),
+       sbig AS (SELECT doc_id, w1, w2 FROM (
+           SELECT doc_id, w AS w1,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM stok)
+         WHERE w2 IS NOT NULL),
+       scored AS (
+         SELECT s.doc_id,
+                CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
+                CAST((COALESCE(b.c2, 0) + 1) * 100000000 //
+                  (COALESCE(u.c1, 0) + vv.v) AS BIGINT) AS p
+         FROM sbig s
+         LEFT JOIN uni u ON s.w1 = u.w1
+         LEFT JOIN rbig b ON s.w1 = b.w1 AND s.w2 = b.w2
+         CROSS JOIN vv)"""
 
   /** Connected components over the minhash pair list via a recursive
     * transitive-closure CTE, labeling each doc with the min id of its
@@ -2361,43 +2444,40 @@ object PipelineQueries {
          WHERE e.value > med + 4.4478 * mad""",
 
     "text_lm_score" ->
-      """WITH rt AS (SELECT doc_id,
-               regexp_extract_all(lower(text), '[a-z]+') AS ws
-             FROM documents WHERE doc_id % 5 = 0),
-         rtok AS (SELECT doc_id, unnest(ws) AS w,
-                  unnest(generate_series(1, len(ws))) AS pos FROM rt),
-         uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1
-                 FROM rtok GROUP BY w),
-         rbig AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
-             SELECT w AS w1,
-                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-             FROM rtok)
-           WHERE w2 IS NOT NULL GROUP BY w1, w2),
-         vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-         st AS (SELECT doc_id,
-               regexp_extract_all(lower(text), '[a-z]+') AS ws
-             FROM documents WHERE doc_id % 5 <> 0),
-         stok AS (SELECT doc_id, unnest(ws) AS w,
-                  unnest(generate_series(1, len(ws))) AS pos FROM st),
-         sbig AS (SELECT doc_id, w1, w2 FROM (
-             SELECT doc_id, w AS w1,
-                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-             FROM stok)
-           WHERE w2 IS NOT NULL),
-         scored AS (
-           SELECT s.doc_id,
-                  CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
-                  CAST((COALESCE(b.c2, 0) + 1) * 100000000 //
-                    (COALESCE(u.c1, 0) + vv.v) AS BIGINT) AS p
-           FROM sbig s
-           LEFT JOIN uni u ON s.w1 = u.w1
-           LEFT JOIN rbig b ON s.w1 = b.w1 AND s.w2 = b.w2
-           CROSS JOIN vv)
+      s"""WITH $LmScoredCtes
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(known) AS BIGINT) AS n_known,
            CAST(sum(p) AS BIGINT) AS sum_p,
            (sum(known) * 5 >= count(*) * 4) AS lm_keep
          FROM scored GROUP BY doc_id""",
+
+    // Mirrors the integer tercile assignment exactly: avg_p and all
+    // rank thresholds are BIGINT floor divisions; the cumulative
+    // window runs over one row per distinct (lang, avg_p) so
+    // RANGE-vs-ROWS framing cannot differ.
+    "pipeline_ccnet_buckets" ->
+      s"""WITH $LmScoredCtes,
+         sc AS (SELECT a.doc_id, d.lang,
+               CAST(a.sum_p // a.n_bigrams AS BIGINT) AS avg_p
+             FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(p) AS BIGINT) AS sum_p
+                   FROM scored GROUP BY doc_id) a
+             JOIN documents d ON a.doc_id = d.doc_id),
+         vc AS (SELECT lang, avg_p, CAST(count(*) AS BIGINT) AS cnt
+                FROM sc GROUP BY lang, avg_p),
+         cm AS (SELECT lang, avg_p, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY avg_p DESC)
+                 AS cum
+             FROM vc),
+         tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM sc GROUP BY lang),
+         lab AS (SELECT c.lang, c.avg_p,
+               CASE WHEN c.cum - c.cnt < t.n // 3 THEN 'head'
+                    WHEN c.cum - c.cnt < (2 * t.n) // 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+             FROM cm c JOIN tt t ON c.lang = t.lang)
+         SELECT s.doc_id, s.lang, s.avg_p, l.bucket
+         FROM sc s JOIN lab l ON s.lang = l.lang AND s.avg_p = l.avg_p""",
 
     "dedup_verify_lev" ->
       s"""WITH cand AS (SELECT id_a, id_b FROM ($minhashOracle))
