@@ -177,6 +177,91 @@ object StreamingOps {
         (col("n_known") * 5 >= col("n_bigrams") * 4).as("lm_keep"))
   }
 
+  /** The corpus's LSH band buckets as a SKINNY static table
+    * (band, bk) DISTINCT — built in batch with the exact same hash
+    * family as `graft.ext.Dedup.minhashSignatures`, then joined
+    * against by `nearDupGate`. At 100 TB this is the at-rest "dedup
+    * index" of the training set: one row per occupied bucket, orders
+    * of magnitude smaller than the corpus, refreshed on the corpus's
+    * own compaction cadence.
+    */
+  def corpusBandBuckets(corpus: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 32, bands: Int = 8)
+      : DataFrame = {
+    val rows = numHashes / bands
+    graft.ext.Dedup.minhashSignatures(
+        graft.ext.Dedup.shingleRows(corpus, idCol, textCol), numHashes)
+      .select(posexplode(graft.ext.Dedup.bandKeys(bands, rows))
+        .as(Seq("band", "bk")))
+      .distinct()
+  }
+
+  /** Streaming near-duplicate gate — MinHash-LSH against a static
+    * corpus, incrementally. The batch miner's signature pass cannot
+    * run on a stream (shingleRows uses a per-doc lead window, and
+    * non-time windows are unsupported on streams), so the signature
+    * is computed MAP-SIDE per doc: word-3-gram shingle array by
+    * zip-shift (the `bigramsOf` trick, one order higher), one md5 per
+    * shingle materialized ONCE as an (h1, h2) struct array, then the
+    * Kirsch–Mitzenmacher mins and band keys as higher-order folds
+    * over it. Interpreted HOFs are banned on BATCH hot paths
+    * (ext/Dedup.scala design rules) — here they are per-doc bounded
+    * work, and the relational alternative does not exist on a stream.
+    *
+    * Bit-compatibility with the batch family is load-bearing: the
+    * map-side signature must equal `minhashSignatures`' output so the
+    * stream probes the same buckets batch mining would (the spec pins
+    * stream-vs-batch verdict equivalence doc by doc).
+    *
+    * Shape: explode band keys → stream-static equi-join on
+    * (band, bk) (no state, static side broadcast when small) → one
+    * watermarked windowed aggregate for the per-doc verdict — the
+    * lmGate pattern. Emits (idCol, n_bands, n_hit, nd_keep) per doc
+    * with ≥ 1 shingle; nd_keep = no band hit an occupied corpus
+    * bucket. Docs too short to shingle emit nothing (callers admit
+    * them unconditionally, as batch mining never pairs them either).
+    */
+  def nearDupGate(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, corpusBuckets: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes,
+      s"numHashes $numHashes must divide into $bands bands")
+    val tk = graft.ext.Dedup.tokens(col(textCol))
+    val n = greatest(size(tk) - 2, lit(0))
+    val sh = array_distinct(zip_with(
+      zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(tk, lit(3), n), (ab, c) => concat_ws(" ", ab, c)))
+    val hs = transform(sh, s => {
+      val hx = md5(s)
+      struct(conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
+    })
+    val mi = (i: Int) => array_min(transform(col("__hs"), h =>
+      pmod(h.getField("h1") + lit(i.toLong) * h.getField("h2"),
+        lit(graft.ext.Dedup.MinhashPrime))))
+    val bks = array((0 until bands).map { j =>
+      concat_ws("|", (0 until rows).map(r => mi(j * rows + r)): _*)
+    }: _*)
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    wm.select(col(idCol), col(tsCol), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol), col(tsCol),
+        posexplode(bks).as(Seq("__band", "__bk")))
+      .join(corpusBuckets.select(col("band").as("__cband"),
+          col("bk").as("__cbk")),
+        col("__band") === col("__cband") && col("__bk") === col("__cbk"),
+        "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(col("__cbk").isNotNull.cast("long")).as("n_hit"))
+      .select(col(idCol), col("n_bands"), col("n_hit"),
+        (col("n_hit") === 0L).as("nd_keep"))
+  }
+
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
     * the stream never committed a batch — nothing to verify then.

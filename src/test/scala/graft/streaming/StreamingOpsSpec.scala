@@ -292,6 +292,75 @@ class StreamingOpsSpec extends SparkSpec {
       "bigram-less docs emit nothing")
   }
 
+  test("nearDupGate: stream MinHash-LSH verdicts against a static " +
+      "corpus equal the batch run; map-side signature probes the " +
+      "same buckets as batch mining") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine"),
+      (102L, "red orange yellow green blue indigo violet sky"))
+      .toDF("doc_id", "text")
+    val buckets = StreamingOps.corpusBandBuckets(corpus, "doc_id",
+      "text").cache()
+    val docs = Seq(
+      // exact dup of corpus 100 -> every band hits
+      (1L, t(0), "alpha beta gamma delta epsilon zeta eta theta"),
+      // near dup of corpus 101 (one word changed) -> some band hits
+      (2L, t(1), "one two three four five six seven eight ten"),
+      // unrelated -> no hits, keep
+      (3L, t(2), "totally novel content nothing shared with corpus"),
+      // too short to shingle -> emits nothing
+      (4L, t(3), "hi there"),
+      (5L, t(95), "watermark flush row far in the future okay"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.nearDupGate(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", buckets)
+      .writeStream.format("memory").queryName("nd_stream")
+      .outputMode("append").start()
+    in.addData(docs.take(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT doc_id, n_bands, n_hit, nd_keep FROM nd_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    q.stop()
+    // batch reference: the SAME operator over the same rows
+    val batchDf = docs.toDF("doc_id", "ts", "text")
+    val batch = StreamingOps.nearDupGate(batchDf,
+        "doc_id", "text", "ts", buckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch.filter(_._1 != 5L))
+    val verdicts = streamed.map(v => v._1 -> v._4).toMap
+    assert(verdicts == Map(1L -> false, 2L -> false, 3L -> true),
+      "exact dup and near dup flagged, novel doc kept, " +
+        s"short doc absent: $streamed")
+    assert(streamed.find(_._1 == 1L).get._3 == 8L,
+      "an exact dup hits all 8 bands")
+    // bit-compatibility: the map-side per-doc hit count equals the
+    // BATCH signature family probing the same buckets
+    val batchHits = graft.ext.Dedup.minhashSignatures(
+        graft.ext.Dedup.shingleRows(batchDf.filter(col("doc_id") < 5),
+          "doc_id", "text"), 32)
+      .select(col("id"), posexplode(graft.ext.Dedup.bandKeys(8, 4))
+        .as(Seq("band", "bk")))
+      .join(buckets, Seq("band", "bk"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gateHits = batch.filter(v => v._1 < 5 && v._3 > 0)
+      .map(v => v._1 -> v._3).toMap
+    assert(gateHits == batchHits,
+      s"map-side signature diverged from batch: $gateHits vs $batchHits")
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
