@@ -219,6 +219,52 @@ object PipelineQueries {
           CosineThreshold, EmbedBands, EmbedRowsPerBand)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    // prune near-identical members WITHIN each cluster — the
+    // cluster-then-prune shape that makes semantic dedup tractable at
+    // corpus scale (pairwise work is bounded by cluster size, and the
+    // cluster count grows with the corpus; a degenerate hot cluster
+    // would take the candidateOverlap-style salting treatment).
+    // Clusters are the same deterministic first-16 coarse quantizer
+    // sim_ann_ivf oracles (argmax dot, ties to the smaller cell).
+    // Keep rule, exactly the paper's diversity-keeping order: within a
+    // cluster, priority = LOWEST similarity-to-centroid first (ties by
+    // id); a doc is dropped iff some earlier-priority clustermate is
+    // cosine-similar above the threshold. All comparisons are over
+    // bit-identical cross-engine dot folds, so the oracle replays
+    // drops exactly.
+    "dedup_semantic" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      import s.implicits._
+      val centDf = cents.zipWithIndex
+        .map { case (c, j) => (j, c.map(_.toDouble)) }.toDF("cell", "cv")
+      val withCell = emb.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("cell", Similarity.ivfCell(emb, col("v"), cents))
+      val pri = withCell.join(broadcast(centDf), "cell")
+        .select(col("cell"), col("vec_id"), col("v"),
+          (Similarity.dot(emb, col("v"), col("cv")) /
+            (Similarity.l2norm(emb, col("v")) *
+              Similarity.l2norm(emb, col("cv")))).as("cs"))
+      val a = pri.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("cs").as("csa"))
+      val b = pri.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("cs").as("csb"))
+      val dropped = a.join(b, "cell")
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(col("csb") < col("csa") ||
+          (col("csb") === col("csa") && col("id_b") < col("id_a")))
+        .filter(Similarity.dot(emb, col("va"), col("vb")) /
+          (Similarity.l2norm(emb, col("va")) *
+            Similarity.l2norm(emb, col("vb"))) >= CosineThreshold)
+        .select(col("id_a").as("vec_id")).distinct()
+        .withColumn("__drop", lit(true))
+      pri.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          round(col("cs"), 6).as("centroid_sim"),
+          col("__drop").isNull.as("kept"))
+    }),
+
     // --- similarity search ---
     // Per-vector symmetric int8 quantization (4x embedding storage/
     // shuffle cut): one codegen'd map-side expression, no shuffle —
@@ -1740,6 +1786,34 @@ object PipelineQueries {
             FROM cand JOIN n a ON cand.id_a = a.vec_id
                       JOIN n b ON cand.id_b = b.vec_id)
           WHERE cs >= $CosineThreshold""",
+
+    // SemDeDup mirror: cell assignment is the sim_ann_ivf quantizer
+    // verbatim (argmax dot, row_number ties to the smaller cell);
+    // drops replay the same earlier-priority-clustermate rule over
+    // bit-identical dot folds.
+    "dedup_semantic" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+          d AS (SELECT a.vec_id, a.v, c.cid,
+                ${dotSql("a.v", "c.cv")} AS dp FROM v a CROSS JOIN c),
+          cell AS (SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cid) AS rn
+            FROM d) WHERE rn = 1),
+          pri AS (SELECT cell.vec_id, cell.cid, cell.v,
+                ${dotSql("cell.v", "c2.cv")} /
+                  (${normSql("cell.v")} * ${normSql("c2.cv")}) AS cs
+              FROM cell JOIN c c2 ON cell.cid = c2.cid),
+          drp AS (SELECT DISTINCT a.vec_id FROM pri a JOIN pri b
+                ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                WHERE (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))
+                  AND ${dotSql("a.v", "b.v")} /
+                    (${normSql("a.v")} * ${normSql("b.v")})
+                    >= $CosineThreshold)
+          SELECT p.vec_id, p.cid AS cell, round(p.cs, 6) AS centroid_sim,
+                 (dr.vec_id IS NULL) AS kept
+          FROM pri p LEFT JOIN drp dr ON p.vec_id = dr.vec_id""",
 
     // Mirrors Similarity.knnJoin: same banding as dedup_embed, but the
     // candidate join keeps ALL (qid, cid) co-occurrences (no id_a <
