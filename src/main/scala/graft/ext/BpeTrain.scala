@@ -95,7 +95,7 @@ object BpeTrain {
       concat(expr("substr(word, pos, 1)"),
         when(col("pos") === length(col("word")), lit("</w>"))
           .otherwise(lit(""))).as("sym"))
-    .localCheckpoint()
+    .localCheckpoint(false)
 
   /** One merge application: replace every non-overlapping adjacent
     * (l, rr) pair with the concatenated symbol, renumber positions.
@@ -116,7 +116,7 @@ object BpeTrain {
       .withColumn("off", col("pos") -
         min(col("pos")).over(Window.partitionBy("word", "grp")))
       .filter(col("off") % 2 === 0)
-      .select(col("word"), col("pos")).localCheckpoint()
+      .select(col("word"), col("pos")).localCheckpoint(false)
     val mSel = sel.select(col("word").as("mword"), col("pos").as("mpos"))
     val dSel = sel.select(col("word").as("dword"), col("pos").as("dpos"))
     tok
@@ -129,7 +129,7 @@ object BpeTrain {
         when(col("mpos").isNotNull, concat(col("sym"), lit(rr)))
           .otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(byWord))
-      .localCheckpoint()
+      .localCheckpoint(false)
   }
 
   /** The training loop: returns (merge list, final symbol table) so

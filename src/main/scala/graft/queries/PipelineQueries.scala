@@ -241,11 +241,15 @@ object PipelineQueries {
         .map { case (c, j) => (j, c.map(_.toDouble)) }.toDF("cell", "cv")
       val withCell = emb.select(col("vec_id"), col("embedding").as("v"))
         .withColumn("cell", Similarity.ivfCell(emb, col("v"), cents))
+      // lazily checkpointed: pri feeds both self-join sides and the
+      // final keep join — the assignment projection is map-side cheap
+      // but would otherwise re-scan the embeddings three times
       val pri = withCell.join(broadcast(centDf), "cell")
         .select(col("cell"), col("vec_id"), col("v"),
           (Similarity.dot(emb, col("v"), col("cv")) /
             (Similarity.l2norm(emb, col("v")) *
               Similarity.l2norm(emb, col("cv")))).as("cs"))
+        .localCheckpoint(false)
       val a = pri.select(col("cell"), col("vec_id").as("id_a"),
         col("v").as("va"), col("cs").as("csa"))
       val b = pri.select(col("cell"), col("vec_id").as("id_b"),
@@ -1085,17 +1089,23 @@ object PipelineQueries {
     // (lang, avg_p), never a per-doc window.
     "pipeline_ccnet_buckets" -> ((s, d) => {
       val docs = documents(s, d)
+      // lazily checkpointed: the LM chain feeds both the value-count
+      // table and the final doc join — without the pin Spark would
+      // replay the whole scoring lineage per consumer
       val scored = lmBigramScores(docs)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select(col("doc_id"), col("lang"),
           expr("sum_p DIV n_bigrams").as("avg_p"))
+        .localCheckpoint(false)
       val vc = scored.groupBy("lang", "avg_p")
         .agg(count(lit(1)).as("cnt"))
       val cum = vc.withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy("lang").orderBy(col("avg_p").desc)))
-      val tot = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      // per-lang totals fold out of the value counts — never a second
+      // pass over the docs
+      val tot = vc.groupBy("lang").agg(sum(col("cnt")).as("n"))
       val lab = cum.join(broadcast(tot), "lang")
         .select(col("lang"), col("avg_p"),
           when(col("cum") - col("cnt") < expr("n DIV 3"), "head")

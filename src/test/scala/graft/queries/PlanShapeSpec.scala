@@ -404,4 +404,32 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
     assert(scansOf(p, "lineitem") <= 2)
   }
+
+  test("pipeline_ccnet_buckets: the cumulative window partitions by " +
+      "lang over the bounded value-count table, never per doc") {
+    val p = plan("pipeline_ccnet_buckets")
+    // the tercile window's exchange hashes on lang (distinct score
+    // values per lang — bounded by the score range); a per-doc window
+    // would hash on doc_id somewhere in the visible plan
+    assert(p.contains("hashpartitioning(lang"),
+      "tercile window lost its lang partitioning")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "a per-doc exchange appeared — bucketing must stay value-level")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_semantic: within-cluster pairs equi-join on cell, " +
+      "no cartesian fallback") {
+    // the centroid broadcast join lives inside the checkpointed pri
+    // lineage (invisible here); what must hold in the visible plan is
+    // that pairing hashes on cell and nothing falls back to a
+    // cartesian/nested-loop strategy
+    val p = plan("dedup_semantic")
+    assert(p.contains("hashpartitioning(cell"),
+      "within-cluster pairing lost its cell partitioning")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "within-cluster pairing must stay an equi-join on cell")
+  }
 }
