@@ -50,4 +50,39 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join — `a.lo <= b.hi AND b.lo <= a.hi`
+    * (inclusive ends; touching intervals overlap), the range×range
+    * sibling of `pointInInterval` (classic in genomics/log-window
+    * correlation). Spark plans the bare conjunction as a
+    * BroadcastNestedLoopJoin; here BOTH sides explode over the bins
+    * they cover and equi-join on the bin id.
+    *
+    * Exactly-once without a dedup pass: an overlapping pair co-occurs
+    * in every shared bin, but the overlap region starts at
+    * max(a.lo, b.lo), and binning is monotone — so the pair is kept
+    * only in bin max(bin(a.lo), bin(b.lo)), its FIRST shared bin,
+    * which both sides provably cover. (The `pointInInterval` analog
+    * gets this for free because a point covers one bin.)
+    *
+    * Cost model matches `pointInInterval`: each side replicates by
+    * ~(interval length / binWidth) + 1 — pick binWidth near the
+    * typical interval length of the LONGER-intervaled side.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: org.apache.spark.sql.Column) =
+      call_function("div", c, lit(binWidth)) +
+        when(c % lit(binWidth) < 0, lit(-1L)).otherwise(lit(0L))
+    val lb = left.filter(col(lLo) <= col(lHi))
+      .withColumn("__bin", explode(sequence(bin(col(lLo)), bin(col(lHi)))))
+    val rb = right.filter(col(rLo) <= col(rHi))
+      .withColumn("__bin", explode(sequence(bin(col(rLo)), bin(col(rHi)))))
+    lb.join(rb, "__bin")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(bin(col(lLo)), bin(col(rLo))))
+      .drop("__bin")
+  }
 }

@@ -146,6 +146,32 @@ object ExtendedQueries {
         .groupBy("win_id").agg(count(lit(1)).as("n_events"))
     }),
 
+    // Interval×interval OVERLAP join (the range×range sibling):
+    // ±30min incident windows vs ±10min maintenance windows, paired
+    // iff they overlap in time — RangeJoin.intervalOverlap's binned
+    // equi-join with the first-shared-bin exactly-once rule, never a
+    // nested-loop. Overlap length is exact integer arithmetic
+    // (min(hi)-max(lo)+1 on inclusive micros), so the aggregate
+    // hash-mirrors the oracle's plain theta join.
+    "join_range_overlap" -> ((s, d) => {
+      val ev = events(s, d)
+      val a = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("a_id"),
+          (unix_micros(col("ts")) - 1800000000L).as("a_lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("a_hi"))
+      val b = ev.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("b_id"),
+          (unix_micros(col("ts")) - 600000000L).as("b_lo"),
+          (unix_micros(col("ts")) + 600000000L).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", binWidth = 600000000L)
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo")) + 1L)
+            .as("sum_overlap_us"))
+    }),
+
     // Event-type transition matrix (first-order Markov counts): lag
     // window per user, then a global bigram aggregate — one user_id
     // exchange for the window, one partial-agg'd shuffle on the (tiny)
@@ -630,6 +656,23 @@ object ExtendedQueries {
          SELECT win_id, count(*) AS n_events
          FROM w JOIN ev ON ev.us BETWEEN w.lo AND w.hi
          GROUP BY win_id""",
+
+    // plain theta overlap join — the binned first-shared-bin plan
+    // must be result-identical
+    "join_range_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id,
+               epoch_us(ts) - 1800000000 AS a_lo,
+               epoch_us(ts) + 1800000000 AS a_hi
+             FROM events WHERE event_id % 997 = 0),
+         b AS (SELECT event_id AS b_id,
+               epoch_us(ts) - 600000000 AS b_lo,
+               epoch_us(ts) + 600000000 AS b_hi
+             FROM events WHERE event_id % 499 = 0)
+         SELECT a_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1)
+             AS BIGINT) AS sum_overlap_us
+         FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+         GROUP BY a_id""",
 
     "events_retention" ->
       """WITH su AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort

@@ -150,6 +150,48 @@ class RangeJoinSpec extends SparkSpec {
       .sorted.toSeq
     assert(got == (0L to 4L).map((_, 1L)) ++ (5L to 10L).map((_, 2L)))
   }
+
+  test("intervalOverlap matches the naive theta join exactly once " +
+      "per pair: touching ends, negatives, degenerate, inverted, " +
+      "nested, bin-boundary straddles") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val mk = (n: Int, seedOff: Int) =>
+      (1 to n).map { i =>
+        val lo = rnd.nextLong() % 1000
+        ((i + seedOff).toLong, lo, lo + math.abs(rnd.nextLong() % 180))
+      }
+    val a = (mk(120, 0) ++ Seq(
+      (900L, -100L, 100L),  // spans zero
+      (901L, 100L, 100L),   // degenerate, touches 900's end
+      (902L, 50L, 49L),     // inverted -> matches nothing
+      (903L, -1000L, 1000L) // wide: overlaps most of b
+    )).toDF("a_id", "a_lo", "a_hi")
+    val b = (mk(80, 5000) ++ Seq(
+      (800L, 101L, 200L),  // touches nothing of 900 (gap of 1)
+      (801L, 100L, 150L),  // touches 900 AND 901 exactly at 100
+      (802L, -250L, -150L),// negative-only, bin-edge straddler
+      (803L, 60L, 40L)     // inverted right side
+    )).toDF("b_id", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") <= col("a_hi") && col("b_lo") <= col("b_hi") &&
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val binned = RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+        b, "b_lo", "b_hi", binWidth = 100L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+    // the first-shared-bin rule yields each pair exactly once — no
+    // distinct pass hides duplicates
+    assert(binned.distinct.size == binned.size)
+    // the touching-pair corners specifically
+    assert(naive.contains((900L, 801L)) && naive.contains((901L, 801L)))
+    assert(!naive.contains((900L, 800L)))
+  }
 }
 
 class TrianglesSpec extends SparkSpec {
