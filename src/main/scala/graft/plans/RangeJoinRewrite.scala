@@ -139,7 +139,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     }.filter(x => integral(x.point) && integral(x.bound) &&
       x.point.deterministic && x.bound.deterministic)
 
-    bounds.groupBy(b => (b.point.canonicalized, b.pointOnLeft)).collectFirst {
+    val pointRewrite = bounds
+      .groupBy(b => (b.point.canonicalized, b.pointOnLeft)).collectFirst {
       case (_, bs) if bs.exists(_.lower) && bs.exists(!_.lower) =>
         val lo = bs.find(_.lower).get
         val hi = bs.find(!_.lower).get
@@ -149,6 +150,99 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             hi.bound, w)
         }
     }.flatten
+    pointRewrite.orElse(
+      rewriteOverlap(j, left, right, comps, side, fixedWidth))
+  }
+
+  /** Interval×interval OVERLAP detection — the range×range shape
+    * (`l.lo <= r.hi AND r.lo <= l.hi`, strict variants included) the
+    * point path cannot see: neither side expression is bounded both
+    * ways. Mirrors `RangeJoin.intervalOverlap`, with one twist the
+    * manual operator documents away but an automatic rewrite MUST
+    * preserve: the raw predicate can match INVERTED intervals
+    * (lo > hi), e.g. a=(5,3) against b=(0,10). So each side explodes
+    * over its NORMALIZED span [least(lo,hi), greatest(lo,hi)] — a raw
+    * match always implies normalized-span overlap (raw gives
+    * min_l <= l.lo <= r.hi <= max_r and min_r <= r.lo <= l.hi <=
+    * max_l) — and the ORIGINAL condition runs verbatim inside matched
+    * buckets, so no false positives. Exactly-once: a pair is claimed
+    * only at bin max(bin(min_l), bin(min_r)), the first bin both
+    * normalized spans provably cover. Null bounds explode a few
+    * harmless rows (Least/Greatest skip nulls) that the raw condition
+    * then rejects; all-null bounds yield a null sequence and the
+    * non-outer Generate drops the row.
+    *
+    * Auto width derives from BOTH sides (each is an interval table —
+    * either may carry the sentinel/skew that must decline the
+    * rewrite) and takes the larger p90, per the manual operator's
+    * cost model.
+    */
+  private def rewriteOverlap(j: Join, left: LogicalPlan,
+      right: LogicalPlan, comps: Seq[(Expression, Expression, Boolean)],
+      side: Expression => Option[Boolean],
+      fixedWidth: Option[Long]): Option[LogicalPlan] = {
+    // normalize to (small <= big) pairs
+    val leqs = comps.map { case (a, b, aLower) =>
+      if (aLower) (b, a) else (a, b)
+    }.filter { case (s, b) =>
+      integral(s) && integral(b) && s.deterministic && b.deterministic &&
+        side(s).isDefined && side(b).isDefined && side(s) != side(b)
+    }
+    val pair = (for {
+      (s1, b1) <- leqs
+      (s2, b2) <- leqs
+      if side(s1) != side(s2) && side(s1) == side(b2)
+    } yield (s1, b2, s2, b1)).headOption
+    pair.flatMap { case (lLo0, lHi0, rLo0, rHi0) =>
+      // orient to the join's left/right
+      val (lLo, lHi, rLo, rHi) =
+        if (side(lLo0) == Some(true)) (lLo0, lHi0, rLo0, rHi0)
+        else (rLo0, rHi0, lLo0, lHi0)
+      val w = fixedWidth.orElse {
+        for {
+          wl <- deriveWidth(left, Least(Seq(lLo, lHi)),
+            Greatest(Seq(lLo, lHi)))
+          wr <- deriveWidth(right, Least(Seq(rLo, rHi)),
+            Greatest(Seq(rLo, rHi)))
+        } yield math.max(wl, wr)
+      }
+      w.map(buildOverlap(j, left, right, lLo, lHi, rLo, rHi, _))
+    }
+  }
+
+  private def buildOverlap(j: Join, left: LogicalPlan,
+      right: LogicalPlan, lLo: Expression, lHi: Expression,
+      rLo: Expression, rHi: Expression, w: Long): LogicalPlan = {
+    def toLong(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    def bin(e0: Expression): Expression = {
+      val e = toLong(e0)
+      Add(IntegralDivide(e, Literal(w)),
+        If(LessThan(Remainder(e, Literal(w)), Literal(0L)),
+          Literal(-1L), Literal(0L)))
+    }
+    def nLo(lo: Expression, hi: Expression) =
+      Least(Seq(toLong(lo), toLong(hi)))
+    def nHi(lo: Expression, hi: Expression) =
+      Greatest(Seq(toLong(lo), toLong(hi)))
+    def leg(p: LogicalPlan, lo: Expression, hi: Expression,
+        attr: AttributeReference): LogicalPlan =
+      Generate(
+        Explode(Sequence(bin(nLo(lo, hi)), bin(nHi(lo, hi)), None,
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(attr), child = p)
+    val lAttr = AttributeReference("__graft_bin_l", LongType,
+      nullable = false)()
+    val rAttr = AttributeReference("__graft_bin_r", LongType,
+      nullable = false)()
+    val lPlan = leg(left, lLo, lHi, lAttr)
+    val rPlan = leg(right, rLo, rHi, rAttr)
+    // first-shared-bin ownership + the ORIGINAL condition verbatim
+    val own = EqualTo(lAttr,
+      Greatest(Seq(bin(nLo(lLo, lHi)), bin(nLo(rLo, rHi)))))
+    val cond = And(And(EqualTo(lAttr, rAttr), own), j.condition.get)
+    Project(j.output, Join(lPlan, rPlan, Inner, Some(cond), j.hint))
   }
 
   /** auto mode: one pre-job over the interval side — p90 length picks

@@ -172,6 +172,29 @@ object ExtendedQueries {
             .as("sum_overlap_us"))
     }),
 
+    // The SAME overlap join spelled naively — a bare two-conjunct
+    // theta join Spark would plan as a nested loop; the
+    // RangeJoinRewrite overlap path (binWidth=auto) must turn it into
+    // the binned first-shared-bin equi-join with identical results
+    // (oracle is join_range_overlap's SQL verbatim, hash-checked).
+    "join_range_overlap_auto" -> ((s, d) => {
+      val ev = events(s, d)
+      val a = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("a_id"),
+          (unix_micros(col("ts")) - 1800000000L).as("a_lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("a_hi"))
+      val b = ev.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("b_id"),
+          (unix_micros(col("ts")) - 600000000L).as("b_lo"),
+          (unix_micros(col("ts")) + 600000000L).as("b_hi"))
+      a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo")) + 1L)
+            .as("sum_overlap_us"))
+    }),
+
     // Event-type transition matrix (first-order Markov counts): lag
     // window per user, then a global bigram aggregate — one user_id
     // exchange for the window, one partial-agg'd shuffle on the (tiny)
@@ -660,6 +683,23 @@ object ExtendedQueries {
     // plain theta overlap join — the binned first-shared-bin plan
     // must be result-identical
     "join_range_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id,
+               epoch_us(ts) - 1800000000 AS a_lo,
+               epoch_us(ts) + 1800000000 AS a_hi
+             FROM events WHERE event_id % 997 = 0),
+         b AS (SELECT event_id AS b_id,
+               epoch_us(ts) - 600000000 AS b_lo,
+               epoch_us(ts) + 600000000 AS b_hi
+             FROM events WHERE event_id % 499 = 0)
+         SELECT a_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1)
+             AS BIGINT) AS sum_overlap_us
+         FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+         GROUP BY a_id""",
+
+    // the naive spelling must produce the identical result through
+    // the automatic overlap rewrite
+    "join_range_overlap_auto" ->
       """WITH a AS (SELECT event_id AS a_id,
                epoch_us(ts) - 1800000000 AS a_lo,
                epoch_us(ts) + 1800000000 AS a_hi

@@ -170,4 +170,98 @@ class RangeJoinRewriteSpec extends SparkSpec {
         .contains("BroadcastNestedLoopJoin"))
     }
   }
+
+  private def ivA = {
+    import spark.implicits._
+    // plain, wide, degenerate, INVERTED (raw overlap predicate can
+    // still match inverted rows — the rewrite must preserve that),
+    // negative
+    Seq((1L, 10L, 60L), (2L, -500L, 500L), (3L, 100L, 100L),
+      (4L, 80L, 20L), (5L, -90L, -40L)).toDF("a_id", "a_lo", "a_hi")
+  }
+  private def ivB = {
+    import spark.implicits._
+    Seq((10L, 55L, 70L), (11L, 100L, 150L), (12L, -60L, -50L),
+      (13L, 30L, 75L), (14L, 200L, 100L)).toDF("b_id", "b_lo", "b_hi")
+  }
+  private def naiveOverlap = {
+    import spark.implicits._
+    ivA.join(ivB, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+  }
+
+  test("overlap rewrite fires: naive interval×interval join loses " +
+      "its nested loop, results identical incl. inverted intervals") {
+    val base = withWidth("0") {
+      val df = naiveOverlap
+      assert(df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "baseline should be BNLJ")
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    // the inverted b=(200,100) raw-matches the wide a=(-500,500):
+    // -500<=100 && 200<=500 — the fixture must exercise exactly the
+    // case where normalizing semantics (instead of spans) would lose
+    // a pair
+    assert(base.contains((2L, 14L)),
+      "fixture must exercise an inverted-interval raw match")
+    withWidth("32") {
+      val df = naiveOverlap
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(df.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"), "fixed width should bin")
+      val got = df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == base, s"got $got, want $base")
+      // exactly-once: no pair duplicated across shared bins
+      assert(got.distinct.size == got.size)
+    }
+  }
+
+  test("overlap rewrite in auto mode: width derives from both " +
+      "interval sides once the span can distribute") {
+    import spark.implicits._
+    // the crafted corners alone span too few buckets relative to the
+    // p90 length — auto correctly declines there (the distribute
+    // guard); spreading each side over a wide axis lets it fire
+    val spreadA = (0 until 100).map(i =>
+      (1000L + i, i * 100L, i * 100L + 50L)).toDF("a_id", "a_lo", "a_hi")
+    val spreadB = (0 until 100).map(i =>
+      (2000L + i, i * 100L + 25L, i * 100L + 80L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val a = ivA.union(spreadA)
+    val b = ivB.union(spreadB)
+    def q = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+    val base = withWidth("0") {
+      q.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    withWidth("auto") {
+      val df = q
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "auto should fire")
+      val got = df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == base)
+      assert(got.distinct.size == got.size)
+    }
+  }
+
+  test("overlap rewrite keeps extra conjuncts and strict bounds " +
+      "verbatim") {
+    import spark.implicits._
+    def q = ivA.join(ivB,
+      $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi" && $"b_id" =!= 13L)
+    val base = withWidth("0") {
+      q.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    withWidth("16") {
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      val got = q.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == base, s"got $got, want $base")
+    }
+  }
 }

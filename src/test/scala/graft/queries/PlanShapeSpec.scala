@@ -323,6 +323,13 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"))
   }
 
+  test("join_range_overlap_auto: the naive interval-overlap " +
+      "spelling gets the binned plan — no nested-loop join") {
+    val p = plan("join_range_overlap_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("dedup_containment: candidates via band buckets — no " +
       "cartesian, no round-robin corpus reshuffle") {
     val p = plan("dedup_containment")
