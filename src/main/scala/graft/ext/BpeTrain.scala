@@ -68,9 +68,39 @@ object BpeTrain {
     * merges cover, exactly like a production BPE encoder. Output is
     * the per-word segmentation (word, f, pos, sym); tokenizing
     * documents is then a join against this table.
+    *
+    * The replay itself is ONE map-side projection —
+    * [[graft.functions.BpeReplay]], the apply-side scale shape: the
+    * merge list is driver-held and vocab-bounded, each word's
+    * segmentation depends on nothing else, so running the relational
+    * per-round machinery (lead window + two joins per merge, built
+    * for training's corpus-global pair counts) over the full
+    * vocabulary was ~20 sequential shuffles where a single projection
+    * suffices. BpeTrainSpec pins the expression equal to the
+    * relational replay symbol-for-symbol.
     */
   def encode(docs: DataFrame, textCol: String, topWords: Int,
       nMerges: Int): DataFrame = {
+    val (merges, _) = trainLoop(docs, textCol, topWords, nMerges)
+    graft.functions.BpeReplay.register(docs.sparkSession)
+    val flat = merges.flatMap { case (_, l, rr, _) => Seq(l, rr) }
+    words(docs, textCol)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(col("word"), col("f"),
+        posexplode(graft.functions.BpeReplay.bpe_replay(col("word"),
+          flat)).as(Seq("p0", "sym")))
+      .select(col("word"), col("f"),
+        (col("p0") + 1).cast("int").as("pos"), col("sym"))
+  }
+
+  /** The relational replay of `encode` — training's per-round
+    * machinery driven over the full vocabulary. Kept as the
+    * differential baseline BpeTrainSpec pins `encode` against (the
+    * two must agree symbol-for-symbol on every word, including greedy
+    * equal-run behavior).
+    */
+  private[graft] def encodeRelational(docs: DataFrame, textCol: String,
+      topWords: Int, nMerges: Int): DataFrame = {
     val (merges, _) = trainLoop(docs, textCol, topWords, nMerges)
     val allFreq = words(docs, textCol)
       .groupBy("word").agg(count(lit(1)).as("f"))

@@ -87,4 +87,26 @@ class BpeTrainSpec extends SparkSpec {
     val b = BpeTrain.train(docs, "text", 10, 8).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("map-side encode equals the relational replay " +
+      "symbol-for-symbol, including greedy equal-symbol runs") {
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getString(3)))
+      .groupBy(_._1)
+      .map { case (w, rs) =>
+        (w, rs.head._2) -> rs.sortBy(_._3).map(_._4).toSeq
+      }
+    // aaaa/aaab force repeated (a,a) merges where the even-offset
+    // rule and the sequential greedy must agree; banana-family words
+    // exercise overlapping learned merges; OOV comes via topWords=3
+    val docs = corpus("banana" -> 5, "bandana" -> 3, "aaaa" -> 4,
+      "aaab" -> 2, "cabana" -> 2, "abracadabra" -> 1)
+    val fast = asMap(BpeTrain.encode(docs, "text", 3, 8).collect())
+    val slow = asMap(
+      BpeTrain.encodeRelational(docs, "text", 3, 8).collect())
+    assert(fast == slow, s"\nfast $fast\nslow $slow")
+    assert(fast.nonEmpty &&
+      fast.keys.map(_._1).toSet.contains("abracadabra"))
+  }
 }
