@@ -18,15 +18,25 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and truncate to micros (Spark
-    * timestamp precision). DuckDB reads the same file natively — both
-    * engines agree at any granularity ≥ 1µs.
+  /** events.parquet's `ts` physical type varies across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * accepts as a raw long) or TIMESTAMP(MICROS) (read natively).
+    * Adapt on the observed schema: longs are nanos → truncate to
+    * micros (Spark timestamp precision); native timestamps pass
+    * through. DuckDB reads either natively — both engines agree at
+    * any granularity ≥ 1µs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // native micros arrive as TIMESTAMP_NTZ; cast to session-tz
+      // timestamp (session tz is pinned UTC, so the wall-clock value
+      // is unchanged) so unix_micros & friends resolve
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
