@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.RollingHash64
-import graft.functions.{DotDouble, QuantizeI8, SignBands}
+import graft.functions.{BloomContains, DotDouble, QuantizeI8, SignBands}
 
 /** Spark extensions entry point: registers the library's native
   * Catalyst expressions as SQL functions. Enable with
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SignBands].getName, "sign_bands"),
       (children: Seq[Expression]) =>
         SignBands(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[Expression]) => BloomContains(children(0),
+        children(1), children(2), children(3), children(4))))
     // Keyless BETWEEN joins → binned equi-joins (opt-in via
     // spark.graft.rangeJoin.binWidth; see plans/RangeJoinRewrite).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

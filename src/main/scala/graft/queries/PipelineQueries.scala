@@ -28,6 +28,11 @@ object PipelineQueries {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
   private val JaccardThreshold = 0.6
+  // Bloom gate sizing: 2^18 bits comfortably holds the test corpora at
+  // k=7 (m is a cardinality-budget constant, not data-derived; a real
+  // crawl sizes m ~ 1.44 * k * n_expected bits).
+  private val BloomK = 7
+  private val BloomBits = 1 << 18
   private val CosineThreshold = 0.45
   // SimHash radius; banding uses SimhashRadius+1 chunks → complete.
   private val SimhashRadius = 8
@@ -167,6 +172,24 @@ object PipelineQueries {
         documents(s, d).filter(col("doc_id") % 20 === 0),
         documents(s, d), "doc_id", "text",
         NumHashes, Bands, JaccardThreshold)),
+
+    // Bloom-filter front door of incremental ingest: "seen this exact
+    // (token-set-canonical) document before?" answered with ONE
+    // map-side probe per batch row against a fixed-size bitmap — no
+    // batch×corpus join anywhere. The key is dedup_tokenset's
+    // canonical form, so the testdata's planted token-set dups give
+    // true hits; false positives are deterministic (md5-derived
+    // double hashing) and the oracle replays them bit-exactly.
+    // exact_dup is emitted alongside so the no-false-negative
+    // guarantee (exact_dup => bloom_hit) is itself oracle-checked.
+    "dedup_bloom" -> ((s, d) => {
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      graft.ext.Bloom.gate(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        "doc_id", tsKey, k = BloomK, mBits = BloomBits)
+    }),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text",
@@ -616,6 +639,31 @@ object PipelineQueries {
         .groupBy("as_of").agg(countDistinct(col("user_id")).as("dau7"))
     }),
 
+    // CUSUM change-point flags over the per-type daily event series —
+    // the drift monitor a pipeline runs over its telemetry. All
+    // integer arithmetic: the deviation from the per-type mean is
+    // scaled by n_days (dev = n*n_days - total, i.e. n_days*(n-mean))
+    // so no division ever happens; the running sum is a per-type
+    // window (partitioned — never a global sort), and the per-type
+    // totals join back via broadcast (|event_type| is a handful).
+    "events_cusum" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(tot), Seq("event_type"))
+        .withColumn("cusum",
+          sum(col("n") * col("n_days") - col("total")).over(w))
+        .select(col("event_type"), col("day"), col("n"), col("cusum"),
+          // drift alarm at |mean running deviation| > mean/64 —
+          // cross-multiplied (cusum is already scaled by n_days)
+          (abs(col("cusum")) * 64 > col("total") * col("n_days"))
+            .as("flag"))
+    }),
+
     // Count-Min frequency estimates for the exact top-10 tokens: the
     // d*w-counter sketch is built in one pass (corpus-size-independent
     // summary), estimates probe it with the same md5-derived double
@@ -702,6 +750,38 @@ object PipelineQueries {
       documents(s, d)
         .filter(Sampling.stratifiedKeep(col("doc_id"), "graft", pct))
         .select("doc_id", "lang", "source")
+    }),
+
+    // Domain-level curation (C4 blocklists / RefinedWeb per-domain
+    // heuristics): quality is a property of the SOURCE, not just the
+    // document — a domain whose pages are mutual near-copies or whose
+    // length profile is degenerate gets dropped wholesale. One
+    // two-level aggregate computes per-source stats (dup counts via
+    // the 128-bit two-seed fingerprint policy of dedup_exact — skinny
+    // shuffle keys; the oracle's distinct-md5 induces the identical
+    // partition), the verdict broadcasts back onto docs: no second
+    // scan of the corpus, no shuffle of document text. Thresholds are
+    // integer-exact cross-multiplications (dup ratio > 4%, mean chars
+    // outside [260, 340]) — no division anywhere in the hash path.
+    "curate_domains" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      val stats = docs
+        .select(col("source"), col("n_chars"),
+          xxhash64(tsKey).as("fa"), xxhash64(lit(42L), tsKey).as("fb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("fa"), col("fb")))
+            .as("n_dups"),
+          sum(col("n_chars")).as("sum_chars"))
+      val gated = stats.withColumn("src_keep",
+        col("n_dups") * 25 <= col("n_docs") &&
+          col("sum_chars") >= col("n_docs") * 260 &&
+          col("sum_chars") <= col("n_docs") * 340)
+      docs.join(broadcast(gated), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_docs"),
+          col("n_dups"), col("src_keep"))
     }),
 
     // Composed quality gate (the shape of a real corpus-cleaning
@@ -1722,6 +1802,34 @@ object PipelineQueries {
 
     "dedup_minhash" -> minhashOracle,
 
+    // Bloom gate replay: a batch doc's bloom_hit is true iff ALL k of
+    // its double-hashed bit positions appear in the corpus's distinct
+    // position set — exactly the bitmap's semantics, false positives
+    // included. bool_and over a left join = the all-bits-set test.
+    "dedup_bloom" ->
+      s"""WITH keyed AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct($Toks)),
+                       ' ')) AS key
+            FROM documents),
+          hx AS (SELECT doc_id, key,
+                   ('0x' || substr(key, 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(key, 9, 8))::BIGINT AS h2 FROM keyed),
+          cpos AS (SELECT DISTINCT (h1 + i * h2) % $BloomBits AS pos
+                   FROM hx, (SELECT unnest(range(0, $BloomK)) AS i) ii
+                   WHERE doc_id % 20 <> 0),
+          bpos AS (SELECT doc_id, (h1 + i * h2) % $BloomBits AS pos
+                   FROM hx, (SELECT unnest(range(0, $BloomK)) AS i) ii
+                   WHERE doc_id % 20 = 0),
+          hit AS (SELECT b.doc_id, bool_and(c.pos IS NOT NULL) AS bloom_hit
+                  FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
+                  GROUP BY b.doc_id)
+          SELECT h.doc_id, t.bloom_hit,
+                 h.key IN (SELECT key FROM hx WHERE doc_id % 20 <> 0)
+                   AS exact_dup
+          FROM hx h JOIN hit t ON h.doc_id = t.doc_id
+          WHERE h.doc_id % 20 = 0""",
+
     // Two-sided variant: the incoming batch (doc_id % 20 = 0) vs the
     // full corpus; every (batch, corpus) band co-occurrence kept (no
     // id_a < id_b — mirrors minhashJoinPairs' ordered=false).
@@ -2121,6 +2229,23 @@ object PipelineQueries {
           SELECT doc_id, round(score_raw, 6) AS score FROM sc
           ORDER BY score_raw DESC, doc_id LIMIT 10""",
 
+    // CUSUM replay: identical integer scaling; the HUGEINT window sum
+    // casts back to BIGINT to match Spark's long.
+    "events_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        count(*) AS n FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, sum(n) AS total, count(*) AS n_days
+                  FROM daily GROUP BY 1),
+          c AS (SELECT d.event_type, d.day, d.n, t.total, t.n_days,
+                CAST(sum(d.n * t.n_days - t.total) OVER (
+                  PARTITION BY d.event_type ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum
+                FROM daily d JOIN tot t USING (event_type))
+          SELECT event_type, day, n, cusum,
+                 abs(cusum) * 64 > total * n_days AS flag
+          FROM c""",
+
     "events_rolling_dau" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
                      FROM events),
@@ -2209,6 +2334,24 @@ object PipelineQueries {
                   % 1000000
             < $quality * 500000.0"""
     },
+
+    // Domain curation replay: distinct-md5 per source induces the same
+    // dup partition as the engine's two-seed xxhash fingerprints; the
+    // HUGEINT sums/counts cast to BIGINT for schema parity.
+    "curate_domains" ->
+      s"""WITH k AS (SELECT doc_id, source, n_chars,
+                     md5(array_to_string(
+                       list_sort(list_distinct($Toks)), ' ')) AS key
+              FROM documents),
+          st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) - count(DISTINCT key) AS BIGINT) AS n_dups,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 FROM k GROUP BY source)
+          SELECT k.doc_id, k.source, st.n_docs, st.n_dups,
+                 (st.n_dups * 25 <= st.n_docs
+                  AND st.sum_chars >= st.n_docs * 260
+                  AND st.sum_chars <= st.n_docs * 340) AS src_keep
+          FROM k JOIN st USING (source)""",
 
     "pipeline_filter" -> {
       val stops = "['the','a','of','and','in','to','is','on']"

@@ -439,4 +439,32 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "within-cluster pairing must stay an equi-join on cell")
   }
+
+  test("curate_domains: source verdict broadcasts back, no second " +
+      "shuffle of the documents") {
+    val p = plan("curate_domains")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source stats must join back via broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("events_cusum: running sum partitions by event_type — never a " +
+      "global window") {
+    val p = plan("events_cusum")
+    assert(p.contains("hashpartitioning(event_type"),
+      "CUSUM window lost its event_type partitioning")
+    assert(!p.contains("SinglePartition"),
+      "an unpartitioned exchange appeared in the CUSUM plan")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type totals must broadcast")
+  }
+
+  test("dedup_bloom: batch probe is map-side — no batch-x-corpus " +
+      "join in the gate, only the key semi-join for ground truth") {
+    val p = plan("dedup_bloom")
+    assert(p.contains("bloomcontains") || p.contains("bloom_contains"),
+      "probe expression missing from the plan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
