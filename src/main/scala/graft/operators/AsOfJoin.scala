@@ -57,6 +57,31 @@ object AsOfJoin {
       .drop("__t", "__side", "__pay")
   }
 
+  /** Backward as-of with a staleness bound (pandas `merge_asof`
+    * `tolerance`): the [[lastEarlier]] match is DISCARDED — null
+    * `asof` — when the matched right row is more than `tolerance`
+    * behind the left timestamp. Because the backward match is by
+    * definition the LATEST right row `<=` the left ts, a post-check on
+    * the carried right ts is exact (any other right row is staler), so
+    * the bound costs one map-side comparison on top of the same single
+    * shuffle + window — never a second join. `tolerance` is in the ts
+    * column's integral domain: MICROSECONDS for timestamps, raw units
+    * for integral keys.
+    */
+  def lastEarlierWithin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String], tolerance: Long): DataFrame = {
+    val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros
+        case _ => _.cast("long")
+      }
+    lastEarlier(left, right, keyCol, leftTs, rightTs, payloadCols)
+      .withColumn("asof", when(
+        toLong(col(leftTs)) - toLong(col(s"asof.$rightTs")) <= tolerance,
+        col("asof")))
+  }
+
   /** Forward as-of: for each left row, the EARLIEST right row of the
     * same key with right.ts >= left.ts (ties match). Same
     * union-sort-window cost shape as [[lastEarlier]]; left rows sort

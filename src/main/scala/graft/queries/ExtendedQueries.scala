@@ -42,6 +42,24 @@ object ExtendedQueries {
           col("asof.value").as("click_value"))
     }),
 
+    // As-of with a staleness bound (pandas merge_asof tolerance): the
+    // last-click attribution above, but a click older than 6 hours no
+    // longer explains the purchase. Exact post-check on the carried
+    // match ts — same one-shuffle plan as join_asof, no second join.
+    "join_asof_tol" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.lastEarlierWithin(purchases, clicks, "user_id", "ts",
+          "ts", Seq("value"), tolerance = 6L * 3600 * 1000000)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof.ts")).as("click_us"),
+          col("asof.value").as("click_value"))
+    }),
+
     // Null-safe equality join (<=>): both sides map status 'P' to
     // NULL; <=> matches NULL with NULL where plain = silently drops
     // those rows — the classic dimension-key-with-unknowns join bug.
@@ -597,6 +615,22 @@ object ExtendedQueries {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    // Tolerance replay: ASOF picks the latest click <= purchase, so
+    // the staleness bound is an exact post-filter on that match.
+    "join_asof_tol" ->
+      """SELECT event_id, user_id, purchase_us,
+           CASE WHEN purchase_us - click_us <= 21600000000
+                THEN click_us END AS click_us,
+           CASE WHEN purchase_us - click_us <= 21600000000
+                THEN click_value END AS click_value
+         FROM (
+           SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+             epoch_us(c.ts) AS click_us, c.value AS click_value
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts)""",
 
     "join_nullsafe" ->
       """WITH l AS (SELECT nullif(o_orderstatus, 'P') AS st,

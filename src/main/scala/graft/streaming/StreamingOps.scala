@@ -262,6 +262,36 @@ object StreamingOps {
         (col("n_hit") === 0L).as("nd_keep"))
   }
 
+  /** Streaming Bloom ingest gate — the exact-membership front door of
+    * `graft.ext.Bloom`, incrementally. Where `nearDupGate` prices a
+    * stream-static JOIN plus a watermarked window per micro-batch, the
+    * Bloom probe is pure MAP-SIDE work: the bitmap rides inside the
+    * codegen'd `bloom_contains` expression (a task-binary reference
+    * object), so gating costs one md5 + k bit tests per row — no
+    * state store, no join, no watermark, and the operator is
+    * batch/stream agnostic by construction (the same lineage runs on
+    * either; the spec pins verdict equality doc by doc).
+    *
+    * Emits (idCol, bloom_hit): hit = possibly-seen (all k positions
+    * set — true dups plus deterministic false positives), !hit =
+    * DEFINITELY new. A pipeline admits !hit rows immediately and
+    * routes hits to the expensive verify leg (`nearDupGate`, or a
+    * keyed lookup against the corpus). The bitmap refreshes on the
+    * corpus's compaction cadence, like `corpusBandBuckets`.
+    */
+  def bloomGate(df: DataFrame, idCol: String, keyExpr: Column,
+      bitmap: Array[Byte], k: Int, mBits: Int): DataFrame = {
+    val key = md5(keyExpr)
+    df.select(col(idCol), key.as("__key"))
+      .withColumn("__h1",
+        conv(substring(col("__key"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h2",
+        conv(substring(col("__key"), 9, 8), 16, 10).cast("long"))
+      .select(col(idCol),
+        graft.functions.BloomContains.bloom_contains(bitmap,
+          col("__h1"), col("__h2"), k, mBits).as("bloom_hit"))
+  }
+
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
     * the stream never committed a batch — nothing to verify then.

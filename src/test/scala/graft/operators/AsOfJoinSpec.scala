@@ -29,6 +29,31 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 100L, None)))
   }
 
+  test("lastEarlierWithin nulls matches staler than the tolerance, " +
+      "keeps fresh ones, tolerance boundary inclusive") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L), // match at 90: age 10 <= 15 -> kept
+      (1L, 70L),  // match at 50: age 20 > 15 -> nulled
+      (1L, 65L),  // match at 50: age 15 == tolerance -> kept (inclusive)
+      (1L, 10L),  // no earlier right -> null either way
+      (2L, 100L)  // keyless -> null
+    ).toDF("k", "t")
+    val right = Seq((1L, 50L, "a"), (1L, 90L, "b")).toDF("k", "t", "v")
+    val got = AsOfJoin.lastEarlierWithin(left, right, "k", "t", "t",
+        Seq("v"), tolerance = 15L)
+      .select(col("k"), col("t"), col("asof.v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 100L, Some("b")),
+      (1L, 70L, None),
+      (1L, 65L, Some("a")),
+      (1L, 10L, None),
+      (2L, 100L, None)))
+  }
+
   test("left columns survive untouched") {
     val s = spark
     import s.implicits._

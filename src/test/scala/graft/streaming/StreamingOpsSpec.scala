@@ -361,6 +361,42 @@ class StreamingOpsSpec extends SparkSpec {
       s"map-side signature diverged from batch: $gateHits vs $batchHits")
   }
 
+  test("bloomGate: stateless map-side probe — stream verdicts equal " +
+      "the batch run; exact corpus members always hit") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val corpus = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon"),
+      (102L, "zeta eta theta")).toDF("doc_id", "text")
+    val (k, m) = (7, 1 << 14)
+    val bitmap = graft.ext.Bloom.buildBitmap(
+      graft.ext.Bloom.positions(
+        graft.ext.Bloom.keyed(corpus, "doc_id", col("text")), k, m), m)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),     // exact corpus member -> must hit
+      (2L, "delta epsilon"),        // exact corpus member -> must hit
+      (3L, "novel document body"),  // new (may only FP)
+      (4L, "another new one"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.bloomGate(in.toDF().toDF("doc_id", "text"),
+        "doc_id", col("text"), bitmap, k, m)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = s.sql("SELECT doc_id, bloom_hit FROM bloom_stream")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    val batch = StreamingOps.bloomGate(docs.toDF("doc_id", "text"),
+        "doc_id", col("text"), bitmap, k, m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // stateless gate: every doc emits exactly once, verdicts identical
+    assert(streamed == batch)
+    assert(streamed(1L) && streamed(2L), "corpus members must hit")
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
