@@ -1237,6 +1237,27 @@ object PipelineQueries {
     // the usual md5 hash-keep — deterministic, oracle-reproducible,
     // and the per-row work is one broadcast-joined pushable predicate.
     // No driver collect: counts, K, and rates all stay DataFrames.
+    // Temperature-scaled rebalancing (the multilingual data recipe of
+    // GPT-3/PaLM-style training sets, alpha = 1/2): keep rate
+    // proportional to n^(alpha-1) = 1/sqrt(n), normalized so the
+    // SMALLEST language keeps 100% — low-resource languages upweight
+    // toward uniform without ever oversampling. Same machinery as
+    // pipeline_mix (data-derived broadcast rate table, md5 hash-keep
+    // membership as a pure function of doc_id); sqrt is IEEE
+    // correctly-rounded in both engines, so the rate table replays
+    // bit-identically.
+    "sample_temperature" -> ((s, d) => {
+      val counts = documents(s, d).groupBy("lang").count()
+      val minc = counts.agg(min(col("count")).as("mn"))
+      val rates = counts.crossJoin(broadcast(minc))
+        .select(col("lang"),
+          sqrt(col("mn").cast("double") / col("count")).as("rate"))
+      documents(s, d).join(broadcast(rates), "lang")
+        .filter(Sampling.hashBucket(col("doc_id"), "temp", 1000000) <
+          col("rate") * lit(1e6))
+        .select("doc_id", "lang", "source")
+    }),
+
     "pipeline_mix" -> ((s, d) => {
       val target = typedLit(MixTarget)
       val counts = documents(s, d).groupBy("lang").count()
@@ -2735,6 +2756,18 @@ object PipelineQueries {
 
     // Rates re-derived in SQL with the same double association
     // (t * k / c, c/t via BIGINT/DOUBLE): identical IEEE both engines.
+    // Temperature replay: the rate table recomputes exactly (sqrt of
+    // a double ratio is correctly-rounded IEEE in both engines).
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         mn AS (SELECT min(c) AS mn FROM c),
+         r AS (SELECT lang, sqrt(CAST(mn.mn AS DOUBLE) / c) AS rate
+               FROM c CROSS JOIN mn)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE ('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 < r.rate * 1e6""",
+
     "pipeline_mix" ->
       """WITH t(lang, t) AS (SELECT lang, CAST(tt AS DOUBLE) FROM (VALUES
              ('en', 0.40), ('de', 0.15), ('es', 0.15),

@@ -1057,6 +1057,30 @@ object RelationalQueries {
           sum(when(col("l_div") < 3, col("group_size"))
             .otherwise(0L)).as("exposed_rows"))),
 
+    // Shannon entropy of categorical columns — the data-profiling
+    // signal behind "is this column a useful stratum / join key?".
+    // Both columns profile in ONE scan: a 2-wide struct explode makes
+    // the column id part of the count key (the ExactQuantiles
+    // unpivot idiom), per-column totals broadcast back, and the final
+    // per-column aggregate runs over one row per DISTINCT value —
+    // bounded by the domain, never the table. 6dp round absorbs
+    // float-sum reorder noise (the tfidf/bm25 precedent).
+    "profile_entropy" -> ((s, d) => {
+      val base = graft.queries.Tables.documents(s, d).select(
+        explode(array(
+          struct(lit("lang").as("c"), col("lang").as("v")),
+          struct(lit("source").as("c"), col("source").as("v")))).as("cv"))
+        .select(col("cv.c").as("c"), col("cv.v").as("v"))
+      val cnt = base.groupBy("c", "v").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("c").agg(sum(col("n")).as("tot"))
+      cnt.join(broadcast(tot), Seq("c"))
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_values"),
+          round(-sum((col("n") / col("tot").cast("double")) *
+            log(col("n") / col("tot").cast("double"))), 6)
+            .as("entropy_nats"))
+    }),
+
     // TPC-H Q22 shape: well-funded customers gone idle. The scalar
     // AVG broadcast-crosses (1 row), the "no recent orders" NOT EXISTS
     // is a left-anti against the date-pruned orders slice, and the
@@ -1711,6 +1735,18 @@ object RelationalQueries {
            CAST(SUM(CASE WHEN l_div < 3 THEN group_size ELSE 0 END)
              AS BIGINT) AS exposed_rows
          FROM g""",
+
+    // Entropy replay: same one-count-per-distinct-value shape; the
+    // HUGEINT total casts to DOUBLE inside the ratio.
+    "profile_entropy" ->
+      """WITH cv AS (SELECT 'lang' AS c, lang AS v FROM documents
+                     UNION ALL SELECT 'source', source FROM documents),
+         cnt AS (SELECT c, v, count(*) AS n FROM cv GROUP BY 1, 2),
+         tot AS (SELECT c, sum(n) AS tot FROM cnt GROUP BY 1)
+         SELECT cnt.c, count(*) AS n_values,
+           round(-sum((n / CAST(tot AS DOUBLE)) *
+                      ln(n / CAST(tot AS DOUBLE))), 6) AS entropy_nats
+         FROM cnt JOIN tot USING (c) GROUP BY cnt.c""",
 
     "q22_idle_customers" ->
       """WITH avgbal AS (SELECT
