@@ -286,6 +286,58 @@ object Multimodal {
       })
   }
 
+  case class PHashed(doc_id: Long, phash: Long)
+
+  /** Difference hash (dHash) of a gray8 raster — the perceptual
+    * fingerprint that makes IMAGE dedup a hash-groupBy problem: decode,
+    * nearest-neighbor-sample onto a fixed (gw+1)×gh grid, set bit
+    * `y*gw + x` iff the pixel right of grid (y, x) is strictly
+    * brighter. Uniform brightness shifts and any resize that preserves
+    * the NN grid leave the hash unchanged (the classic dHash
+    * invariances), so re-encoded copies of an image collide — exactly
+    * what a multimodal pipeline needs from near-dup detection at the
+    * cheap tier (the expensive tier being embedding similarity).
+    *
+    * gw*gh <= 63 keeps every bit out of the sign position, so the
+    * hash is a plain non-negative BIGINT in any engine. Pure integer
+    * arithmetic end to end — an oracle replays it exactly. Same
+    * partition-wise codec seam as `resampleNearest`; undecodable
+    * payloads hash to -1 (no valid raster can, bit 63 is never set).
+    */
+  def dHash(df: DataFrame, idCol: String, binCol: String,
+      gw: Int = 8, gh: Int = 7): Dataset[PHashed] = {
+    require(gw >= 1 && gh >= 1 && gw * gh <= 63,
+      s"dHash grid ${gw}x$gh must fit 63 bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeGray8(Option(bytes).getOrElse(Array.emptyByteArray))
+          match {
+          case Some((w, h, px)) =>
+            var hash = 0L
+            var y = 0
+            while (y < gh) {
+              val sy = (y.toLong * h / gh).toInt
+              var prev = -1
+              var x = 0
+              while (x <= gw) {
+                val sx = (x.toLong * w / (gw + 1)).toInt
+                val v = px(sy * w + sx) & 0xFF
+                if (x > 0 && v > prev)
+                  hash |= 1L << (y * gw + (x - 1))
+                prev = v
+                x += 1
+              }
+              y += 1
+            }
+            PHashed(id, hash)
+          case None => PHashed(id, -1L)
+        }
+      })
+  }
+
   /** CODEC SEAM — the one place imperative per-blob code belongs.
     * Partition-wise (`mapPartitions`): at scale each task decodes its
     * partition's blobs with no shuffle; a real codec (JNI/FFI) would

@@ -1093,6 +1093,27 @@ object PipelineQueries {
           "doc_id", "payload", maxDim = 8)
         .toDF()),
 
+    // IMAGE dedup as a hash-groupBy: each synthesized raster decodes
+    // behind the codec seam, dHash fingerprints it (9x7 NN grid,
+    // adjacent-brightness bits — invariant to uniform brightness
+    // shifts, so the planted payloads' shared-gradient images collide
+    // into real dup groups), and one skinny aggregate labels every
+    // image with its group's canonical doc and size. No pair mining:
+    // group count is bounded by distinct hashes, never n². The oracle
+    // re-derives every bit from the planted pixel function in pure
+    // integer SQL.
+    "mm_dedup_phash" -> ((s, d) => {
+      val ph = Multimodal.dHash(
+        documents(s, d).select(col("doc_id"),
+          syntheticGray8Payload.as("payload")),
+        "doc_id", "payload").toDF()
+      val g = ph.groupBy("phash")
+        .agg(min(col("doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_same_hash"))
+      ph.join(g, Seq("phash"))
+        .select("doc_id", "phash", "canonical_doc", "n_same_hash")
+    }),
+
     // BPE-style pretokenizer counting (mandate: "token counting —
     // whitespace + a BPE-ish regex"): a GPT-2-shaped alternation
     // (contraction suffixes | letter runs | digit runs | single other
@@ -2643,6 +2664,34 @@ object PipelineQueries {
          SELECT doc_id, w AS width, h AS height, out_w, out_h,
            CAST(sum(v * (y * out_w + x + 1)) AS BIGINT) AS pix_sum
          FROM px GROUP BY 1, 2, 3, 4, 5""",
+
+    // dHash replay from the planted pixel function: the 9x7 NN grid
+    // coordinates, the adjacent-column comparisons, and the bit pack
+    // are all integer ops; max bit index 6*8+7 = 55, so the HUGEINT
+    // bit sum casts to BIGINT losslessly.
+    "mm_dedup_phash" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 16 + 4 AS INTEGER) AS h
+           FROM documents),
+         px AS (SELECT doc_id, y, x,
+             (doc_id + 7 * ((y * h) // 7) + 13 * ((x * w) // 9)) % 256
+               AS v
+           FROM d
+           CROSS JOIN unnest(range(0, 7)) AS ry(y)
+           CROSS JOIN unnest(range(0, 9)) AS rx(x)),
+         bits AS (SELECT a.doc_id,
+             CASE WHEN b.v > a.v
+                  THEN (1::BIGINT << (a.y * 8 + a.x)) ELSE 0 END AS bit
+           FROM px a JOIN px b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8),
+         ph AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+                FROM bits GROUP BY 1),
+         g AS (SELECT phash, min(doc_id) AS canonical_doc,
+               count(*) AS n_same_hash FROM ph GROUP BY 1)
+         SELECT ph.doc_id, ph.phash, g.canonical_doc, g.n_same_hash
+         FROM ph JOIN g USING (phash)""",
 
     // Same pattern text as BpeIshPattern (the leading ' doubles for
     // the SQL literal); RE2 and Java regex agree on this construct

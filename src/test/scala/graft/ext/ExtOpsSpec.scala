@@ -704,6 +704,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3) == Multimodal.ResampledImage(4L, 0, 0, 0, 0, 0L))
   }
 
+  test("dHash: identical images collide, uniform brightness shift is " +
+      "invariant (no mod wrap), gradient flip diverges, bad payloads " +
+      "hash to -1") {
+    val s = spark
+    import s.implicits._
+    def gray8(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+      Array[Byte]('G', '8', (w >> 8).toByte, w.toByte,
+        (h >> 8).toByte, h.toByte) ++
+        Array.tabulate(w * h)(i => px(i / w, i % w).toByte)
+    val base = gray8(20, 14, (y, x) => 5 * x + y)          // left-dark
+    val copy = gray8(20, 14, (y, x) => 5 * x + y)          // identical
+    val brighter = gray8(20, 14, (y, x) => 5 * x + y + 40) // +40, no wrap
+    val flipped = gray8(20, 14, (y, x) => 100 - 5 * x + y) // left-bright
+    val rows = Seq((1L, base), (2L, copy), (3L, brighter),
+      (4L, flipped), (5L, "junk".getBytes))
+    val got = Multimodal.dHash(rows.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    assert(got(1L) == got(2L), "identical images must collide")
+    assert(got(1L) == got(3L), "uniform brightness shift must not " +
+      "change adjacent-pixel comparisons")
+    assert(got(1L) != got(4L), "a flipped gradient must diverge")
+    assert(got(1L) >= 0L && got(5L) == -1L)
+    // left-dark gradient: every adjacent comparison increases -> all
+    // 56 bits set
+    assert(got(1L) == (1L << 56) - 1)
+  }
+
   test("decodeGray8 round-trips dims and pixels; rejects bad magic, " +
       "zero dims, and length mismatches") {
     val ok = Array[Byte]('G', '8', 0, 2, 0, 3, 1, 2, 3, 4, 5, 6)
