@@ -445,6 +445,39 @@ object PipelineQueries {
         .select(col("qid"), col("cid"), col("rank"),
           round(col("cos"), 6).as("cos"))),
 
+    // Retrieval-quality evaluation — the "measure your index" op every
+    // vector pipeline needs before trusting an ANN path: recall@5 of
+    // the banded knnJoin against exact brute-force ground truth, per
+    // query. The truth leg broadcasts ONLY the query vectors against
+    // one corpus scan (the knnJoin rescue-leg shape — explicitly
+    // bounded, |queries| rows, never corpus x corpus), the windows
+    // partition by qid, and the output is integer hit counts — no
+    // float in the hash path at all.
+    "sim_recall_eval" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val approx = Similarity.knnJoin(
+          emb.filter(col("vec_id") % 50 === 0), emb, "vec_id",
+          "embedding", k = 5, EmbedBands, EmbedRowsPerBand)
+        .select("qid", "cid")
+      val n = emb.select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(emb, col("embedding")).as("nrm"))
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"))
+      val scored = n.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (Similarity.dot(emb, col("qv"), col("embedding")) /
+            (col("qn") * col("nrm"))).as("cos"))
+      val exact = scored.withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))))
+        .filter(col("r") <= 5).select("qid", "cid")
+      q.select("qid").join(
+          approx.join(exact, Seq("qid", "cid"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("h")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"))
+    }),
+
     // --- text analysis ---
     "text_stats" -> ((s, d) => {
       val ws = Dedup.tokens(col("text"))
@@ -1982,6 +2015,29 @@ object PipelineQueries {
     // too: qids with < 5 banded candidates are re-answered entirely by
     // exact brute-force top-5 (knnJoin's `starved` leg).
     "sim_knn_join" -> KnnJoinSql,
+
+    // Recall replay: the approx leg is the knnJoin oracle verbatim (a
+    // nested-WITH subquery), the truth leg re-ranks exact cosine with
+    // the same tie-break; hit counts stay integers end to end.
+    "sim_recall_eval" ->
+      s"""WITH approx AS (SELECT qid, cid FROM ($KnnJoinSql)),
+          v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+                WHERE vec_id % 50 = 0),
+          scored AS (SELECT q.qid, n.vec_id AS cid,
+                     ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) AS cs
+                     FROM n CROSS JOIN q),
+          exact AS (SELECT qid, cid FROM (
+                     SELECT qid, cid, row_number() OVER (
+                       PARTITION BY qid ORDER BY cs DESC, cid) AS r
+                     FROM scored) WHERE r <= 5),
+          hits AS (SELECT a.qid, count(*) AS h
+                   FROM approx a JOIN exact e
+                     ON a.qid = e.qid AND a.cid = e.cid
+                   GROUP BY 1)
+          SELECT q.qid, COALESCE(h.h, 0) AS n_hits
+          FROM q LEFT JOIN hits h USING (qid)""",
 
     // Majority vote over the PROVEN k-NN join (same SQL, composed):
     // ties -> smaller label, mirroring the Spark row_number order.

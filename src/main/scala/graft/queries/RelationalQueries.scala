@@ -1081,6 +1081,37 @@ object RelationalQueries {
             .as("entropy_nats"))
     }),
 
+    // Population Stability Index between two corpus halves — the
+    // standard production data-drift alarm (PSI > 0.2 = retrain).
+    // Same unpivot-explode shape as profile_entropy: both categorical
+    // columns in one scan, per-(column, value) counts for each half
+    // from ONE aggregate, and the PSI sum runs over the domain-bounded
+    // value table. Values seen in only one half contribute an
+    // `n_onesided` count instead of an infinite term — deterministic
+    // in both engines, no epsilon fudge.
+    "profile_drift" -> ((s, d) => {
+      val base = graft.queries.Tables.documents(s, d).select(
+        explode(array(
+          struct(lit("lang").as("c"), col("lang").as("v")),
+          struct(lit("source").as("c"), col("source").as("v")))).as("cv"),
+        (col("doc_id") % 2 === 0).as("h"))
+        .select(col("cv.c").as("c"), col("cv.v").as("v"), col("h"))
+      val cnt = base.groupBy("c", "v").agg(
+        sum(when(col("h"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("h"), 1L).otherwise(0L)).as("nb"))
+      val tot = cnt.groupBy("c")
+        .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val p = col("na") / col("ta").cast("double")
+      val q = col("nb") / col("tb").cast("double")
+      cnt.join(broadcast(tot), Seq("c"))
+        .groupBy("c")
+        .agg(
+          sum(when(col("na") === 0 || col("nb") === 0, 1L)
+            .otherwise(0L)).as("n_onesided"),
+          round(sum(when(col("na") > 0 && col("nb") > 0,
+            (p - q) * log(p / q)).otherwise(0.0)), 6).as("psi"))
+    }),
+
     // TPC-H Q22 shape: well-funded customers gone idle. The scalar
     // AVG broadcast-crosses (1 row), the "no recent orders" NOT EXISTS
     // is a left-anti against the date-pruned orders slice, and the
@@ -1746,6 +1777,29 @@ object RelationalQueries {
          SELECT cnt.c, count(*) AS n_values,
            round(-sum((n / CAST(tot AS DOUBLE)) *
                       ln(n / CAST(tot AS DOUBLE))), 6) AS entropy_nats
+         FROM cnt JOIN tot USING (c) GROUP BY cnt.c""",
+
+    // PSI replay: identical guard — one-sided values count, never an
+    // infinite log term.
+    "profile_drift" ->
+      """WITH cv AS (SELECT 'lang' AS c, lang AS v, doc_id % 2 = 0 AS h
+                     FROM documents
+                     UNION ALL
+                     SELECT 'source', source, doc_id % 2 = 0
+                     FROM documents),
+         cnt AS (SELECT c, v,
+                 SUM(CASE WHEN h THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN h THEN 0 ELSE 1 END) AS nb
+                 FROM cv GROUP BY 1, 2),
+         tot AS (SELECT c, sum(na) AS ta, sum(nb) AS tb
+                 FROM cnt GROUP BY 1)
+         SELECT cnt.c,
+           CAST(SUM(CASE WHEN na = 0 OR nb = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_onesided,
+           round(SUM(CASE WHEN na > 0 AND nb > 0 THEN
+             (na / CAST(ta AS DOUBLE) - nb / CAST(tb AS DOUBLE)) *
+             ln((na / CAST(ta AS DOUBLE)) / (nb / CAST(tb AS DOUBLE)))
+             ELSE 0.0 END), 6) AS psi
          FROM cnt JOIN tot USING (c) GROUP BY cnt.c""",
 
     "q22_idle_customers" ->
