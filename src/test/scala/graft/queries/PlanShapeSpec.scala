@@ -467,4 +467,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sample_temperature: rate table broadcasts, membership is a " +
+      "post-join filter — no shuffle of the corpus") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("entropy/drift profiles: final aggregate is value-level " +
+      "(hashes on c), never a per-doc exchange") {
+    for (q <- Seq("profile_entropy", "profile_drift")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(c"), s"$q lost value-level agg")
+      assert(!p.contains("hashpartitioning(doc_id"),
+        s"$q shuffles per-doc rows")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("mm_dedup_phash: hash-groupBy dedup — no pair mining, no " +
+      "cartesian anywhere") {
+    val p = plan("mm_dedup_phash")
+    assert(p.contains("hashpartitioning(phash"),
+      "grouping must key on the perceptual hash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
