@@ -687,14 +687,19 @@ object PipelineQueries {
         .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
       val w = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day"))
       daily.join(broadcast(tot), Seq("event_type"))
         .withColumn("cusum",
           sum(col("n") * col("n_days") - col("total")).over(w))
-        .select(col("event_type"), col("day"), col("n"), col("cusum"),
-          // drift alarm at |mean running deviation| > mean/64 —
-          // cross-multiplied (cusum is already scaled by n_days)
-          (abs(col("cusum")) * 64 > col("total") * col("n_days"))
-            .as("flag"))
+        // flag the 3 most PROMINENT change points per type (largest
+        // |cusum|, earliest day on ties) — rank-based, so the alarm
+        // stays discriminating at every scale, unlike an absolute
+        // threshold that relative noise shrinks away from as counts
+        // grow. Same event_type exchange as the running sum.
+        .withColumn("flag",
+          row_number().over(wr) <= 3)
+        .select("event_type", "day", "n", "cusum", "flag")
     }),
 
     // Count-Min frequency estimates for the exact top-10 tokens: the
@@ -794,8 +799,12 @@ object PipelineQueries {
     // shuffle keys; the oracle's distinct-md5 induces the identical
     // partition), the verdict broadcasts back onto docs: no second
     // scan of the corpus, no shuffle of document text. Thresholds are
-    // integer-exact cross-multiplications (dup ratio > 4%, mean chars
-    // outside [260, 340]) — no division anywhere in the hash path.
+    // integer-exact cross-multiplications and RELATIVE to the corpus
+    // (a source is dup-bad iff its dup ratio exceeds 1.25x the
+    // corpus-wide ratio) — no division anywhere in the hash path, and
+    // the gate stays discriminating at every scale because a source is
+    // judged against its peers, not an absolute constant that global
+    // dup density drifts past.
     "curate_domains" -> ((s, d) => {
       val docs = documents(s, d)
       val tsKey = concat_ws(" ",
@@ -808,10 +817,15 @@ object PipelineQueries {
           (count(lit(1)) - countDistinct(col("fa"), col("fb")))
             .as("n_dups"),
           sum(col("n_chars")).as("sum_chars"))
-      val gated = stats.withColumn("src_keep",
-        col("n_dups") * 25 <= col("n_docs") &&
-          col("sum_chars") >= col("n_docs") * 260 &&
-          col("sum_chars") <= col("n_docs") * 340)
+      val corpus = stats.agg(sum(col("n_docs")).as("t_docs"),
+        sum(col("n_dups")).as("t_dups"))
+      val gated = stats.crossJoin(broadcast(corpus))
+        .withColumn("src_keep",
+          // n_dups/n_docs <= 1.25 * t_dups/t_docs, cross-multiplied
+          col("n_dups") * col("t_docs") * 4 <=
+            col("t_dups") * col("n_docs") * 5 &&
+            col("sum_chars") >= col("n_docs") * 260 &&
+            col("sum_chars") <= col("n_docs") * 340)
       docs.join(broadcast(gated), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_docs"),
           col("n_dups"), col("src_keep"))
@@ -2334,14 +2348,15 @@ object PipelineQueries {
                         count(*) AS n FROM events GROUP BY 1, 2),
           tot AS (SELECT event_type, sum(n) AS total, count(*) AS n_days
                   FROM daily GROUP BY 1),
-          c AS (SELECT d.event_type, d.day, d.n, t.total, t.n_days,
+          c AS (SELECT d.event_type, d.day, d.n,
                 CAST(sum(d.n * t.n_days - t.total) OVER (
                   PARTITION BY d.event_type ORDER BY d.day
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cusum
                 FROM daily d JOIN tot t USING (event_type))
           SELECT event_type, day, n, cusum,
-                 abs(cusum) * 64 > total * n_days AS flag
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(cusum) DESC, day) <= 3 AS flag
           FROM c""",
 
     "events_rolling_dau" ->
@@ -2444,12 +2459,15 @@ object PipelineQueries {
           st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(count(*) - count(DISTINCT key) AS BIGINT) AS n_dups,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-                 FROM k GROUP BY source)
+                 FROM k GROUP BY source),
+          tc AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+                 CAST(sum(n_dups) AS BIGINT) AS t_dups FROM st)
           SELECT k.doc_id, k.source, st.n_docs, st.n_dups,
-                 (st.n_dups * 25 <= st.n_docs
+                 (st.n_dups * tc.t_docs * 4 <=
+                    tc.t_dups * st.n_docs * 5
                   AND st.sum_chars >= st.n_docs * 260
                   AND st.sum_chars <= st.n_docs * 340) AS src_keep
-          FROM k JOIN st USING (source)""",
+          FROM k JOIN st USING (source) CROSS JOIN tc""",
 
     "pipeline_filter" -> {
       val stops = "['the','a','of','and','in','to','is','on']"
