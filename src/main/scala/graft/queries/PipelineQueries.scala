@@ -1205,6 +1205,24 @@ object PipelineQueries {
       graft.ext.BpeTrain.encode(documents(s, d), "text",
         BpeEncodeTrainWords, BpeMerges)),
 
+    // Tokenizer FERTILITY — the standard tokenizer-quality metric
+    // (mean tokens per word, frequency-weighted): high fertility means
+    // the learned vocab fragments real text and inflates every
+    // downstream token budget. One aggregate over the encode table
+    // (which already replays the merges map-side per distinct word);
+    // the ratio ships as integer milli-units — no float in the hash
+    // path.
+    "text_bpe_fertility" -> ((s, d) => {
+      val enc = graft.ext.BpeTrain.encode(documents(s, d), "text",
+        BpeEncodeTrainWords, BpeMerges)
+      enc.groupBy("word", "f").agg(count(lit(1)).as("n_sym"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("f")).as("total_words"),
+          sum(col("f") * col("n_sym")).as("total_tokens"))
+        .select(col("n_vocab"), col("total_words"), col("total_tokens"),
+          expr("total_tokens * 1000 DIV total_words").as("fert_milli"))
+    }),
+
     // LM-based quality scoring (the CCNet/KenLM shape): per-doc
     // aggregate of the shared `lmBigramScores` chain (scale shape and
     // the integer-exact determinism argument live on that helper).
@@ -2795,6 +2813,22 @@ object PipelineQueries {
     "text_bpe_encode" ->
       graft.ext.BpeTrain.encodeOracleSql("documents", "text",
         BpeEncodeTrainWords, BpeMerges),
+
+    // Fertility replay: the encode oracle verbatim as a nested-WITH
+    // subquery, then the frequency-weighted token-per-word ratio in
+    // integer milli-units (DuckDB // == Spark DIV on BIGINT).
+    "text_bpe_fertility" ->
+      s"""WITH enc AS (SELECT * FROM (
+            ${graft.ext.BpeTrain.encodeOracleSql("documents", "text",
+              BpeEncodeTrainWords, BpeMerges)})),
+          pw AS (SELECT word, f, count(*) AS n_sym
+                 FROM enc GROUP BY 1, 2)
+          SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                 CAST(sum(f) AS BIGINT) AS total_words,
+                 CAST(sum(f * n_sym) AS BIGINT) AS total_tokens,
+                 CAST(sum(f * n_sym) AS BIGINT) * 1000 //
+                   CAST(sum(f) AS BIGINT) AS fert_milli
+          FROM pw""",
 
     // Parallel unnests zip positionally in DuckDB — that provides the
     // in-doc token order the lag window needs. Integer/integer `/` is
