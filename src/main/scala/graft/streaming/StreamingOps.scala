@@ -442,6 +442,50 @@ object StreamingOps {
     * update (Update output mode). State is one small struct per key,
     * partitioned by user — the 100 TB-stream shape.
     */
+  case class DailyCount(event_type: String, day: java.sql.Date, n: Long)
+  case class CusumPoint(event_type: String, day: java.sql.Date, n: Long,
+    cusum: Long)
+
+  /** Incremental CUSUM drift monitor — the streaming leg of
+    * `events_cusum`: per-type daily counts arrive as micro-batches,
+    * keyed state carries the running integer deviation sum, and the
+    * reference statistics (per-type total + n_days, trained batch-side
+    * like `lmGate`'s bigram table or `bloomGate`'s bitmap) ride in the
+    * closure — a driver-held map of |event_type| entries, broadcast
+    * with the task binary. Within a micro-batch rows sort by day so a
+    * catch-up burst replays deterministically; across batches arrival
+    * order IS day order for daily telemetry. Same integer scaling as
+    * the batch query (dev = n*n_days - total), so stream and batch
+    * agree exactly — the spec pins it.
+    */
+  def cusumStream(daily: Dataset[DailyCount],
+      totals: Map[String, (Long, Long)]): Dataset[CusumPoint] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DailyCount], state: GroupState[Long]) =>
+          val (total, nDays) = totals.getOrElse(key, (0L, 1L))
+          var acc = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.day.getTime).map { r =>
+            acc += r.n * nDays - total
+            CusumPoint(r.event_type, r.day, r.n, acc)
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
+
+  /** Per-type (total, n_days) reference statistics for [[cusumStream]],
+    * trained on a BATCH history — one aggregate, |event_type| rows
+    * collected (bounded by the type domain, like `lmTrainBigrams`'s
+    * vocab). */
+  def cusumTrainTotals(daily: DataFrame): Map[String, (Long, Long)] =
+    daily.groupBy("event_type")
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

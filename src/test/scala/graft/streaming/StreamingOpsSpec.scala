@@ -397,6 +397,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed(1L) && streamed(2L), "corpus members must hit")
   }
 
+  test("cusumStream: keyed-state running CUSUM across micro-batches " +
+      "equals the batch computation; in-batch bursts replay in day " +
+      "order") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def d(i: Int) = java.sql.Date.valueOf(f"2026-01-${i}%02d")
+    // history: type a averages 10/day over 4 days, type b 20/day
+    val hist = Seq(("a", 1, 8L), ("a", 2, 12L), ("a", 3, 9L),
+      ("a", 4, 11L), ("b", 1, 20L), ("b", 2, 20L))
+      .map { case (t, i, n) => (t, d(i), n) }
+      .toDF("event_type", "day", "n")
+    val totals = StreamingOps.cusumTrainTotals(hist)
+    assert(totals == Map("a" -> (40L, 4L), "b" -> (40L, 2L)))
+    val live = Seq(("a", 5, 14L), ("a", 6, 2L), ("b", 3, 25L),
+      ("a", 7, 10L), ("b", 4, 15L))
+      .map { case (t, i, n) => StreamingOps.DailyCount(t, d(i), n) }
+    val in = MemoryStream[StreamingOps.DailyCount]
+    val q = StreamingOps.cusumStream(in.toDS(), totals)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    // batch 1 delivers a two-day burst for type a (must sort by day)
+    in.addData(live(1), live(0), live(2))
+    q.processAllAvailable()
+    in.addData(live(3), live(4))
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT event_type, day, cusum FROM cusum_stream").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    q.stop()
+    // reference: same integer scaling, cumulative in day order
+    // a: dev(14)=14*4-40=16; dev(2)=2*4-40=-32; dev(10)=0
+    // b: dev(25)=25*2-40=10; dev(15)=15*2-40=-10
+    assert(streamed == Set(
+      ("a", "2026-01-05", 16L), ("a", "2026-01-06", -16L),
+      ("a", "2026-01-07", -16L),
+      ("b", "2026-01-03", 10L), ("b", "2026-01-04", 0L)))
+  }
+
   test("runMappingStream backpressure: a multi-file backlog drains in " +
       "multiple bounded micro-batches, not one giant catch-up batch") {
     val s = spark
