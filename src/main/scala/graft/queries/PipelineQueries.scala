@@ -610,6 +610,22 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // Positional PHRASE search — conjunctive search's stricter
+    // sibling: tokens must be ADJACENT, not merely co-present. One
+    // doc_id-partitioned lead window supplies in-doc adjacency (the
+    // bigram idiom of dedup's shingles), the phrase filter runs before
+    // the aggregate, and the per-doc hit count is the output. At
+    // scale, the first-word filter prunes the window's output before
+    // any shuffle beyond the doc_id exchange.
+    "search_phrase" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+      tok.withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w") === "table" && col("w2") === "hash")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     // BM25 (k1=1.2, b=0.75) top-10 for a fixed 3-term query. The
     // per-term tf's are PIVOTED to columns by conditional aggregation
     // so the score is a fixed-order 3-term sum — bit-deterministic
@@ -2323,6 +2339,17 @@ object PipelineQueries {
           WHERE t IN ('spark', 'join', 'window')
           GROUP BY doc_id
           HAVING count(DISTINCT t) = 3""",
+
+    // Phrase replay via the bigram list comprehension (1-indexed
+    // lists; range(1, len) pairs i with i+1).
+    "search_phrase" ->
+      s"""WITH w AS (SELECT doc_id, $Toks AS ws FROM documents),
+          bg AS (SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i + 1]
+                         FOR i IN range(1, len(ws))]) AS g
+                 FROM w)
+          SELECT doc_id, count(*) AS n_hits FROM bg
+          WHERE g = 'table hash' GROUP BY doc_id""",
 
     // Mirrors search_bm25's fixed-order arithmetic: same pivoted tf
     // columns, same parenthesization, ln() on both engines.
