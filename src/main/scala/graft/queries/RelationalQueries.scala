@@ -1081,6 +1081,31 @@ object RelationalQueries {
             .as("entropy_nats"))
     }),
 
+    // Benford's-law first-digit audit of order totals — the classic
+    // fraud/synthetic-data screen: natural multiplicative amounts put
+    // ~30.1% of leading digits at 1; a flat profile screams generated
+    // data. The leading digit comes from the INTEGER cents rendered as
+    // a string (long-to-string formatting is identical across engines
+    // — no float formatting seam), the share ships in integer
+    // milli-units, and the expected Benford share (log10(1+1/d), the
+    // one constant that needs a log) is a 6dp literal computed at
+    // plan time, not in the hash path.
+    "profile_benford" -> ((s, d) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1)
+      val counts = orders(s, d).filter(col("o_totalprice") > 0)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("t"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000 DIV t").as("share_milli"),
+          element_at(typedLit((1 to 9).map(dd =>
+            dd.toString -> math.round(
+              math.log10(1.0 + 1.0 / dd) * 1000)).toMap),
+            col("digit")).as("benford_milli"))
+    }),
+
     // Population Stability Index between two corpus halves — the
     // standard production data-drift alarm (PSI > 0.2 = retrain).
     // Same unpivot-explode shape as profile_entropy: both categorical
@@ -1778,6 +1803,22 @@ object RelationalQueries {
            round(-sum((n / CAST(tot AS DOUBLE)) *
                       ln(n / CAST(tot AS DOUBLE))), 6) AS entropy_nats
          FROM cnt JOIN tot USING (c) GROUP BY cnt.c""",
+
+    // Benford replay: identical integer-cents leading digit; the
+    // expected shares are the same 9 plan-time constants.
+    "profile_benford" ->
+      """WITH c AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
+                AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+              count(*) AS n
+              FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+          t AS (SELECT sum(n) AS t FROM c)
+          SELECT digit, n,
+            CAST(n * 1000 // t.t AS BIGINT) AS share_milli,
+            CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176
+              WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79
+              WHEN '6' THEN 67 WHEN '7' THEN 58 WHEN '8' THEN 51
+              WHEN '9' THEN 46 END AS BIGINT) AS benford_milli
+          FROM c CROSS JOIN t""",
 
     // PSI replay: identical guard — one-sided values count, never an
     // infinite log term.
