@@ -575,7 +575,38 @@ object ExtendedQueries {
         datediff(lit("1999-01-01").cast("date"),
           col("o_orderdate").cast("date")).as("days_to_99"),
         unix_timestamp(date_trunc("month", col("o_orderdate")))
-          .as("month_epoch")))
+          .as("month_epoch"))),
+
+    // Sequence pattern matching (the MATCH_RECOGNIZE analog): does a
+    // session contain view → … → click → … → purchase in order? The
+    // same gap-sessionization as events_sessionize, then ONE grouped
+    // collect of the session's type sequence — sorted by the full
+    // (us, event_id) struct so collect_list's arrival order can't
+    // leak into the hash — and a regex over the joined string. State
+    // is bounded by session length (the same bound a streaming
+    // MATCH_RECOGNIZE engine holds per key); no window ever spans
+    // more than one user.
+    "events_pattern" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess", sum("is_new").over(wRun))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq"))
+        .select(col("user_id"), col("sess"), col("n_events"),
+          col("seq").rlike("view.*click.*purchase").as("hit"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -945,6 +976,24 @@ object ExtendedQueries {
            AS days_to_99,
          CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
            AS month_epoch
-         FROM orders"""
+         FROM orders""",
+
+    "events_pattern" ->
+      """SELECT user_id, sess, COUNT(*) AS n_events,
+         regexp_matches(string_agg(event_type, ',' ORDER BY us, event_id),
+           'view.*click.*purchase') AS hit
+         FROM (
+           SELECT user_id, event_id, event_type, us,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+           FROM (
+             SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS gap
+             FROM events))
+         GROUP BY user_id, sess"""
   )
 }

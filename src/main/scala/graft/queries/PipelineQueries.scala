@@ -1523,7 +1523,39 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"),
           (col("acc").cast("double") / lit(8192.0) / col("n_tokens"))
             .as("margin"),
-          (col("acc") > 0L).as("keep")))
+          (col("acc") > 0L).as("keep"))),
+
+    // Sorted-neighborhood record linkage — the third blocking family
+    // next to LSH (dedup_minhash) and key blocking (dedup_key): sort
+    // within a blocking key, compare each record only to its w−1
+    // successors in sort order, verify with exact edit distance over
+    // a fixed-width head. Candidates are O(n·w) instead of O(n²),
+    // the window partitions by block key (first two tokens — at this
+    // corpus' ~30-word vocab that's ~900 blocks; real corpora get
+    // n-token or phonetic keys the same way) so no global sort ever
+    // lands in one task, and the lev≤20 verify threshold sits in the
+    // measured gap of the pair-distance distribution (0–1 for true
+    // near-dups vs 29+ for coincidental block-mates).
+    "dedup_snm" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 2)).as("blk"),
+        substring(col("text"), 1, 60).as("head"))
+      val w = Window.partitionBy("blk").orderBy("text", "doc_id")
+      docs
+        .withColumn("id1", lead("doc_id", 1).over(w))
+        .withColumn("h1", lead("head", 1).over(w))
+        .withColumn("id2", lead("doc_id", 2).over(w))
+        .withColumn("h2", lead("head", 2).over(w))
+        .select(col("doc_id"), col("head"),
+          explode(array(
+            struct(col("id1").as("nid"), col("h1").as("nh")),
+            struct(col("id2").as("nid"), col("h2").as("nh")))).as("nb"))
+        .filter(col("nb.nid").isNotNull)
+        .select(least(col("doc_id"), col("nb.nid")).as("doc_a"),
+          greatest(col("doc_id"), col("nb.nid")).as("doc_b"),
+          levenshtein(col("head"), col("nb.nh")).cast("long").as("lev"))
+        .filter(col("lev") <= 20)
+    })
   )
 
   /** GPT-2-shaped pretokenizer, restricted to constructs Java regex
@@ -3059,6 +3091,28 @@ object PipelineQueries {
            CAST(CAST(SUM(wb) AS BIGINT) AS DOUBLE) / 8192.0 / count(*)
              AS margin,
            CAST(SUM(wb) AS BIGINT) > 0 AS keep
-         FROM wb GROUP BY doc_id"""
+         FROM wb GROUP BY doc_id""",
+
+    "dedup_snm" ->
+      s"""WITH docs AS (
+           SELECT doc_id, text,
+             array_to_string(list_slice($Toks, 1, 2), ' ') AS blk,
+             substr(text, 1, 60) AS head
+           FROM documents),
+         led AS (
+           SELECT blk, doc_id, head,
+             LEAD(doc_id, 1) OVER w AS id1, LEAD(head, 1) OVER w AS h1,
+             LEAD(doc_id, 2) OVER w AS id2, LEAD(head, 2) OVER w AS h2
+           FROM docs WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)),
+         pairs AS (
+           SELECT doc_id, head, nid, nh FROM (
+             SELECT doc_id, head, id1 AS nid, h1 AS nh FROM led
+             UNION ALL
+             SELECT doc_id, head, id2 AS nid, h2 AS nh FROM led)
+           WHERE nid IS NOT NULL)
+         SELECT LEAST(doc_id, nid) AS doc_a,
+           GREATEST(doc_id, nid) AS doc_b,
+           CAST(levenshtein(head, nh) AS BIGINT) AS lev
+         FROM pairs WHERE levenshtein(head, nh) <= 20"""
   )
 }

@@ -1155,6 +1155,34 @@ object RelationalQueries {
         .groupBy(substring(col("c_name"), 17, 2).as("code"))
         .agg(count(lit(1)).as("numcust"),
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+    }),
+
+    // Gini concentration of customer spend per nation — the standard
+    // inequality/concentration audit ("is 1% of customers 90% of
+    // revenue?"). Exact end to end: spend in integer cents, rank via
+    // one per-nation window, and Gini from the rank identity
+    // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) (xᵢ ascending) scaled to
+    // basis points by integer division — no double ever enters the
+    // hash path. One shuffle to per-customer spend, one window, one
+    // per-nation aggregate; the numerator is ≥ 0 by the rearrangement
+    // inequality so trunc-vs-floor division can't diverge. Overflow
+    // bound: Σi·xᵢ ≤ n²·max_cents — fine past 10⁶ customers/nation
+    // with $10⁶ spends; beyond that, lift wsum to DECIMAL(38,0).
+    "profile_gini" -> ((s, d) => {
+      val spend = orders(s, d).groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("long")
+          .as("cents"))
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      val w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+      spend.join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("rk") * col("cents")).as("wsum"))
+        .select(col("c_nationkey"), col("n_customers"), col("total_cents"),
+          expr("(2*wsum - (n_customers+1)*total_cents) * 10000" +
+            " DIV (n_customers*total_cents)").as("gini_bp"))
     })
   )
 
@@ -1856,6 +1884,23 @@ object RelationalQueries {
            AND NOT EXISTS (SELECT 1 FROM orders
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "profile_gini" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT c_nationkey, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY cents, c_custkey) AS BIGINT) AS rk
+           FROM spend JOIN customer ON o_custkey = c_custkey)
+         SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST((2*SUM(rk*cents) - (COUNT(*)+1)*SUM(cents)) * 10000
+             // (COUNT(*)*SUM(cents)) AS BIGINT) AS gini_bp
+         FROM r GROUP BY 1"""
   )
 }

@@ -494,4 +494,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("profile_gini: reads only the 2 orders columns it needs; " +
+      "window partitions by nation (never unpartitioned)") {
+    val p = plan("profile_gini")
+    val reads = "ReadSchema: struct<([^>\\n]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(reads.exists(r => r.contains("o_custkey") &&
+      r.contains("o_totalprice") && !r.contains("o_orderdate")),
+      s"orders scan not pruned: $reads")
+    assert(p.contains("hashpartitioning(c_nationkey"),
+      "rank window must partition by nation")
+  }
+
+  test("events_pattern: one session-keyed aggregate; windows " +
+      "partition by user — no global window, no cartesian") {
+    val p = plan("events_pattern")
+    assert(p.contains("hashpartitioning(user_id"),
+      "session windows must partition by user")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_snm: neighbor window partitions by block key; " +
+      "candidates come from leads, never a self-join") {
+    val p = plan("dedup_snm")
+    assert(p.contains("hashpartitioning(blk"),
+      "SNM window must partition by the blocking key")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "SNM must not mine pairs via a join")
+  }
 }
