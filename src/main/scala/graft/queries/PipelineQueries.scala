@@ -1080,6 +1080,35 @@ object PipelineQueries {
       graft.operators.Triangles.triangles(e1.union(e2))
     }),
 
+    // Label-propagation community detection over the same synthetic
+    // doc graph — synchronous rounds + smallest-label tie-break make
+    // it a pure function of the graph (operators/LabelPropagation),
+    // so the unrolled-CTE oracle replays it exactly. 5 rounds.
+    "graph_label_prop" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % n).as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 7) % n).as("dst"))
+      graft.operators.LabelPropagation.propagate(e1.union(e2), 5)
+        .select(col("id").as("doc_id"), col("label"))
+    }),
+
+    // Single-source BFS hop counts (depth ≤ 5) from doc 0 over the
+    // same graph — fixed-depth frontier relaxation, min-aggregate
+    // per round (operators/Bfs).
+    "graph_bfs" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % n).as("dst"))
+      val e2 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 7) % n).as("dst"))
+      graft.operators.Bfs.hops(e1.union(e2), 0L, 5)
+        .select(col("id").as("doc_id"), col("dist"))
+    }),
+
     // RAG/pretraining chunking: overlapping token windows (64-token
     // chunks, stride 48 → 16-token overlap) — one map-side projection
     // per chunk row (posexplode over chunk starts + array slice), NO
@@ -2733,6 +2762,58 @@ object PipelineQueries {
          WHERE EXISTS (SELECT 1 FROM ori o
                        WHERE (o.s = w.v1 AND o.t = w.v2)
                           OR (o.s = w.v2 AND o.t = w.v1))""",
+
+    // 5 unrolled synchronous LPA rounds — most-frequent neighbour
+    // label, ties to the smallest label, exactly LabelPropagation's
+    // (cnt DESC, label ASC) window.
+    "graph_label_prop" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS (SELECT id, label FROM (
+           SELECT e.src AS id, l.label,
+             row_number() OVER (PARTITION BY e.src
+               ORDER BY count(*) DESC, l.label ASC) AS rn
+           FROM e JOIN l${i - 1} l ON e.dst = l.id
+           GROUP BY e.src, l.label)
+           WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e0 AS (SELECT doc_id AS src,
+                  (doc_id*2 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id*3 + 7) % (SELECT n FROM nn)
+                FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+         $rounds
+         SELECT id AS doc_id, CAST(label AS BIGINT) AS label FROM l5"""
+    },
+
+    // 5 unrolled BFS relaxation rounds from doc 0 — min over
+    // (previous dists ∪ neighbour dists + 1), exactly Bfs.hops.
+    "graph_bfs" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+           SELECT id, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.dst AS id, d.dist + 1 AS dist
+           FROM d${i - 1} d JOIN e ON e.src = d.id)
+           GROUP BY id)"""
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e0 AS (SELECT doc_id AS src,
+                  (doc_id*2 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id*3 + 7) % (SELECT n FROM nn)
+                FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+         $rounds
+         SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d5"""
+    },
 
     // chunk_idx = start // stride (same as posexplode's position);
     // list_slice clamps at the end exactly like Spark's slice
