@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Keyless BETWEEN joins → binned equi-joins (opt-in via
     // spark.graft.rangeJoin.binWidth; see plans/RangeJoinRewrite).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // Native sort-merge as-of join (plans/AsOfJoinPlan): plans the
+    // AsOfJoinNode logical operator as AsOfJoinExec.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

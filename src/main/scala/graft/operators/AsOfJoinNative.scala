@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftPlanBridge
+
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+
+/** Public face of the native sort-merge as-of join
+  * (`plans/AsOfJoinPlan.scala`): same semantics as
+  * [[AsOfJoin.lastEarlier]] — for every left row, the latest right
+  * row with the same key and time ≤ the left time, ties on (key,
+  * time) resolved to the largest payload tuple, null keys/times never
+  * matching — but executed by the custom physical operator instead of
+  * the union + running-window composition.
+  *
+  * Shapes the inputs to the exec's contract: column 0 = key as LONG,
+  * column 1 = time as LONG, right payload renamed to its output
+  * names. Left rows with a null key/time can't enter the merge (they
+  * have no sort position); they are unioned back with null payloads,
+  * preserving `lastEarlier`'s left-outer semantics row for row.
+  */
+object AsOfJoinNative {
+
+  /** @param leftKey/leftTime  integral-valued key/time expressions
+    *                          over `left` (cast to LONG internally)
+    * @param rightPayload      (outputName, expression-over-right) —
+    *                          also the tie-break order for equal
+    *                          (key, time) right rows
+    * @return left columns + payload columns (null when no match) */
+  def asofBackward(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)]): DataFrame = {
+    val spark = left.sparkSession
+    // idempotent defensive registration — GraftExtensions also injects
+    // the strategy, but ad-hoc sessions may lack the extensions conf
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val leftCols = left.columns.toSeq
+    val mergeable = leftKey.isNotNull && leftTime.isNotNull
+    val l2 = left.filter(mergeable)
+      .select(leftKey.cast("long").as("__k") +:
+        leftTime.cast("long").as("__t") +: leftCols.map(col): _*)
+    val r2 = right.filter(rightKey.isNotNull && rightTime.isNotNull)
+      .select(rightKey.cast("long").as("__rk") +:
+        rightTime.cast("long").as("__rt") +:
+        rightPayload.map { case (n, c) => c.as(n) }: _*)
+    val joinedRows = GraftPlanBridge.ofRows(left,
+      AsOfJoinNode(GraftPlanBridge.logicalPlan(l2),
+        GraftPlanBridge.logicalPlan(r2)))
+    val outCols = leftCols.map(col) ++ rightPayload.map(p => col(p._1))
+    val merged = joinedRows.select(outCols: _*)
+    val leftovers = left.filter(!coalesce(mergeable, lit(false)))
+      .select(leftCols.map(col) ++
+        rightPayload.map { case (n, c) => lit(null).cast(
+          r2.schema(n).dataType).as(n) }: _*)
+    merged.unionByName(leftovers)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the full custom-operator path (logical node →
+  * strategy → physical operator), for the one relational shape the
+  * built-in operators cannot express as a single pass: "for every
+  * left row, the LATEST right row with the same key and time ≤ the
+  * left time".
+  *
+  * The composition fallback (`operators/AsOfJoin.lastEarlier`) unions
+  * both sides and runs a running `last(ignoreNulls)` window — correct
+  * and one shuffle, but it materializes left+right in one sorted
+  * window partition and carries the payload struct through the
+  * union. This operator instead sort-merges the two sides the way
+  * `SortMergeJoinExec` does: each side is hash-clustered on its key
+  * and sorted (key, time), and one forward pass per partition joins
+  * them with O(1) state — no union row blow-up, no window buffer, no
+  * payload through the left's shuffle. Both shapes are
+  * 1000-executor-safe; the merge halves the shuffled bytes and drops
+  * the window state entirely.
+  *
+  * Contract (enforced by [[AsOfJoinNative]], the public wrapper):
+  * column 0 of each child is the join key as LONG, column 1 is the
+  * time as LONG, both non-null; right rows tie-break to the largest
+  * payload tuple (the exec sorts the right side by ALL its columns,
+  * so equal (key, time) rows surface the max payload — exactly
+  * `lastEarlier`'s max-struct rule).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  // The operator's child contract is POSITIONAL (column 0 = key,
+  // column 1 = time). Declaring every child column as referenced
+  // stops ColumnPruning from pushing an upper projection through the
+  // node and silently deleting/reordering the key columns — the exec
+  // would then read a payload column as the join key.
+  override def references: org.apache.spark.sql.catalyst.expressions
+      .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected by
+  * `GraftExtensions` (and defensively by the wrapper via
+  * `spark.experimental.extraStrategies`). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r) =>
+      AsOfJoinExec(planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge backward as-of join.
+  *
+  * Distribution/ordering requirements mirror `SortMergeJoinExec`:
+  * both children hash-clustered on their key column, left sorted by
+  * (key, time), right sorted by every column (key, time, payload…) so
+  * the tie order is total. `EnsureRequirements` inserts the
+  * exchanges/sorts and equalizes partition counts, after which
+  * `zipPartitions` pairs co-clustered partitions.
+  *
+  * The merge itself is the textbook one-pass: advance the right
+  * iterator while its (key, time) ≤ the current left (key, time),
+  * remembering only the last right row seen for the CURRENT left key
+  * — O(1) state per partition, no buffering, rows stream straight
+  * into an unsafe projection. Not codegen'd: the operator holds
+  * cross-row iterator state that whole-stage codegen's produce/consume
+  * protocol cannot express without a full sort-merge template; the
+  * single interpreted projection per output row is the same cost
+  * profile as `SortMergeJoinExec`'s fallback path.
+  */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan)
+    extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(left.output.head)),
+      ClusteredDistribution(Seq(right.output.head)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(left.output.head, Ascending),
+      SortOrder(left.output(1), Ascending)),
+    right.output.map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(left.output.head, Ascending),
+      SortOrder(left.output(1), Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rightWidth = right.output.length
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      // bind against the NULLABLE output attrs — binding to
+      // right.output's non-null attrs would skip the null check and
+      // read garbage zeros from the all-null no-match row
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val rBuf = rIter.buffered
+      // last right row consumed for the current left key — the only
+      // cross-row state; .copy() because unsafe rows are reused
+      var lastKey = 0L
+      var lastRow: InternalRow = null
+      lIter.map { l =>
+        val k = l.getLong(0)
+        val t = l.getLong(1)
+        if (lastRow != null && lastKey != k) lastRow = null
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val h = rBuf.head
+          val hk = h.getLong(0)
+          if (hk < k || (hk == k && h.getLong(1) <= t)) {
+            if (hk == k) { lastKey = k; lastRow = h.copy() }
+            rBuf.next()
+          } else advancing = false
+        }
+        outProj(joined(l,
+          if (lastRow != null && lastKey == k) lastRow else nullRight))
+      }
+    }
+  }
+}

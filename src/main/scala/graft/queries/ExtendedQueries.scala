@@ -42,6 +42,29 @@ object ExtendedQueries {
           col("asof.value").as("click_value"))
     }),
 
+    // The SAME last-click attribution through the native sort-merge
+    // as-of operator (plans/AsOfJoinPlan: custom LogicalPlan →
+    // SparkStrategy → SparkPlan, injected via GraftExtensions) — one
+    // forward merge pass per co-clustered partition, O(1) state, no
+    // union/window buffer. Oracle identical to join_asof; the two
+    // implementations hash-agree, which is the strongest check the
+    // custom operator can get.
+    "join_asof_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoinNative.asofBackward(
+          purchases, col("user_id"), unix_micros(col("ts")),
+          clicks, col("user_id"), unix_micros(col("ts")),
+          Seq("click_us" -> unix_micros(col("ts")),
+            "click_value" -> col("value")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_us"), col("click_value"))
+    }),
+
     // As-of with a staleness bound (pandas merge_asof tolerance): the
     // last-click attribution above, but a click older than 6 hours no
     // longer explains the purchase. Exact post-check on the carried
@@ -641,6 +664,13 @@ object ExtendedQueries {
          FROM customer""",
 
     "join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+         epoch_us(c.ts) AS click_us, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    "join_asof_native" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
          epoch_us(c.ts) AS click_us, c.value AS click_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
