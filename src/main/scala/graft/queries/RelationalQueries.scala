@@ -1157,6 +1157,42 @@ object RelationalQueries {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     }),
 
+    // Mutual information between two categorical columns — the
+    // bivariate companion to profile_entropy ("does source determine
+    // language?" — the feature-selection / leakage screen). One
+    // (lang, source) aggregate, domain-bounded; marginals broadcast
+    // back; the log term follows the entropy/PSI precedent (6dp round
+    // absorbs float-sum reorder noise), ratios go through double
+    // BEFORE multiplying so no integer product can overflow at scale.
+    "profile_mutual_info" -> ((s, d) => {
+      val cnt = graft.queries.Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val ml = cnt.groupBy("lang").agg(sum("n").as("nl"))
+      val ms = cnt.groupBy("source").agg(sum("n").as("ns"))
+      val tot = cnt.agg(sum("n").as("t"))
+      cnt.join(broadcast(ml), "lang").join(broadcast(ms), "source")
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("n").cast("double") / col("t")) *
+            log((col("n").cast("double") * col("t")) /
+              (col("nl").cast("double") * col("ns")))), 6).as("mi_nats"))
+    }),
+
+    // The explicit skew tool as a query-level artifact: lineitem ⋈
+    // supplier through operators/SkewJoin.saltedJoin — each big-side
+    // key fans out over 8 salts (deterministic hash of the non-key
+    // columns), the small side replicates once per salt, and the
+    // result is ROW-IDENTICAL to the plain join, which is exactly
+    // what the oracle checks (plain-join SQL, hash-compared).
+    "join_skew_salted" -> ((s, d) => {
+      val big = lineitem(s, d).select(
+        col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        col("l_linenumber"))
+      val small = supplier(s, d).select(
+        col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.SkewJoin.saltedJoin(big, small, Seq("suppkey"), 8)
+    }),
+
     // Gini concentration of customer spend per nation — the standard
     // inequality/concentration audit ("is 1% of customers 90% of
     // revenue?"). Exact end to end: spend in integer cents, rank via
@@ -1885,6 +1921,23 @@ object RelationalQueries {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY 1""",
+
+    "profile_mutual_info" ->
+      """WITH cnt AS (SELECT lang, source, count(*) AS n
+                      FROM documents GROUP BY 1, 2),
+         ml AS (SELECT lang, sum(n) AS nl FROM cnt GROUP BY 1),
+         ms AS (SELECT source, sum(n) AS ns FROM cnt GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM cnt)
+         SELECT count(*) AS n_cells,
+           round(SUM((CAST(n AS DOUBLE) / t) *
+             ln((CAST(n AS DOUBLE) * t) /
+                (CAST(nl AS DOUBLE) * ns))), 6) AS mi_nats
+         FROM cnt JOIN ml USING (lang) JOIN ms USING (source)
+         CROSS JOIN tot""",
+
+    "join_skew_salted" ->
+      """SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
 
     "profile_gini" ->
       """WITH spend AS (

@@ -495,6 +495,22 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("profile_mutual_info: cell-level aggregate (hashes on lang), " +
+      "marginals broadcast — never a per-doc exchange after the count") {
+    val p = plan("profile_mutual_info")
+    assert(p.contains("hashpartitioning(lang"), "lost cell-level agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "marginals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("join_skew_salted: equi-join on (key, salt) — no cartesian, " +
+      "no nested loop") {
+    val p = plan("join_skew_salted")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("profile_gini: reads only the 2 orders columns it needs; " +
       "window partitions by nation (never unpartitioned)") {
     val p = plan("profile_gini")
