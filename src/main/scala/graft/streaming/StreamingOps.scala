@@ -435,6 +435,44 @@ object StreamingOps {
       key: String): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Stream enriched by a VERSIONED static dimension, as-of style:
+    * each stream row picks the latest dim version with version ts ≤
+    * the stream row's ts — the streaming leg of `join_asof`.
+    *
+    * Streams can't run the batch as-of shapes (no windows, and a
+    * per-row argmax aggregate would need update-mode state), so the
+    * as-of is turned into a POINT-IN-INTERVAL join instead: one
+    * batch-side window over the (bounded) dimension precomputes each
+    * version's validity interval [ver_ts, next_ver_ts), and the
+    * stream then broadcast-joins on key + interval containment —
+    * stateless, exactly one match per row by construction (intervals
+    * partition the time axis per key), left-outer so rows before the
+    * first version survive with null payload. The same
+    * intervalization is how SCD2 dimensions (`operators/Scd2`) are
+    * consumed at any scale.
+    *
+    * @param dim   static versioned dimension; must be unique on
+    *              (key, dimTs)
+    * @return stream columns + dim payload columns (null before the
+    *         first version) */
+  def asofEnrichStream(stream: DataFrame, dim: DataFrame, key: String,
+      streamTs: String, dimTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(dimTs)
+    val intervals = dim.select(
+        (key +: dimTs +: payloadCols).map(col): _*)
+      .withColumn("__until", lead(col(dimTs), 1).over(w))
+      .withColumnRenamed(key, "__dk")
+    stream.join(broadcast(intervals),
+      stream(key) === intervals("__dk") &&
+        stream(streamTs) >= intervals(dimTs) &&
+        (intervals("__until").isNull ||
+          stream(streamTs) < intervals("__until")),
+      "left")
+      .drop("__dk", "__until")
+  }
+
   case class Event(event_id: Long, user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
