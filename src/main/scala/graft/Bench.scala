@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rangeJoin.binWidth", "auto")
+      .config("spark.graft.aggJoinToWindow", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed

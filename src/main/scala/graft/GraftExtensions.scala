@@ -46,5 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Native sort-merge as-of join (plans/AsOfJoinPlan): plans the
     // AsOfJoinNode logical operator as AsOfJoinExec.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Self-join-vs-own-aggregate → single-scan window (opt-in via
+    // spark.graft.aggJoinToWindow; see plans/AggJoinToWindow). Runs
+    // post-hoc on the ANALYZED plan — before column pruning makes the
+    // join's two copies of the shared subtree structurally diverge.
+    ext.injectPostHocResolutionRule(_ => graft.plans.AggJoinToWindow)
   }
 }

@@ -20,6 +20,7 @@ object Verify {
       // opt into the keyless-range-join rewrite; 10 min (µs) matches
       // the event-window queries' interval length
       .config("spark.graft.rangeJoin.binWidth", "auto")
+      .config("spark.graft.aggJoinToWindow", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

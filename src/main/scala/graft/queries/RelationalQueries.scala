@@ -1157,6 +1157,27 @@ object RelationalQueries {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     }),
 
+    // The analyst anti-pattern, spelled NAIVELY on purpose: join
+    // lineitem against its own per-part aggregate and keep rows 20%
+    // above their group mean. plans/AggJoinToWindow rewrites this
+    // analyzed self-join into ONE scan + ONE window (no second pass,
+    // no join shuffle) — the oracle replays the naive join SQL, so
+    // the hash check proves the rewrite is semantics-preserving on
+    // real data; AggJoinToWindowSpec pins the no-join plan shape and
+    // the bail-out corners. Threshold compares integer cents
+    // cross-multiplied (q·n·10 > s·12) — no division, no float seam.
+    "join_agg_auto" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_partkey"), col("l_orderkey"),
+        col("l_linenumber"),
+        (dec(col("l_quantity")) * 100).cast("long").as("q_c"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_li"), sum(col("q_c")).as("s_c"))
+      li.join(perPart, "l_partkey")
+        .filter(col("q_c") * col("n_li") * 10 > col("s_c") * 12)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "q_c",
+          "n_li", "s_c")
+    }),
+
     // Mutual information between two categorical columns — the
     // bivariate companion to profile_entropy ("does source determine
     // language?" — the feature-selection / leakage screen). One
@@ -1921,6 +1942,18 @@ object RelationalQueries {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY 1""",
+
+    "join_agg_auto" ->
+      """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS q_c
+           FROM lineitem),
+         pp AS (SELECT l_partkey, count(*) AS n_li,
+             CAST(SUM(q_c) AS BIGINT) AS s_c
+           FROM li GROUP BY 1)
+         SELECT li.l_partkey, l_orderkey, l_linenumber, q_c, n_li, s_c
+         FROM li JOIN pp USING (l_partkey)
+         WHERE q_c * n_li * 10 > s_c * 12""",
 
     "profile_mutual_info" ->
       """WITH cnt AS (SELECT lang, source, count(*) AS n
