@@ -421,6 +421,27 @@ object RelationalQueries {
     // both prune files (layout proof in ZOrderSpec; this query pins
     // the interleave arithmetic cross-engine). Pure integer bit ops —
     // exact, map-side, one scan.
+    // ORC source/sink roundtrip — the third columnar format next to
+    // parquet and the all-string CSV/xlsx path: a lineitem slice is
+    // written as ORC and read back, and the aggregate over the
+    // ROUNDTRIPPED data must hash-equal the oracle's aggregate over
+    // the original parquet — write/read fidelity (types, timestamps
+    // under the pinned UTC session, decimal-exact sums) is exactly
+    // what the equality proves. Predicate/projection pushdown works
+    // on the ORC scan the same as parquet (native vectorized reader).
+    "source_orc" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        .toString
+      lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("l_quantity") > 5.0)
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+    }),
+
     "maint_zorder" -> ((s, d) =>
       orders(s, d)
         .select(col("o_orderkey"),
@@ -1304,6 +1325,13 @@ object RelationalQueries {
     // ((v % m) + m) % m mirrors Spark's pmod (non-negative) — DuckDB's
     // bare % follows the dividend's sign, which would diverge on any
     // negative key and break the shift arithmetic below.
+    "source_orc" ->
+      """SELECT year(l_shipdate) AS y, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty
+         FROM lineitem WHERE l_quantity > 5.0
+         GROUP BY 1""",
+
     "maint_zorder" ->
       s"""WITH t AS (SELECT o_orderkey,
            ((o_custkey % 65536) + 65536) % 65536 AS zx,
