@@ -629,6 +629,34 @@ object ExtendedQueries {
             x => x.getField("event_type")), ",").as("seq"))
         .select(col("user_id"), col("sess"), col("n_events"),
           col("seq").rlike("view.*click.*purchase").as("hit"))
+    }),
+
+    // Frequent-path mining over the same sessionized sequences: the
+    // top-10 most common FULL session paths (the "what do users
+    // actually do" report). Path strings group map-side-combined —
+    // the aggregate key domain is bounded by distinct paths, not
+    // sessions — and the top-10 is a deterministic (count DESC, path
+    // ASC) order + limit.
+    "events_top_paths" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess", sum("is_new").over(wRun))
+        .groupBy("user_id", "sess")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ",").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(10)
     })
   )
 
@@ -1024,6 +1052,26 @@ object ExtendedQueries {
                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                  AS gap
              FROM events))
-         GROUP BY user_id, sess"""
+         GROUP BY user_id, sess""",
+
+    "events_top_paths" ->
+      """SELECT path, COUNT(*) AS n_sessions FROM (
+           SELECT user_id, sess,
+             string_agg(event_type, ',' ORDER BY us, event_id) AS path
+           FROM (
+             SELECT user_id, event_id, event_type, us,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                             THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+             FROM (
+               SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                 epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS gap
+               FROM events))
+           GROUP BY user_id, sess)
+         GROUP BY path
+         ORDER BY n_sessions DESC, path ASC LIMIT 10"""
   )
 }
