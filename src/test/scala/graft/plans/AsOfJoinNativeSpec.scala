@@ -80,6 +80,31 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"native=${n.length} composed=${c.length}")
   }
 
+  test("seeded-random differential vs lastEarlier: dense keys, heavy " +
+      "(key,time) ties, duplicate rows, multi-partition") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // few keys + coarse times => many exact (key,time) collisions
+      val left = Seq.fill(300)((rnd.nextInt(8).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(1000).toString))
+        .toDF("k", "t", "pid")
+      val right = Seq.fill(300)((rnd.nextInt(8).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(5).toDouble))
+        .toDF("k", "t", "v").repartition(7)
+      val native = run(left.repartition(5), right)
+        .select(col("k"), col("t"), col("pid"), col("rt"), col("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      val composed = AsOfJoin.lastEarlier(left, right, "k", "t", "t",
+          Seq("v"))
+        .select(col("k"), col("t"), col("pid"),
+          col("asof.t").as("rt"), col("asof.v").as("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      assert(native.sameElements(composed), s"seed $seed diverged")
+    }
+  }
+
   test("plan shape: AsOfJoin exec with two clustered exchanges — " +
       "no window, no union, no cartesian") {
     val s = spark
