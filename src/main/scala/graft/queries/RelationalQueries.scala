@@ -442,6 +442,27 @@ object RelationalQueries {
           sum(dec(col("l_quantity"))).cast("double").as("qty"))
     }),
 
+    // Partitioned-layout write + PRUNED read: orders lands in a
+    // year=YYYY directory tree, and the filtered read-back must touch
+    // only two partitions — the plan pin asserts PartitionFilters
+    // carries the year predicate (pruning happens at file listing,
+    // before any I/O: the 100 TB table-layout primitive). The
+    // aggregate over the pruned read hash-equals the oracle's over
+    // the original parquet, proving the layout round-trip loses
+    // nothing.
+    "source_partitioned" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_part").toString
+      orders(s, d)
+        .withColumn("year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("year").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("year") >= 1997 && col("year") <= 1998)
+        .groupBy(col("year").cast("long").as("year"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+    }),
+
     "maint_zorder" -> ((s, d) =>
       orders(s, d)
         .select(col("o_orderkey"),
@@ -1325,6 +1346,14 @@ object RelationalQueries {
     // ((v % m) + m) % m mirrors Spark's pmod (non-negative) — DuckDB's
     // bare % follows the dividend's sign, which would diverge on any
     // negative key and break the shift arithmetic below.
+    "source_partitioned" ->
+      """SELECT year(o_orderdate) AS year, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev
+         FROM orders
+         WHERE year(o_orderdate) BETWEEN 1997 AND 1998
+         GROUP BY 1""",
+
     "source_orc" ->
       """SELECT year(l_shipdate) AS y, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

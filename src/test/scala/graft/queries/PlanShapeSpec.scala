@@ -495,6 +495,14 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("source_partitioned: year predicate prunes at the partition " +
+      "level (PartitionFilters), not as a data filter") {
+    val p = plan("source_partitioned")
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*year".r.findFirstIn(p).isDefined,
+      s"year predicate must prune partitions: $p")
+  }
+
   test("profile_mutual_info: cell-level aggregate (hashes on lang), " +
       "marginals broadcast — never a per-doc exchange after the count") {
     val p = plan("profile_mutual_info")
