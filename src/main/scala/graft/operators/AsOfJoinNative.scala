@@ -30,7 +30,23 @@ object AsOfJoinNative {
     * @return left columns + payload columns (null when no match) */
   def asofBackward(left: DataFrame, leftKey: Column, leftTime: Column,
       right: DataFrame, rightKey: Column, rightTime: Column,
-      rightPayload: Seq[(String, Column)]): DataFrame = {
+      rightPayload: Seq[(String, Column)]): DataFrame =
+    asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, forward = false)
+
+  /** Forward variant — EARLIEST right row with time ≥ the left time,
+    * ties on (key, time) to the SMALLEST payload tuple (exactly
+    * [[AsOfJoin.firstLater]]'s first-in-frame rule). */
+  def asofForward(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)]): DataFrame =
+    asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, forward = true)
+
+  private def asofJoin(left: DataFrame, leftKey: Column,
+      leftTime: Column, right: DataFrame, rightKey: Column,
+      rightTime: Column, rightPayload: Seq[(String, Column)],
+      forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     // idempotent defensive registration — GraftExtensions also injects
     // the strategy, but ad-hoc sessions may lack the extensions conf
@@ -49,7 +65,7 @@ object AsOfJoinNative {
         rightPayload.map { case (n, c) => c.as(n) }: _*)
     val joinedRows = GraftPlanBridge.ofRows(left,
       AsOfJoinNode(GraftPlanBridge.logicalPlan(l2),
-        GraftPlanBridge.logicalPlan(r2)))
+        GraftPlanBridge.logicalPlan(r2), forward))
     val outCols = leftCols.map(col) ++ rightPayload.map(p => col(p._1))
     val merged = joinedRows.select(outCols: _*)
     val leftovers = left.filter(!coalesce(mergeable, lit(false)))

@@ -32,8 +32,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * so equal (key, time) rows surface the max payload — exactly
   * `lastEarlier`'s max-struct rule).
   */
-case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan)
-    extends BinaryNode {
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   // The operator's child contract is POSITIONAL (column 0 = key,
@@ -55,8 +55,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan)
   * `spark.experimental.extraStrategies`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r) =>
-      AsOfJoinExec(planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -80,8 +80,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * single interpreted projection per output row is the same cost
   * profile as `SortMergeJoinExec`'s fallback path.
   */
-case class AsOfJoinExec(left: SparkPlan, right: SparkPlan)
-    extends SparkPlan with BinaryExecNode {
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -116,6 +116,28 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan)
       // read garbage zeros from the all-null no-match row
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
+      if (forward) {
+        // forward: the match is the right HEAD once everything
+        // strictly before (k, t) is discarded — head = smallest
+        // (key, time, payload) >= the probe, i.e. the earliest
+        // matching time with the MIN payload tuple (firstLater's tie
+        // rule). The head is peeked, never consumed: later left rows
+        // may match it again. Zero copies — the row is projected
+        // before the iterator advances.
+        lIter.map { l =>
+          val k = l.getLong(0)
+          val t = l.getLong(1)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val h = rBuf.head
+            val hk = h.getLong(0)
+            if (hk < k || (hk == k && h.getLong(1) < t)) rBuf.next()
+            else advancing = false
+          }
+          val hit = rBuf.hasNext && rBuf.head.getLong(0) == k
+          outProj(joined(l, if (hit) rBuf.head else nullRight))
+        }
+      } else {
       // last right row consumed for the current left key — the only
       // cross-row state; .copy() because unsafe rows are reused
       var lastKey = 0L
@@ -135,6 +157,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan)
         }
         outProj(joined(l,
           if (lastRow != null && lastKey == k) lastRow else nullRight))
+      }
       }
     }
   }

@@ -65,6 +65,27 @@ object ExtendedQueries {
           col("click_us"), col("click_value"))
     }),
 
+    // Forward attribution through the native exec (peek-don't-consume
+    // merge head; ties to the MIN payload tuple = firstLater's rule).
+    // Clicks pre-deduped per (user, ts) exactly like join_asof_forward
+    // so both implementations and the oracle see one candidate per
+    // instant.
+    "join_asof_fwd_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(min(col("value")).as("value"))
+      graft.operators.AsOfJoinNative.asofForward(
+          purchases, col("user_id"), unix_micros(col("ts")),
+          clicks, col("user_id"), unix_micros(col("ts")),
+          Seq("click_us" -> unix_micros(col("ts")),
+            "click_value" -> col("value")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_us"), col("click_value"))
+    }),
+
     // As-of with a staleness bound (pandas merge_asof tolerance): the
     // last-click attribution above, but a click older than 6 hours no
     // longer explains the purchase. Exact post-check on the carried
@@ -732,6 +753,20 @@ object ExtendedQueries {
     // min-ts-per-direction + equi lookup on the deduped click table —
     // engine-neutral spelling of forward/nearest ASOF semantics
     "join_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, min(value) AS value FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         f AS (SELECT p.event_id, p.user_id, p.ts, min(c.ts) AS fts
+           FROM p LEFT JOIN c
+             ON p.user_id = c.user_id AND c.ts >= p.ts
+           GROUP BY 1, 2, 3)
+         SELECT f.event_id, f.user_id, epoch_us(f.ts) AS purchase_us,
+           epoch_us(fts) AS click_us, c.value AS click_value
+         FROM f LEFT JOIN c
+           ON f.user_id = c.user_id AND c.ts = fts""",
+
+    "join_asof_fwd_native" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts, min(value) AS value FROM events

@@ -80,6 +80,56 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"native=${n.length} composed=${c.length}")
   }
 
+  test("forward mode: earliest later match, inclusive boundary, " +
+      "min-payload ties, shared match across lefts") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 90L, "b"), (1L, 90L, "b2"),
+      (1L, 200L, "c"), (2L, 5L, "d")).toDF("k", "t", "pid")
+    val right = Seq((1L, 90L, 5.0), (1L, 90L, 2.0), (1L, 150L, 7.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoinNative.asofForward(left, col("k"), col("t"),
+        right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")))
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got("b") == (Some(90L), Some(2.0)))  // inclusive + min tie
+    assert(got("b2") == (Some(90L), Some(2.0))) // same match, reused
+    assert(got("a") == (Some(150L), Some(7.0)))
+    assert(got("c") == (None, None))            // nothing later
+    assert(got("d") == (None, None))            // keyless
+  }
+
+  test("forward seeded-random differential vs firstLater") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 12)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(250)((rnd.nextInt(6).toLong,
+        rnd.nextInt(30).toLong, rnd.nextInt(1000).toString))
+        .toDF("k", "t", "pid")
+      // unique (k,t) right rows: firstLater's min-payload tie is on
+      // the struct (t, v), matching the exec's (t, payload) sort only
+      // when v ties are impossible per instant — dedupe like the
+      // fwd-native query does
+      val right = Seq.fill(250)((rnd.nextInt(6).toLong,
+        rnd.nextInt(30).toLong, rnd.nextInt(5).toDouble))
+        .toDF("k", "t", "v").groupBy("k", "t")
+        .agg(min("v").as("v")).repartition(7)
+      val native = AsOfJoinNative.asofForward(left.repartition(5),
+          col("k"), col("t"), right, col("k"), col("t"),
+          Seq("rt" -> col("t"), "rv" -> col("v")))
+        .select(col("k"), col("t"), col("pid"), col("rt"), col("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      val composed = AsOfJoin.firstLater(left, right, "k", "t", "t",
+          Seq("v"))
+        .select(col("k"), col("t"), col("pid"),
+          col("asof.t").as("rt"), col("asof.v").as("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      assert(native.sameElements(composed), s"seed $seed diverged")
+    }
+  }
+
   test("seeded-random differential vs lastEarlier: dense keys, heavy " +
       "(key,time) ties, duplicate rows, multi-partition") {
     val s = spark
