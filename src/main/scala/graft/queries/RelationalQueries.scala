@@ -1199,6 +1199,39 @@ object RelationalQueries {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift on a CONTINUOUS column —
+    // the numeric companion to profile_drift's categorical PSI: split
+    // the corpus into halves, D = max |ECDF_a − ECDF_b| over doc
+    // lengths. Exact end to end: per-(value, half) counts, one window
+    // cumsum over the DISTINCT-value table (domain-bounded, never the
+    // corpus), and the sup-difference as the integer cross-product
+    // |cumA·nB − cumB·nA| — division by nA·nB deferred to a single
+    // integer basis-points emit. No float ever enters the hash path.
+    "profile_ks" -> ((s, d) => {
+      val docs = graft.queries.Tables.documents(s, d)
+        .select(col("n_chars").as("v"), (col("doc_id") % 2 === 0).as("h"))
+      val cnt = docs.groupBy("v")
+        .agg(sum(when(col("h"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("h"), 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_values"),
+          max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("d_num"),
+          max(col("na") * col("nb")).as("d_den"))
+        // ONE double division over exact integers — bit-deterministic
+        // in both engines (unlike a float sum, a single IEEE divide
+        // has no order to vary); numerator ≤ na·nb ≤ n²/4 fits int64
+        // past 10⁹ docs
+        .select(col("n_values"), col("d_num"), col("d_den"),
+          (col("d_num").cast("double") / col("d_den")).as("d_stat"))
+    }),
+
     // The analyst anti-pattern, spelled NAIVELY on purpose: join
     // lineitem against its own per-part aggregate and keep rows 20%
     // above their group mean. plans/AggJoinToWindow rewrites this
@@ -1999,6 +2032,29 @@ object RelationalQueries {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY 1""",
+
+    "profile_ks" ->
+      """WITH d AS (SELECT n_chars AS v, doc_id % 2 = 0 AS h
+                    FROM documents),
+         cnt AS (SELECT v,
+             SUM(CASE WHEN h THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN h THEN 0 ELSE 1 END) AS cb
+           FROM d GROUP BY 1),
+         tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                        CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+         cum AS (SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+           FROM cnt),
+         agg AS (SELECT count(*) AS n_values,
+             CAST(MAX(ABS(cuma*nb - cumb*na)) AS BIGINT) AS d_num,
+             CAST(MAX(na*nb) AS BIGINT) AS d_den
+           FROM cum CROSS JOIN tot)
+         SELECT n_values, d_num, d_den,
+           CAST(d_num AS DOUBLE) / d_den AS d_stat
+         FROM agg""",
 
     "join_agg_auto" ->
       """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber,

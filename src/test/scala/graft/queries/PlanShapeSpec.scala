@@ -503,6 +503,15 @@ class PlanShapeSpec extends SparkSpec {
       s"year predicate must prune partitions: $p")
   }
 
+  test("profile_ks: ECDF cumsum runs over the distinct-value table " +
+      "(post-aggregate), never the raw corpus") {
+    val p = plan("profile_ks")
+    assert(p.contains("hashpartitioning(v"),
+      "per-value counts must aggregate before the window")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "no per-doc exchange")
+  }
+
   test("profile_mutual_info: cell-level aggregate (hashes on lang), " +
       "marginals broadcast — never a per-doc exchange after the count") {
     val p = plan("profile_mutual_info")
