@@ -61,6 +61,32 @@ class AggJoinToWindowSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 lineitem scan, got $scans")
   }
 
+  test("seeded-random differential: rule on == rule off, with null " +
+      "keys, duplicate rows, and multi-column group keys") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val df = Seq.fill(400)((
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong),
+        rnd.nextInt(3).toLong, rnd.nextInt(100).toLong))
+        .toDF("k", "k2", "v")
+      def q = {
+        val agg = df.groupBy("k", "k2").agg(sum("v").as("s"),
+          max("v").as("mx"), count(lit(1)).as("n"))
+        df.join(agg, Seq("k", "k2")).filter(col("v") * col("n") >= col("s"))
+      }
+      val on = withRule(true) {
+        val d = q
+        assert(!d.queryExecution.executedPlan.toString.contains("Join"),
+          "multi-key rewrite must fire")
+        d.collect().map(_.toSeq.toString).sorted
+      }
+      val off = withRule(false)(q.collect().map(_.toSeq.toString).sorted)
+      assert(on.sameElements(off), s"seed $seed diverged")
+    }
+  }
+
   test("bails out: DISTINCT aggregate, outer join, extra join " +
       "conjunct, structurally different subtrees") {
     val s = spark
