@@ -1199,6 +1199,40 @@ object RelationalQueries {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     }),
 
+    // k-anonymity ENFORCEMENT — profile_kanon's audit turned into the
+    // remediation op: quasi-identifier (nation, segment) groups below
+    // k=12 generalize up the geography hierarchy (nation → region),
+    // and groups still below k after coarsening are suppressed
+    // ('*','*'). Deterministic ladder, no row ever dropped (an
+    // anonymized release must keep its population). Both group-size
+    // tables are QI-domain-bounded broadcasts; the per-customer work
+    // is two map-side joins — one scan of customer.
+    "anon_coarsen" -> ((s, d) => {
+      val k = 12
+      val cust = customer(s, d)
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("n_name").as("nat"), col("r_name").as("reg"))
+      val cnt0 = cust.groupBy("nat", "seg").agg(count(lit(1)).as("n0"))
+      val withN0 = cust.join(broadcast(cnt0), Seq("nat", "seg"))
+      val cnt1 = withN0.filter(col("n0") < k)
+        .groupBy("reg", "seg").agg(count(lit(1)).as("n1"))
+      withN0.join(broadcast(cnt1), Seq("reg", "seg"), "left")
+        .select(col("c_custkey"),
+          when(col("n0") >= k, col("nat"))
+            .when(col("n1") >= k, col("reg"))
+            .otherwise(lit("*")).as("qi_geo"),
+          when(col("n0") >= k || col("n1") >= k, col("seg"))
+            .otherwise(lit("*")).as("qi_seg"),
+          when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+            .otherwise(2L).as("gen_level"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov drift on a CONTINUOUS column —
     // the numeric companion to profile_drift's categorical PSI: split
     // the corpus into halves, D = max |ECDF_a − ECDF_b| over doc
@@ -2032,6 +2066,29 @@ object RelationalQueries {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY 1""",
+
+    "anon_coarsen" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_mktsegment AS seg, n_name AS nat,
+             r_name AS reg
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         cnt0 AS (SELECT nat, seg, count(*) AS n0 FROM cust
+                  GROUP BY 1, 2),
+         wn0 AS (SELECT cust.*, n0 FROM cust
+                 JOIN cnt0 USING (nat, seg)),
+         cnt1 AS (SELECT reg, seg, count(*) AS n1 FROM wn0
+                  WHERE n0 < 12 GROUP BY 1, 2)
+         SELECT c_custkey,
+           CASE WHEN n0 >= 12 THEN nat
+                WHEN n1 >= 12 THEN reg ELSE '*' END AS qi_geo,
+           CASE WHEN n0 >= 12 OR n1 >= 12 THEN seg
+                ELSE '*' END AS qi_seg,
+           CAST(CASE WHEN n0 >= 12 THEN 0
+                     WHEN n1 >= 12 THEN 1 ELSE 2 END AS BIGINT)
+             AS gen_level
+         FROM wn0 LEFT JOIN cnt1 USING (reg, seg)""",
 
     "profile_ks" ->
       """WITH d AS (SELECT n_chars AS v, doc_id % 2 = 0 AS h
