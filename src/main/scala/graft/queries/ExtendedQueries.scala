@@ -652,6 +652,36 @@ object ExtendedQueries {
           col("seq").rlike("view.*click.*purchase").as("hit"))
     }),
 
+    // Multi-touch attribution: every click in the 6 h before a
+    // purchase shares the credit — linear split in EXACT integer
+    // milli-credits (1000 DIV n each, the remainder distributed to
+    // the earliest touches one milli apiece, so every purchase's
+    // credits sum to exactly 1000; no float division ever). The
+    // touch set comes from a user-keyed equi-join + time-band filter
+    // — a keyed shuffle join, never a cartesian — and the split is
+    // one purchase-partitioned window.
+    "events_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val touches = purchases.join(clicks, "user_id")
+        .filter(col("c_us") <= col("p_us") &&
+          col("c_us") > col("p_us") - 21600000000L)
+      val w = Window.partitionBy("p_id")
+      val wOrd = w.orderBy(col("c_us").asc, col("c_id").asc)
+      touches
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(wOrd))
+        .select(col("p_id"), col("user_id"), col("c_id"), col("c_us"),
+          (expr("1000 DIV n") +
+            when(col("rk") <= expr("1000 % n"), 1L).otherwise(0L))
+            .as("credit_milli"))
+    }),
+
     // Frequent-path mining over the same sessionized sequences: the
     // top-10 most common FULL session paths (the "what do users
     // actually do" report). Path strings group map-side-combined —
@@ -1088,6 +1118,23 @@ object ExtendedQueries {
                  AS gap
              FROM events))
          GROUP BY user_id, sess""",
+
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+             epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+         t AS (SELECT p_id, p.user_id, c_id, c_us,
+             COUNT(*) OVER (PARTITION BY p_id) AS n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_id
+               ORDER BY c_us ASC, c_id ASC) AS BIGINT) AS rk
+           FROM p JOIN c ON p.user_id = c.user_id
+             AND c_us <= p_us AND c_us > p_us - 21600000000)
+         SELECT p_id, user_id, c_id, c_us,
+           CAST(1000 // n + CASE WHEN rk <= 1000 % n THEN 1 ELSE 0 END
+             AS BIGINT) AS credit_milli
+         FROM t""",
 
     "events_top_paths" ->
       """SELECT path, COUNT(*) AS n_sessions FROM (
