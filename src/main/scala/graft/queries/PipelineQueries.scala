@@ -387,6 +387,62 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Diversity-aware re-ranking (maximal marginal relevance,
+    // Carbonell & Goldstein 1998) — the curation step between
+    // retrieval and selection: from the top-20 cosine candidates,
+    // greedily pick 5 maximizing λ·rel − (1−λ)·max-sim-to-selected
+    // (λ = 0.7, ties to the smaller vec_id). The scale split is the
+    // one every real system uses: candidate generation is the
+    // DISTRIBUTED part (brute force here; the ANN tiers elsewhere in
+    // this file at scale), the re-rank runs on the k-bounded
+    // candidate set driver-side — 20 vectors, the same bounded
+    // collect as the IVF centroid means. Every double op replays the
+    // DotDouble fold order (left-to-right, elementwise float→double
+    // first), so the 5 unrolled selection steps are SQL-replayable
+    // bit for bit.
+    "sim_mmr" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val cand = Similarity.topK(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", qv, 20)
+        .join(emb, "vec_id")
+        .select("vec_id", "score", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Float](2)))
+        .sortBy(t => (-t._2, t._1))
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        def dotD(x: Seq[Float], y: Seq[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < x.length) { acc += x(i).toDouble * y(i).toDouble
+            i += 1 }
+          acc
+        }
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+      }
+      val lambda = 0.7
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Seq[Float], Double)] // id, rel, v, mmr
+      var remaining = cand.toList
+      while (selected.length < 5 && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel, v) =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.map(sl => cos(v, sl._3)).max
+          (id, rel, v, lambda * rel - (1.0 - lambda) * pen)
+        }
+        val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+        selected += best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      val s2 = s
+      import s2.implicits._
+      selected.zipWithIndex.map { case ((id, rel, _, m), i) =>
+        (i + 1L, id, graft.ext.ExactQuantiles.round6(rel),
+          graft.ext.ExactQuantiles.round6(m))
+      }.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+    }),
+
     // Product-quantization retrieval — the third compression tier
     // (float32 -> int8 -> PQ codes): ADC over the codes picks 80
     // candidates, exact cosine rescores to top-10. Codebooks are
@@ -2274,6 +2330,44 @@ object PipelineQueries {
               list_transform(v, (x, i) -> x * v[-i])), (a, x) -> a + x)
               AS self_rev_dot
           FROM v""",
+
+    // MMR replay: 5 unrolled greedy steps; every constant is written
+    // exactly as the Scala side computes it ((1.0 - 0.7), not 0.3 —
+    // they are DIFFERENT doubles) and every cosine goes through the
+    // same elementwise-double fold, so argmax ties cannot flip.
+    "sim_mmr" -> {
+      def sim(a: String, b: String) =
+        s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+      val steps = (2 to 5).map { i =>
+        val priors = (1 until i).map(j => s"sel$j s$j").mkString(", ")
+        val notIn = (1 until i).map(j => s"s$j.vec_id").mkString(", ")
+        val sims = (1 until i).map(j => sim("c.v", s"s$j.v"))
+        val pen = if (sims.length == 1) sims.head
+          else s"GREATEST(${sims.mkString(", ")})"
+        s"""sel$i AS (SELECT vec_id, v, rel, mmr FROM (
+             SELECT c.vec_id, c.v, c.rel,
+               0.7 * c.rel - (1.0 - 0.7) * ($pen) AS mmr
+             FROM cand c, $priors
+             WHERE c.vec_id NOT IN ($notIn))
+           ORDER BY mmr DESC, vec_id LIMIT 1)"""
+      }.mkString(",\n")
+      val out = (1 to 5).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank, vec_id,
+            round(rel, 6) AS rel, round(mmr, 6) AS mmr FROM sel$i""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT $VecD AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT vec_id, $VecD AS v FROM embeddings
+               WHERE vec_id <> 0),
+         cand AS (SELECT vec_id, v, rel FROM (
+             SELECT vec_id, v, ${sim("v", "qv")} AS rel
+             FROM s CROSS JOIN q)
+           ORDER BY rel DESC, vec_id LIMIT 20),
+         sel1 AS (SELECT vec_id, v, rel,
+             0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr FROM cand
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+         $steps
+         $out"""
+    },
 
     "sim_topk" ->
       s"""WITH q AS (SELECT $VecD AS qv FROM embeddings WHERE vec_id = 0),
