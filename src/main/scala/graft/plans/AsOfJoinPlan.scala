@@ -27,10 +27,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Contract (enforced by [[AsOfJoinNative]], the public wrapper):
   * column 0 of each child is the join key as LONG, column 1 is the
-  * time as LONG, both non-null; right rows tie-break to the largest
-  * payload tuple (the exec sorts the right side by ALL its columns,
-  * so equal (key, time) rows surface the max payload — exactly
-  * `lastEarlier`'s max-struct rule).
+  * time as LONG, both non-null. The exec sorts the right side by ALL
+  * its columns, making the tie order total: backward mode keeps the
+  * LAST consumed row of an equal-(key, time) run (max payload —
+  * `lastEarlier`'s max-struct rule), forward mode matches the merge
+  * HEAD (min payload — `firstLater`'s first-in-frame rule).
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     forward: Boolean = false) extends BinaryNode {
@@ -61,7 +62,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Sort-merge backward as-of join.
+/** Sort-merge as-of join (backward by default, forward on flag).
   *
   * Distribution/ordering requirements mirror `SortMergeJoinExec`:
   * both children hash-clustered on their key column, left sorted by
@@ -70,10 +71,13 @@ object AsOfJoinStrategy extends SparkStrategy {
   * exchanges/sorts and equalizes partition counts, after which
   * `zipPartitions` pairs co-clustered partitions.
   *
-  * The merge itself is the textbook one-pass: advance the right
-  * iterator while its (key, time) ≤ the current left (key, time),
-  * remembering only the last right row seen for the CURRENT left key
-  * — O(1) state per partition, no buffering, rows stream straight
+  * The merge itself is the textbook one-pass. Backward: advance the
+  * right iterator while its (key, time) ≤ the current left
+  * (key, time), remembering only the last right row seen for the
+  * CURRENT left key. Forward: discard right rows strictly before the
+  * probe; the buffered head IS the match, peeked not consumed so
+  * successive lefts can share it. Either way O(1) state per
+  * partition, no buffering, rows stream straight
   * into an unsafe projection. Not codegen'd: the operator holds
   * cross-row iterator state that whole-stage codegen's produce/consume
   * protocol cannot express without a full sort-merge template; the

@@ -652,6 +652,24 @@ object ExtendedQueries {
           col("seq").rlike("view.*click.*purchase").as("hit"))
     }),
 
+    // Completes the ranking-function battery (row_number appears in
+    // window_topk, percent_rank/cume_dist in window_cume, ntile in
+    // window_ntile): rank vs dense_rank gap semantics on a column
+    // with REAL ties (order status within priority), plus the tie
+    // count via a value-partitioned count — all integer outputs.
+    "window_rank_dense" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus"))
+        .withColumn("rnk", rank().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy("o_orderstatus")).cast("long"))
+        .withColumn("drnk", dense_rank().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy("o_orderstatus")).cast("long"))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy("o_orderpriority", "o_orderstatus")))),
+
     // Multi-touch attribution: every click in the 6 h before a
     // purchase shares the credit — linear split in EXACT integer
     // milli-credits (1000 DIV n each, the remainder distributed to
@@ -1118,6 +1136,16 @@ object ExtendedQueries {
                  AS gap
              FROM events))
          GROUP BY user_id, sess""",
+
+    "window_rank_dense" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+         CAST(RANK() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderstatus) AS BIGINT) AS rnk,
+         CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderstatus) AS BIGINT) AS drnk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority, o_orderstatus)
+           AS ties
+         FROM orders""",
 
     "events_attribution" ->
       """WITH p AS (SELECT event_id AS p_id, user_id,
