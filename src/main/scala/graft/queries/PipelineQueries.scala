@@ -387,6 +387,27 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Embedding-table QA — the vector-space health check before any
+    // ANN index build: per-label vector counts, dimension uniformity,
+    // and the squared-norm distribution (collapsed embeddings → norms
+    // near 0; exploded → runaway norms). Each norm² is one map-side
+    // DotDouble fold (deterministic per row); the AGGREGATES quantize
+    // each norm² to DECIMAL(18,6) first, so the sums are exact and
+    // shuffle-order-proof — no float accumulation ever crosses a
+    // partition boundary.
+    "profile_embeddings" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val n2 = Similarity.dot(emb, col("embedding"), col("embedding"))
+      emb.select(col("label"), size(col("embedding")).as("dim"),
+          n2.cast("decimal(18,6)").as("n2q"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("dim")).as("n_dims"),
+          min(col("n2q")).as("min_norm2"),
+          max(col("n2q")).as("max_norm2"),
+          sum(col("n2q")).cast("decimal(28,6)").as("sum_norm2"))
+    }),
+
     // Diversity-aware re-ranking (maximal marginal relevance,
     // Carbonell & Goldstein 1998) — the curation step between
     // retrieval and selection: from the top-20 cosine candidates,
@@ -2330,6 +2351,20 @@ object PipelineQueries {
               list_transform(v, (x, i) -> x * v[-i])), (a, x) -> a + x)
               AS self_rev_dot
           FROM v""",
+
+    // Norm² replays the same elementwise-double fold; the DECIMAL
+    // quantization is tie-free (a binary double can never equal a
+    // .xxxxxx5 decimal midpoint — 5/10^7 is not dyadic), so HALF_UP
+    // vs HALF_EVEN cannot diverge.
+    "profile_embeddings" ->
+      s"""WITH e AS (SELECT label, len(embedding) AS dim,
+             CAST(${dotSql("v", "v")} AS DECIMAL(18,6)) AS n2q
+           FROM (SELECT label, embedding, $VecD AS v FROM embeddings))
+         SELECT label, count(*) AS n_vectors,
+           count(DISTINCT dim) AS n_dims,
+           MIN(n2q) AS min_norm2, MAX(n2q) AS max_norm2,
+           CAST(SUM(n2q) AS DECIMAL(28,6)) AS sum_norm2
+         FROM e GROUP BY label""",
 
     // MMR replay: 5 unrolled greedy steps; every constant is written
     // exactly as the Scala side computes it ((1.0 - 0.7), not 0.3 —
