@@ -652,6 +652,41 @@ object ExtendedQueries {
           col("seq").rlike("view.*click.*purchase").as("hit"))
     }),
 
+    // Experimentation analytics: two-proportion conversion test
+    // between user cohorts (A/B by user_id parity). Conversion =
+    // "purchased within the user's first 20 events" — exact integers
+    // from one user-keyed window + max aggregate, and a
+    // scale-interesting rate (the early window's relative share
+    // shrinks as history grows). The z-score is a FIXED scalar
+    // expression tree over those integers evaluated once on one row —
+    // no sum-reorder freedom anywhere, so the doubles match
+    // bit-for-bit across engines (6dp round as belt and braces); a
+    // degenerate experiment (pooled p of 0 or 1) yields NULL via the
+    // nullif'd denominator instead of an ANSI divide-by-zero.
+    "events_ab_test" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val conv = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rk", row_number().over(wOrd))
+        .groupBy((col("user_id") % 2).as("grp"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("rk") <= 20, 1L).otherwise(0L)).as("c"))
+      conv.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
+        .agg(
+          sum(when(col("grp") === 0, col("n"))).as("n_a"),
+          sum(when(col("grp") === 0, col("conv"))).as("conv_a"),
+          sum(when(col("grp") === 1, col("n"))).as("n_b"),
+          sum(when(col("grp") === 1, col("conv"))).as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(expr(
+            """(CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
+               / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b))
+                 * (1.0/n_a + 1.0/n_b)), 0.0)"""), 6).as("z_score"))
+    }),
+
     // Completes the ranking-function battery (row_number appears in
     // window_topk, percent_rank/cume_dist in window_cume, ntile in
     // window_ntile): rank vs dense_rank gap semantics on a column
@@ -1136,6 +1171,32 @@ object ExtendedQueries {
                  AS gap
              FROM events))
          GROUP BY user_id, sess""",
+
+    "events_ab_test" ->
+      """WITH r AS (SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rk
+           FROM events),
+         u AS (SELECT user_id % 2 AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND rk <= 20
+                 THEN 1 ELSE 0 END) AS c
+           FROM r GROUP BY user_id),
+         g AS (SELECT grp, count(*) AS n, CAST(SUM(c) AS BIGINT)
+               AS conv FROM u GROUP BY 1),
+         w AS (SELECT
+             CAST(SUM(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN grp = 0 THEN conv END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp = 1 THEN conv END) AS BIGINT)
+               AS conv_b
+           FROM g)
+         SELECT n_a, conv_a, n_b, conv_b,
+           round((CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
+             / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b))
+               * (1.0/n_a + 1.0/n_b)), 0.0), 6) AS z_score
+         FROM w""",
 
     "window_rank_dense" ->
       """SELECT o_orderkey, o_orderpriority, o_orderstatus,
