@@ -32,7 +32,7 @@ object AsOfJoinNative {
       right: DataFrame, rightKey: Column, rightTime: Column,
       rightPayload: Seq[(String, Column)]): DataFrame =
     asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
-      rightPayload, forward = false)
+      rightPayload, "backward")
 
   /** Forward variant — EARLIEST right row with time ≥ the left time,
     * ties on (key, time) to the SMALLEST payload tuple (exactly
@@ -41,12 +41,21 @@ object AsOfJoinNative {
       right: DataFrame, rightKey: Column, rightTime: Column,
       rightPayload: Seq[(String, Column)]): DataFrame =
     asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
-      rightPayload, forward = true)
+      rightPayload, "forward")
+
+  /** Nearest variant — right row minimizing |Δt|, exact-distance ties
+    * to the backward side (exactly [[AsOfJoin.nearest]]'s
+    * distB <= distF rule). */
+  def asofNearest(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)]): DataFrame =
+    asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, "nearest")
 
   private def asofJoin(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
       rightTime: Column, rightPayload: Seq[(String, Column)],
-      forward: Boolean): DataFrame = {
+      direction: String): DataFrame = {
     val spark = left.sparkSession
     // idempotent defensive registration — GraftExtensions also injects
     // the strategy, but ad-hoc sessions may lack the extensions conf
@@ -65,7 +74,7 @@ object AsOfJoinNative {
         rightPayload.map { case (n, c) => c.as(n) }: _*)
     val joinedRows = GraftPlanBridge.ofRows(left,
       AsOfJoinNode(GraftPlanBridge.logicalPlan(l2),
-        GraftPlanBridge.logicalPlan(r2), forward))
+        GraftPlanBridge.logicalPlan(r2), direction))
     val outCols = leftCols.map(col) ++ rightPayload.map(p => col(p._1))
     val merged = joinedRows.select(outCols: _*)
     val leftovers = left.filter(!coalesce(mergeable, lit(false)))

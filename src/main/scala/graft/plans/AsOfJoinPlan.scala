@@ -34,7 +34,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * HEAD (min payload — `firstLater`'s first-in-frame rule).
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
-    forward: Boolean = false) extends BinaryNode {
+    direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   // The operator's child contract is POSITIONAL (column 0 = key,
@@ -56,8 +56,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * `spark.experimental.extraStrategies`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), fwd) :: Nil
+    case AsOfJoinNode(l, r, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), dir) :: Nil
     case _ => Nil
   }
 }
@@ -85,7 +85,10 @@ object AsOfJoinStrategy extends SparkStrategy {
   * profile as `SortMergeJoinExec`'s fallback path.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
-    forward: Boolean = false) extends SparkPlan with BinaryExecNode {
+    direction: String = "backward")
+    extends SparkPlan with BinaryExecNode {
+  require(Seq("backward", "forward", "nearest").contains(direction),
+    s"unknown as-of direction: $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -120,7 +123,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       // read garbage zeros from the all-null no-match row
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
-      if (forward) {
+      if (direction == "forward") {
         // forward: the match is the right HEAD once everything
         // strictly before (k, t) is discarded — head = smallest
         // (key, time, payload) >= the probe, i.e. the earliest
@@ -142,9 +145,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           outProj(joined(l, if (hit) rBuf.head else nullRight))
         }
       } else {
-      // last right row consumed for the current left key — the only
-      // cross-row state; .copy() because unsafe rows are reused
+      // backward and nearest share the consuming state machine: the
+      // last right row consumed for the current left key is the
+      // backward candidate (.copy() because unsafe rows are reused);
+      // nearest ALSO peeks the unconsumed head — the first strictly
+      // later right — and picks by |Δt|, ties to the backward side
+      // (AsOfJoin.nearest's distB <= distF rule).
+      val isNearest = direction == "nearest"
       var lastKey = 0L
+      var lastT = 0L
       var lastRow: InternalRow = null
       lIter.map { l =>
         val k = l.getLong(0)
@@ -155,12 +164,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val h = rBuf.head
           val hk = h.getLong(0)
           if (hk < k || (hk == k && h.getLong(1) <= t)) {
-            if (hk == k) { lastKey = k; lastRow = h.copy() }
+            if (hk == k) { lastKey = k; lastT = h.getLong(1)
+              lastRow = h.copy() }
             rBuf.next()
           } else advancing = false
         }
-        outProj(joined(l,
-          if (lastRow != null && lastKey == k) lastRow else nullRight))
+        val back = if (lastRow != null && lastKey == k) lastRow else null
+        val pick =
+          if (!isNearest) back
+          else {
+            val fwd = if (rBuf.hasNext && rBuf.head.getLong(0) == k)
+              rBuf.head else null
+            if (back == null) fwd
+            else if (fwd == null) back
+            else if (t - lastT <= fwd.getLong(1) - t) back else fwd
+          }
+        outProj(joined(l, if (pick != null) pick else nullRight))
       }
       }
     }

@@ -86,6 +86,26 @@ object ExtendedQueries {
           col("click_us"), col("click_value"))
     }),
 
+    // Nearest attribution through the native exec — backward consumed
+    // state + forward peeked head in the SAME one-pass merge, pick by
+    // |Δt| with ties to the backward side. Completes the native
+    // direction set (backward / forward / nearest).
+    "join_asof_near_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(min(col("value")).as("value"))
+      graft.operators.AsOfJoinNative.asofNearest(
+          purchases, col("user_id"), unix_micros(col("ts")),
+          clicks, col("user_id"), unix_micros(col("ts")),
+          Seq("click_us" -> unix_micros(col("ts")),
+            "click_value" -> col("value")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_us"), col("click_value"))
+    }),
+
     // As-of with a staleness bound (pandas merge_asof tolerance): the
     // last-click attribution above, but a click older than 6 hours no
     // longer explains the purchase. Exact post-check on the carried
@@ -864,6 +884,29 @@ object ExtendedQueries {
            ON f.user_id = c.user_id AND c.ts = fts""",
 
     "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, min(value) AS value FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         bf AS (SELECT p.event_id, p.user_id, p.ts,
+             max(CASE WHEN c.ts <= p.ts THEN c.ts END) AS bts,
+             min(CASE WHEN c.ts >= p.ts THEN c.ts END) AS fts
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+           GROUP BY 1, 2, 3),
+         pick AS (SELECT event_id, user_id, ts,
+             CASE WHEN bts IS NULL THEN fts
+                  WHEN fts IS NULL THEN bts
+                  WHEN epoch_us(ts) - epoch_us(bts)
+                       <= epoch_us(fts) - epoch_us(ts) THEN bts
+                  ELSE fts END AS mts
+           FROM bf)
+         SELECT pick.event_id, pick.user_id,
+           epoch_us(pick.ts) AS purchase_us,
+           epoch_us(mts) AS click_us, c.value AS click_value
+         FROM pick LEFT JOIN c
+           ON pick.user_id = c.user_id AND c.ts = mts""",
+
+    "join_asof_near_native" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts, min(value) AS value FROM events

@@ -130,6 +130,52 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("nearest mode: min |dt| wins, exact-distance ties go backward, " +
+      "one-sided fallbacks, keyless null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 95L, "tie"), (1L, 10L, "pre"),
+      (2L, 50L, "post"), (3L, 1L, "none")).toDF("k", "t", "pid")
+    val right = Seq((1L, 90L, 1.0), (1L, 100L, 2.0), (2L, 60L, 3.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoinNative.asofNearest(left, col("k"), col("t"),
+        right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")))
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got("a") == (Some(100L), Some(2.0)))   // dist 0 backward
+    assert(got("tie") == (Some(90L), Some(1.0)))  // 5 back vs 5 fwd -> back
+    assert(got("pre") == (Some(90L), Some(1.0)))  // only forward exists
+    assert(got("post") == (Some(60L), Some(3.0))) // only forward exists
+    assert(got("none") == (None, None))
+  }
+
+  test("nearest seeded-random differential vs AsOfJoin.nearest") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(250)((rnd.nextInt(6).toLong,
+        rnd.nextInt(30).toLong, rnd.nextInt(1000).toString))
+        .toDF("k", "t", "pid")
+      val right = Seq.fill(250)((rnd.nextInt(6).toLong,
+        rnd.nextInt(30).toLong, rnd.nextInt(5).toDouble))
+        .toDF("k", "t", "v").groupBy("k", "t")
+        .agg(min("v").as("v")).repartition(7)
+      val native = AsOfJoinNative.asofNearest(left.repartition(5),
+          col("k"), col("t"), right, col("k"), col("t"),
+          Seq("rt" -> col("t"), "rv" -> col("v")))
+        .select(col("k"), col("t"), col("pid"), col("rt"), col("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      val composed = AsOfJoin.nearest(left, right, "k", "t", "t",
+          Seq("v"))
+        .select(col("k"), col("t"), col("pid"),
+          col("asof.t").as("rt"), col("asof.v").as("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      assert(native.sameElements(composed), s"seed $seed diverged")
+    }
+  }
+
   test("seeded-random differential vs lastEarlier: dense keys, heavy " +
       "(key,time) ties, duplicate rows, multi-partition") {
     val s = spark
