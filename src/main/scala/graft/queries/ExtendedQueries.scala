@@ -672,6 +672,29 @@ object ExtendedQueries {
           col("seq").rlike("view.*click.*purchase").as("hit"))
     }),
 
+    // Time-series backtesting: the seasonal-naive baseline every
+    // forecast must beat — predict each day's per-type event count
+    // with the count 7 days earlier, score by MAE over the days where
+    // a lag exists. Daily counts via one keyed aggregate, the lag via
+    // a type-partitioned window over the DAY-level table (domain-
+    // bounded), errors in exact integers; MAE emitted as numerator +
+    // denominator plus one deterministic division.
+    "events_forecast_naive" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("pred", lag("n", 7).over(w))
+        .filter(col("pred").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("pred"))).as("abs_err_sum"))
+        .select(col("event_type"), col("n_days"), col("abs_err_sum"),
+          round(col("abs_err_sum").cast("double") / col("n_days"), 6)
+            .as("mae"))
+    }),
+
     // Experimentation analytics: two-proportion conversion test
     // between user cohorts (A/B by user_id parity). Conversion =
     // "purchased within the user's first 20 events" — exact integers
@@ -1214,6 +1237,20 @@ object ExtendedQueries {
                  AS gap
              FROM events))
          GROUP BY user_id, sess""",
+
+    "events_forecast_naive" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, n,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS pred
+           FROM daily)
+         SELECT event_type, count(*) AS n_days,
+           CAST(SUM(ABS(n - pred)) AS BIGINT) AS abs_err_sum,
+           round(CAST(SUM(ABS(n - pred)) AS DOUBLE) / count(*), 6)
+             AS mae
+         FROM l WHERE pred IS NOT NULL GROUP BY 1""",
 
     "events_ab_test" ->
       """WITH r AS (SELECT user_id, event_type,

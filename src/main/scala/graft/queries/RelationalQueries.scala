@@ -1308,6 +1308,26 @@ object RelationalQueries {
               (col("nl").cast("double") * col("ns")))), 6).as("mi_nats"))
     }),
 
+    // Join-key skew diagnostics — the measurement that DECIDES whether
+    // join_skew_salted's fan-out is needed: per-key frequencies of the
+    // fact table's supplier key reduced to hot-key share and imbalance
+    // ratio in exact integer basis points. Two aggregates, the second
+    // over one row per DISTINCT key — domain-bounded, map-side
+    // combined; no row data ever leaves the first shuffle.
+    "profile_skew" -> ((s, d) => {
+      val freq = lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"))
+      freq.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total_rows"),
+          max(col("cnt")).as("max_cnt"),
+          min(col("cnt")).as("min_cnt"))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          col("min_cnt"),
+          expr("max_cnt * 10000 DIV total_rows").as("top_share_bp"),
+          expr("max_cnt * n_keys * 10000 DIV total_rows")
+            .as("imbalance_bp"))
+    }),
+
     // The explicit skew tool as a query-level artifact: lineitem ⋈
     // supplier through operators/SkewJoin.saltedJoin — each big-side
     // key fans out over 8 salts (deterministic hash of the non-key
@@ -2141,6 +2161,19 @@ object RelationalQueries {
     "join_skew_salted" ->
       """SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+
+    "profile_skew" ->
+      """WITH f AS (SELECT l_suppkey, count(*) AS cnt
+                    FROM lineitem GROUP BY 1)
+         SELECT count(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+           CAST(MAX(cnt) * 10000 // SUM(cnt) AS BIGINT)
+             AS top_share_bp,
+           CAST(MAX(cnt) * count(*) * 10000 // SUM(cnt) AS BIGINT)
+             AS imbalance_bp
+         FROM f""",
 
     "profile_gini" ->
       """WITH spend AS (
