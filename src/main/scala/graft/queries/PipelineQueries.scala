@@ -1039,6 +1039,47 @@ object PipelineQueries {
             .as("pack_id"))
     }),
 
+    // Packing-efficiency report over pack_sequences' bins: per-lang
+    // bin counts, token fill, and waste against the 512-token budget
+    // — the utilization number that decides whether the packer needs
+    // a smarter bin assignment. Same lineage as pack_sequences, then
+    // two domain-bounded aggregates (bins, then langs); fill ratio in
+    // exact integer basis points. The LAST bin of each (lang, shard)
+    // stream is open (not yet full) — its slack is real capacity, not
+    // waste, so it is counted separately.
+    "pack_report" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          size(Dedup.tokens(col("text"))).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("lang"), col("shard"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
+            .as("pack_id"))
+      val bins = packed.groupBy("lang", "shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("fill"))
+      val lastBin = bins.groupBy("lang", "shard")
+        .agg(max(col("pack_id")).as("last_id"))
+      bins.join(broadcast(lastBin), Seq("lang", "shard"))
+        .withColumn("open", col("pack_id") === col("last_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("open"), 1L).otherwise(0L)).as("open_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("fill")).as("tok_total"),
+          sum(when(!col("open"), col("fill")).otherwise(0L))
+            .as("tok_closed"))
+        .select(col("lang"), col("n_bins"), col("open_bins"),
+          col("n_docs"), col("tok_total"),
+          // every-bin-still-open (tiny shards) → no closed capacity →
+          // NULL, not an ANSI divide-by-zero
+          expr("""CASE WHEN n_bins > open_bins
+              THEN tok_closed * 10000 DIV ((n_bins - open_bins) * 512)
+              END""").as("closed_fill_bp"))
+    }),
+
     // The corpus health report — per-lang / per-source / overall
     // rollup of curation signals in one GROUPING SETS pass over a
     // lineage that already carries the exact-dup flag and the Gopher
@@ -2832,6 +2873,35 @@ object PipelineQueries {
           SELECT doc_id, lang, shard, n_tok,
             CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
           FROM c""",
+
+    "pack_report" ->
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+                     len($Toks) AS n_tok FROM documents),
+         c AS (SELECT doc_id, lang, shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum FROM t),
+         packed AS (SELECT lang, shard, n_tok,
+               CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id FROM c),
+         bins AS (SELECT lang, shard, pack_id, count(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS fill
+             FROM packed GROUP BY 1, 2, 3),
+         lb AS (SELECT lang, shard, max(pack_id) AS last_id
+             FROM bins GROUP BY 1, 2),
+         b2 AS (SELECT bins.*, bins.pack_id = lb.last_id AS open
+             FROM bins JOIN lb USING (lang, shard))
+         SELECT lang, count(*) AS n_bins,
+           CAST(SUM(CASE WHEN open THEN 1 ELSE 0 END) AS BIGINT)
+             AS open_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS tok_total,
+           CAST(CASE WHEN count(*) >
+               SUM(CASE WHEN open THEN 1 ELSE 0 END)
+             THEN SUM(CASE WHEN open THEN 0 ELSE fill END) * 10000
+               // ((count(*) -
+                   SUM(CASE WHEN open THEN 1 ELSE 0 END)) * 512)
+             END AS BIGINT) AS closed_fill_bp
+         FROM b2 GROUP BY lang""",
 
     "graph_pagerank" -> {
       // 10 unrolled power-method steps (no recursive-CTE aggregate
