@@ -1039,6 +1039,48 @@ object PipelineQueries {
             .as("pack_id"))
     }),
 
+    // Probability-proportional-to-size SYSTEMATIC sampling (the survey
+    // -sampling / data-pruning classic): k=100 boundary points stride
+    // the cumulative token-weight axis and each doc is drawn with
+    // multiplicity = boundaries falling inside its weight interval —
+    // exact integers end to end (f(x) = min(k, ceil(x·k/W)) as
+    // (x*k + W - 1) DIV W; Σ multiplicities = k by construction).
+    // The cumulative weight is a DISTRIBUTED exact prefix sum: docs
+    // hash into 32 ordered shards, per-shard subtotals (32 rows)
+    // broadcast back as offsets, and the window only ever runs WITHIN
+    // a shard — no global-order window at any scale.
+    "sample_pps" -> ((s, d) => {
+      val k = 100
+      val base = documents(s, d)
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("w"),
+          md5(concat(lit("pps"), col("doc_id").cast("string")))
+            .as("draw"))
+        .withColumn("shard", Sampling.hashBucket(col("doc_id"),
+          "ppsshard", 32))
+      val sub = base.groupBy("shard").agg(sum(col("w")).as("sw"))
+      val offs = sub
+        .withColumn("off", coalesce(sum(col("sw")).over(
+          Window.orderBy("shard").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("off"))
+      val tot = sub.agg(sum(col("sw")).as("bigw"))
+      val wIn = Window.partitionBy("shard").orderBy("draw", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cumIn", sum(col("w")).over(wIn))
+        .join(broadcast(offs), "shard")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("w"),
+          (col("off") + col("cumIn")).as("cum"), col("bigw"))
+        .select(col("doc_id"), col("w"),
+          (least(lit(k.toLong), expr(s"(cum * $k + bigw - 1) DIV bigw"))
+            - least(lit(k.toLong),
+              expr(s"((cum - w) * $k + bigw - 1) DIV bigw")))
+            .as("mult"))
+        .filter(col("mult") > 0)
+    }),
+
     // Packing-efficiency report over pack_sequences' bins: per-lang
     // bin counts, token fill, and waste against the 512-token budget
     // — the utilization number that decides whether the packer needs
@@ -2873,6 +2915,30 @@ object PipelineQueries {
           SELECT doc_id, lang, shard, n_tok,
             CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
           FROM c""",
+
+    // PPS replay: DuckDB needs no shard decomposition — ONE global
+    // cumsum over the same total order (shard, draw, doc_id) equals
+    // the distributed offset+within-shard sum exactly (integer
+    // addition is associative).
+    "sample_pps" ->
+      s"""WITH base AS (SELECT doc_id,
+             CAST(len($Toks) AS BIGINT) AS w,
+             md5('pps' || CAST(doc_id AS VARCHAR)) AS draw,
+             ('0x' || substr(md5('ppsshard' || CAST(doc_id AS VARCHAR)),
+               1, 8))::BIGINT % 32 AS shard
+           FROM documents),
+         c AS (SELECT doc_id, w,
+             SUM(w) OVER (ORDER BY shard, draw, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER () AS bigw
+           FROM base)
+         SELECT doc_id, w,
+           CAST(LEAST(100, (cum * 100 + bigw - 1) // bigw)
+             - LEAST(100, ((cum - w) * 100 + bigw - 1) // bigw)
+             AS BIGINT) AS mult
+         FROM c
+         WHERE LEAST(100, (cum * 100 + bigw - 1) // bigw)
+             - LEAST(100, ((cum - w) * 100 + bigw - 1) // bigw) > 0""",
 
     "pack_report" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,

@@ -503,6 +503,18 @@ class PlanShapeSpec extends SparkSpec {
       s"year predicate must prune partitions: $p")
   }
 
+  test("sample_pps: corpus prefix-sum windows partition by shard; " +
+      "the only unpartitioned window input is the 32-row subtotal " +
+      "table") {
+    val p = plan("sample_pps")
+    assert(p.contains("hashpartitioning(shard"),
+      "within-shard cumsum must partition by shard")
+    // the offsets window is over the 32-row per-shard subtotal — its
+    // single-partition Exchange is bounded by the shard count, while
+    // the corpus-sized side must never see a SinglePartition exchange
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("profile_ks: ECDF cumsum runs over the distinct-value table " +
       "(post-aggregate), never the raw corpus") {
     val p = plan("profile_ks")
