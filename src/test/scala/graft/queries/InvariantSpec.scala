@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec}
+
+/** Algebraic invariants the oracle's row-hash can't state directly —
+  * conservation laws that must hold at ANY scale. */
+class InvariantSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("sample_pps: multiplicities sum to exactly k=100 and no doc " +
+      "draws more than its weight share allows") {
+    val out = SparkEntry.queries("sample_pps")(spark, d)
+    val total = out.agg(sum("mult")).head.getLong(0)
+    assert(total == 100L, s"sum of multiplicities = $total")
+    assert(out.filter(col("mult") <= 0).count() == 0)
+  }
+
+  test("events_attribution: every purchase's credits sum to exactly " +
+      "1000 milli") {
+    val out = SparkEntry.queries("events_attribution")(spark, d)
+    val bad = out.groupBy("p_id").agg(sum("credit_milli").as("s"))
+      .filter(col("s") =!= 1000L).count()
+    assert(bad == 0, s"$bad purchases with credits != 1000")
+  }
+
+  test("anon_coarsen: no row dropped and every released non-suppressed" +
+      " QI group has size >= k=12") {
+    val out = SparkEntry.queries("anon_coarsen")(spark, d)
+    val n = graft.queries.Tables.customer(spark, d).count()
+    assert(out.count() == n, "anonymization must keep the population")
+    val small = out.filter(col("qi_geo") =!= "*")
+      .groupBy("qi_geo", "qi_seg").agg(count(lit(1)).as("g"))
+      .filter(col("g") < 12).count()
+    assert(small == 0, s"$small released groups below k")
+  }
+
+  test("join_skew_salted: row-identical to the plain join") {
+    val salted = SparkEntry.queries("join_skew_salted")(spark, d)
+    val li = Tables.lineitem(spark, d).select(
+      col("l_suppkey").as("suppkey"), col("l_orderkey"),
+      col("l_linenumber"))
+    val plain = li.join(Tables.supplier(spark, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_name")), "suppkey")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+  }
+}
