@@ -391,21 +391,25 @@ object PipelineQueries {
     // ANN index build: per-label vector counts, dimension uniformity,
     // and the squared-norm distribution (collapsed embeddings → norms
     // near 0; exploded → runaway norms). Each norm² is one map-side
-    // DotDouble fold (deterministic per row); the AGGREGATES quantize
-    // each norm² to DECIMAL(18,6) first, so the sums are exact and
-    // shuffle-order-proof — no float accumulation ever crosses a
-    // partition boundary.
+    // DotDouble fold (deterministic per row); the SUM quantizes each
+    // norm² to integer micro-units first — floor(n2 * 1e6) is one
+    // IEEE multiply plus an exact floor (no midpoint, no rounding
+    // mode, no engine-discretionary double→decimal path — the seam
+    // that shipped r9's only red), so the BIGINT sum is exact and
+    // shuffle-order-proof. min/max stay raw doubles (repr-hashed
+    // exactly, like every green sim_* query).
     "profile_embeddings" -> ((s, d) => {
       val emb = embeddings(s, d)
       val n2 = Similarity.dot(emb, col("embedding"), col("embedding"))
       emb.select(col("label"), size(col("embedding")).as("dim"),
-          n2.cast("decimal(18,6)").as("n2q"))
+          n2.as("n2"),
+          floor(n2 * lit(1000000.0)).cast("long").as("n2u"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vectors"),
           countDistinct(col("dim")).as("n_dims"),
-          min(col("n2q")).as("min_norm2"),
-          max(col("n2q")).as("max_norm2"),
-          sum(col("n2q")).cast("decimal(28,6)").as("sum_norm2"))
+          min(col("n2")).as("min_norm2"),
+          max(col("n2")).as("max_norm2"),
+          sum(col("n2u")).as("sum_norm2_micro"))
     }),
 
     // Diversity-aware re-ranking (maximal marginal relevance,
@@ -2435,18 +2439,21 @@ object PipelineQueries {
               AS self_rev_dot
           FROM v""",
 
-    // Norm² replays the same elementwise-double fold; the DECIMAL
-    // quantization is tie-free (a binary double can never equal a
-    // .xxxxxx5 decimal midpoint — 5/10^7 is not dyadic), so HALF_UP
-    // vs HALF_EVEN cannot diverge.
+    // Norm² replays the same elementwise-double fold; the SUM leg is
+    // quantized to integer micro-units via floor(n2 * 1e6) — one IEEE
+    // multiply + exact floor, spelled identically to the Spark side,
+    // so no engine-discretionary double→decimal cast survives in the
+    // hash path (r9's only red came from exactly that seam). min/max
+    // stay raw doubles like the green sim_* queries.
     "profile_embeddings" ->
       s"""WITH e AS (SELECT label, len(embedding) AS dim,
-             CAST(${dotSql("v", "v")} AS DECIMAL(18,6)) AS n2q
+             ${dotSql("v", "v")} AS n2
            FROM (SELECT label, embedding, $VecD AS v FROM embeddings))
          SELECT label, count(*) AS n_vectors,
            count(DISTINCT dim) AS n_dims,
-           MIN(n2q) AS min_norm2, MAX(n2q) AS max_norm2,
-           CAST(SUM(n2q) AS DECIMAL(28,6)) AS sum_norm2
+           MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
+           CAST(SUM(CAST(FLOOR(n2 * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_norm2_micro
          FROM e GROUP BY label""",
 
     // MMR replay: 5 unrolled greedy steps; every constant is written
