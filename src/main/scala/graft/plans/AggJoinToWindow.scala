@@ -28,7 +28,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     identically (same data, modulo self-join dedup exprIds);
   *   - every aggregate is a plain deterministic Count / Sum / Min /
   *     Max / Average — no DISTINCT, no FILTER (those don't map 1:1
-  *     onto an unordered window frame).
+  *     onto an unordered window frame);
+  *   - the shared subtree is deterministic — a rand()/uuid()-bearing
+  *     subtree canonicalizes equal while the naive plan's two scans
+  *     produce different rows, so collapsing it would change results.
+  *
+  * Known asymmetry: only `Join(left, Aggregate, …)` (aggregate as the
+  * RIGHT child) matches — the mirrored spelling `agg.join(t, keys)`
+  * keeps the two-scan plan. The window rewrite itself would be
+  * symmetric, but the inner-equi-join output column ORDER differs
+  * between the two spellings and the rewrite preserves `j.output`
+  * positionally from the left subtree; the right-child shape is the
+  * overwhelmingly common analyst spelling, so the mirror arm is
+  * deliberately not implemented.
   *
   * Equivalence: group keys are unique on the aggregate side, so the
   * inner equi-join matches each left row with non-null keys exactly
@@ -68,6 +80,11 @@ object AggJoinToWindow extends Rule[LogicalPlan] with PredicateHelper {
           if j.resolved && groupExprs.nonEmpty &&
             groupExprs.forall(_.isInstanceOf[Attribute]) &&
             left.output.length == aggChild.output.length &&
+            // A non-deterministic shared subtree (rand(), uuid(), …)
+            // canonicalizes equal yet produces DIFFERENT rows on the
+            // naive plan's two scans — collapsing it to one scan would
+            // silently change results vs the query as written.
+            left.deterministic && aggChild.deterministic &&
             left.canonicalized == aggChild.canonicalized =>
         rewrite(j, left, agg, aggChild,
           groupExprs.map(_.asInstanceOf[Attribute]), aggExprs, cond)

@@ -114,4 +114,15 @@ class AggJoinToWindowSpec extends SparkSpec {
     assert(diff.queryExecution.executedPlan.toString.contains("Join"),
       "different subtree must not rewrite")
   }
+
+  test("bails out: non-deterministic shared subtree (rand()) — the " +
+      "naive plan's two scans see different rows, so collapsing to " +
+      "one scan would silently change results") {
+    val base = fixture.withColumn("r", rand(42))
+    val nd = withRule(true) {
+      base.join(base.groupBy("k").agg(sum("r").as("sr")), "k")
+    }
+    assert(nd.queryExecution.executedPlan.toString.contains("Join"),
+      "rand()-bearing subtree must keep the two-scan join")
+  }
 }
