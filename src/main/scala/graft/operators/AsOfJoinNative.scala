@@ -8,11 +8,16 @@ import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
 
 /** Public face of the native sort-merge as-of join
   * (`plans/AsOfJoinPlan.scala`): same semantics as
-  * [[AsOfJoin.lastEarlier]] — for every left row, the latest right
-  * row with the same key and time ≤ the left time, ties on (key,
-  * time) resolved to the largest payload tuple, null keys/times never
-  * matching — but executed by the custom physical operator instead of
-  * the union + running-window composition.
+  * [[AsOfJoin.lastEarlier]] FOR NON-NULL KEYS — for every left row,
+  * the latest right row with the same key and time ≤ the left time,
+  * ties on (key, time) resolved to the largest payload tuple — but
+  * executed by the custom physical operator instead of the union +
+  * running-window composition. The one deliberate divergence: here a
+  * null key/time NEVER matches (SQL equi-join semantics; such rows
+  * come back with null payload), whereas lastEarlier's
+  * `Window.partitionBy` groups null keys into one partition, so a
+  * null-key left row there CAN pick up a null-key right payload.
+  * Pinned by AsOfJoinNativeSpec's null-key differential.
   *
   * Shapes the inputs to the exec's contract: column 0 = key as LONG,
   * column 1 = time as LONG, right payload renamed to its output
@@ -52,10 +57,24 @@ object AsOfJoinNative {
     asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
       rightPayload, "nearest")
 
+  /** Backward with a staleness bound (pandas merge_asof `tolerance`,
+    * [[AsOfJoin.lastEarlierWithin]]'s semantics): a match older than
+    * `tolerance` time units yields null payload. Unlike the
+    * composition operator the bound is checked inside the single
+    * merge pass — same halved-shuffle plan as [[asofBackward]]. */
+  def asofBackwardWithin(left: DataFrame, leftKey: Column,
+      leftTime: Column, right: DataFrame, rightKey: Column,
+      rightTime: Column, rightPayload: Seq[(String, Column)],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0: $tolerance")
+    asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, "backward", tolerance)
+  }
+
   private def asofJoin(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
       rightTime: Column, rightPayload: Seq[(String, Column)],
-      direction: String): DataFrame = {
+      direction: String, tolerance: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     // idempotent defensive registration — GraftExtensions also injects
     // the strategy, but ad-hoc sessions may lack the extensions conf
@@ -74,7 +93,7 @@ object AsOfJoinNative {
         rightPayload.map { case (n, c) => c.as(n) }: _*)
     val joinedRows = GraftPlanBridge.ofRows(left,
       AsOfJoinNode(GraftPlanBridge.logicalPlan(l2),
-        GraftPlanBridge.logicalPlan(r2), direction))
+        GraftPlanBridge.logicalPlan(r2), direction, tolerance))
     val outCols = leftCols.map(col) ++ rightPayload.map(p => col(p._1))
     val merged = joinedRows.select(outCols: _*)
     val leftovers = left.filter(!coalesce(mergeable, lit(false)))

@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * HEAD (min payload — `firstLater`'s first-in-frame rule).
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward", tolerance: Long = -1L)
+    extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   // The operator's child contract is POSITIONAL (column 0 = key,
@@ -56,8 +57,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * `spark.experimental.extraStrategies`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), dir) :: Nil
+    case AsOfJoinNode(l, r, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -85,10 +86,17 @@ object AsOfJoinStrategy extends SparkStrategy {
   * profile as `SortMergeJoinExec`'s fallback path.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
-    direction: String = "backward")
+    direction: String = "backward", tolerance: Long = -1L)
     extends SparkPlan with BinaryExecNode {
   require(Seq("backward", "forward", "nearest").contains(direction),
     s"unknown as-of direction: $direction")
+  // Staleness bound (pandas merge_asof `tolerance`): negative = none.
+  // Applied per CANDIDATE before the nearest pick — a backward
+  // candidate beyond the bound never shadows an in-bound forward one
+  // — which for backward/forward degenerates to the same post-check
+  // the composition operators use. The merge state machine is
+  // untouched: candidates are still tracked unconditionally (a stale
+  // candidate for THIS left row may be in-bound for a later one).
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -141,7 +149,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (hk < k || (hk == k && h.getLong(1) < t)) rBuf.next()
             else advancing = false
           }
-          val hit = rBuf.hasNext && rBuf.head.getLong(0) == k
+          val hit = rBuf.hasNext && rBuf.head.getLong(0) == k &&
+            (tolerance < 0 || rBuf.head.getLong(1) - t <= tolerance)
           outProj(joined(l, if (hit) rBuf.head else nullRight))
         }
       } else {
@@ -169,11 +178,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             rBuf.next()
           } else advancing = false
         }
-        val back = if (lastRow != null && lastKey == k) lastRow else null
+        val back = if (lastRow != null && lastKey == k &&
+          (tolerance < 0 || t - lastT <= tolerance)) lastRow else null
         val pick =
           if (!isNearest) back
           else {
-            val fwd = if (rBuf.hasNext && rBuf.head.getLong(0) == k)
+            val fwd = if (rBuf.hasNext && rBuf.head.getLong(0) == k &&
+              (tolerance < 0 || rBuf.head.getLong(1) - t <= tolerance))
               rBuf.head else null
             if (back == null) fwd
             else if (fwd == null) back

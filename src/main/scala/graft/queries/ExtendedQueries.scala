@@ -106,6 +106,28 @@ object ExtendedQueries {
           col("click_us"), col("click_value"))
     }),
 
+    // The SAME staleness-bounded attribution through the native
+    // sort-merge exec: tolerance is checked inside the one merge pass
+    // (plans/AsOfJoinPlan), so the bounded join gets the
+    // halved-shuffle single-pass plan too — no union/window buffer.
+    // Oracle identical to join_asof_tol.
+    "join_asof_tol_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoinNative.asofBackwardWithin(
+          purchases, col("user_id"), unix_micros(col("ts")),
+          clicks, col("user_id"), unix_micros(col("ts")),
+          Seq("click_us" -> unix_micros(col("ts")),
+            "click_value" -> col("value")),
+          tolerance = 6L * 3600 * 1000000)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_us"), col("click_value"))
+    }),
+
     // As-of with a staleness bound (pandas merge_asof tolerance): the
     // last-click attribution above, but a click older than 6 hours no
     // longer explains the purchase. Exact post-check on the carried
@@ -854,6 +876,20 @@ object ExtendedQueries {
 
     // Tolerance replay: ASOF picks the latest click <= purchase, so
     // the staleness bound is an exact post-filter on that match.
+    "join_asof_tol_native" ->
+      """SELECT event_id, user_id, purchase_us,
+           CASE WHEN purchase_us - click_us <= 21600000000
+                THEN click_us END AS click_us,
+           CASE WHEN purchase_us - click_us <= 21600000000
+                THEN click_value END AS click_value
+         FROM (
+           SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+             epoch_us(c.ts) AS click_us, c.value AS click_value
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts)""",
+
     "join_asof_tol" ->
       """SELECT event_id, user_id, purchase_us,
            CASE WHEN purchase_us - click_us <= 21600000000

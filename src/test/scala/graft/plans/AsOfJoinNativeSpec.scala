@@ -201,6 +201,79 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: stale matches null out, candidate tracking " +
+      "survives for later rows, exact boundary is inclusive") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "in"), (1L, 200L, "out"),
+      (1L, 95L, "edge")).toDF("k", "t", "pid")
+    val right = Seq((1L, 90L, 1.0)).toDF("k", "t", "v")
+    val got = AsOfJoinNative.asofBackwardWithin(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), tolerance = 10L)
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got("in") == (Some(90L), Some(1.0)))   // dt=10, inclusive
+    assert(got("edge") == (Some(90L), Some(1.0))) // dt=5
+    assert(got("out") == (None, None))            // dt=110, stale
+  }
+
+  test("tolerance seeded-random differential vs lastEarlierWithin") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(300)((rnd.nextInt(8).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(1000).toString))
+        .toDF("k", "t", "pid")
+      val right = Seq.fill(300)((rnd.nextInt(8).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(5).toDouble))
+        .toDF("k", "t", "v").repartition(7)
+      val native = AsOfJoinNative.asofBackwardWithin(
+          left.repartition(5), col("k"), col("t"), right, col("k"),
+          col("t"), Seq("rt" -> col("t"), "rv" -> col("v")),
+          tolerance = 7L)
+        .select(col("k"), col("t"), col("pid"), col("rt"), col("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      val composed = AsOfJoin.lastEarlierWithin(left, right, "k", "t",
+          "t", Seq("v"), tolerance = 7L)
+        .select(col("k"), col("t"), col("pid"),
+          col("asof.t").as("rt"), col("asof.v").as("rv"))
+        .collect().map(_.toSeq.toString).sorted
+      assert(native.sameElements(composed), s"seed $seed diverged")
+    }
+  }
+
+  test("null-key divergence is as documented: native never matches a " +
+      "null key; lastEarlier's window CAN pair null-key rows") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((Option.empty[Long], Some(100L), "nk"))
+      .toDF("k", "t", "pid")
+    val right = Seq((Option.empty[Long], Some(90L), 5.0))
+      .toDF("k", "t", "v")
+    val nat = run(left, right).collect()
+      .map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(nat == Map("nk" -> None),
+      "native must not match null keys")
+    val comp = AsOfJoin.lastEarlier(left, right, "k", "t", "t",
+        Seq("v")).select(col("pid"), col("asof.v")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(comp == Map("nk" -> Some(5.0)),
+      "composition groups null keys into one window partition — if " +
+        "this changes, update the AsOfJoinNative doc divergence note")
+  }
+
+  test("join_asof_tol_native plan shape: the staleness-bounded query " +
+      "runs on the native exec — no window buffer (the one Union is " +
+      "the wrapper's null-key leftover re-attach, not a row blow-up)") {
+    val df = graft.SparkEntry.queries("join_asof_tol_native")(spark,
+      "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("plan shape: AsOfJoin exec with two clustered exchanges — " +
       "no window, no union, no cartesian") {
     val s = spark
