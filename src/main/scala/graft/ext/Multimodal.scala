@@ -237,8 +237,212 @@ object Multimodal {
     }
   }
 
-  /** REAL pixel resample — decode gray8 payloads, aspect-fit into a
-    * `maxDim` box (same integer planning as `resizeTo`), then
+  // ---- real PNG pixel decode (JDK-only: zlib inflate + unfilter) ----
+
+  /** Full PNG pixel decode with nothing but the JDK: chunk walk →
+    * concatenated IDAT zlib stream inflated via
+    * `java.util.zip.Inflater` → per-scanline unfiltering (the five
+    * standard filters None/Sub/Up/Average/Paeth, RFC 2083 §6) →
+    * grayscale plane. Supports non-interlaced 8-bit images in color
+    * types 0 (gray, pixels byte-exact), 2/6 (RGB/RGBA via the
+    * integer luma (299r+587g+114b)/1000, alpha ignored) and 4
+    * (gray+alpha). None on anything else and on corrupt, truncated,
+    * or hostile payloads — decode failures must be data, not
+    * exceptions or OOMs, in a 100 TB pass, so dims are capped at
+    * 65535 and the raw plane at 64 MiB before any allocation.
+    */
+  def decodePngPixels(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (bytes.length < 45 || !bytes.take(8).sameElements(PngSig))
+        return None
+      def u8(i: Int) = bytes(i) & 0xFF
+      def be32(i: Int) =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (be32(8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' ||
+          bytes(14) != 'D' || bytes(15) != 'R') return None
+      val w = be32(16)
+      val h = be32(20)
+      val color = u8(25)
+      if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF) return None
+      // bit depth 8, compression 0, filter method 0, no interlace
+      if (u8(24) != 8 || u8(26) != 0 || u8(27) != 0 || u8(28) != 0)
+        return None
+      val channels = color match {
+        case 0 => 1
+        case 2 => 3
+        case 4 => 2
+        case 6 => 4
+        case _ => return None
+      }
+      val rowBytes = w * channels
+      if (h.toLong * (rowBytes + 1) > (1L << 26)) return None
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 33
+      var done = false
+      while (!done) {
+        if (p + 8 > bytes.length) return None
+        val len = be32(p)
+        if (len < 0 || p + 12 + len > bytes.length) return None
+        val isIdat = bytes(p + 4) == 'I' && bytes(p + 5) == 'D' &&
+          bytes(p + 6) == 'A' && bytes(p + 7) == 'T'
+        val isIend = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+          bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+        if (isIdat) idat.write(bytes, p + 8, len)
+        if (isIend) done = true
+        p += 12 + len
+      }
+      val raw = new Array[Byte](h * (rowBytes + 1))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated / preset-dictionary stream
+          off += n
+        }
+      } finally inf.end()
+      if (off != raw.length) return None
+      val out = new Array[Byte](h * rowBytes)
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (rowBytes + 1)) & 0xFF
+        val rs = y * (rowBytes + 1) + 1
+        val os = y * rowBytes
+        var x = 0
+        while (x < rowBytes) {
+          val cur = raw(rs + x) & 0xFF
+          val a = if (x >= bpp) out(os + x - bpp) & 0xFF else 0
+          val b = if (y > 0) out(os - rowBytes + x) & 0xFF else 0
+          val c = if (x >= bpp && y > 0)
+            out(os - rowBytes + x - bpp) & 0xFF else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + ((a + b) >> 1)
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a)
+              val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              cur + (if (pa <= pb && pa <= pc) a
+                     else if (pb <= pc) b else c)
+            case _ => return None
+          }
+          out(os + x) = (v & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val gray =
+        if (channels == 1) out
+        else {
+          val g = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) {
+            val base = i * channels
+            val v =
+              if (channels == 2) out(base) & 0xFF
+              else ((out(base) & 0xFF) * 299 + (out(base + 1) & 0xFF) *
+                587 + (out(base + 2) & 0xFF) * 114) / 1000
+            g(i) = v.toByte
+            i += 1
+          }
+          g
+        }
+      Some((w, h, gray))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Deterministic gray8 PNG ENCODER — the synthesis side of the
+    * codec seam, used by the planted-PNG queries and the round-trip
+    * specs. Color type 0, bit depth 8, one IDAT; the filter type
+    * cycles `y % 5` per scanline, so one decode of any image ≥5 rows
+    * exercises every unfilter branch.
+    */
+  def encodePngGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h,
+      s"bad raster: ${w}x$h with ${px.length} pixels")
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = px(y * w + x) & 0xFF
+        val a = if (x > 0) px(y * w + x - 1) & 0xFF else 0
+        val b = if (y > 0) px((y - 1) * w + x) & 0xFF else 0
+        val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (w + 1) + 1 + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+        out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+      }
+      be32(data.length)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(data)
+      be32(crc.getValue.toInt)
+      out.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", bos.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Format-dispatching raster decode: "G8" magic → [[decodeGray8]],
+    * PNG signature → [[decodePngPixels]] (the real compressed path),
+    * anything else → None. The pixel operators below run on EITHER
+    * format through this one seam.
+    */
+  def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (bytes.length >= 2 && bytes(0) == 'G' && bytes(1) == '8')
+      decodeGray8(bytes)
+    else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig))
+      decodePngPixels(bytes)
+    else None
+
+  /** REAL pixel resample — decode raster payloads (uncompressed
+    * gray8 or REAL compressed PNG, via [[decodeRaster]]), aspect-fit
+    * into a `maxDim` box (same integer planning as `resizeTo`), then
     * nearest-neighbor sample the ACTUAL pixels: output pixel (x, y)
     * reads source (x*w DIV out_w, y*h DIV out_h) — pure integer
     * arithmetic, so an oracle can replay it exactly. Emits a
@@ -259,7 +463,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        decodeGray8(Option(bytes).getOrElse(Array.emptyByteArray))
+        decodeRaster(Option(bytes).getOrElse(Array.emptyByteArray))
           match {
           case Some((w, h, px)) =>
             val m = math.max(w, h)
@@ -288,7 +492,8 @@ object Multimodal {
 
   case class PHashed(doc_id: Long, phash: Long)
 
-  /** Difference hash (dHash) of a gray8 raster — the perceptual
+  /** Difference hash (dHash) of a raster (gray8 or real compressed
+    * PNG, via [[decodeRaster]]) — the perceptual
     * fingerprint that makes IMAGE dedup a hash-groupBy problem: decode,
     * nearest-neighbor-sample onto a fixed (gw+1)×gh grid, set bit
     * `y*gw + x` iff the pixel right of grid (y, x) is strictly
@@ -313,7 +518,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        decodeGray8(Option(bytes).getOrElse(Array.emptyByteArray))
+        decodeRaster(Option(bytes).getOrElse(Array.emptyByteArray))
           match {
           case Some((w, h, px)) =>
             var hash = 0L

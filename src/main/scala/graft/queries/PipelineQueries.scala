@@ -1370,6 +1370,51 @@ object PipelineQueries {
         .select("doc_id", "phash", "canonical_doc", "n_same_hash")
     }),
 
+    // The SAME image dedup over REAL COMPRESSED PNGs: each payload is
+    // a genuine PNG (zlib-deflated IDAT, per-scanline filters cycling
+    // through all five types) built map-side from the planted pixel
+    // function, then dHash decodes it back through the full JDK-only
+    // pipeline — chunk walk, Inflater, Sub/Up/Average/Paeth
+    // unfiltering (ext/Multimodal.decodePngPixels). The oracle
+    // replays the dHash bits from the PIXEL FUNCTION, never the
+    // bytes, so any encode, inflate, or unfilter bug goes hash-red.
+    "mm_dedup_phash_png" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      val src = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 24 + 4).toInt
+          val h = (id % 16 + 4).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id + (i / w) * 7 + (i % w) * 13) % 256).toByte)
+          (id, Multimodal.encodePngGray(w, h, px))
+        }).toDF("doc_id", "payload")
+      val ph = Multimodal.dHash(src, "doc_id", "payload").toDF()
+      val g = ph.groupBy("phash")
+        .agg(min(col("doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_same_hash"))
+      ph.join(g, Seq("phash"))
+        .select("doc_id", "phash", "canonical_doc", "n_same_hash")
+    }),
+
+    // Pixel resample over the same real compressed PNGs — the decode
+    // path feeding resampleNearest is the full inflate+unfilter
+    // pipeline; the checksum oracle replays the planted pixels.
+    "mm_resample_png" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      val src = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 24 + 4).toInt
+          val h = (id % 16 + 4).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id + (i / w) * 7 + (i % w) * 13) % 256).toByte)
+          (id, Multimodal.encodePngGray(w, h, px))
+        }).toDF("doc_id", "payload")
+      Multimodal.resampleNearest(src, "doc_id", "payload", maxDim = 8)
+        .toDF()
+    }),
+
     // BPE-style pretokenizer counting (mandate: "token counting —
     // whitespace + a BPE-ish regex"): a GPT-2-shaped alternation
     // (contraction suffixes | letter runs | digit runs | single other
@@ -3196,6 +3241,58 @@ object PipelineQueries {
                count(*) AS n_same_hash FROM ph GROUP BY 1)
          SELECT ph.doc_id, ph.phash, g.canonical_doc, g.n_same_hash
          FROM ph JOIN g USING (phash)""",
+
+    // PNG round-trip replay: the payload bytes differ (deflate), but
+    // the DECODED pixels must equal the planted function — so the
+    // oracle is identical to mm_dedup_phash's pixel replay. A decode
+    // divergence anywhere in the inflate/unfilter path breaks the
+    // hash equality.
+    "mm_dedup_phash_png" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 16 + 4 AS INTEGER) AS h
+           FROM documents),
+         px AS (SELECT doc_id, y, x,
+             (doc_id + 7 * ((y * h) // 7) + 13 * ((x * w) // 9)) % 256
+               AS v
+           FROM d
+           CROSS JOIN unnest(range(0, 7)) AS ry(y)
+           CROSS JOIN unnest(range(0, 9)) AS rx(x)),
+         bits AS (SELECT a.doc_id,
+             CASE WHEN b.v > a.v
+                  THEN (1::BIGINT << (a.y * 8 + a.x)) ELSE 0 END AS bit
+           FROM px a JOIN px b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8),
+         ph AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+                FROM bits GROUP BY 1),
+         g AS (SELECT phash, min(doc_id) AS canonical_doc,
+               count(*) AS n_same_hash FROM ph GROUP BY 1)
+         SELECT ph.doc_id, ph.phash, g.canonical_doc, g.n_same_hash
+         FROM ph JOIN g USING (phash)""",
+
+    "mm_resample_png" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 16 + 4 AS INTEGER) AS h
+           FROM documents),
+         o AS (SELECT doc_id, w, h,
+             CAST(CASE WHEN greatest(w, h) <= 8 THEN w
+                  ELSE greatest(1, w * 8 // greatest(w, h)) END
+               AS INTEGER) AS out_w,
+             CAST(CASE WHEN greatest(w, h) <= 8 THEN h
+                  ELSE greatest(1, h * 8 // greatest(w, h)) END
+               AS INTEGER) AS out_h
+           FROM d),
+         px AS (SELECT doc_id, w, h, out_w, out_h, y, x,
+             (doc_id + 7 * ((y * h) // out_h) +
+              13 * ((x * w) // out_w)) % 256 AS v
+           FROM o
+           CROSS JOIN unnest(range(0, out_h)) AS ry(y)
+           CROSS JOIN unnest(range(0, out_w)) AS rx(x))
+         SELECT doc_id, w AS width, h AS height, out_w, out_h,
+           CAST(sum(v * (y * out_w + x + 1)) AS BIGINT) AS pix_sum
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
 
     // Same pattern text as BpeIshPattern (the leading ' doubles for
     // the SQL literal); RE2 and Java regex agree on this construct

@@ -743,6 +743,90 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGray8(ok.dropRight(1)).isEmpty)
     assert(Multimodal.decodeGray8(Array.emptyByteArray).isEmpty)
   }
+
+  test("PNG pixel round-trip: encodePngGray (filters cycling all 5 " +
+      "types) -> decodePngPixels reproduces every pixel byte") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1), (24, 19), (131, 57))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val png = Multimodal.encodePngGray(w, h, px)
+      val got = Multimodal.decodePngPixels(png)
+      assert(got.isDefined, s"${w}x$h failed to decode")
+      val (gw, gh, gp) = got.get
+      assert((gw, gh) == (w, h) && java.util.Arrays.equals(gp, px),
+        s"${w}x$h pixel mismatch")
+    }
+  }
+
+  test("decodePngPixels differential vs the INDEPENDENT JDK ImageIO " +
+      "encoder: gray pixels byte-exact, RGB via integer luma") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(11)
+    // gray: ImageIO writes color type 0 — pixels must be byte-exact
+    val (w, h) = (37, 23)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val expect = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = rnd.nextInt(256)
+      expect(y * w + x) = v.toByte
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    val Some((gw, gh, gp)) = Multimodal.decodePngPixels(bos.toByteArray)
+    assert((gw, gh) == (w, h) && java.util.Arrays.equals(gp, expect))
+    // RGB: luma'd with the documented integer formula
+    val rgb = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    val colors = Array.fill(8)(rnd.nextInt(1 << 24))
+    for (i <- 0 until 8) rgb.setRGB(i % 4, i / 4, colors(i))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(rgb, "png", bos2))
+    val Some((_, _, lp)) = Multimodal.decodePngPixels(bos2.toByteArray)
+    val want = colors.map { c =>
+      ((((c >> 16) & 0xFF) * 299 + ((c >> 8) & 0xFF) * 587 +
+        (c & 0xFF) * 114) / 1000).toByte
+    }
+    assert(java.util.Arrays.equals(lp, want))
+  }
+
+  test("decodePngPixels rejects corrupt and hostile payloads as " +
+      "data, never exceptions or OOM") {
+    val px = Array.tabulate(30)(_.toByte)
+    val png = Multimodal.encodePngGray(6, 5, px)
+    // truncated mid-IDAT
+    assert(Multimodal.decodePngPixels(png.dropRight(15)).isEmpty)
+    // IDAT payload zeroed: inflate fails cleanly
+    val smashed = png.clone()
+    for (i <- 41 until math.min(49, smashed.length)) smashed(i) = 0
+    assert(Multimodal.decodePngPixels(smashed).isEmpty)
+    // hostile IHDR dims (2^30 square) must bail before allocating
+    val hostile = png.clone()
+    hostile(16) = 0x40; hostile(17) = 0; hostile(18) = 0; hostile(19) = 0
+    hostile(20) = 0x40; hostile(21) = 0; hostile(22) = 0; hostile(23) = 0
+    assert(Multimodal.decodePngPixels(hostile).isEmpty)
+    assert(Multimodal.decodePngPixels("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodePngPixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeRaster dispatches by magic: gray8 and PNG payloads of " +
+      "the SAME image produce the SAME dHash (cross-format dedup)") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (20, 14)
+    def pix(y: Int, x: Int): Int = (5 * x + y) % 256
+    val g8 = Array[Byte]('G', '8', (w >> 8).toByte, w.toByte,
+      (h >> 8).toByte, h.toByte) ++
+      Array.tabulate(w * h)(i => pix(i / w, i % w).toByte)
+    val png = Multimodal.encodePngGray(w, h,
+      Array.tabulate(w * h)(i => pix(i / w, i % w).toByte))
+    val got = Multimodal.dHash(
+        Seq((1L, g8), (2L, png)).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    assert(got(1L) == got(2L) && got(1L) >= 0,
+      "gray8 and PNG encodings of one image must collide")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
