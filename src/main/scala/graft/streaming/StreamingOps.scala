@@ -524,6 +524,64 @@ object StreamingOps {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  case class PatternEvent(user_id: Long, event_id: Long,
+    event_type: String, us: Long)
+  case class SessionPattern(user_id: Long, sess: Long, n_events: Long,
+    hit: Boolean)
+  case class PatternState(sess: Long, lastUs: Long,
+    events: List[(Long, Long, String)])
+
+  /** Streaming sequence-pattern matching — the streaming leg of
+    * `events_pattern` (the MATCH_RECOGNIZE analog): gap-sessionize
+    * each user's event stream with keyed state and, when a session
+    * CLOSES (a new event arrives more than `gapUs` after the last),
+    * emit whether its ordered type sequence matches `pattern`
+    * (unanchored, exactly `rlike`'s contains-match). State per key is
+    * ONE open session's event list — the same session-length bound
+    * the batch query documents and a streaming MATCH_RECOGNIZE
+    * engine holds; the buffered events replay the batch's full
+    * (us, event_id) sort + join + regex on close, so stream equals
+    * batch bit-for-bit including substring effects no NFA shortcut
+    * would reproduce. Within a micro-batch rows sort by
+    * (us, event_id) so catch-up bursts replay deterministically;
+    * across batches per-user arrival is assumed event-time-ordered
+    * (the same contract as [[cusumStream]]). The final open session
+    * stays in state until a later event closes it — the spec pins
+    * both the closed-session equality and the late flush.
+    */
+  def patternStream(ev: Dataset[PatternEvent],
+      gapUs: Long = 1800000000L,
+      pattern: String = "view.*click.*purchase")
+      : Dataset[SessionPattern] = {
+    import ev.sparkSession.implicits._
+    val rx = pattern
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, SessionPattern](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[PatternEvent],
+            state: GroupState[PatternState]) =>
+          val p = java.util.regex.Pattern.compile(rx)
+          def close(st: PatternState): SessionPattern = {
+            val seq = st.events.sortBy(e => (e._1, e._2))
+              .map(_._3).mkString(",")
+            SessionPattern(user, st.sess, st.events.length.toLong,
+              p.matcher(seq).find())
+          }
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionPattern]()
+          rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val entry = (e.us, e.event_id, e.event_type)
+            if (st == null) st = PatternState(1L, e.us, List(entry))
+            else if (e.us - st.lastUs > gapUs) {
+              out += close(st)
+              st = PatternState(st.sess + 1, e.us, List(entry))
+            } else st = PatternState(st.sess, e.us, entry :: st.events)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -522,4 +522,70 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(last == Set((10L, 3L, 7.0), (20L, 1L, 8.0)))
   }
+
+  test("patternStream: closed sessions equal the batch events_pattern " +
+      "pipeline across micro-batches; open sessions flush when a " +
+      "later event closes them") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sc = s.sqlContext
+    val M = 60L * 1000000 // one minute in us
+    // user 1: session 1 = view,click,purchase (hit), then a >30min
+    // gap, session 2 = click only (no hit). user 2: one long session
+    // view,view,click (no hit: no purchase). In-batch order is
+    // scrambled to prove the (us, event_id) sort.
+    val evs = Seq(
+      StreamingOps.PatternEvent(1L, 101, "view", 0 * M),
+      StreamingOps.PatternEvent(1L, 102, "click", 5 * M),
+      StreamingOps.PatternEvent(1L, 103, "purchase", 9 * M),
+      StreamingOps.PatternEvent(1L, 104, "click", 50 * M),
+      StreamingOps.PatternEvent(2L, 201, "view", 0 * M),
+      StreamingOps.PatternEvent(2L, 202, "view", 20 * M),
+      StreamingOps.PatternEvent(2L, 203, "click", 45 * M))
+    // batch reference: the events_pattern window pipeline verbatim
+    val batch = evs.toDF()
+      .withColumn("gap", col("us") - lag("us", 1).over(
+        Window.partitionBy("user_id").orderBy("us", "event_id")))
+      .withColumn("is_new", when(col("gap").isNull ||
+        col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(struct(
+          col("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+      .select(col("user_id"), col("sess"), col("n_events"),
+        col("seq").rlike("view.*click.*purchase").as("hit"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val in = MemoryStream[StreamingOps.PatternEvent]
+    val q = StreamingOps.patternStream(in.toDS())
+      .writeStream.format("memory").queryName("pattern_stream")
+      .outputMode("append").start()
+    // batch 1 scrambled; batch 2 closes user 1's first session
+    in.addData(evs(2), evs(0), evs(1), evs(4))
+    q.processAllAvailable()
+    in.addData(evs(3), evs(5), evs(6))
+    q.processAllAvailable()
+    def streamed = s.sql(
+        "SELECT user_id, sess, n_events, hit FROM pattern_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // only CLOSED sessions have been emitted: user 1's first
+    val open = Set((1L, 2L, 1L, false), (2L, 1L, 3L, false))
+    assert(streamed == batch -- open, s"closed-session mismatch: " +
+      s"stream=$streamed batch=$batch")
+    // a far-future event per user closes the open sessions — the
+    // flushed rows complete the exact batch set
+    in.addData(StreamingOps.PatternEvent(1L, 901, "view", 1000 * M),
+      StreamingOps.PatternEvent(2L, 902, "view", 1000 * M))
+    q.processAllAvailable()
+    val after = streamed
+    q.stop()
+    assert(after == batch, s"flush mismatch: stream=$after batch=$batch")
+  }
 }
