@@ -1024,24 +1024,11 @@ object PipelineQueries {
     }),
 
     // Sequence packing: assign docs to fixed-token-budget training
-    // batches via an exclusive running token total. The window key is
-    // (lang, shard) — a handful of langs alone would concentrate a
-    // 100 TB corpus onto a handful of window tasks; deterministic
-    // doc_id shards keep every window partition bounded while batches
-    // stay contiguous within a shard (training batches don't need
-    // global contiguity).
-    "pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          pmod(col("doc_id"), lit(8L)).as("shard"),
-          size(Dedup.tokens(col("text"))).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
-          floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
-            .as("pack_id"))
-    }),
+    // batches via an exclusive running token total — the shared
+    // ext/Packing.assign lineage (sharded windows; see its doc for
+    // the 100 TB rationale).
+    "pack_sequences" -> ((s, d) =>
+      graft.ext.Packing.assign(documents(s, d))),
 
     // Probability-proportional-to-size SYSTEMATIC sampling (the survey
     // -sampling / data-pruning classic): k=100 boundary points stride
@@ -1094,16 +1081,8 @@ object PipelineQueries {
     // stream is open (not yet full) — its slack is real capacity, not
     // waste, so it is counted separately.
     "pack_report" -> ((s, d) => {
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val packed = documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          pmod(col("doc_id"), lit(8L)).as("shard"),
-          size(Dedup.tokens(col("text"))).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .select(col("lang"), col("shard"), col("n_tok"),
-          floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
-            .as("pack_id"))
+      val packed = graft.ext.Packing.assign(documents(s, d))
+        .select("lang", "shard", "n_tok", "pack_id")
       val bins = packed.groupBy("lang", "shard", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("fill"))
       val lastBin = bins.groupBy("lang", "shard")
@@ -1193,17 +1172,10 @@ object PipelineQueries {
           col("n_s") > 0.2)
         .select(col("id").as("doc_id"))
       val clean = gated.join(bad, Seq("doc_id"), "left_anti")
-      // 4. pack into fixed-token-budget batches
-      val wp = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clean
-        .select(col("doc_id"), col("lang"),
-          pmod(col("doc_id"), lit(8L)).as("shard"),
-          size(Dedup.tokens(col("text"))).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(wp))
-        .select(col("doc_id"), col("lang"), col("n_tok"),
-          floor((col("cum") - col("n_tok")) / lit(512)).cast("long")
-            .as("pack_id"))
+      // 4. pack into fixed-token-budget batches (shared Packing
+      // lineage)
+      graft.ext.Packing.assign(clean)
+        .select("doc_id", "lang", "n_tok", "pack_id")
     }),
 
     // PageRank over a deterministic synthetic doc graph (each doc

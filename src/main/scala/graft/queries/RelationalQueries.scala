@@ -24,6 +24,23 @@ import Tables._
   */
 object RelationalQueries {
 
+  /** One round-trip scratch dir per JVM, NOT per invocation: repeated
+    * Bench sweeps and Verify runs overwrite the same tree instead of
+    * accumulating ORC/parquet garbage in /tmp, and a shutdown hook
+    * removes it on exit (ADVICE r9). */
+  private lazy val scratchDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
   private def decSum(c: org.apache.spark.sql.Column, alias: String) =
     sum(dec(c)).cast("double").as(alias)
@@ -430,8 +447,7 @@ object RelationalQueries {
     // what the equality proves. Predicate/projection pushdown works
     // on the ORC scan the same as parquet (native vectorized reader).
     "source_orc" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
-        .toString
+      val tmp = s"$scratchDir/orc_roundtrip"
       lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
         .write.mode("overwrite").orc(tmp)
@@ -451,8 +467,7 @@ object RelationalQueries {
     // the original parquet, proving the layout round-trip loses
     // nothing.
     "source_partitioned" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_part").toString
+      val tmp = s"$scratchDir/part_roundtrip"
       orders(s, d)
         .withColumn("year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("year").parquet(tmp)
@@ -1324,6 +1339,10 @@ object RelationalQueries {
         .select(col("n_keys"), col("total_rows"), col("max_cnt"),
           col("min_cnt"),
           expr("max_cnt * 10000 DIV total_rows").as("top_share_bp"),
+          // int64 bound: max_cnt·n_keys·10⁴ < 2⁶³ holds while
+          // max_cnt·n_keys < 9.2·10¹⁴ — e.g. a 10⁹-row hot key with
+          // up to ~9·10⁵ distinct keys; beyond that, lift the product
+          // to DECIMAL(38,0) on both sides (profile_gini precedent)
           expr("max_cnt * n_keys * 10000 DIV total_rows")
             .as("imbalance_bp"))
     }),

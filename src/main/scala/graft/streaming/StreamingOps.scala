@@ -452,25 +452,32 @@ object StreamingOps {
     * consumed at any scale.
     *
     * @param dim   static versioned dimension; must be unique on
-    *              (key, dimTs)
+    *              (key, dimTs). `payloadCols` must not collide with
+    *              any stream column name (and must not include
+    *              `dimTs` itself) — the dim's key and version-ts
+    *              columns are renamed away internally and dropped, so
+    *              only the payload names reach the output.
     * @return stream columns + dim payload columns (null before the
     *         first version) */
   def asofEnrichStream(stream: DataFrame, dim: DataFrame, key: String,
       streamTs: String, dimTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    require(!payloadCols.contains(dimTs),
+      s"payloadCols must not include the version-ts column $dimTs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(dimTs)
     val intervals = dim.select(
         (key +: dimTs +: payloadCols).map(col): _*)
       .withColumn("__until", lead(col(dimTs), 1).over(w))
       .withColumnRenamed(key, "__dk")
+      .withColumnRenamed(dimTs, "__dts")
     stream.join(broadcast(intervals),
       stream(key) === intervals("__dk") &&
-        stream(streamTs) >= intervals(dimTs) &&
+        stream(streamTs) >= intervals("__dts") &&
         (intervals("__until").isNull ||
           stream(streamTs) < intervals("__until")),
       "left")
-      .drop("__dk", "__until")
+      .drop("__dk", "__dts", "__until")
   }
 
   case class Event(event_id: Long, user_id: Long, value: Double)
