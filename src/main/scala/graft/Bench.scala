@@ -162,6 +162,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] calib history not written: ${e.getMessage}")
     }
+    // Per-query continuity (VERDICT r9 #8): the minima also append to
+    // a repo-TRACKED JSONL (one line per run, ~4 kB), so the next
+    // round diffs per-query regressions from git history instead of
+    // totals-only — target/bench_passes.json is wiped by clean builds
+    // and never committed.
+    try {
+      val qhist = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_QHIST", "bench_queries.jsonl"))
+      java.nio.file.Files.writeString(qhist,
+        s"""{"sf":"$sfDir","calib":${f"$calib%.3f"},"calib_io":${f"$calibIo%.3f"},"queries":$qs}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] query history not written: ${e.getMessage}")
+    }
     println(summary)
     spark.stop()
   }
