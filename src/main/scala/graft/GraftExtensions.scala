@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Native sort-merge as-of join (plans/AsOfJoinPlan): plans the
     // AsOfJoinNode logical operator as AsOfJoinExec.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Left-only filters commute with the as-of join; push them below
+    // the custom node so the standard rules can carry them to the
+    // scan (custom operators otherwise BLOCK all predicate pushdown).
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
     // Self-join-vs-own-aggregate → single-scan window (opt-in via
     // spark.graft.aggJoinToWindow; see plans/AggJoinToWindow). Runs
     // post-hoc on the ANALYZED plan — before column pruning makes the

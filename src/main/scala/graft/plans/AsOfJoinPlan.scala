@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join — the full custom-operator path (logical node →
@@ -50,6 +51,36 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Predicate pushdown THROUGH the custom operator: Catalyst's
+  * `PushDownPredicates` knows nothing about [[AsOfJoinNode]], so
+  * without this rule any filter a user applies after the as-of join
+  * evaluates above it — the 100 TB cost being a full-table merge
+  * whose output is then mostly discarded, with nothing reaching the
+  * scan's PushedFilters. Left-only conjuncts commute with the join
+  * (each output row is one left row + a looked-up payload; dropping
+  * left rows cannot change any other row's match), so they move into
+  * the left child, where the standard rules — running in the SAME
+  * operator-optimization fixed point — carry them down to the scan.
+  * Right-side conjuncts must NOT move: the join is left-outer-shaped
+  * (null payload on no match) and filtering the right side would
+  * change which version matches. Bails entirely on any
+  * non-deterministic conjunct (pushing past it would change how often
+  * it evaluates). Injected by `GraftExtensions`.
+  */
+object AsOfJoinFilterPushdown extends Rule[LogicalPlan]
+    with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsOfJoinNode) if cond.deterministic =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected by

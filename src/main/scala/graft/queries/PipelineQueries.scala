@@ -1193,6 +1193,31 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // Degree distribution over the same synthetic doc graph — the
+    // first diagnostic of any web/link corpus (is it scale-free? is
+    // there a supernode that will melt a join?): per-node in/out
+    // degree via two domain-bounded aggregates, then the histogram
+    // over (in_deg, out_deg) pairs. Every step is a hash aggregate on
+    // skinny keys; the histogram's cardinality is bounded by the
+    // distinct degree pairs, never the node count.
+    "graph_degree_dist" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % n).as("dst"))
+      val edges = e1.union(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 7) % n).as("dst")))
+      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+      docs.join(outDeg, col("doc_id") === col("src"), "left")
+        .join(inDeg, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          coalesce(col("out_deg"), lit(0L)).as("od"),
+          coalesce(col("in_deg"), lit(0L)).as("id2"))
+        .groupBy(col("od").as("out_deg"), col("id2").as("in_deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // Quality-weighted importance sampling: keep probability =
     // quality * 0.5, so high-quality docs survive preferentially —
     // one deterministic map-side predicate (oracle re-derives exact
@@ -3025,6 +3050,23 @@ object PipelineQueries {
          $iters
          SELECT id AS doc_id, round(rank, 6) AS rank FROM r10"""
     },
+
+    // Degree-pair histogram over the same synthetic edge construction.
+    "graph_degree_dist" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+               FROM documents, nn
+               UNION ALL
+               SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn),
+         od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+         idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1)
+         SELECT CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg,
+           count(*) AS n_nodes
+         FROM documents d
+         LEFT JOIN od ON od.src = d.doc_id
+         LEFT JOIN idg ON idg.dst = d.doc_id
+         GROUP BY 1, 2""",
 
     // Mirrors Triangles.triangles: same (degree, id) orientation, same
     // (s, v1 < v2) output convention.

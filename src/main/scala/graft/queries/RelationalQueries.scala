@@ -478,6 +478,35 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("rev"))
     }),
 
+    // Bucketed-layout write + CO-LOCATED join read-back: both sides
+    // land bucketed by the join key into the same bucket count, so
+    // the sort-merge join needs NO shuffle exchange on either side —
+    // the at-rest co-location primitive that deletes the biggest
+    // repeated cost of a 100 TB fact⋈fact pipeline (ScaleShapeSpec
+    // proves the exchange-free plan; PlanShapeSpec pins it for THIS
+    // query). The merge hint forces SMJ so the pin is meaningful at
+    // oracle scale where the dim side would otherwise broadcast. The
+    // aggregate over the bucketed round-trip hash-equals the oracle's
+    // over the original parquet — the layout loses nothing.
+    "source_bucketed" -> ((s, d) => {
+      val base = s"$scratchDir/bucketed"
+      orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").option("path", s"$base/ord")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bucket_orders")
+      customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("path", s"$base/cust")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bucket_customer")
+      val o = s.table("graft_bucket_orders")
+      val c = s.table("graft_bucket_customer")
+      o.hint("merge")
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+    }),
+
     "maint_zorder" -> ((s, d) =>
       orders(s, d)
         .select(col("o_orderkey"),
@@ -1465,6 +1494,15 @@ object RelationalQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              AS qty
          FROM lineitem WHERE l_quantity > 5.0
+         GROUP BY 1""",
+
+    // layout-independent replay: the bucketed round-trip must not
+    // change a single row
+    "source_bucketed" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1""",
 
     "maint_zorder" ->

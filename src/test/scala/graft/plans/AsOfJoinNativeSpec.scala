@@ -274,6 +274,40 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("AsOfJoinFilterPushdown: a post-join left-only filter reaches " +
+      "the left scan's PushedFilters; results equal pre-filtering") {
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    def join(left: org.apache.spark.sql.DataFrame) =
+      AsOfJoinNative.asofBackward(left, col("user_id"),
+        unix_micros(col("ts")), clicks, col("user_id"),
+        unix_micros(col("ts")),
+        Seq("click_us" -> unix_micros(col("ts")),
+          "click_value" -> col("value")))
+    val post = join(purchases).filter(col("user_id") < 50)
+    val p = post.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LessThan(user_id,50)"),
+      "filter must reach a scan's PushedFilters:\n" + p)
+    val pre = join(purchases.filter(col("user_id") < 50))
+    val a = post.collect().map(_.toSeq.toString).sorted
+    val b = pre.collect().map(_.toSeq.toString).sorted
+    assert(a.length > 0 && a.sameElements(b),
+      s"pushdown changed results: post=${a.length} pre=${b.length}")
+    // right-payload predicates must NOT push (left-outer semantics):
+    // filtering on the payload after the join keeps only matched
+    // rows, which pre-filtering the right side would NOT reproduce
+    val payloadFiltered = join(purchases).filter(col("click_value") > 30)
+    val p2 = payloadFiltered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p2.contains("PushedFilters: [IsNotNull(value), GreaterThan(value"),
+      "payload filter must stay above the join:\n" + p2)
+  }
+
   test("plan shape: AsOfJoin exec with two clustered exchanges — " +
       "no window, no union, no cartesian") {
     val s = spark

@@ -17,6 +17,15 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("source_bucketed: the co-bucketed sort-merge join needs no " +
+      "shuffle — the only Exchange is the post-join aggregate's") {
+    val p = plan("source_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      "bucketed join must not add exchanges:\n" + p)
+    assert(p.contains("Bucketed: true"), "scan must report bucketing")
+  }
+
   test("q1_agg: shipdate predicate reaches the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
