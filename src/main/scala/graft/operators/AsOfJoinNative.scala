@@ -71,6 +71,29 @@ object AsOfJoinNative {
       rightPayload, "backward", tolerance)
   }
 
+  /** Forward with a staleness bound: a match more than `tolerance`
+    * AFTER the probe yields null payload. */
+  def asofForwardWithin(left: DataFrame, leftKey: Column,
+      leftTime: Column, right: DataFrame, rightKey: Column,
+      rightTime: Column, rightPayload: Seq[(String, Column)],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0: $tolerance")
+    asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, "forward", tolerance)
+  }
+
+  /** Nearest with a staleness bound, pandas semantics: the bound
+    * filters CANDIDATES before the |Δt| pick, so an out-of-bound
+    * backward candidate never shadows an in-bound forward one. */
+  def asofNearestWithin(left: DataFrame, leftKey: Column,
+      leftTime: Column, right: DataFrame, rightKey: Column,
+      rightTime: Column, rightPayload: Seq[(String, Column)],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0: $tolerance")
+    asofJoin(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, "nearest", tolerance)
+  }
+
   private def asofJoin(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
       rightTime: Column, rightPayload: Seq[(String, Column)],

@@ -244,6 +244,34 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("tolerance in forward and nearest modes: forward bound is " +
+      "inclusive; nearest filters CANDIDATES, so an out-of-bound " +
+      "backward match yields to an in-bound forward one") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "pid")
+    // backward candidate at 60 (dt=40, out of bound 20); forward at
+    // 115 (dt=15, in bound)
+    val right = Seq((1L, 60L, 1.0), (1L, 115L, 2.0)).toDF("k", "t", "v")
+    val near = AsOfJoinNative.asofNearestWithin(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), tolerance = 20L)
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(near("a") == (Some(115L), Some(2.0)),
+      "stale backward candidate must not shadow in-bound forward")
+    val fwd = AsOfJoinNative.asofForwardWithin(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), tolerance = 15L)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(fwd("a") == Some(115L), "dt=15 at tolerance 15 is inclusive")
+    val fwdTight = AsOfJoinNative.asofForwardWithin(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), tolerance = 14L)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(fwdTight("a") == None, "dt=15 beyond tolerance 14 is null")
+  }
+
   test("null-key divergence is as documented: native never matches a " +
       "null key; lastEarlier's window CAN pair null-key rows") {
     val s = spark
