@@ -677,6 +677,46 @@ object PipelineQueries {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(desc("tf"), col("term")).limit(50)),
 
+    // KMV (k-minimum-values) set-similarity sketch — the sketch HLL
+    // cannot be: it supports INTERSECTION estimates, so pairwise
+    // vocabulary Jaccard across language corpora costs k rows per
+    // side instead of a vocab×vocab join. Per lang, the k smallest
+    // md5(token) values (via the skew-safe two-phase TopK — no
+    // single task ever sorts a whole language's vocabulary); per
+    // pair, merge-and-truncate to k, estimate J = |both| / |sketch|.
+    // Deterministic given the data (hash order, not sampling), so the
+    // oracle replays it exactly; output in integer basis points.
+    "approx_jaccard_kmv" -> ((s, d) => {
+      val k = 64
+      val hashed = documents(s, d)
+        .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .distinct()
+        .select(col("lang"), md5(col("tok")).as("h"))
+      val sk = graft.operators.TopK.topKPerKey(hashed, Seq("lang"),
+        Seq(col("h")), k).drop("rank")
+      val langs = hashed.select("lang").distinct()
+      val pairs = langs.select(col("lang").as("la"))
+        .join(langs.select(col("lang").as("lb")), col("la") < col("lb"))
+      val tagged = pairs
+        .join(sk.withColumnRenamed("lang", "la"), Seq("la"))
+        .select(col("la"), col("lb"), col("h"),
+          lit(1L).as("in_a"), lit(0L).as("in_b"))
+        .unionByName(pairs
+          .join(sk.withColumnRenamed("lang", "lb"), Seq("lb"))
+          .select(col("la"), col("lb"), col("h"),
+            lit(0L).as("in_a"), lit(1L).as("in_b")))
+      val merged = tagged.groupBy("la", "lb", "h")
+        .agg(max("in_a").as("a"), max("in_b").as("b"))
+      val wp = Window.partitionBy("la", "lb").orderBy("h")
+      merged.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= k)
+        .groupBy("la", "lb")
+        .agg(count(lit(1)).as("n_sketch"),
+          sum(col("a") * col("b")).as("n_both"))
+        .select(col("la"), col("lb"), col("n_sketch"), col("n_both"),
+          expr("n_both * 10000 DIV n_sketch").as("jaccard_bp"))
+    }),
+
     // Conjunctive keyword search (inverted-index AND semantics):
     // docs containing ALL query terms. The isin filter drops
     // non-matching tokens before the shuffle, so the aggregate sees
@@ -2661,6 +2701,38 @@ object PipelineQueries {
           WHERE t IN ('spark', 'join', 'window')
           GROUP BY doc_id
           HAVING count(DISTINCT t) = 3""",
+
+    // KMV replay: hash order is total (distinct md5 hex per lang), so
+    // the k-smallest truncations are engine-independent.
+    "approx_jaccard_kmv" ->
+      s"""WITH tl AS (SELECT lang, unnest($Toks) AS tok FROM documents),
+          dt AS (SELECT DISTINCT lang, tok FROM tl),
+          h AS (SELECT lang, md5(tok) AS h FROM dt),
+          sk AS (SELECT lang, h FROM (
+                   SELECT lang, h, row_number() OVER (
+                     PARTITION BY lang ORDER BY h) AS rn FROM h)
+                 WHERE rn <= 64),
+          pairs AS (SELECT a.lang AS la, b.lang AS lb
+                    FROM (SELECT DISTINCT lang FROM h) a
+                    JOIN (SELECT DISTINCT lang FROM h) b
+                      ON a.lang < b.lang),
+          tagged AS (
+            SELECT p.la, p.lb, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.lang = p.la
+            UNION ALL
+            SELECT p.la, p.lb, s.h, 0, 1
+            FROM pairs p JOIN sk s ON s.lang = p.lb),
+          merged AS (SELECT la, lb, h, max(in_a) AS a, max(in_b) AS b
+                     FROM tagged GROUP BY 1, 2, 3),
+          top AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                      PARTITION BY la, lb ORDER BY h) AS rn
+                    FROM merged) WHERE rn <= 64)
+          SELECT la, lb, CAST(count(*) AS BIGINT) AS n_sketch,
+            CAST(sum(a * b) AS BIGINT) AS n_both,
+            CAST(sum(a * b) AS BIGINT) * 10000
+              // CAST(count(*) AS BIGINT) AS jaccard_bp
+          FROM top GROUP BY 1, 2""",
 
     // Phrase replay via the bigram list comprehension (1-indexed
     // lists; range(1, len) pairs i with i+1).

@@ -399,6 +399,30 @@ object RelationalQueries {
     // Data profiling: per-column row/null/distinct counts in ONE scan
     // (multiple count-distincts expand, but each is partial-agg'd) —
     // the first pass a pipeline runs over unknown data.
+    // Functional-dependency audit — the data-quality primitive behind
+    // key discovery and join-safety checks (does A determine B?): per
+    // candidate FD, the count of LHS values mapping to more than one
+    // RHS value. Each check is one domain-bounded two-level aggregate
+    // (group by LHS, count-distinct RHS, then one row out) — no FD
+    // ever materializes more than |distinct LHS| rows. Candidates
+    // cover a true key (orderkey→custkey), a false dependency
+    // (custkey→orderstatus), a fact-side non-key (orderkey→suppkey on
+    // lineitem), and a dimension hierarchy (nation→region).
+    "profile_fd" -> ((s, d) => {
+      def fd(df: org.apache.spark.sql.DataFrame, lhs: String,
+          rhs: String) =
+        df.groupBy(lhs).agg(countDistinct(rhs).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L))
+              .as("n_violating"))
+          .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
+            col("n_violating"))
+      fd(orders(s, d), "o_orderkey", "o_custkey")
+        .unionByName(fd(orders(s, d), "o_custkey", "o_orderstatus"))
+        .unionByName(fd(lineitem(s, d), "l_orderkey", "l_suppkey"))
+        .unionByName(fd(nation(s, d), "n_nationkey", "n_regionkey"))
+    }),
+
     "profile_stats" -> ((s, d) =>
       orders(s, d).agg(
         count(lit(1)).as("n_rows"),
@@ -1441,6 +1465,31 @@ object RelationalQueries {
            WHERE o_custkey = c.c_custkey
              AND o_totalprice > 100000.0) o ON true
          WHERE o.n_big > 0""",
+
+    "profile_fd" ->
+      """WITH f1 AS (SELECT 'o_orderkey->o_custkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+           FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+                 FROM orders GROUP BY 1)),
+         f2 AS (SELECT 'o_custkey->o_orderstatus' AS fd,
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS nd
+                 FROM orders GROUP BY 1)),
+         f3 AS (SELECT 'l_orderkey->l_suppkey' AS fd,
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+                 FROM lineitem GROUP BY 1)),
+         f4 AS (SELECT 'n_nationkey->n_regionkey' AS fd,
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+                 FROM nation GROUP BY 1))
+         SELECT * FROM f1 UNION ALL SELECT * FROM f2
+         UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4""",
 
     "profile_stats" ->
       """SELECT count(*) AS n_rows,
