@@ -151,9 +151,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // Real exec-node observability (what SortMergeJoinExec reports):
+  // output rows == probe rows by the left-outer contract, so the
+  // interesting number is matchedRows — the SQL UI shows at a glance
+  // whether an as-of enrichment actually found payloads or silently
+  // nulled everything (the classic mis-keyed-join symptom).
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "matchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val rightWidth = right.output.length
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("matchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
@@ -182,6 +195,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val hit = rBuf.hasNext && rBuf.head.getLong(0) == k &&
             (tolerance < 0 || rBuf.head.getLong(1) - t <= tolerance)
+          numOutputRows += 1
+          if (hit) matchedRows += 1
           outProj(joined(l, if (hit) rBuf.head else nullRight))
         }
       } else {
@@ -221,6 +236,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else if (fwd == null) back
             else if (t - lastT <= fwd.getLong(1) - t) back else fwd
           }
+        numOutputRows += 1
+        if (pick != null) matchedRows += 1
         outProj(joined(l, if (pick != null) pick else nullRight))
       }
       }

@@ -336,6 +336,26 @@ class AsOfJoinNativeSpec extends SparkSpec {
       "payload filter must stay above the join:\n" + p2)
   }
 
+  test("exec metrics: numOutputRows == probe rows (left-outer " +
+      "contract), matchedRows counts only real payload hits") {
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val left = Seq((1L, 100L, "a"), (1L, 50L, "b"), (2L, 10L, "c"))
+        .toDF("k", "t", "pid")
+      val right = Seq((1L, 90L, 1.0)).toDF("k", "t", "v")
+      val df = run(left, right)
+      df.collect()
+      val execs = df.queryExecution.executedPlan.collect {
+        case e: AsOfJoinExec => e
+      }
+      assert(execs.nonEmpty, "AsOfJoinExec not found in plan")
+      assert(execs.head.metrics("numOutputRows").value == 3L)
+      assert(execs.head.metrics("matchedRows").value == 1L) // only "a"
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan shape: AsOfJoin exec with two clustered exchanges — " +
       "no window, no union, no cartesian") {
     val s = spark

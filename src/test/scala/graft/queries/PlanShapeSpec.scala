@@ -26,6 +26,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), "scan must report bucketing")
   }
 
+  test("approx_jaccard_kmv: no cartesian product — the lang-pair " +
+      "theta join broadcasts a domain-bounded side; windows only " +
+      "over (pair) partitions") {
+    val p = plan("approx_jaccard_kmv")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pairs join is a BroadcastNestedLoopJoin over the distinct
+    // lang table (|langs|^2 rows, domain-bounded) — that is the
+    // intended bounded shape, NOT an accidental row×row blowup
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("profile_fd and graph_degree_dist: pure hash-aggregate plans " +
+      "— no window, no cartesian") {
+    for (q <- Seq("profile_fd", "graph_degree_dist")) {
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+        s"$q:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
   test("q1_agg: shipdate predicate reaches the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
