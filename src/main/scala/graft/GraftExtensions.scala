@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom node so the standard rules can carry them to the
     // scan (custom operators otherwise BLOCK all predicate pushdown).
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    // Unused payload columns drop below the node too — the
+    // references-all contract otherwise forces a wide dimension's
+    // every column through the shuffle.
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinColumnPruning)
     // Self-join-vs-own-aggregate → single-scan window (opt-in via
     // spark.graft.aggJoinToWindow; see plans/AggJoinToWindow). Runs
     // post-hoc on the ANALYZED plan — before column pruning makes the

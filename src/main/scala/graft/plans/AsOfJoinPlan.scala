@@ -83,6 +83,43 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan]
   }
 }
 
+/** Column pruning THROUGH the custom operator: [[AsOfJoinNode]]
+  * declares every child column referenced (the positional key/time
+  * contract would otherwise be destroyed by Catalyst's generic
+  * `ColumnPruning`), which has the side effect that an as-of join
+  * against a WIDE dimension reads and shuffles every payload column
+  * even when the query uses two. This rule restores pruning safely:
+  * under a direct Project, child columns at positions ≥ 2 (payloads —
+  * the key/time at 0/1 always stay) that the projection never
+  * references are dropped via an inner Project, which the standard
+  * rules then push into the scan's ReadSchema.
+  *
+  * Observably safe despite the tie-break contract (the exec sorts the
+  * right side by ALL its columns): dropping an unused payload column
+  * changes which physical row wins an equal-(key,time) tie only among
+  * rows that are IDENTICAL in every kept column — the visible output
+  * is the same either way. Injected by `GraftExtensions`.
+  */
+object AsOfJoinColumnPruning extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, j: AsOfJoinNode) if j.resolved =>
+      val used = AttributeSet(projList.flatMap(_.references))
+      def keep(child: LogicalPlan) =
+        child.output.take(2) ++ child.output.drop(2).filter(used.contains)
+      val (kl, kr) = (keep(j.left), keep(j.right))
+      if (kl.length == j.left.output.length &&
+          kr.length == j.right.output.length) p
+      else Project(projList, j.copy(
+        left = if (kl.length == j.left.output.length) j.left
+               else Project(kl, j.left),
+        right = if (kr.length == j.right.output.length) j.right
+                else Project(kr, j.right)))
+  }
+}
+
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected by
   * `GraftExtensions` (and defensively by the wrapper via
   * `spark.experimental.extraStrategies`). */

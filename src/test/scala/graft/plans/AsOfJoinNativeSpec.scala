@@ -336,6 +336,36 @@ class AsOfJoinNativeSpec extends SparkSpec {
       "payload filter must stay above the join:\n" + p2)
   }
 
+  test("AsOfJoinColumnPruning: an unused wide payload column vanishes " +
+      "from the right scan's ReadSchema; results unchanged, ties " +
+      "among kept-identical rows stay deterministic") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof_prune")
+    val rightPath = s"$dir/right"
+    Seq((1L, 90L, 5.0, "z" * 100), (1L, 90L, 5.0, "a" * 100),
+      (1L, 80L, 3.0, "w" * 100))
+      .toDF("k", "t", "v", "wide").write.parquet(rightPath)
+    val left = Seq((1L, 100L, "a"), (1L, 85L, "b")).toDF("k", "t", "pid")
+    val joined = AsOfJoinNative.asofBackward(left, col("k"), col("t"),
+        s.read.parquet(rightPath), col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v"),
+          "rwide" -> col("wide")))
+      .select("pid", "rt", "rv") // rwide unused -> must prune
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val rightScan = "ReadSchema: struct<([^>\\n]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).find(_.contains("v:double"))
+    assert(rightScan.isDefined, p)
+    assert(!rightScan.get.contains("wide"),
+      s"unused payload must not be read: ${rightScan.get}")
+    val got = joined.collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    // "a" matches the (90, 5.0) tie pair — identical in kept columns,
+    // so pruning cannot change the visible pick; "b" matches (80, 3.0)
+    assert(got("a") == (90L, 5.0) && got("b") == (80L, 3.0), got.toString)
+  }
+
   test("exec metrics: numOutputRows == probe rows (left-outer " +
       "contract), matchedRows counts only real payload hits") {
     val s = spark
