@@ -531,6 +531,57 @@ object StreamingOps {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  case class AsOfProbe(key: Long, ts: Long, probe_id: Long)
+  case class AsOfVersion(key: Long, ts: Long, value: Double)
+  case class AsOfUnion(key: Long, ts: Long, is_right: Boolean,
+    probe_id: Long, value: Double)
+  case class AsOfEnriched(key: Long, ts: Long, probe_id: Long,
+    match_ts: Option[Long], match_value: Option[Double])
+
+  /** STREAM-STREAM as-of join — the operator Structured Streaming
+    * does not have (its stream-stream joins are equi/interval only;
+    * `asofEnrichStream` needs the dim side to be BOUNDED). Both sides
+    * are live streams: probes pick up the LATEST version row with the
+    * same key and ts ≤ theirs (inclusive), null before the first
+    * version. The two streams union into one keyed stream (the only
+    * shape `flatMapGroupsWithState` accepts) and per-key state is
+    * O(1): just the latest version seen — not a buffer — because a
+    * backward as-of never needs an older version again once a newer
+    * one arrived. Within a micro-batch rows sort by (ts, side) with
+    * versions applying BEFORE probes at the same instant (the
+    * inclusive boundary); across batches per-key arrival is assumed
+    * event-time-ordered (the [[cusumStream]]/[[patternStream]]
+    * contract). Versions should be unique per (key, ts) — among
+    * same-instant duplicates the last arrival wins. The spec pins
+    * batch-equivalence vs `AsOfJoin.lastEarlier` across scrambled
+    * micro-batches.
+    */
+  def asofJoinStream(probes: Dataset[AsOfProbe],
+      versions: Dataset[AsOfVersion]): Dataset[AsOfEnriched] = {
+    import probes.sparkSession.implicits._
+    val tagged = probes
+      .map(p => AsOfUnion(p.key, p.ts, is_right = false, p.probe_id, 0.0))
+      .unionByName(versions
+        .map(v => AsOfUnion(v.key, v.ts, is_right = true, 0L, v.value)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsOfUnion],
+            state: GroupState[(Long, Double)]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[AsOfEnriched]()
+          rows.toSeq
+            .sortBy(r => (r.ts, if (r.is_right) 0 else 1, r.probe_id))
+            .foreach { r =>
+              if (r.is_right) st = (r.ts, r.value)
+              else out += AsOfEnriched(key, r.ts, r.probe_id,
+                Option(st).map(_._1), Option(st).map(_._2))
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class PatternEvent(user_id: Long, event_id: Long,
     event_type: String, us: Long)
   case class SessionPattern(user_id: Long, sess: Long, n_events: Long,

@@ -523,6 +523,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last == Set((10L, 3L, 7.0), (20L, 1L, 8.0)))
   }
 
+  test("asofJoinStream: stream-stream as-of with O(1) keyed state " +
+      "equals batch lastEarlier across scrambled micro-batches; " +
+      "inclusive boundary; null before first version") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val probes = Seq(
+      StreamingOps.AsOfProbe(1L, 5L, 101),   // before any version
+      StreamingOps.AsOfProbe(1L, 10L, 102),  // == version ts: inclusive
+      StreamingOps.AsOfProbe(1L, 25L, 103),  // after v10, before v30
+      StreamingOps.AsOfProbe(1L, 35L, 104),  // after v30
+      StreamingOps.AsOfProbe(2L, 50L, 201))  // keyless side
+    val versions = Seq(
+      StreamingOps.AsOfVersion(1L, 10L, 1.0),
+      StreamingOps.AsOfVersion(1L, 30L, 2.0))
+    val inP = MemoryStream[StreamingOps.AsOfProbe]
+    val inV = MemoryStream[StreamingOps.AsOfVersion]
+    // batch 1 (scrambled, BOTH sides enqueued before start so one
+    // micro-batch sees them together and the (ts, side) sort is
+    // exercised): v10 + probes 5/10/25
+    inP.addData(probes(2), probes(0), probes(1))
+    inV.addData(versions(0))
+    val q = StreamingOps.asofJoinStream(inP.toDS(), inV.toDS())
+      .writeStream.format("memory").queryName("asof_ss")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: v30 lands (and is barriered into state) before the
+    // probes that depend on it — the cross-batch arrival contract
+    inV.addData(versions(1))
+    q.processAllAvailable()
+    inP.addData(probes(3), probes(4))
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT probe_id, match_ts, match_value FROM asof_ss")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)))).toSet
+    q.stop()
+    // batch reference: AsOfJoin.lastEarlier over the same data
+    val batch = graft.operators.AsOfJoin.lastEarlier(
+        probes.toDF().withColumnRenamed("ts", "pts"),
+        versions.toDF(), "key", "pts", "ts", Seq("value"))
+      .select(col("probe_id"), col("asof.ts"), col("asof.value"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(streamed == batch,
+      s"stream=$streamed\nbatch=$batch")
+    assert(streamed.contains((102L, Some(10L), Some(1.0))),
+      "same-instant version must match (inclusive)")
+    assert(streamed.contains((101L, None, None)) &&
+      streamed.contains((201L, None, None)))
+  }
+
   test("patternStream: closed sessions equal the batch events_pattern " +
       "pipeline across micro-batches; open sessions flush when a " +
       "later event closes them") {
