@@ -31,6 +31,54 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+/** AQE's RUNTIME skew mitigation — the zero-code complement to
+  * `SkewJoin.saltedJoin`: when the shuffle lands a hot key in one
+  * oversized partition, the adaptive planner splits it into
+  * sub-partitions (duplicating the matching other-side partition) and
+  * the final sort-merge join reports `skew=true`. Salting remains the
+  * tool when the skewed operator is an AGGREGATE or the join strategy
+  * is not SMJ/SHJ; for plain joins, AQE at the right thresholds does
+  * it for free.
+  */
+class AqeSkewSpec extends SparkSpec {
+  test("adaptive skew-join split fires on a hot key: final plan " +
+      "reports skew=true, results match the plain join") {
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // hot key 0: ~100k rows with a 32-char payload (several MB in
+      // one reduce partition, far over the 8KB threshold); tail keys
+      // tiny. Right side small per key so the split duplicates it.
+      val left = ((1 to 100000).map(_ => 0L) ++
+        (1 to 2000).map(_.toLong % 97))
+        .toDF("k")
+        .withColumn("pl", lpad(col("k").cast("string"), 32, "x"))
+      val right = (0L to 96L).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = left.join(right, Seq("k"))
+      // collect() (not count()) so the inspected QueryExecution is
+      // the one that ran — count() builds its own plan
+      val n = joined.collect().length
+      assert(n == 102000, s"row count: $n")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE must split the skewed partition:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+}
+
 /** Bucketed tables co-locate join keys at REST: a join of two tables
   * bucketed by the same key into the same bucket count needs NO
   * shuffle — the core 100 TB layout technique for fact-fact joins.
