@@ -46,4 +46,21 @@ class InvariantSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0 &&
       plain.exceptAll(salted).count() == 0)
   }
+
+  test("approx_jaccard_kmv: sketch size <= k, both-count <= sketch, " +
+      "estimate in [0, 10000] bp, every lang pair present once") {
+    val out = SparkEntry.queries("approx_jaccard_kmv")(spark, d)
+      .collect()
+    assert(out.nonEmpty)
+    val pairs = out.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate pair")
+    assert(pairs.forall { case (a, b) => a < b }, "unordered pair")
+    out.foreach { r =>
+      val (n, both, bp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1 && n <= 64, s"sketch size $n")
+      assert(both >= 0 && both <= n, s"both=$both > sketch=$n")
+      assert(bp >= 0 && bp <= 10000, s"jaccard_bp $bp")
+      assert(bp == both * 10000 / n, "estimate formula")
+    }
+  }
 }
