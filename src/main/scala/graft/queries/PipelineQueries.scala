@@ -142,6 +142,44 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("doc_id"),
           count(lit(1)).as("n_copies"))),
 
+    // URL canonicalization + dedup — the step every crawl pipeline
+    // runs before content dedup: the same page arrives as
+    // HTTP://HOST:80/p, host/p?utm_…, host/p/#frag, and host/p.
+    // Messy URLs are planted deterministically from doc_id (pairs
+    // share a page), then canonicalized GENERICALLY — fragment strip,
+    // utm-query strip, scheme+host lowercased, default port dropped,
+    // trailing slash trimmed — with anchored regexes (single-match,
+    // so Spark's replace-all and the oracle engine's replace-first
+    // agree; no backreferences — Spark spells $1, RE2 spells \1).
+    // One map-side projection + one hash-groupBy; no pair mining.
+    "dedup_url" -> ((s, d) => {
+      val p = (col("doc_id") / 2).cast("long")
+      val base = concat(lit("http://www.site"), (p % 50).cast("string"),
+        lit(".com/docs/"), p.cast("string"))
+      documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://WWW.SITE"), (p % 50).cast("string"),
+              lit(".COM:80/docs/"), p.cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(base, lit("?utm_source=feed")))
+          .when(col("doc_id") % 4 === 2, concat(base, lit("/#section")))
+          .otherwise(base).as("url"))
+        .withColumn("c1", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("c2", regexp_replace(col("c1"), "\\?utm_[^#]*$", ""))
+        .withColumn("canon", concat(
+          lower(regexp_extract(col("c2"), "^([A-Za-z]+)://", 1)),
+          lit("://"),
+          regexp_replace(
+            lower(regexp_extract(col("c2"), "^[A-Za-z]+://([^/]+)", 1)),
+            ":80$", ""),
+          regexp_replace(
+            regexp_extract(col("c2"), "^[A-Za-z]+://[^/]+(/.*)?$", 1),
+            "/$", "")))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_variants"))
+    }),
+
     // Same 128-bit two-seed design as dedup_exact: the canonical
     // token-set string is computed map-side, hashed, and DISCARDED —
     // grouping by the string itself would ship kilobyte keys through
@@ -2224,6 +2262,43 @@ object PipelineQueries {
     "dedup_key" ->
       """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
          FROM documents GROUP BY lang, source""",
+
+    // URL replay: same planted messiness, same anchored-regex
+    // canonicalization (regexp_replace first-match == all-matches on
+    // $-anchored patterns; no backreferences).
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN
+             'HTTP://WWW.SITE' || CAST((doc_id // 2) % 50 AS VARCHAR)
+               || '.COM:80/docs/' || CAST(doc_id // 2 AS VARCHAR)
+           WHEN doc_id % 4 = 1 THEN
+             'http://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
+               || '.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
+               || '?utm_source=feed'
+           WHEN doc_id % 4 = 2 THEN
+             'http://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
+               || '.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
+               || '/#section'
+           ELSE
+             'http://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
+               || '.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
+           END AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+           regexp_replace(regexp_replace(url, '#.*$', ''),
+             '\?utm_[^#]*$', '') AS c2 FROM u),
+         k AS (SELECT doc_id,
+           lower(regexp_extract(c2, '^([A-Za-z]+)://', 1)) || '://' ||
+           regexp_replace(
+             lower(regexp_extract(c2, '^[A-Za-z]+://([^/]+)', 1)),
+             ':80$', '') ||
+           regexp_replace(
+             coalesce(regexp_extract(c2,
+               '^[A-Za-z]+://[^/]+(/.*)?$', 1), ''), '/$', '') AS canon
+           FROM c)
+         SELECT canon, MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_variants
+         FROM k GROUP BY canon""",
 
     "dedup_tokenset" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
