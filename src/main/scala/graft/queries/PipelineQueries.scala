@@ -1636,6 +1636,32 @@ object PipelineQueries {
             .otherwise(0L).as("verified"))
     }),
 
+    // The same verification spelled for 100 TB: the THRESHOLD form
+    // levenshtein(a, b, k) early-exits once the distance provably
+    // exceeds k (banded O(k·min(n,m)) instead of O(n·m)), returning
+    // -1 beyond the band. A dedup gate only needs "within budget or
+    // not", and the overwhelmingly common case at scale is a
+    // non-duplicate whose exact distance is wasted work. Budget =
+    // floor(30% of the longer text) — lev ≤ floor(0.3m) ⇔
+    // 10·lev ≤ 3m, exactly dedup_verify_lev's integer gate, so
+    // verified agrees between the two spellings row for row.
+    "dedup_verify_lev_bounded" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+        NumHashes, Bands, JaccardThreshold).select("id_a", "id_b")
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")),
+          "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("levenshtein(ta, tb, CAST(greatest(length(ta), " +
+            "length(tb)) * 3 DIV 10 AS INT))").cast("long")
+            .as("lev_bounded"))
+        .withColumn("verified",
+          when(col("lev_bounded") >= 0, 1L).otherwise(0L))
+    }),
+
     // Shingle-set containment over the LSH candidates — catches
     // quote/boilerplate inclusion where a short doc sits inside a long
     // one and symmetric Jaccard stays low (see Dedup.containmentPairs
@@ -3563,6 +3589,23 @@ object PipelineQueries {
              AS edit_sim,
            CAST(CASE WHEN levenshtein(a.text, b.text) * 10 <=
              greatest(length(a.text), length(b.text)) * 3
+             THEN 1 ELSE 0 END AS BIGINT) AS verified
+         FROM cand JOIN documents a ON cand.id_a = a.doc_id
+                   JOIN documents b ON cand.id_b = b.doc_id""",
+
+    // Bounded replay: DuckDB has no threshold arg, so the oracle
+    // computes the exact distance and applies the identical integer
+    // gate — the -1 sentinel and the verified flag must agree with
+    // Spark's banded early-exit implementation exactly.
+    "dedup_verify_lev_bounded" ->
+      s"""WITH cand AS (SELECT id_a, id_b FROM ($minhashOracle))
+         SELECT id_a, id_b,
+           CAST(CASE WHEN levenshtein(a.text, b.text) * 10 <=
+               greatest(length(a.text), length(b.text)) * 3
+             THEN levenshtein(a.text, b.text) ELSE -1 END AS BIGINT)
+             AS lev_bounded,
+           CAST(CASE WHEN levenshtein(a.text, b.text) * 10 <=
+               greatest(length(a.text), length(b.text)) * 3
              THEN 1 ELSE 0 END AS BIGINT) AS verified
          FROM cand JOIN documents a ON cand.id_a = a.doc_id
                    JOIN documents b ON cand.id_b = b.doc_id""",
