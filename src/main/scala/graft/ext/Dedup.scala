@@ -34,6 +34,29 @@ object Dedup {
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** URL canonicalization — the pre-content-dedup normalization every
+    * crawl pipeline runs: strip fragment, strip a utm tracking query,
+    * lowercase scheme+host, drop the default :80 port, trim a
+    * trailing slash. All patterns are ANCHORED single-match regexes
+    * (so replace-all and replace-first engines agree) with no
+    * backreferences, and the whole pipeline is one codegen'd
+    * map-side projection — stateless, so it runs unchanged on a
+    * stream. Used by `dedup_url`; spec pins stream==batch.
+    */
+  def urlCanon(url: Column): Column = {
+    val c1 = regexp_replace(url, "#.*$", "")
+    val c2 = regexp_replace(c1, "\\?utm_[^#]*$", "")
+    concat(
+      lower(regexp_extract(c2, "^([A-Za-z]+)://", 1)),
+      lit("://"),
+      regexp_replace(
+        lower(regexp_extract(c2, "^[A-Za-z]+://([^/]+)", 1)),
+        ":80$", ""),
+      regexp_replace(
+        regexp_extract(c2, "^[A-Za-z]+://[^/]+(/.*)?$", 1),
+        "/$", ""))
+  }
+
   /** (h1, h2) 32-bit hash pair of a string: the first/second 8 hex chars
     * of its md5 digest, as longs. DuckDB: ('0x'||substr(md5(t),1,8))::BIGINT.
     */

@@ -648,6 +648,21 @@ object ExtendedQueries {
           (col("seg_n") <=> lit("REDACTED")).as("nullsafe_eq"))
     }),
 
+    // ANSI-mode error-safe scalars: Spark 4 runs ANSI, where a bad
+    // cast, an arithmetic overflow, or a divide-by-zero THROWS — at
+    // 100 TB that's hours of work lost to one dirty row. The try_*
+    // family turns row-level data errors into NULLs the pipeline can
+    // quarantine instead: try_cast on an unparseable string, a
+    // parseable prefix cast, try_divide with a cycling zero
+    // denominator, try_add at the int64 ceiling.
+    "scalar_try_funcs" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS INT)").as("pri_num"),
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)")
+          .as("pri_digit"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("div3"),
+        expr("try_add(9223372036854775807L, o_orderkey)").as("ovf"))),
+
     // Date/time scalar-function battery.
     "date_funcs" -> ((s, d) =>
       orders(s, d).select(col("o_orderkey"),
@@ -1240,6 +1255,18 @@ object ExtendedQueries {
          FROM (SELECT doc_id,
                  string_split_regex(lower(trim(text)), '\s+') AS ws
                FROM documents)""",
+
+    // try_* replay: TRY_CAST is native; try_divide/try_add become
+    // explicit NULL guards around the same IEEE/integer ops.
+    "scalar_try_funcs" ->
+      """SELECT o_orderkey,
+         TRY_CAST(o_orderpriority AS INTEGER) AS pri_num,
+         TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+         CASE WHEN o_custkey % 3 = 0 THEN NULL
+              ELSE o_totalprice / (o_custkey % 3) END AS div3,
+         CASE WHEN o_orderkey > 0 THEN NULL
+              ELSE 9223372036854775807 + o_orderkey END AS ovf
+         FROM orders""",
 
     "date_funcs" ->
       """SELECT o_orderkey,

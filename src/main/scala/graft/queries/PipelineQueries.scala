@@ -164,17 +164,7 @@ object PipelineQueries {
             concat(base, lit("?utm_source=feed")))
           .when(col("doc_id") % 4 === 2, concat(base, lit("/#section")))
           .otherwise(base).as("url"))
-        .withColumn("c1", regexp_replace(col("url"), "#.*$", ""))
-        .withColumn("c2", regexp_replace(col("c1"), "\\?utm_[^#]*$", ""))
-        .withColumn("canon", concat(
-          lower(regexp_extract(col("c2"), "^([A-Za-z]+)://", 1)),
-          lit("://"),
-          regexp_replace(
-            lower(regexp_extract(col("c2"), "^[A-Za-z]+://([^/]+)", 1)),
-            ":80$", ""),
-          regexp_replace(
-            regexp_extract(col("c2"), "^[A-Za-z]+://[^/]+(/.*)?$", 1),
-            "/$", "")))
+        .withColumn("canon", Dedup.urlCanon(col("url")))
         .groupBy("canon")
         .agg(min(col("doc_id")).as("keep_doc"),
           count(lit(1)).as("n_variants"))

@@ -523,6 +523,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last == Set((10L, 3L, 7.0), (20L, 1L, 8.0)))
   }
 
+  test("urlCanon is a stateless map-side projection: stream " +
+      "canonicalization equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val urls = Seq("HTTP://WWW.A.COM:80/x",
+      "http://www.a.com/x?utm_source=f", "http://www.a.com/x/#s",
+      "http://www.a.com/x", "https://B.com/y/")
+    val in = MemoryStream[String]
+    val q = in.toDF()
+      .select(graft.ext.Dedup.urlCanon(col("value")).as("c"))
+      .writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    in.addData(urls: _*)
+    q.processAllAvailable()
+    val streamed = s.sql("SELECT c FROM url_stream").collect()
+      .map(_.getString(0)).sorted
+    q.stop()
+    val batch = urls.toDF("value")
+      .select(graft.ext.Dedup.urlCanon(col("value")).as("c"))
+      .collect().map(_.getString(0)).sorted
+    assert(streamed.sameElements(batch))
+    assert(batch.count(_ == "http://www.a.com/x") == 4,
+      "all four messy variants must collapse")
+    assert(batch.contains("https://b.com/y"))
+  }
+
   test("asofJoinStream: stream-stream as-of with O(1) keyed state " +
       "equals batch lastEarlier across scrambled micro-batches; " +
       "inclusive boundary; null before first version") {
