@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rangeJoin.binWidth", "auto")
       .config("spark.graft.aggJoinToWindow", "true")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed

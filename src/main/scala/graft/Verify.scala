@@ -21,6 +21,8 @@ object Verify {
       // the event-window queries' interval length
       .config("spark.graft.rangeJoin.binWidth", "auto")
       .config("spark.graft.aggJoinToWindow", "true")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
