@@ -523,6 +523,56 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last == Set((10L, 3L, 7.0), (20L, 1L, 8.0)))
   }
 
+  test("asofJoinStream: version state survives a checkpointed " +
+      "RESTART — an epoch-2 probe matches an epoch-1 version only " +
+      "the persisted state store can supply") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ssasof")
+    val pDir = java.nio.file.Files.createDirectory(root.resolve("p"))
+    val vDir = java.nio.file.Files.createDirectory(root.resolve("v"))
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def write(dir: java.nio.file.Path, name: String,
+        header: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        (header + "\n" + rows.mkString("\n")).getBytes)
+    def stream() = {
+      val probes = s.readStream
+        .schema("key LONG, ts LONG, probe_id LONG")
+        .option("header", true).csv(pDir.toString)
+        .as[StreamingOps.AsOfProbe]
+      val versions = s.readStream
+        .schema("key LONG, ts LONG, value DOUBLE")
+        .option("header", true).csv(vDir.toString)
+        .as[StreamingOps.AsOfVersion]
+      StreamingOps.asofJoinStream(probes, versions)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // epoch 1: v@10 + probes 5/10/25
+    write(vDir, "v1.csv", "key,ts,value", Seq("1,10,1.0"))
+    write(pDir, "p1.csv", "key,ts,probe_id",
+      Seq("1,5,101", "1,10,102", "1,25,103"))
+    val q1 = stream(); q1.processAllAvailable(); q1.stop()
+    // epoch 2 after RESTART: probe 105@15 matches ONLY the epoch-1
+    // v@10 (held in recovered state); v@30 + probe 104@35 arrive
+    // together and must sort version-first
+    write(vDir, "v2.csv", "key,ts,value", Seq("1,30,2.0"))
+    write(pDir, "p2.csv", "key,ts,probe_id", Seq("1,15,105", "1,35,104"))
+    val q2 = stream(); q2.processAllAvailable(); q2.stop()
+    val streamed = s.read.parquet(out).collect()
+      .map(r => (r.getLong(2), Option(r.get(3)), Option(r.get(4))))
+      .toSet
+    assert(streamed == Set(
+      (101L, None, None),
+      (102L, Some(10L), Some(1.0)),
+      (103L, Some(10L), Some(1.0)),
+      (105L, Some(10L), Some(1.0)), // only recovered state knows v@10
+      (104L, Some(30L), Some(2.0))), streamed.toString)
+  }
+
   test("urlCanon is a stateless map-side projection: stream " +
       "canonicalization equals batch") {
     val s = spark
