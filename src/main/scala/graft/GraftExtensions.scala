@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.ext.RollingHash64
-import graft.functions.{BloomContains, DotDouble, QuantizeI8, SignBands}
+import graft.functions.{BloomContains, DotDouble, KmvDistinct, QuantizeI8, SignBands}
 
 /** Spark extensions entry point: registers the library's native
   * Catalyst expressions as SQL functions. Enable with
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children(0),
         children(1), children(2), children(3), children(4))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => KmvDistinct(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
     // Keyless BETWEEN joins → binned equi-joins (opt-in via
     // spark.graft.rangeJoin.binWidth; see plans/RangeJoinRewrite).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

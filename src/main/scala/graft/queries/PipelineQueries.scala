@@ -745,6 +745,21 @@ object PipelineQueries {
           expr("n_both * 10000 DIV n_sketch").as("jaccard_bp"))
     }),
 
+    // The KMV sketch as a REAL custom aggregate
+    // (functions/KmvDistinct, TypedImperativeAggregate): per-lang
+    // distinct-token estimates with map-side-combined k-capped
+    // partial state — the production-sketch shape, vs
+    // approx_jaccard_kmv's window spelling. The estimate is a pure
+    // function of the input set (md5-60-bit order statistics, no
+    // randomness), so the oracle replays it exactly; the exact
+    // distinct count rides along as the accuracy reference.
+    "approx_distinct_kmv" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(expr("kmv_distinct(tok, 128)").as("est_distinct"),
+          countDistinct(col("tok")).as("exact_distinct"))),
+
     // Conjunctive keyword search (inverted-index AND semantics):
     // docs containing ALL query terms. The isin filter drops
     // non-matching tokens before the shuffle, so the aggregate sees
@@ -2792,6 +2807,32 @@ object PipelineQueries {
           WHERE t IN ('spark', 'join', 'window')
           GROUP BY doc_id
           HAVING count(DISTINCT t) = 3""",
+
+    // KMV distinct replay: the k-th smallest distinct 60-bit hash per
+    // lang drives the same (k-1)·2^60/h_(k) estimator; 127·2^60 is
+    // dyadic (exact product), then one IEEE divide + exact floor.
+    "approx_distinct_kmv" ->
+      s"""WITH tl AS (SELECT lang, unnest($Toks) AS tok FROM documents),
+          dt AS (SELECT DISTINCT lang, tok FROM tl),
+          h AS (SELECT DISTINCT lang,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM dt),
+          rk AS (SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h)
+                     AS rn,
+                   count(*) OVER (PARTITION BY lang) AS nh
+                 FROM h),
+          est AS (SELECT lang,
+                    CAST(CASE WHEN max(nh) < 128 THEN max(nh)
+                      ELSE CAST(floor(127.0 * 1152921504606846976.0 /
+                        CAST(max(CASE WHEN rn = 128 THEN h END)
+                          AS DOUBLE)) AS BIGINT) END AS BIGINT)
+                      AS est_distinct
+                  FROM rk GROUP BY lang)
+          SELECT e.lang, e.est_distinct,
+            (SELECT count(DISTINCT tok) FROM dt
+             WHERE dt.lang = e.lang) AS exact_distinct
+          FROM est e""",
 
     // KMV replay: hash order is total (distinct md5 hex per lang), so
     // the k-smallest truncations are engine-independent.

@@ -55,4 +55,26 @@ class ApproxAccuracySpec extends SparkSpec {
     assert(lo <= wHi && hi >= wLo,
       s"rank range [$lo,$hi] misses window [$wLo,$wHi]")
   }
+
+  test("kmv_distinct: partition-invariant (merge = union-truncate), " +
+      "set-semantic (duplicates don't move it), exact below k, " +
+      "estimate within the relative-error bound") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 5000
+    val data = (1 to n).map(i => s"tok$i")
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr("kmv_distinct(t, 128)")).head.getLong(0)
+    val one = est(data.toDF("t").repartition(1))
+    val many = est((data ++ data ++ data).toDF("t").repartition(13))
+    assert(one == many,
+      s"partitioning/dups changed the estimate: $one vs $many")
+    // KMV rel std err ~ 1/sqrt(k-2) ~ 9% at k=128; 4 sigma bound
+    assert(math.abs(one - n).toDouble / n < 0.36,
+      s"estimate $one vs exact $n")
+    // below k the sketch IS the set
+    val small = est((1 to 100).map(i => s"s$i").toDF("t").repartition(5))
+    assert(small == 100L, s"sub-k must be exact, got $small")
+  }
 }
