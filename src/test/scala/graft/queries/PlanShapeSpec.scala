@@ -38,6 +38,17 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("approx_distinct_kmv: the custom aggregate runs as a PARTIAL " +
+      "ObjectHashAggregate — k-capped sketches combine map-side " +
+      "before the shuffle") {
+    val p = plan("approx_distinct_kmv")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_kmv_distinct|partial.*kmv".r.findFirstIn(p).isDefined
+      || p.contains("kmv_distinct"), p)
+    assert("(?i)partial".r.findFirstIn(p).isDefined,
+      "aggregate must have a partial (map-side) phase:\n" + p)
+  }
+
   test("profile_fd and graph_degree_dist: pure hash-aggregate plans " +
       "— no window, no cartesian") {
     for (q <- Seq("profile_fd", "graph_degree_dist")) {
