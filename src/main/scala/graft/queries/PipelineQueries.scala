@@ -1267,7 +1267,7 @@ object PipelineQueries {
     // power-method rounds, exact-decimal contribution sums.
     "graph_pagerank" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"))
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
       val e1 = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 2 + 1) % n).as("dst"))
       val e2 = docs.select(col("doc_id").as("src"),
@@ -1285,7 +1285,7 @@ object PipelineQueries {
     // distinct degree pairs, never the node count.
     "graph_degree_dist" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"))
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
       val e1 = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 2 + 1) % n).as("dst"))
       val edges = e1.union(docs.select(col("doc_id").as("src"),
@@ -1316,7 +1316,7 @@ object PipelineQueries {
     // Triangles), each triangle exactly once, O(m^1.5) bound.
     "graph_triangles" -> ((s, d) => {
       val docs = documents(s, d).select("doc_id")
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
       val e1 = docs.select(col("doc_id").as("id_a"),
         ((col("doc_id") * 2 + 1) % n).as("id_b"))
       val e2 = docs.select(col("doc_id").as("id_a"),
@@ -1330,7 +1330,7 @@ object PipelineQueries {
     // so the unrolled-CTE oracle replays it exactly. 5 rounds.
     "graph_label_prop" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"))
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
       val e1 = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 2 + 1) % n).as("dst"))
       val e2 = docs.select(col("doc_id").as("src"),
@@ -1344,7 +1344,7 @@ object PipelineQueries {
     // per round (operators/Bfs).
     "graph_bfs" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"))
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
       val e1 = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 2 + 1) % n).as("dst"))
       val e2 = docs.select(col("doc_id").as("src"),
