@@ -523,6 +523,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last == Set((10L, 3L, 7.0), (20L, 1L, 8.0)))
   }
 
+  test("asofJoinStream seeded-random differential vs batch " +
+      "lastEarlier: dense keys, same-instant version/probe ties, " +
+      "one scrambled micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    for (seed <- Seq(41, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // unique (key, ts) versions so the batch operator's payload
+      // tie-break can't differ from last-arrival-wins
+      val versions = Seq.fill(150)((rnd.nextInt(6).toLong,
+          rnd.nextInt(50).toLong, rnd.nextInt(9).toDouble))
+        .groupBy(v => (v._1, v._2)).map(_._2.minBy(_._3)).toSeq
+        .map { case (k, t, v) => StreamingOps.AsOfVersion(k, t, v) }
+      val probes = Seq.fill(200)((rnd.nextInt(6).toLong,
+          rnd.nextInt(50).toLong)).zipWithIndex
+        .map { case ((k, t), i) => StreamingOps.AsOfProbe(k, t, 1000 + i) }
+      val inP = MemoryStream[StreamingOps.AsOfProbe]
+      val inV = MemoryStream[StreamingOps.AsOfVersion]
+      // everything enqueued BEFORE start: one micro-batch, arrival
+      // order scrambled, the (ts, side, probe_id) sort must recover
+      // event order including same-instant version-before-probe
+      inP.addData(rnd.shuffle(probes): _*)
+      inV.addData(rnd.shuffle(versions): _*)
+      val name = s"asof_ss_rand$seed"
+      val q = StreamingOps.asofJoinStream(inP.toDS(), inV.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val streamed = s.sql(
+          s"SELECT probe_id, match_ts, match_value FROM $name")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)), Option(r.get(2)))).toSet
+      q.stop()
+      val batch = graft.operators.AsOfJoin.lastEarlier(
+          probes.toDF().withColumnRenamed("ts", "pts"),
+          versions.toDF(), "key", "pts", "ts", Seq("value"))
+        .select(col("probe_id"), col("asof.ts"), col("asof.value"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(streamed == batch, s"seed $seed diverged: " +
+        s"onlyStream=${streamed -- batch} onlyBatch=${batch -- streamed}")
+    }
+  }
+
   test("asofJoinStream: version state survives a checkpointed " +
       "RESTART — an epoch-2 probe matches an epoch-1 version only " +
       "the persisted state store can supply") {
