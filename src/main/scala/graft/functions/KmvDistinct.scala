@@ -57,60 +57,32 @@ case class KmvDistinct(
   @transient private lazy val md5 =
     java.security.MessageDigest.getInstance("MD5")
 
-  /** First 15 hex chars of md5 as a non-negative 60-bit long —
-    * byte-identical to `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
-  private def hash60(s: UTF8String): Long = {
-    val d = md5.digest(s.getBytes)
-    java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
-  }
-
   override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
     new JTreeSet[java.lang.Long]()
 
   override def update(buf: JTreeSet[java.lang.Long],
       input: InternalRow): JTreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      buf.add(hash60(v.asInstanceOf[UTF8String]))
-      if (buf.size > k) buf.pollLast()
-    }
+    if (v != null)
+      Kmv.add(buf, Kmv.hash60(md5,
+        v.asInstanceOf[UTF8String].getBytes), k)
     buf
   }
 
   override def merge(buf: JTreeSet[java.lang.Long],
       other: JTreeSet[java.lang.Long]): JTreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) {
-      buf.add(it.next())
-      if (buf.size > k) buf.pollLast()
-    }
+    Kmv.merge(buf, other, k)
     buf
   }
 
   override def eval(buf: JTreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else {
-      val hk = math.max(buf.last().longValue(), 1L)
-      math.floor((k - 1).toDouble * 1152921504606846976.0 /
-        hk.toDouble).toLong
-    }
+    Kmv.estimate(buf, k)
 
-  override def serialize(buf: JTreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
+  override def serialize(buf: JTreeSet[java.lang.Long]): Array[Byte] =
+    Kmv.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): JTreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new JTreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): JTreeSet[java.lang.Long] =
+    Kmv.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(off: Int): KmvDistinct =
     copy(mutableAggBufferOffset = off)

@@ -531,6 +531,51 @@ object StreamingOps {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  case class KeyedValue(key: String, value: String)
+  case class DistinctEstimate(key: String, n_rows: Long,
+    est_distinct: Long)
+
+  /** Streaming running distinct-count per key via the SAME KMV core
+    * as the batch `kmv_distinct` aggregate (`functions/Kmv` — one
+    * definition of hash, k-cap, estimator, wire format, so batch and
+    * stream cannot drift). State per key is the serialized sketch
+    * (4+8k bytes) plus a row counter; each micro-batch folds its rows
+    * in and emits the key's refreshed estimate (Update mode). Because
+    * the estimate is a pure function of the value SET, it is
+    * ARRIVAL-ORDER INDEPENDENT — no event-time contract at all, and
+    * after any sequence of micro-batches the latest estimate equals
+    * the batch aggregate over the union exactly (spec-pinned). The
+    * cardinality-monitoring shape: per-tenant distinct users, per-key
+    * vocabulary growth, join-key explosion alarms.
+    */
+  def kmvDistinctStream(rows: Dataset[KeyedValue],
+      k: Int = 128): Dataset[DistinctEstimate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Array[Byte]), DistinctEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedValue],
+            state: GroupState[(Long, Array[Byte])]) =>
+          val (n0, bytes) = state.getOption.getOrElse(
+            (0L, graft.functions.Kmv.serialize(
+              new java.util.TreeSet[java.lang.Long]())))
+          val buf = graft.functions.Kmv.deserialize(bytes)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+          var n = n0
+          it.foreach { r =>
+            if (r.value != null) {
+              graft.functions.Kmv.add(buf, graft.functions.Kmv.hash60(
+                md5, r.value.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)), k)
+            }
+            n += 1
+          }
+          state.update((n, graft.functions.Kmv.serialize(buf)))
+          Iterator.single(DistinctEstimate(key, n,
+            graft.functions.Kmv.estimate(buf, k)))
+      }
+  }
+
   case class AsOfProbe(key: Long, ts: Long, probe_id: Long)
   case class AsOfVersion(key: Long, ts: Long, value: Double)
   case class AsOfUnion(key: Long, ts: Long, is_right: Boolean,

@@ -618,6 +618,42 @@ class StreamingOpsSpec extends SparkSpec {
       (104L, Some(30L), Some(2.0))), streamed.toString)
   }
 
+  test("kmvDistinctStream: running estimates are arrival-order " +
+      "independent — after any micro-batch split, the latest " +
+      "estimate equals the batch kmv_distinct aggregate exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val rnd = new scala.util.Random(7)
+    // key a: 3000 distinct (estimator path at k=128); key b: 50 (exact
+    // path); duplicates sprinkled in
+    val rows = rnd.shuffle(
+      (1 to 3000).map(i => StreamingOps.KeyedValue("a", s"va$i")) ++
+      (1 to 500).map(i => StreamingOps.KeyedValue("a", s"va${i % 40 + 1}")) ++
+      (1 to 80).map(i => StreamingOps.KeyedValue("b", s"vb${i % 50 + 1}")))
+    val parts = rows.grouped(1200).toSeq
+    val in = MemoryStream[StreamingOps.KeyedValue]
+    val q = StreamingOps.kmvDistinctStream(in.toDS())
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    parts.foreach { p => in.addData(p: _*); q.processAllAvailable() }
+    // memory sink in update mode appends every emitted update; the
+    // row with the max n_rows per key is the final state
+    val fin = s.sql(
+        """SELECT key, est_distinct FROM (
+             SELECT *, row_number() OVER (PARTITION BY key
+               ORDER BY n_rows DESC) AS rn FROM kmv_stream)
+           WHERE rn = 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = rows.toDF("key", "value").groupBy("key")
+      .agg(expr("kmv_distinct(value, 128)").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fin == batch, s"stream=$fin batch=$batch")
+    assert(batch("b") == 50L, "sub-k key must be exact")
+    assert(math.abs(batch("a") - 3000L) < 3000 * 0.36)
+  }
+
   test("urlCanon is a stateless map-side projection: stream " +
       "canonicalization equals batch") {
     val s = spark
