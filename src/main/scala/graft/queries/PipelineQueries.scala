@@ -1301,6 +1301,36 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // Poisson bootstrap (Chamandy et al., Google 2012) — THE
+    // distributed bootstrap: classical resampling needs n draws from
+    // a known global n (a coordination point); Poisson(1)
+    // multiplicities are row-local, so every replicate is one
+    // map-side projection + one aggregate at any scale. Multiplicity
+    // comes from a hash-derived uniform (md5 60-bit / 2^60, one IEEE
+    // divide) against Poisson(1) CDF literal cutoffs spelled
+    // identically in both engines, capped at 4 (P[X>4] ≈ 0.37%);
+    // everything aggregated is integer (doc multiplicities × n_chars),
+    // so replicate statistics are exact. Two replicates ride one
+    // explode — per (replicate, lang) resampled doc and char totals,
+    // the spread across replicates being the CI machinery.
+    "sample_bootstrap" -> ((s, d) => {
+      val u = conv(substring(md5(concat(lit("boot"), col("rep"),
+        lit("|"), col("doc_id"))), 1, 15), 16, 10).cast("long")
+        .cast("double") / lit(1152921504606846976.0)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(array(lit(0), lit(1))).as("rep"))
+        .withColumn("mult",
+          when(u < 0.36787944117144233, 0L)
+            .when(u < 0.7357588823428847, 1L)
+            .when(u < 0.9196986029286058, 2L)
+            .when(u < 0.9810118431238462, 3L)
+            .otherwise(4L))
+        .groupBy("rep", "lang")
+        .agg(sum(col("mult")).as("n_resampled"),
+          sum(col("mult") * col("n_chars")).as("chars_resampled"))
+    }),
+
     // Quality-weighted importance sampling: keep probability =
     // quality * 0.5, so high-quality docs survive preferentially —
     // one deterministic map-side predicate (oracle re-derives exact
@@ -2999,6 +3029,28 @@ object PipelineQueries {
          WHERE ('0x' || substr(md5('graft' || doc_id), 1, 8))::BIGINT % 100
            < CASE WHEN lang = 'en' THEN 20
                   WHEN lang = 'de' THEN 50 ELSE 80 END""",
+
+    // Poisson-bootstrap replay: same 60-bit uniform, same CDF literal
+    // cutoffs, integer sums — CAST pins because DuckDB widens SUM to
+    // HUGEINT.
+    "sample_bootstrap" ->
+      """WITH e AS (SELECT doc_id, lang, n_chars, rep
+           FROM documents CROSS JOIN unnest([0, 1]) AS r(rep)),
+         m AS (SELECT lang, rep, n_chars,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  ELSE 4 END AS mult
+           FROM (SELECT lang, rep, n_chars,
+               CAST(('0x' || substr(md5('boot' || CAST(rep AS VARCHAR)
+                 || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS DOUBLE) / 1152921504606846976.0 AS u
+             FROM e))
+         SELECT rep, lang,
+           CAST(sum(mult) AS BIGINT) AS n_resampled,
+           CAST(sum(mult * n_chars) AS BIGINT) AS chars_resampled
+         FROM m GROUP BY 1, 2""",
 
     // same quality expression as pipeline_filter's (proven green
     // there); one double multiply by 500000.0 mirrors weight*(rate*1e6)
