@@ -46,7 +46,7 @@ object Dedup {
   def urlCanon(url: Column): Column = {
     val c1 = regexp_replace(url, "#.*$", "")
     val c2 = regexp_replace(c1, "\\?utm_[^#]*$", "")
-    concat(
+    val built = concat(
       lower(regexp_extract(c2, "^([A-Za-z]+)://", 1)),
       lit("://"),
       regexp_replace(
@@ -55,6 +55,9 @@ object Dedup {
       regexp_replace(
         regexp_extract(c2, "^[A-Za-z]+://[^/]+(/.*)?$", 1),
         "/$", ""))
+    // schemeless/garbage input passes through unchanged rather than
+    // collapsing to "://" — canonicalization must never destroy a key
+    when(url.rlike("^[A-Za-z]+://"), built).otherwise(url)
   }
 
   /** (h1, h2) 32-bit hash pair of a string: the first/second 8 hex chars

@@ -600,6 +600,13 @@ object StreamingOps {
     * same-instant duplicates the last arrival wins. The spec pins
     * batch-equivalence vs `AsOfJoin.lastEarlier` across scrambled
     * micro-batches.
+    *
+    * State retention: one (ts, value) tuple per key, forever — total
+    * state is O(|keys|), the floor any keyed enrichment can have. A
+    * deployment with an unbounded churning key space should wrap this
+    * with a `GroupStateTimeout` eviction (evicted keys then enrich as
+    * null until their next version), a policy decision deliberately
+    * left to the caller.
     */
   def asofJoinStream(probes: Dataset[AsOfProbe],
       versions: Dataset[AsOfVersion]): Dataset[AsOfEnriched] = {

@@ -679,6 +679,12 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.count(_ == "http://www.a.com/x") == 4,
       "all four messy variants must collapse")
     assert(batch.contains("https://b.com/y"))
+    // schemeless/garbage input must pass through, never collapse to
+    // the "://" degenerate key
+    val junk = Seq("not a url", "www.a.com/x").toDF("value")
+      .select(graft.ext.Dedup.urlCanon(col("value")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(junk == Seq("not a url", "www.a.com/x"), junk.toString)
   }
 
   test("asofJoinStream: stream-stream as-of with O(1) keyed state " +
