@@ -17,6 +17,8 @@ import graft.functions.{BloomContains, DotDouble, KmvDistinct, QuantizeI8, SignB
   * per-session `register(spark)` helpers remain for ad-hoc use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.kmvDistinctBuilder
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("rolling_hash64"),
@@ -43,8 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
-      (children: Seq[Expression]) => KmvDistinct(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+      kmvDistinctBuilder))
     // Keyless BETWEEN joins → binned equi-joins (opt-in via
     // spark.graft.rangeJoin.binWidth; see plans/RangeJoinRewrite).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
@@ -64,5 +65,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc on the ANALYZED plan — before column pruning makes the
     // join's two copies of the shared subtree structurally diverge.
     ext.injectPostHocResolutionRule(_ => graft.plans.AggJoinToWindow)
+  }
+}
+
+object GraftExtensions {
+  /** SQL builder for `kmv_distinct(col, k)`. The k argument must be
+    * collapsed to an Int at registration time (it sizes the
+    * aggregate's bounded state), so every malformed call — wrong
+    * arity, non-foldable k, NULL, non-numeric, k < 2 — is rejected
+    * HERE with a clean AnalysisException naming the function, rather
+    * than surfacing as IndexOutOfBounds/ClassCast/NPE from the naive
+    * `children(1).eval()` unpack. */
+  private[graft] def kmvDistinctBuilder(
+      children: Seq[Expression]): Expression = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" -> s"kmv_distinct: $msg"))
+    if (children.length != 2)
+      fail(s"expects exactly 2 arguments (column, k), got ${children.length}")
+    val kExpr = children(1)
+    if (!kExpr.foldable)
+      fail("k must be a foldable (literal) expression")
+    val kVal = kExpr.eval()
+    if (kVal == null) fail("k must not be NULL")
+    val k = kVal match {
+      case n: java.lang.Number => n.intValue()
+      case other => fail(
+        s"k must be numeric, got ${other.getClass.getSimpleName}")
+    }
+    if (k < 2) fail(s"k must be >= 2, got $k")
+    KmvDistinct(children(0), k)
   }
 }

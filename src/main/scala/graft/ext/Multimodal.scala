@@ -283,7 +283,9 @@ object Multimodal {
       while (!done) {
         if (p + 8 > bytes.length) return None
         val len = be32(p)
-        if (len < 0 || p + 12 + len > bytes.length) return None
+        // long arithmetic: a crafted len near Int.MaxValue wraps
+        // p + 12 + len negative, sneaking past an int bounds check
+        if (len < 0 || p.toLong + 12L + len > bytes.length) return None
         val isIdat = bytes(p + 4) == 'I' && bytes(p + 5) == 'D' &&
           bytes(p + 6) == 'A' && bytes(p + 7) == 'T'
         val isIend = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
@@ -357,7 +359,9 @@ object Multimodal {
       Some((w, h, gray))
     } catch {
       case _: java.util.zip.DataFormatException => None
-      case _: ArrayIndexOutOfBoundsException => None
+      // the broad parent: ByteArrayOutputStream.write and friends
+      // throw plain IndexOutOfBoundsException, not the Array subclass
+      case _: IndexOutOfBoundsException => None
     }
   }
 

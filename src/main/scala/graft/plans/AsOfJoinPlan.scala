@@ -67,17 +67,105 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * (null payload on no match) and filtering the right side would
   * change which version matches. Bails entirely on any
   * non-deterministic conjunct (pushing past it would change how often
-  * it evaluates). Injected by `GraftExtensions`.
+  * it evaluates).
+  *
+  * One right-side exception, mirroring what Spark's
+  * `InferFiltersFromConstraints` does for standard equi-joins:
+  * a pushed conjunct that constrains ONLY the left KEY is additionally
+  * COPIED (not moved) to the right child. A right version whose key
+  * fails the predicate can only ever match a left row that the same
+  * predicate just eliminated, so dropping it is invisible — and it
+  * shrinks the right-side scan + shuffle by the key selectivity.
+  * "Constrains only the key" means the conjunct's sole reference is
+  * either the node-level key attribute (child col 0) or the integral
+  * source attribute it was `cast(... as long)` from (the wrapper's
+  * `__k = cast(userKey)` shape, traced through the child Project).
+  * In the traced case the mirrored predicate rewrites that source to
+  * `try_cast(rightKey AS sourceType)`: for any right row that could
+  * match a surviving left row the key equals a widened in-range value,
+  * so the narrowing round-trip is exact; an out-of-range right key
+  * try-casts to NULL and is dropped — correct, since it can never
+  * equal any in-range left key. Injected by `GraftExtensions`.
   */
 object AsOfJoinFilterPushdown extends Rule[LogicalPlan]
     with PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, Cast, EvalMode, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  private def integral(dt: org.apache.spark.sql.types.DataType) =
+    dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType
+
+  /** The integral attribute the child's col-0 key is an identity or
+    * widening cast of, traced through Filters and one Project. */
+  private def col0Source(plan: LogicalPlan): Option[Attribute] =
+    plan match {
+      case Filter(_, c) => col0Source(c)
+      case p: Project => p.projectList.head match {
+        case a: Attribute if integral(a.dataType) => Some(a)
+        case Alias(a: Attribute, _) if integral(a.dataType) => Some(a)
+        case Alias(c: Cast, _) if c.evalMode != EvalMode.TRY =>
+          c.child match {
+            case a: Attribute if integral(a.dataType) => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => Some(plan.output.head).filter(a => integral(a.dataType))
+    }
+
+  private def mirrorOf(conjunct: Expression, j: AsOfJoinNode)
+      : Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, In}
+    val rKey = j.right.output.head
+    val lKey = j.left.output.head
+    val srcOpt = (
+      if (conjunct.references == AttributeSet(lKey)) Some(lKey)
+      else col0Source(j.left)
+        .filter(s => conjunct.references == AttributeSet(s))
+    ).filter(s => integral(s.dataType))
+    srcOpt.map { src =>
+      if (src.dataType == rKey.dataType)
+        conjunct.transform {
+          case a: Attribute if a.semanticEquals(src) => rKey }
+      else {
+        // src is a NARROWER integral the key was widened from. For
+        // comparisons against literals, widen the LITERAL side (exact
+        // + monotonic for integrals) so the bare rKey attribute can
+        // travel through the right Project and unwrap into the scan's
+        // PushedFilters; for any other shape, narrow rKey back with a
+        // TRY cast (NULL → dropped, and an out-of-range right key can
+        // never equal an in-range left key, so dropping is correct).
+        def widen(e: Expression): Expression = Cast(e, LongType)
+        conjunct.transform {
+          case cmp @ BinaryComparison(a: Attribute, other)
+              if a.semanticEquals(src) && other.foldable =>
+            cmp.withNewChildren(Seq(rKey, widen(other)))
+          case cmp @ BinaryComparison(other, a: Attribute)
+              if a.semanticEquals(src) && other.foldable =>
+            cmp.withNewChildren(Seq(widen(other), rKey))
+          case In(a: Attribute, list)
+              if a.semanticEquals(src) && list.forall(_.foldable) =>
+            In(rKey, list.map(widen))
+          case a: Attribute if a.semanticEquals(src) =>
+            Cast(rKey, src.dataType, None, EvalMode.TRY)
+        }
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, j: AsOfJoinNode) if cond.deterministic =>
       val (push, keep) = splitConjunctivePredicates(cond)
         .partition(_.references.subsetOf(j.left.outputSet))
       if (push.isEmpty) f
       else {
-        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        val mirror = push.flatMap(mirrorOf(_, j))
+        val pushed = j.copy(
+          left = Filter(push.reduce(And), j.left),
+          right = mirror.reduceOption(And)
+            .map(Filter(_, j.right)).getOrElse(j.right))
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
@@ -94,11 +182,23 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan]
   * references are dropped via an inner Project, which the standard
   * rules then push into the scan's ReadSchema.
   *
-  * Observably safe despite the tie-break contract (the exec sorts the
-  * right side by ALL its columns): dropping an unused payload column
-  * changes which physical row wins an equal-(key,time) tie only among
-  * rows that are IDENTICAL in every kept column — the visible output
-  * is the same either way. Injected by `GraftExtensions`.
+  * The two sides have different safety envelopes, because the exec's
+  * tie-break sorts the RIGHT side by all its columns:
+  *
+  *  - LEFT payloads prune freely. Every left row maps 1:1 to an
+  *    output row whose match depends only on its own (key, time);
+  *    left-side order never reaches the output.
+  *  - RIGHT payloads prune only as a contiguous TRAILING suffix of
+  *    unused columns. The sort order over the kept columns is then a
+  *    prefix of the original total order, so a dropped column can
+  *    only reorder rows that are EQUAL on every kept column — rows
+  *    whose kept (visible) values are identical, making the winner
+  *    swap output-invariant. Dropping an unused column that precedes
+  *    a kept one is NOT safe: tie rows (t, p1=5, p2=1) vs
+  *    (t, p1=1, p2=9) with p1 unused output p2=1 under the original
+  *    order but p2=9 once p1 stops participating in the sort.
+  *
+  * Injected by `GraftExtensions`.
   */
 object AsOfJoinColumnPruning extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
@@ -109,7 +209,14 @@ object AsOfJoinColumnPruning extends Rule[LogicalPlan] {
       val used = AttributeSet(projList.flatMap(_.references))
       def keep(child: LogicalPlan) =
         child.output.take(2) ++ child.output.drop(2).filter(used.contains)
-      val (kl, kr) = (keep(j.left), keep(j.right))
+      // right: keep everything up to (and including) the LAST used
+      // payload — only the all-unused tail may go (tie-break safety).
+      def keepTrailing(child: LogicalPlan) = {
+        val payloads = child.output.drop(2)
+        child.output.take(2) ++
+          payloads.take(payloads.lastIndexWhere(used.contains) + 1)
+      }
+      val (kl, kr) = (keep(j.left), keepTrailing(j.right))
       if (kl.length == j.left.output.length &&
           kr.length == j.right.output.length) p
       else Project(projList, j.copy(

@@ -25,4 +25,24 @@ class GraftExtensionsSpec extends SparkSpec {
     // one band of 3 rows packs bits 1,1,0
     assert(r.getSeq[Long](3) == Seq(3L))
   }
+
+  test("kmv_distinct builder rejects malformed calls with a clean " +
+      "AnalysisException naming the function, not IOOBE/CCE/NPE") {
+    import org.apache.spark.sql.AnalysisException
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[AnalysisException](spark.sql(sql).collect())
+      assert(e.getMessage.contains("kmv_distinct") &&
+        e.getMessage.contains(frag), s"$sql -> ${e.getMessage}")
+    }
+    bad("SELECT kmv_distinct('x')", "exactly 2 arguments")
+    bad("SELECT kmv_distinct('x', 2, 3)", "exactly 2 arguments")
+    bad("SELECT kmv_distinct(t, id % 7) FROM (SELECT 'a' t, 1 id)",
+      "foldable")
+    bad("SELECT kmv_distinct('x', CAST(NULL AS INT))", "NULL")
+    bad("SELECT kmv_distinct('x', 'many')", "numeric")
+    bad("SELECT kmv_distinct('x', 1)", ">= 2")
+    // and the well-formed call still works through the same builder
+    assert(spark.sql("SELECT kmv_distinct(t, 16) FROM VALUES ('a'), " +
+      "('b'), ('a') AS v(t)").head.getLong(0) == 2L)
+  }
 }

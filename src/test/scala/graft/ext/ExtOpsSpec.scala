@@ -805,6 +805,13 @@ class MultimodalSpec extends SparkSpec {
     hostile(16) = 0x40; hostile(17) = 0; hostile(18) = 0; hostile(19) = 0
     hostile(20) = 0x40; hostile(21) = 0; hostile(22) = 0; hostile(23) = 0
     assert(Multimodal.decodePngPixels(hostile).isEmpty)
+    // chunk length near Int.MaxValue: int arithmetic would wrap
+    // p + 12 + len negative, sneak past the bounds check, and crash
+    // idat.write with a PLAIN IndexOutOfBoundsException — must be None
+    val wrap = png.clone()
+    wrap(33) = 0x7F.toByte; wrap(34) = 0xFF.toByte
+    wrap(35) = 0xFF.toByte; wrap(36) = 0xF0.toByte
+    assert(Multimodal.decodePngPixels(wrap).isEmpty)
     assert(Multimodal.decodePngPixels("not a png".getBytes).isEmpty)
     assert(Multimodal.decodePngPixels(Array.emptyByteArray).isEmpty)
   }

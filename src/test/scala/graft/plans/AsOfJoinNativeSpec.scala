@@ -366,6 +366,66 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(got("a") == (90L, 5.0) && got("b") == (80L, 3.0), got.toString)
   }
 
+  test("AsOfJoinColumnPruning tie-safety: an unused payload that " +
+      "PRECEDES a kept one is retained (pruning it would flip which " +
+      "tie row wins); only the all-unused trailing suffix prunes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof_tie")
+    val rightPath = s"$dir/right"
+    // equal-(key,time) tie rows that differ in BOTH the dropped and a
+    // kept column: under the full sort (t, p1, p2) the max tuple is
+    // (5.0, 1.0) -> p2 = 1.0; if p1 were pruned the sort would become
+    // (t, p2) and the winner would flip to p2 = 9.0.
+    Seq((1L, 90L, 5.0, 1.0, "x"), (1L, 90L, 1.0, 9.0, "y"))
+      .toDF("k", "t", "p1", "p2", "tail").write.parquet(rightPath)
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "pid")
+    val joined = AsOfJoinNative.asofBackward(left, col("k"), col("t"),
+        s.read.parquet(rightPath), col("k"), col("t"),
+        Seq("rp1" -> col("p1"), "rp2" -> col("p2"),
+          "rtail" -> col("tail")))
+      .select("pid", "rp2") // rp1 unused but NON-trailing; rtail unused trailing
+    assert(joined.head.getDouble(1) == 1.0,
+      "pruning a non-trailing unused payload flipped the tie winner")
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val rightScan = "ReadSchema: struct<([^>\\n]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).find(_.contains("p2:double"))
+    assert(rightScan.isDefined, p)
+    assert(rightScan.get.contains("p1"),
+      s"non-trailing unused payload must stay in the sort: ${rightScan.get}")
+    assert(!rightScan.get.contains("tail"),
+      s"all-unused trailing suffix must still prune: ${rightScan.get}")
+  }
+
+  test("AsOfJoinFilterPushdown mirrors a key-range predicate to the " +
+      "RIGHT scan's PushedFilters; results equal pre-filtering") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof_mirror")
+    (1 to 200).map(i => (i % 100, i.toLong, s"p$i"))
+      .toDF("lk", "t", "pid").write.parquet(s"$dir/left")
+    (1 to 200).map(i => (i % 100, i.toLong, i * 1.0))
+      .toDF("rk", "t", "v").write.parquet(s"$dir/right")
+    val leftDf = s.read.parquet(s"$dir/left")
+    def join(l: org.apache.spark.sql.DataFrame) =
+      AsOfJoinNative.asofBackward(l, col("lk"), col("t"),
+        s.read.parquet(s"$dir/right"), col("rk"), col("t"),
+        Seq("rv" -> col("v")))
+    val post = join(leftDf).filter(col("lk") < 50)
+    val p = post.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LessThan(lk,50)"),
+      "left scan must get the pushed filter:\n" + p)
+    assert(p.contains("LessThan(rk,50)"),
+      "right scan must get the MIRRORED key filter:\n" + p)
+    val a = post.collect().map(_.toSeq.toString).sorted
+    val b = join(leftDf.filter(col("lk") < 50)).collect()
+      .map(_.toSeq.toString).sorted
+    assert(a.length > 0 && a.sameElements(b),
+      s"mirroring changed results: post=${a.length} pre=${b.length}")
+  }
+
   test("exec metrics: numOutputRows == probe rows (left-outer " +
       "contract), matchedRows counts only real payload hits") {
     val s = spark
