@@ -547,15 +547,35 @@ object StreamingOps {
     * the batch aggregate over the union exactly (spec-pinned). The
     * cardinality-monitoring shape: per-tenant distinct users, per-key
     * vocabulary growth, join-key explosion alarms.
+    *
+    * State retention: one sketch (4+8k bytes) per key, forever by
+    * default. The rows carry no event time, so eviction is wall-clock:
+    * pass `evictAfterIdleMs >= 0` to drop a key's sketch after that
+    * long with no arrivals (processing-time timeout). An evicted key
+    * that reappears restarts its sketch — and its `n_rows` counter —
+    * from zero, the standard monitoring-window reset. Engine note:
+    * with a processing-time timeout Spark schedules timer-check
+    * micro-batches continuously (`shouldRunAnotherBatch` is always
+    * true), so `processAllAvailable()` never observes quiescence —
+    * test harnesses must poll the sink instead.
     */
   def kmvDistinctStream(rows: Dataset[KeyedValue],
-      k: Int = 128): Dataset[DistinctEstimate] = {
+      k: Int = 128,
+      evictAfterIdleMs: Long = -1L): Dataset[DistinctEstimate] = {
     import rows.sparkSession.implicits._
+    val evicting = evictAfterIdleMs >= 0
+    val timeoutConf =
+      if (evicting) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     rows.groupByKey(_.key)
       .flatMapGroupsWithState[(Long, Array[Byte]), DistinctEstimate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (key: String, it: Iterator[KeyedValue],
             state: GroupState[(Long, Array[Byte])]) =>
+          if (evicting && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val (n0, bytes) = state.getOption.getOrElse(
             (0L, graft.functions.Kmv.serialize(
               new java.util.TreeSet[java.lang.Long]())))
@@ -571,8 +591,10 @@ object StreamingOps {
             n += 1
           }
           state.update((n, graft.functions.Kmv.serialize(buf)))
+          if (evicting) state.setTimeoutDuration(evictAfterIdleMs)
           Iterator.single(DistinctEstimate(key, n,
             graft.functions.Kmv.estimate(buf, k)))
+          }
       }
   }
 
@@ -601,36 +623,61 @@ object StreamingOps {
     * batch-equivalence vs `AsOfJoin.lastEarlier` across scrambled
     * micro-batches.
     *
-    * State retention: one (ts, value) tuple per key, forever — total
-    * state is O(|keys|), the floor any keyed enrichment can have. A
-    * deployment with an unbounded churning key space should wrap this
-    * with a `GroupStateTimeout` eviction (evicted keys then enrich as
-    * null until their next version), a policy decision deliberately
-    * left to the caller.
+    * State retention: one (ts, value) tuple per key — total state is
+    * O(|keys|), the floor any keyed enrichment can have. For an
+    * unbounded churning key space, pass `evictAfterUs >= 0`: a key
+    * whose latest version falls more than that many EVENT-TIME
+    * microseconds behind the watermark is evicted (event-time
+    * timeout), after which its probes enrich as null until the next
+    * version arrives — the documented cold-key tradeoff. The default
+    * (-1) keeps every key forever, matching the batch semantics
+    * exactly.
     */
   def asofJoinStream(probes: Dataset[AsOfProbe],
-      versions: Dataset[AsOfVersion]): Dataset[AsOfEnriched] = {
+      versions: Dataset[AsOfVersion],
+      evictAfterUs: Long = -1L): Dataset[AsOfEnriched] = {
     import probes.sparkSession.implicits._
-    val tagged = probes
+    val raw = probes
       .map(p => AsOfUnion(p.key, p.ts, is_right = false, p.probe_id, 0.0))
       .unionByName(versions
         .map(v => AsOfUnion(v.key, v.ts, is_right = true, 0L, v.value)))
+    val evicting = evictAfterUs >= 0
+    // event-time timeouts require a watermark; one node above the
+    // union covers both legs (delay 0: arrival is event-time-ordered
+    // per the op's contract, so nothing is dropped by the watermark)
+    val tagged =
+      if (!evicting) raw
+      else raw.withColumn("__et", timestamp_micros(col("ts")))
+        .withWatermark("__et", "0 seconds").as[AsOfUnion]
+    val timeoutConf =
+      if (evicting) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[(Long, Double), AsOfEnriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: Long, rows: Iterator[AsOfUnion],
             state: GroupState[(Long, Double)]) =>
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer[AsOfEnriched]()
-          rows.toSeq
-            .sortBy(r => (r.ts, if (r.is_right) 0 else 1, r.probe_id))
-            .foreach { r =>
-              if (r.is_right) st = (r.ts, r.value)
-              else out += AsOfEnriched(key, r.ts, r.probe_id,
-                Option(st).map(_._1), Option(st).map(_._2))
+          if (evicting && state.hasTimedOut) {
+            state.remove() // stale key: next probe enriches as null
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[AsOfEnriched]()
+            rows.toSeq
+              .sortBy(r => (r.ts, if (r.is_right) 0 else 1, r.probe_id))
+              .foreach { r =>
+                if (r.is_right) st = (r.ts, r.value)
+                else out += AsOfEnriched(key, r.ts, r.probe_id,
+                  Option(st).map(_._1), Option(st).map(_._2))
+              }
+            if (st != null) {
+              state.update(st)
+              if (evicting) state.setTimeoutTimestamp(math.max(
+                (st._1 + evictAfterUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
-          if (st != null) state.update(st)
-          out.iterator
+            out.iterator
+          }
       }
   }
 
@@ -655,19 +702,37 @@ object StreamingOps {
     * would reproduce. Within a micro-batch rows sort by
     * (us, event_id) so catch-up bursts replay deterministically;
     * across batches per-user arrival is assumed event-time-ordered
-    * (the same contract as [[cusumStream]]). The final open session
-    * stays in state until a later event closes it — the spec pins
-    * both the closed-session equality and the late flush.
+    * (the same contract as [[cusumStream]]).
+    *
+    * State retention: by default (-1) the final open session stays
+    * buffered until a later event closes it — a key that goes silent
+    * forever retains its buffer forever and that session is never
+    * emitted. Pass `flushAfterUs >= 0` (gapUs is the natural choice)
+    * to arm an EVENT-TIME timeout: once the watermark passes
+    * lastEvent + flushAfterUs, the open session is FLUSHED — emitted
+    * with exactly the row a closing event would have produced — and
+    * the key's state evicted. After a flush, a reborn key restarts
+    * session numbering at 1 (the counter lived in the evicted state).
+    * The spec pins flush == close and the restart.
     */
   def patternStream(ev: Dataset[PatternEvent],
       gapUs: Long = 1800000000L,
-      pattern: String = "view.*click.*purchase")
+      pattern: String = "view.*click.*purchase",
+      flushAfterUs: Long = -1L)
       : Dataset[SessionPattern] = {
     import ev.sparkSession.implicits._
     val rx = pattern
-    ev.groupByKey(_.user_id)
+    val flushing = flushAfterUs >= 0
+    val src =
+      if (!flushing) ev
+      else ev.withColumn("__et", timestamp_micros(col("us")))
+        .withWatermark("__et", "0 seconds").as[PatternEvent]
+    val timeoutConf =
+      if (flushing) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[PatternState, SessionPattern](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[PatternEvent],
             state: GroupState[PatternState]) =>
           val p = java.util.regex.Pattern.compile(rx)
@@ -677,18 +742,29 @@ object StreamingOps {
             SessionPattern(user, st.sess, st.events.length.toLong,
               p.matcher(seq).find())
           }
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer[SessionPattern]()
-          rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            val entry = (e.us, e.event_id, e.event_type)
-            if (st == null) st = PatternState(1L, e.us, List(entry))
-            else if (e.us - st.lastUs > gapUs) {
-              out += close(st)
-              st = PatternState(st.sess + 1, e.us, List(entry))
-            } else st = PatternState(st.sess, e.us, entry :: st.events)
+          if (flushing && state.hasTimedOut) {
+            val flushed = state.getOption.map(close).iterator
+            state.remove()
+            flushed
+          } else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[SessionPattern]()
+            rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              val entry = (e.us, e.event_id, e.event_type)
+              if (st == null) st = PatternState(1L, e.us, List(entry))
+              else if (e.us - st.lastUs > gapUs) {
+                out += close(st)
+                st = PatternState(st.sess + 1, e.us, List(entry))
+              } else st = PatternState(st.sess, e.us, entry :: st.events)
+            }
+            if (st != null) {
+              state.update(st)
+              if (flushing) state.setTimeoutTimestamp(math.max(
+                (st.lastUs + flushAfterUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 

@@ -804,4 +804,126 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(after == batch, s"flush mismatch: stream=$after batch=$batch")
   }
+
+  test("patternStream flushAfterUs: a silent key's open session is " +
+      "FLUSHED by the event-time timeout with exactly the row a " +
+      "closing event would emit; a reborn key restarts at sess 1") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val M = 1000000L // 1s in us
+    val gap = 60 * M
+    def ev(u: Long, id: Long, t: String, us: Long) =
+      StreamingOps.PatternEvent(u, id, t, us)
+    val in = MemoryStream[StreamingOps.PatternEvent]
+    val q = StreamingOps.patternStream(in.toDS(), gapUs = gap,
+        flushAfterUs = gap)
+      .writeStream.format("memory").queryName("pattern_flush")
+      .outputMode("append").start()
+    // user 2 exists only to advance the watermark; its own sessions
+    // close/flush on their own schedule, so assert on user 1 only
+    def rows = s.sql(
+        "SELECT user_id, sess, n_events, hit FROM pattern_flush " +
+        "WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // user 1 opens a matching session, then goes silent forever;
+    // user 2's events advance the watermark past 1's flush deadline
+    in.addData(ev(1, 1, "view", 10 * M), ev(1, 2, "click", 11 * M),
+      ev(1, 3, "purchase", 12 * M), ev(2, 4, "view", 12 * M))
+    q.processAllAvailable()
+    assert(rows.isEmpty, "nothing closed yet")
+    in.addData(ev(2, 5, "view", 500 * M)) // wm -> 500s after batch
+    q.processAllAvailable()
+    in.addData(ev(2, 6, "view", 501 * M)) // timer fires at batch start
+    q.processAllAvailable()
+    // the flushed row is EXACTLY what a closing event would produce
+    assert(rows == Set((1L, 1L, 3L, true)), rows.toString)
+    // reborn key 1: state was evicted, so numbering restarts at 1 —
+    // close the new session with a beyond-gap event to observe it
+    in.addData(ev(1, 7, "view", 600 * M))
+    q.processAllAvailable()
+    in.addData(ev(1, 8, "view", 700 * M))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows == Set((1L, 1L, 3L, true), (1L, 1L, 1L, false)),
+      rows.toString)
+  }
+
+  test("asofJoinStream evictAfterUs: a key whose version falls " +
+      "behind the watermark is evicted and re-enriches as NULL " +
+      "until its next version arrives") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val M = 1000000L
+    val probes = MemoryStream[StreamingOps.AsOfProbe]
+    val versions = MemoryStream[StreamingOps.AsOfVersion]
+    val q = StreamingOps.asofJoinStream(probes.toDS(), versions.toDS(),
+        evictAfterUs = 60 * M)
+      .writeStream.format("memory").queryName("asof_evict")
+      .outputMode("append").start()
+    def byProbe = s.sql(
+        "SELECT probe_id, match_ts, match_value FROM asof_evict")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2))))
+      .toMap
+    // live enrichment works
+    versions.addData(StreamingOps.AsOfVersion(1L, 10 * M, 1.5))
+    probes.addData(StreamingOps.AsOfProbe(1L, 11 * M, 101L))
+    q.processAllAvailable()
+    assert(byProbe(101L) == (Some(10 * M), Some(1.5)))
+    // another key's version pushes the watermark far past key 1's
+    // eviction deadline; the following batch fires the timer
+    versions.addData(StreamingOps.AsOfVersion(2L, 500 * M, 9.9))
+    q.processAllAvailable()
+    versions.addData(StreamingOps.AsOfVersion(2L, 501 * M, 9.8))
+    q.processAllAvailable()
+    // key 1 was evicted: a fresh probe enriches as NULL
+    probes.addData(StreamingOps.AsOfProbe(1L, 502 * M, 102L))
+    q.processAllAvailable()
+    assert(byProbe(102L) == (None, None), byProbe.toString)
+    // its next version restores enrichment
+    versions.addData(StreamingOps.AsOfVersion(1L, 510 * M, 2.5))
+    q.processAllAvailable()
+    probes.addData(StreamingOps.AsOfProbe(1L, 511 * M, 103L))
+    q.processAllAvailable()
+    q.stop()
+    assert(byProbe(103L) == (Some(510 * M), Some(2.5)), byProbe.toString)
+  }
+
+  test("kmvDistinctStream evictAfterIdleMs: an idle key's sketch is " +
+      "dropped (processing-time timeout) and restarts from zero on " +
+      "its next arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val in = MemoryStream[StreamingOps.KeyedValue]
+    val q = StreamingOps.kmvDistinctStream(in.toDS(),
+        evictAfterIdleMs = 1L)
+      .writeStream.format("memory").queryName("kmv_evict")
+      .outputMode("update").start()
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch always true:
+    // the engine runs timer-check batches continuously, so
+    // processAllAvailable never observes quiescence — poll the sink
+    def aRows = s.sql(
+        "SELECT n_rows, est_distinct FROM kmv_evict WHERE key = 'a'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime < deadline) Thread.sleep(50)
+      assert(cond, "condition not met within 30s")
+    }
+    in.addData(StreamingOps.KeyedValue("a", "x"),
+      StreamingOps.KeyedValue("a", "y"))
+    await(aRows.contains((2L, 2L)))
+    // the 1 ms idle deadline passes; the continuously-running timer
+    // batches evict key a's sketch well within this sleep
+    Thread.sleep(300)
+    in.addData(StreamingOps.KeyedValue("a", "x")) // reborn key
+    // restart from zero: (1 row, 1 distinct) — NOT (3, 2)
+    await(aRows.contains((1L, 1L)))
+    q.stop()
+    assert(aRows == Set((2L, 2L), (1L, 1L)), aRows.toString)
+  }
 }
