@@ -35,26 +35,37 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** URL canonicalization — the pre-content-dedup normalization every
-    * crawl pipeline runs: strip fragment, strip a utm tracking query,
-    * lowercase scheme+host, drop the default :80 port, trim a
-    * trailing slash. All patterns are ANCHORED single-match regexes
-    * (so replace-all and replace-first engines agree) with no
-    * backreferences, and the whole pipeline is one codegen'd
-    * map-side projection — stateless, so it runs unchanged on a
-    * stream. Used by `dedup_url`; spec pins stream==batch.
+    * crawl pipeline runs: strip fragment, canonicalize the query at
+    * the PARAMETER level (split on `&`, drop tracking params —
+    * `utm_*`/`gclid`/`fbclid` — wherever they appear, sort the
+    * survivors, rejoin), lowercase scheme+host, drop the default :80
+    * port, trim a trailing slash. Param-level work means
+    * `?a=1&utm_source=x` and `?b=2&a=1` vs `?a=1&b=2` all collapse —
+    * the cases a leading-tracking-only regex strip under-dedups on a
+    * real crawl. Everything is `split`/`filter`/`array_sort`/
+    * `array_join` built-ins plus ANCHORED single-match regexes (no
+    * backreferences), so replace-all and replace-first engines agree
+    * and the DuckDB oracle replays it list-op-for-list-op. One
+    * codegen'd map-side projection — stateless, so it runs unchanged
+    * on a stream. Used by `dedup_url`; spec pins stream==batch.
     */
   def urlCanon(url: Column): Column = {
-    val c1 = regexp_replace(url, "#.*$", "")
-    val c2 = regexp_replace(c1, "\\?utm_[^#]*$", "")
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val pathPart = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$"))
+    val qs = array_join(array_sort(kept), "&")
     val built = concat(
-      lower(regexp_extract(c2, "^([A-Za-z]+)://", 1)),
+      lower(regexp_extract(pathPart, "^([A-Za-z]+)://", 1)),
       lit("://"),
       regexp_replace(
-        lower(regexp_extract(c2, "^[A-Za-z]+://([^/]+)", 1)),
+        lower(regexp_extract(pathPart, "^[A-Za-z]+://([^/]+)", 1)),
         ":80$", ""),
       regexp_replace(
-        regexp_extract(c2, "^[A-Za-z]+://[^/]+(/.*)?$", 1),
-        "/$", ""))
+        regexp_extract(pathPart, "^[A-Za-z]+://[^/]+(/.*)?$", 1),
+        "/$", ""),
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
     // schemeless/garbage input passes through unchanged rather than
     // collapsing to "://" — canonicalization must never destroy a key
     when(url.rlike("^[A-Za-z]+://"), built).otherwise(url)

@@ -147,23 +147,32 @@ object PipelineQueries {
     // HTTP://HOST:80/p, host/p?utm_…, host/p/#frag, and host/p.
     // Messy URLs are planted deterministically from doc_id (pairs
     // share a page), then canonicalized GENERICALLY — fragment strip,
-    // utm-query strip, scheme+host lowercased, default port dropped,
-    // trailing slash trimmed — with anchored regexes (single-match,
-    // so Spark's replace-all and the oracle engine's replace-first
-    // agree; no backreferences — Spark spells $1, RE2 spells \1).
-    // One map-side projection + one hash-groupBy; no pair mining.
+    // PARAM-LEVEL query canonicalization (tracking params dropped
+    // anywhere they appear, survivors sorted), scheme+host lowercased,
+    // default port dropped, trailing slash trimmed. The fixture
+    // covers a tracking-only query, a MID-query tracking param, and
+    // a param-ORDER variant — the crawl cases a leading-utm_ regex
+    // strip under-dedups. One map-side projection + one hash-groupBy;
+    // no pair mining.
     "dedup_url" -> ((s, d) => {
       val p = (col("doc_id") / 2).cast("long")
       val base = concat(lit("http://www.site"), (p % 50).cast("string"),
         lit(".com/docs/"), p.cast("string"))
       documents(s, d).select(col("doc_id"),
+          // pair (4k, 4k+1): scrambled order + trailing gclid vs
+          // mid-query utm — both must canon to ...?a=1&b=2
           when(col("doc_id") % 4 === 0,
             concat(lit("HTTP://WWW.SITE"), (p % 50).cast("string"),
-              lit(".COM:80/docs/"), p.cast("string")))
+              lit(".COM:80/docs/"), p.cast("string"),
+              lit("?b=2&a=1&gclid=abc")))
           .when(col("doc_id") % 4 === 1,
-            concat(base, lit("?utm_source=feed")))
-          .when(col("doc_id") % 4 === 2, concat(base, lit("/#section")))
-          .otherwise(base).as("url"))
+            concat(base, lit("?a=1&utm_campaign=x&b=2")))
+          // pair (4k+2, 4k+3): tracking-only query + slash + fragment
+          // vs the plain page — both must canon to the bare base
+          .when(col("doc_id") % 4 === 2,
+            concat(base, lit("/?utm_source=feed#section")))
+          .otherwise(base)
+          .as("url"))
         .withColumn("canon", Dedup.urlCanon(col("url")))
         .groupBy("canon")
         .agg(min(col("doc_id")).as("keep_doc"),
@@ -2324,39 +2333,49 @@ object PipelineQueries {
       """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
          FROM documents GROUP BY lang, source""",
 
-    // URL replay: same planted messiness, same anchored-regex
-    // canonicalization (regexp_replace first-match == all-matches on
-    // $-anchored patterns; no backreferences).
+    // URL replay: same planted messiness, same PARAM-LEVEL query
+    // canonicalization (list_filter/list_sort replay Spark's
+    // filter/array_sort list-op-for-list-op; anchored single-match
+    // regexes everywhere else, no backreferences).
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,
            CASE WHEN doc_id % 4 = 0 THEN
              'HTTP://WWW.SITE' || CAST((doc_id // 2) % 50 AS VARCHAR)
                || '.COM:80/docs/' || CAST(doc_id // 2 AS VARCHAR)
+               || '?b=2&a=1&gclid=abc'
            WHEN doc_id % 4 = 1 THEN
              'http://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
                || '.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
-               || '?utm_source=feed'
+               || '?a=1&utm_campaign=x&b=2'
            WHEN doc_id % 4 = 2 THEN
              'http://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
                || '.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
-               || '/#section'
+               || '/?utm_source=feed#section'
            ELSE
              'http://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
                || '.com/docs/' || CAST(doc_id // 2 AS VARCHAR)
            END AS url
            FROM documents),
          c AS (SELECT doc_id,
-           regexp_replace(regexp_replace(url, '#.*$', ''),
-             '\?utm_[^#]*$', '') AS c2 FROM u),
+           regexp_replace(url, '#.*$', '') AS nf FROM u),
+         q AS (SELECT doc_id,
+           regexp_replace(nf, '\?.*$', '') AS path,
+           coalesce(array_to_string(list_sort(list_filter(
+             string_split(coalesce(
+               regexp_extract(nf, '\?(.*)$', 1), ''), '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))), '&'), '') AS qs
+           FROM c),
          k AS (SELECT doc_id,
-           lower(regexp_extract(c2, '^([A-Za-z]+)://', 1)) || '://' ||
+           lower(regexp_extract(path, '^([A-Za-z]+)://', 1)) || '://' ||
            regexp_replace(
-             lower(regexp_extract(c2, '^[A-Za-z]+://([^/]+)', 1)),
+             lower(regexp_extract(path, '^[A-Za-z]+://([^/]+)', 1)),
              ':80$', '') ||
            regexp_replace(
-             coalesce(regexp_extract(c2,
-               '^[A-Za-z]+://[^/]+(/.*)?$', 1), ''), '/$', '') AS canon
-           FROM c)
+             coalesce(regexp_extract(path,
+               '^[A-Za-z]+://[^/]+(/.*)?$', 1), ''), '/$', '') ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon
+           FROM q)
          SELECT canon, MIN(doc_id) AS keep_doc,
            COUNT(*) AS n_variants
          FROM k GROUP BY canon""",

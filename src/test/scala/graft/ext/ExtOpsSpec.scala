@@ -31,6 +31,29 @@ class RollingHashSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("urlCanon canonicalizes the query at the PARAM level: " +
+      "tracking params drop anywhere, survivors sort, empties vanish") {
+    val s = spark
+    import s.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Dedup.urlCanon(col("u"))).head.getString(0)
+    // mid-query tracking + order variants all collapse
+    assert(canon("http://a.com/x?a=1&utm_source=f&b=2") ==
+      "http://a.com/x?a=1&b=2")
+    assert(canon("http://a.com/x?b=2&a=1") == "http://a.com/x?a=1&b=2")
+    assert(canon("HTTP://A.COM:80/x?gclid=g&b=2&a=1&fbclid=h") ==
+      "http://a.com/x?a=1&b=2")
+    // tracking-only query disappears entirely (no dangling '?')
+    assert(canon("http://a.com/x/?utm_campaign=c#frag") ==
+      "http://a.com/x")
+    // non-tracking params are PRESERVED, valueless and utm-prefixed
+    // VALUES included ('p=utm_x' is a value, not a tracking key)
+    assert(canon("http://a.com/x?flag&p=utm_x") ==
+      "http://a.com/x?flag&p=utm_x")
+    // bare '&&' splits to empties which vanish
+    assert(canon("http://a.com/x?a=1&&b=2") == "http://a.com/x?a=1&b=2")
+  }
+
   test("minhashPairs finds planted near-dups with exact jaccard") {
     val s = spark
     import s.implicits._
