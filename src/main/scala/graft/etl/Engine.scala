@@ -17,14 +17,18 @@ import graft.functions.GraftFunctions
   *     parallel, no shuffle, fully whole-stage-codegen'd. Filters on
   *     typed sources push down to the scan.
   *   - ONLY when a mapping uses `self[]` (output-row A1 addressing) do
-  *     we need a global row number, which is inherently sequential
-  *     (spreadsheet row position is a global property). That path uses
-  *     a single-partition window — correct but bounded; mappings
-  *     without `self[]` never pay it.
+  *     we need a global row number — a global property, but NOT an
+  *     inherently single-task one: the rows sort by the order key
+  *     (range exchange) and are then numbered per partition with
+  *     broadcast partition-count offsets (`RDD.zipWithIndex`, Spark's
+  *     own count-job + offset-map implementation of the distributed
+  *     prefix sum). No single-partition window anywhere; mappings
+  *     without `self[]` never pay any of it.
   */
 object Engine {
 
   private val IngestCol = "__graft_ingest"
+  private val RowPosCol = "__graft_rowpos"
 
   /** Apply a Map-sheet rule list to a source table.
     *
@@ -56,11 +60,27 @@ object Engine {
     val orderCols: Seq[Column] =
       if (ingestOrder.nonEmpty) ingestOrder else Seq(col(IngestCol))
     // 1-based POST-filter row position (main.gs:69): numbers the rows
-    // that survived the filter, in ingest order. Evaluated lazily —
-    // only `self[]` mappings build the window.
+    // that survived the filter, in ingest order. Computed ONLY for
+    // `self[]` mappings, and distributed: sort by the order key
+    // (range exchange), then zipWithIndex — a count job over the
+    // sorted partitions plus a per-partition offset map, i.e. the
+    // shard-offset prefix sum with Spark doing the bookkeeping. The
+    // shuffle output is reused between the two jobs and the range
+    // bounds are sampled once per lineage, so the numbering is stable.
     val compiled = Compiler.compile(rules, display.columns.toSeq,
-      row_number().over(Window.orderBy(orderCols: _*)))
-    ordered.filter(compiled.filter).select(compiled.projections: _*)
+      col(RowPosCol))
+    val filtered = ordered.filter(compiled.filter)
+    val numbered =
+      if (!rules.usesSelf) filtered
+      else {
+        val sorted = filtered.orderBy(orderCols: _*)
+        val outSchema = sorted.schema.add(RowPosCol,
+          org.apache.spark.sql.types.LongType, nullable = false)
+        val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+        sorted.sparkSession.createDataFrame(rows, outSchema)
+      }
+    numbered.select(compiled.projections: _*)
   }
 
   /** Full three-sheet run over CSV "sheets" in a directory:

@@ -1304,11 +1304,18 @@ object RelationalQueries {
     // Two-sample Kolmogorov–Smirnov drift on a CONTINUOUS column —
     // the numeric companion to profile_drift's categorical PSI: split
     // the corpus into halves, D = max |ECDF_a − ECDF_b| over doc
-    // lengths. Exact end to end: per-(value, half) counts, one window
-    // cumsum over the DISTINCT-value table (domain-bounded, never the
-    // corpus), and the sup-difference as the integer cross-product
-    // |cumA·nB − cumB·nA| — division by nA·nB deferred to a single
-    // integer basis-points emit. No float ever enters the hash path.
+    // lengths. Exact end to end: per-(value, half) counts, then the
+    // ECDF cumsum as a DISTRIBUTED exact prefix sum — distinct values
+    // range-shard into 32 contiguous buckets by a min/max-derived
+    // stride (order-preserving, so per-shard cumsum + broadcast shard
+    // offsets compose to the global cumsum; the only global-order
+    // window runs over the 32 subtotal rows). "Distinct doc lengths"
+    // is domain-bounded today, but at 100 TB a distinct-value table
+    // can be millions of rows — no single task ever holds it. The
+    // sup-difference is the integer cross-product |cumA·nB − cumB·nA|
+    // — division by nA·nB deferred to a single integer emit. No float
+    // ever enters the hash path, and the result is shard-independent,
+    // so the oracle replays the plain single-window ECDF.
     "profile_ks" -> ((s, d) => {
       val docs = graft.queries.Tables.documents(s, d)
         .select(col("n_chars").as("v"), (col("doc_id") % 2 === 0).as("h"))
@@ -1316,15 +1323,29 @@ object RelationalQueries {
         .agg(sum(when(col("h"), 1L).otherwise(0L)).as("ca"),
           sum(when(!col("h"), 1L).otherwise(0L)).as("cb"))
       val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-      val w = Window.orderBy("v")
+      val rng = cnt.agg(min(col("v")).cast("long").as("lo"),
+        max(col("v")).cast("long").as("hi"))
+      val sharded = cnt.crossJoin(broadcast(rng))
+        .withColumn("shard", // exact integer DIV: order-preserving in v
+          expr("((CAST(v AS BIGINT) - lo) * 32) DIV (hi - lo + 1)"))
+      val sub = sharded.groupBy("shard")
+        .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      val wOff = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sub
+        .withColumn("offa", coalesce(sum(col("sa")).over(wOff), lit(0L)))
+        .withColumn("offb", coalesce(sum(col("sb")).over(wOff), lit(0L)))
+        .select("shard", "offa", "offb")
+      val wIn = Window.partitionBy("shard").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cnt
-        .withColumn("cuma", sum(col("ca")).over(w))
-        .withColumn("cumb", sum(col("cb")).over(w))
+      sharded
+        .withColumn("cia", sum(col("ca")).over(wIn))
+        .withColumn("cib", sum(col("cb")).over(wIn))
+        .join(broadcast(offs), "shard")
         .crossJoin(broadcast(tot))
         .agg(count(lit(1)).as("n_values"),
-          max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
-            .as("d_num"),
+          max(abs((col("cia") + col("offa")) * col("nb")
+            - (col("cib") + col("offb")) * col("na"))).as("d_num"),
           max(col("na") * col("nb")).as("d_den"))
         // ONE double division over exact integers — bit-deterministic
         // in both engines (unlike a float sum, a single IEEE divide

@@ -41,6 +41,36 @@ class EngineSpec extends SparkSpec {
       Row("Dan", "Cali", "Active", "=\"B\"*2", "=D3&\" in \"&\"Cali\"")))
   }
 
+  test("self[] row numbering is DISTRIBUTED: correct 1-based global " +
+      "positions across many input partitions, and no WindowExec " +
+      "(single-partition or otherwise) anywhere in the plan") {
+    val s = spark
+    import s.implicits._
+    // 500 rows scattered over 16 partitions, filter keeps every 3rd;
+    // self[] addresses must reflect POST-filter global order by key
+    val src = (0 until 500).map(i => (i.toString, s"n$i", (i % 3).toString))
+      .toDF("K", "Name", "M").repartition(16)
+    val out = Engine.transform(src,
+      Seq("_filter:keep" -> "eval: src[M] == 0",
+        "Name" -> "src[Name]",
+        "Addr" -> "formula:=self[Name]"),
+      ingestOrder = Seq(org.apache.spark.sql.functions.col("K").cast("long")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"self[] must not build any window:\n$p")
+    val got = out.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    // K=0 is post-filter row 1 -> spreadsheet row 2 (header offset
+    // matches the golden fixture's D2 convention), K=3 -> row 3, ...
+    val expected = (0 until 500 by 3).zipWithIndex.map {
+      case (k, i) => s"n$k" -> s"=A${i + 2}"
+    }.toMap
+    assert(got.size == expected.size)
+    val bad = expected.collect {
+      case (n, a) if got(n) != a => s"$n: got ${got(n)} want $a" }
+    assert(bad.isEmpty, bad.take(5).toString)
+  }
+
   test("loose equality is string equality: 10 == 10.0 is false") {
     val rows = run("_filter:x" -> "eval: src[Score] == 10", "N" -> "src[Name]")
     assert(rows.map(_.getString(0)) == Seq("Ana"))

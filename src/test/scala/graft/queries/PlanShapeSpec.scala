@@ -558,12 +558,23 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("profile_ks: ECDF cumsum runs over the distinct-value table " +
-      "(post-aggregate), never the raw corpus") {
+      "(post-aggregate), never the raw corpus — and the cumsum is " +
+      "sharded: its window partitions by shard, so the only " +
+      "unpartitioned window input is the 32-row subtotal table") {
     val p = plan("profile_ks")
     assert(p.contains("hashpartitioning(v"),
       "per-value counts must aggregate before the window")
     assert(!p.contains("hashpartitioning(doc_id"),
       "no per-doc exchange")
+    assert(p.contains("hashpartitioning(shard"),
+      "ECDF cumsum must run within range shards, not one task")
+    // the windows sorted by v must all be shard-partitioned; the only
+    // SinglePartition window orders by shard over 32 subtotal rows
+    val unpartitionedByV =
+      "Window.*\\[v\\b[^\\]]*\\](?!.*partition)".r.findFirstIn(p)
+    assert("partitionBy=\\[shard\\]|hashpartitioning\\(shard".r
+      .findFirstIn(p).isDefined && unpartitionedByV.isEmpty,
+      s"value-ordered window must be sharded: $p")
   }
 
   test("profile_mutual_info: cell-level aggregate (hashes on lang), " +
