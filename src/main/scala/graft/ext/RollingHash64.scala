@@ -67,8 +67,12 @@ object RollingHash64 {
     * registry; use via `call_function("rolling_hash64", c)` or SQL.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    // idempotent: a re-registration would log a noisy
+    // SimpleFunctionRegistry "replacing" warning per call site
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
 
   /** Column API (requires `register(spark)` once per session). */
   def rolling_hash64(c: Column): Column =

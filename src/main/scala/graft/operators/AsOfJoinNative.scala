@@ -94,6 +94,39 @@ object AsOfJoinNative {
       rightPayload, "nearest", tolerance)
   }
 
+  /** Skew-salted as-of join — the mitigation for ONE HOT KEY.
+    *
+    * `AsOfJoinExec` hash-clusters each side on its key, so a key that
+    * dominates the probe stream lands in a single partition, and —
+    * custom exec nodes not participating in AQE's runtime skew-join
+    * split — stays there (AsOfJoinNativeSpec demonstrates the
+    * behavior under a planted hot key). This wrapper applies the
+    * standard salting recipe, adapted to as-of semantics: probes
+    * scatter over `salts` sub-keys (key·salts + hash(time) % salts —
+    * deterministic, re-run stable) while the VERSION side is
+    * REPLICATED once per salt, so every sub-key partition holds the
+    * key's FULL version history and the single-pass merge stays
+    * correct in all three directions, tolerance included. Cost: the
+    * right side shuffles ×salts — the usual replicate-the-small-side
+    * tradeoff, right here because version tables are dwarfed by probe
+    * streams. Requires |key| < Long.MaxValue / salts (the sub-key is
+    * key·salts + salt).
+    */
+  def asofSalted(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)], salts: Int,
+      direction: String = "backward",
+      tolerance: Long = -1L): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val saltedLeft = leftKey.cast("long") * salts +
+      pmod(xxhash64(leftTime), lit(salts.toLong))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    asofJoin(left, saltedLeft, leftTime,
+      replicated, rightKey.cast("long") * salts + col("__salt"),
+      rightTime, rightPayload, direction, tolerance)
+  }
+
   private def asofJoin(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
       rightTime: Column, rightPayload: Seq[(String, Column)],

@@ -65,6 +65,28 @@ object ExtendedQueries {
           col("click_us"), col("click_value"))
     }),
 
+    // The same attribution through the SKEW-SALTED wrapper: probes
+    // scatter over 8 sub-keys, versions replicate once per salt, and
+    // the result is bit-identical to the unsalted native join (the
+    // oracle replays the plain ASOF) — the documented mitigation for
+    // a hot tenant that the hash-clustered custom exec cannot
+    // AQE-split at runtime.
+    "join_asof_salted" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoinNative.asofSalted(
+          purchases, col("user_id"), unix_micros(col("ts")),
+          clicks, col("user_id"), unix_micros(col("ts")),
+          Seq("click_us" -> unix_micros(col("ts")),
+            "click_value" -> col("value")), salts = 8)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_us"), col("click_value"))
+    }),
+
     // Forward attribution through the native exec (peek-don't-consume
     // merge head; ties to the MIN payload tuple = firstLater's rule).
     // Clicks pre-deduped per (user, ts) exactly like join_asof_forward
@@ -883,6 +905,14 @@ object ExtendedQueries {
          ON p.user_id = c.user_id AND c.ts <= p.ts""",
 
     "join_asof_native" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+         epoch_us(c.ts) AS click_us, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    // Salting is plan-side only — the oracle replays the plain ASOF.
+    "join_asof_salted" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
          epoch_us(c.ts) AS click_us, c.value AS click_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

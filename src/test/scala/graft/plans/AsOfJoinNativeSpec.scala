@@ -426,6 +426,43 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"mirroring changed results: post=${a.length} pre=${b.length}")
   }
 
+  test("skew posture: a hot probe key lands in ONE partition of the " +
+      "hash-clustered exec (custom nodes sit outside AQE skew-split); " +
+      "asofSalted spreads it over sub-keys with identical results") {
+    val s = spark
+    import s.implicits._
+    // 20k probes on key 0 (the hot tenant), a 500-row tail over 7 keys
+    val left = ((1 to 20000).map(i => (0L, i.toLong, i.toLong)) ++
+      (1 to 500).map(i => ((i % 7 + 1).toLong, i.toLong, 100000L + i)))
+      .toDF("k", "t", "pid")
+    val right = (0L to 7L).flatMap(k => Seq((k, 10L, k * 10 + 1.0),
+      (k, 5000L, k * 10 + 2.0))).toDF("k", "t", "v")
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "rt", "rv").collect()
+        .map(_.toSeq.toString).sorted.toSeq
+    // AQE's partition coalescing would merge these tiny shuffles and
+    // mask the clustering we are demonstrating — turn it off here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val unsalted = run(left, right)
+      val salted = AsOfJoinNative.asofSalted(left, col("k"), col("t"),
+        right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), salts = 8)
+      assert(collected(unsalted) == collected(salted),
+        "salting must not change any row")
+      // demonstrate the skew: per-partition row counts of each plan
+      def maxPart(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("p", spark_partition_id()).groupBy("p")
+          .count().agg(max("count")).head.getLong(0)
+      val hot = maxPart(unsalted)
+      val spread = maxPart(salted)
+      assert(hot >= 20000L,
+        s"hash clustering must pin the hot key to one partition: $hot")
+      assert(spread <= hot / 2,
+        s"salting must spread the hot key: $spread vs $hot")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("exec metrics: numOutputRows == probe rows (left-outer " +
       "contract), matchedRows counts only real payload hits") {
     val s = spark
