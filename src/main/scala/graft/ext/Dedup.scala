@@ -544,4 +544,70 @@ object Dedup {
   /** Popcount of (a XOR b) via bit_count (built-in). */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-token gram, then keep only the
+    * MINIMUM hash of each window of `w` consecutive gram positions.
+    * Guarantee: two documents sharing a run of at least k + w - 1
+    * tokens share at least one selected fingerprint — exact-substring
+    * detection like `dedup_spans`, but the per-doc fingerprint table
+    * shrinks to ~2/(w+1) of the all-grams table, which at corpus
+    * scale is the difference between shuffling every gram and
+    * shuffling a thinned signature set. Documents with fewer than w
+    * grams keep their single overall-min gram hash (never zero
+    * fingerprints); documents shorter than k tokens have no grams and
+    * no fingerprints.
+    *
+    * Both windows partition by doc — one hash-clustered exchange, no
+    * global ordering anywhere. Returns distinct (id, fp) rows; `fp`
+    * is an md5 hex string so the oracle replays it byte-for-byte.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: k=$k, w=$w must be >= 1")
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until k).map(i => lead("w0", i).over(byPos).as(s"w$i"))
+    val grams = tok
+      .select(col("id") +: col("pos") +: col("w0") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("id"), col("pos"),
+        md5(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*)).as("g"))
+    // fp(p) = min gram hash over window starts p..p+w-1; only FULL
+    // windows select (pos <= ng - w), except short docs (ng <= w)
+    // where the single truncated window at pos 0 stands in.
+    grams
+      .select(col("id"),
+        min("g").over(byPos.rowsBetween(0, w - 1)).as("fp"),
+        count(lit(1)).over(Window.partitionBy("id")).as("ng"),
+        col("pos"))
+      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Candidate near/containment-duplicate pairs from shared winnowing
+    * fingerprints: (id_a < id_b, n_shared). Fingerprints seen in more
+    * than `maxDocFreq` documents are dropped before pairing (the MOSS
+    * over-common-fingerprint rule — corpus boilerplate like license
+    * headers would otherwise fan one fingerprint into a quadratic
+    * pair pile); the surviving per-fingerprint fan-out is bounded by
+    * maxDocFreq^2 pairs, so no bucket can degenerate a task and no
+    * salting is needed. `minShared` cuts single-fingerprint noise.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 64,
+      minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > 1 && col("dfc") <= maxDocFreq)
+      .select("fp")
+    val kept = fps.join(keep, Seq("fp"), "left_semi")
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

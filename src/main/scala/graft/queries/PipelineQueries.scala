@@ -1810,6 +1810,17 @@ object PipelineQueries {
             col("n_tokens")).as("dup_ratio"))
     }),
 
+    // Winnowing fingerprint dedup (Schleimer–Wilkerson–Aiken / MOSS):
+    // same exact-substring target as dedup_spans but the shuffled
+    // table is the THINNED fingerprint set (min hash per window of 4
+    // gram positions, ~2/(w+1) density) instead of every gram —
+    // the form you'd run at 100 TB. Over-common fingerprints
+    // (boilerplate) are dropped MOSS-style before pairing, which also
+    // bounds per-fingerprint pair fan-out at maxDocFreq^2.
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowPairs(documents(s, d), "doc_id", "text",
+        k = 5, w = 4, maxDocFreq = 64, minShared = 2)),
+
     // The remediation side of dedup_spans: REMOVE every token covered
     // by a duplicated 5-gram window and fingerprint the cleaned text
     // (md5 over the order-preserved kept tokens — full-text compare
@@ -3784,6 +3795,40 @@ object PipelineQueries {
              AS dup_ratio
          FROM ds LEFT JOIN gc ON ds.doc_id = gc.doc_id
            LEFT JOIN cv ON ds.doc_id = cv.doc_id""",
+
+    // Winnowing (SWA'03): grams exactly as dedup_spans; fp = min gram
+    // hash over each window of 4 consecutive starts (full windows
+    // only; short docs keep their pos-0 truncated window); MOSS
+    // over-common-fp drop (df > 64) and pair count — replayed
+    // window-frame-for-window-frame.
+    "dedup_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,
+             generate_subscripts(ws, 1) - 1 AS pos
+           FROM (SELECT doc_id, $Toks AS ws FROM documents)),
+         led AS (SELECT doc_id, pos, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+             lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+           FROM tok),
+         grams AS (SELECT doc_id, pos,
+             md5(concat_ws(' ', w, w1, w2, w3, w4)) AS g
+           FROM led WHERE w4 IS NOT NULL),
+         wm AS (SELECT doc_id, pos,
+             min(g) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS ng
+           FROM grams),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wm
+           WHERE pos <= greatest(ng - 4, 0)),
+         keep AS (SELECT fp FROM fps GROUP BY fp
+           HAVING count(*) > 1 AND count(*) <= 64)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+         FROM fps a JOIN fps b USING (fp)
+         WHERE fp IN (SELECT fp FROM keep) AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*) >= 2""",
 
     "dedup_spans_clean" ->
       s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,

@@ -316,3 +316,111 @@ class DedupSpansSpec extends SparkSpec {
     assert(got(4L) == ((3L, md5hex("short doc here"))))
   }
 }
+
+class WinnowSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** In-memory mirror of Dedup.winnowFingerprints (k=5, w=4):
+    * md5 over space-joined 5-gram, min per window of 4 consecutive
+    * starts, full windows only except short docs (ng <= w) which keep
+    * their truncated pos-0 window.
+    */
+  private def reference(docs: Seq[(Long, String)], k: Int = 5,
+      w: Int = 4): Map[Long, Set[String]] =
+    docs.map { case (id, t) =>
+      val stripped = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse
+      val ws = stripped.toLowerCase.split("\\s+", -1).toSeq
+      val grams = ws.sliding(k).collect {
+        case g if g.size == k => md5hex(g.mkString(" "))
+      }.toSeq
+      val fps =
+        if (grams.isEmpty) Set.empty[String]
+        else if (grams.size <= w) Set(grams.min)
+        else grams.sliding(w).map(_.min).toSet
+      id -> fps
+    }.toMap
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, Set[String]] = {
+    val s = spark
+    import s.implicits._
+    Dedup.winnowFingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("fp")))
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+  }
+
+  test("fingerprints match the in-memory winnowing reference") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(30))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = run(docs)
+    val want = reference(docs).filter(_._2.nonEmpty)
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
+  test("SWA guarantee: docs sharing a k+w-1 token run share a fp") {
+    // shared 8-token run (k=5, w=4 → guarantee threshold k+w-1=8)
+    // embedded in unrelated prefixes/suffixes
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      1L -> s"xa xb xc $shared xd xe",
+      2L -> s"ya yb $shared yc yd ye yf")
+    val got = run(docs)
+    assert((got(1L) intersect got(2L)).nonEmpty)
+  }
+
+  test("short docs: <k tokens none, k..k+w-1 tokens exactly one") {
+    val docs = Seq(
+      1L -> "a b c d",            // 4 tokens, no gram
+      2L -> "a b c d e",          // 5 tokens → 1 gram → 1 fp
+      3L -> "a b c d e f g h")    // 8 tokens → 4 grams = w → 1 fp
+    val got = run(docs)
+    assert(!got.contains(1L))
+    assert(got(2L).size == 1)
+    assert(got(3L).size == 1)
+    assert(got(2L) == Set(md5hex("a b c d e")))
+  }
+
+  test("thinning: long doc keeps far fewer fingerprints than grams") {
+    val rnd = new scala.util.Random(11)
+    val text = Seq.fill(500)(s"t${rnd.nextInt(100000)}").mkString(" ")
+    val got = run(Seq(1L -> text))(1L)
+    val nGrams = 500 - 5 + 1
+    // expected density ~2/(w+1) = 0.4; assert comfortably under 0.6
+    assert(got.size < nGrams * 6 / 10,
+      s"fp count ${got.size} not thinned vs $nGrams grams")
+  }
+
+  test("winnowPairs: dup docs pair; over-common fps are dropped") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val boiler = "common header line for every document here now"
+    val docs = Seq(
+      1L -> s"$body tail one",
+      2L -> s"$body tail two",             // near-dup of 1
+      3L -> s"$boiler unrelated content a b c d e f",
+      4L -> s"$boiler other words x y z p q r",
+      5L -> s"$boiler more stuff m n o j k l")
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text",
+        maxDocFreq = 64, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)))
+    // with maxDocFreq = 2 the boilerplate fps (df = 3) are dropped, so
+    // docs 3/4/5 cannot pair
+    val capped = Dedup.winnowPairs(df, "doc_id", "text",
+        maxDocFreq = 2, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(!capped.exists(p => p._1 >= 3L))
+  }
+}
