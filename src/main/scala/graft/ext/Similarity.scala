@@ -526,12 +526,20 @@ object Similarity {
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,
-      k: Int = 10, iters: Int = 3): DataFrame = {
+      k: Int = 10, iters: Int = 3,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val dim = query.length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
-    val (_, codes, cents) = pqTrainCore(df, idCol, vecCol, m,
+    val (_, allCodes, cents) = pqTrainCore(df, idCol, vecCol, m,
       nCentroids, iters)
+    // training stays global (every vector contributes to the
+    // codebooks); only the ADC SCAN is restricted — the IVF-PQ
+    // composition's cell pruning enters here as a semi-join on ids
+    val codes = restrictTo.fold(allCodes)(ids =>
+      allCodes.join(
+        ids.select(col(ids.columns.head).cast("long").as("id")),
+        Seq("id"), "left_semi"))
     // classic ADC: the QUERY stays raw double (no query-side
     // quantization error); per-(subspace, centroid) qdot is a strict
     // left fold over integer centroids — deterministic and replayable
@@ -578,8 +586,10 @@ object Similarity {
     */
   def pqTopKRescored(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,
-      k: Int = 10, nCand: Int = 80): DataFrame = {
-    val cand = pqTopK(df, idCol, vecCol, query, m, nCentroids, nCand)
+      k: Int = 10, nCand: Int = 80,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    val cand = pqTopK(df, idCol, vecCol, query, m, nCentroids, nCand,
+        restrictTo = restrictTo)
       .select(col(idCol))
     val q = array(query.map(x => lit(x.toDouble)): _*)
     df.join(broadcast(cand), idCol)
@@ -588,5 +598,41 @@ object Similarity {
           (l2norm(df, col(vecCol)) * l2norm(df, q))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** IVF-PQ — the two prunings composed the way large ANN systems
+    * (FAISS "IVFx,PQy" with global, non-residual codebooks) ship them:
+    * the coarse quantizer restricts the search to the query's `probes`
+    * closest cells, and WITHIN those cells the scan is the cheap PQ
+    * ADC over codes (never raw vectors), followed by exact-cosine
+    * rescore of the short candidate list. At rest the codes live
+    * partitioned by cell (the sim_ann_ivf layout), so cell pruning is
+    * partition pruning and the scanned bytes are
+    * |probed cells| x (m bytes + a norm) per vector — the composition
+    * is what makes 100 TB-scale k-NN a few-partition read instead of
+    * a corpus scan.
+    *
+    * Both prunings are deterministic (first-N centroids, max-dot
+    * cells with id tie-break; integer PQ training), so the full
+    * train-prune-scan-rescore pipeline replays in the SQL oracle.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], nCells: Int = 16, probes: Int = 2,
+      m: Int = 8, nCentroids: Int = 16, k: Int = 10,
+      nCand: Int = 80): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCells)
+    val qd = query.map(_.toDouble)
+    def sdot(c: Seq[Float]): Double =
+      qd.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, j) => (sdot(c), j) }
+      .sortBy { case (d, j) => (-d, j) }.take(probes).map(_._2)
+    val member = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__cell", ivfCell(df, col("v"), cents))
+      .filter(col("__cell").isin(probeCells: _*))
+      .select("id")
+    pqTopKRescored(df, idCol, vecCol, query, m, nCentroids, k, nCand,
+      restrictTo = Some(member))
   }
 }

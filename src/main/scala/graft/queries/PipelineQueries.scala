@@ -524,6 +524,21 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // IVF-PQ — the composed scale path (FAISS "IVF16,PQ32"-style with
+    // global codebooks): coarse cells prune the scan to the query's 2
+    // probed cells, PQ ADC scores ONLY those cells' codes, exact
+    // cosine rescores the 80-candidate shortlist. Same deterministic
+    // quantizers as sim_ann_ivf + sim_pq → the generated oracle
+    // replays train-prune-scan-rescore end to end.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding", q,
+          nCells = 16, probes = 2, m = 32, nCentroids = 64, k = 10,
+          nCand = 80)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // IVF ANN — deterministic coarse cells (first 16 vectors), probe-2
     // search, exact scores within probed cells. Fully deterministic
     // (tie-breaks pinned) → SQL oracle below replicates cell
@@ -2254,8 +2269,34 @@ object PipelineQueries {
     * so the full train-then-search pipeline is hash-checkable — the
     * same generated-oracle device as the BPE rounds.
     */
-  private lazy val PqOracleSql: String = {
+  private lazy val PqOracleSql: String = pqOracleSqlGen(false)
+
+  /** Shared generator for the PQ oracles; `restrictIvf` adds the
+    * sim_ann_ivf cell-assignment/probing CTEs and restricts the ADC
+    * scan (`enc`) to members of the query's 2 probed cells — PQ
+    * TRAINING stays global on both engines, exactly like
+    * `Similarity.ivfPqTopK`.
+    */
+  private def pqOracleSqlGen(restrictIvf: Boolean): String = {
     val m = 32; val sub = 2; val nc = 64; val iters = 3
+    val ivfCtes = if (!restrictIvf) "" else
+      s"""icv AS (SELECT vec_id AS cid, v AS cv FROM v
+                  WHERE vec_id < 16),
+        iq AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        idp AS (SELECT a.vec_id, icv.cid,
+                ${dotSql("a.v", "icv.cv")} AS dp
+                FROM v a CROSS JOIN icv),
+        icell AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dp DESC, cid) AS rn FROM idp) WHERE rn = 1),
+        iqc AS (SELECT icv.cid FROM icv CROSS JOIN iq
+                ORDER BY ${dotSql("iq.qv", "icv.cv")} DESC, icv.cid
+                LIMIT 2),
+        mem AS (SELECT vec_id FROM icell JOIN iqc USING (cid)),
+        """
+    val encFrom =
+      if (restrictIvf) "FROM cd JOIN cb USING (sm) JOIN mem USING (vec_id)"
+      else "FROM cd JOIN cb USING (sm)"
     val iterCtes = (1 to iters).map { k =>
       s"""a$k AS (SELECT cd.vec_id, cd.sm, cd.a, ck.c,
              2 * list_sum(list_transform(range(1, ${sub + 1}),
@@ -2294,7 +2335,7 @@ object PipelineQueries {
         c0 AS (SELECT sm, CAST(vec_id AS INTEGER) AS c, a AS cent
                FROM cd WHERE vec_id < $nc),
         $iterCtes,
-        qr AS (SELECT ms.sm,
+        ${ivfCtes}qr AS (SELECT ms.sm,
                list_slice(v.v, ms.sm*$sub + 1, ms.sm*$sub + $sub) AS qm
                FROM v, ms WHERE v.vec_id = 0),
         cb AS (SELECT ci.sm, ci.c, ci.cent,
@@ -2309,7 +2350,7 @@ object PipelineQueries {
                 2 * list_sum(list_transform(range(1, ${sub + 1}),
                   i -> CAST(cd.a[i] * cb.cent[i] AS BIGINT))) - cb.sq
                   AS sc
-                FROM cd JOIN cb USING (sm)),
+                $encFrom),
         best AS (SELECT vec_id, sm, qdot, naa, row_number() OVER (
                  PARTITION BY vec_id, sm ORDER BY sc DESC, c) AS rn
                  FROM enc),
@@ -2597,6 +2638,7 @@ object PipelineQueries {
     // means, empty cells keep their centroid), then the raw-query ADC
     // with the int8-norm denominator and the fixed-order pivot sum.
     "sim_pq" -> PqOracleSql,
+    "sim_ann_ivfpq" -> pqOracleSqlGen(true),
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)

@@ -530,6 +530,44 @@ class SimilaritySpec extends SparkSpec {
     pq.foreach { case (id, sc) => assert(bruteAll(id) == sc) }
   }
 
+  test("IVF-PQ: results live in probed cells, scores are exact " +
+      "cosine; with an unbounded shortlist it EQUALS exact ivfTopK") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val qd = queryVec.map(_.toDouble)
+    def sdot(c: Seq[Float]): Double =
+      qd.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2.toDouble)
+    val probed = cents.zipWithIndex.map { case (c, j) => (sdot(c), j) }
+      .sortBy { case (d, j) => (-d, j) }.take(2).map(_._2).toSet
+    val members = emb
+      .withColumn("__cell",
+        Similarity.ivfCell(emb, col("embedding"), cents))
+      .collect().collect {
+        case r if probed(r.getAs[Int]("__cell")) => r.getAs[Long]("vec_id")
+      }.toSet
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", queryVec,
+        nCells = 16, probes = 2, m = 32, nCentroids = 64, k = 10,
+        nCand = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty && got.head._1 == 0L &&
+      math.abs(got.head._2 - 1.0) < 1e-12)
+    got.foreach { case (id, _) => assert(members(id),
+      s"vec $id returned from an unprobed cell") }
+    val brute = Similarity.topK(emb, "vec_id", "embedding", queryVec,
+      500).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got.foreach { case (id, sc) => assert(brute(id) == sc) }
+    // nCand >= |members| → the ADC stage cannot drop anyone, so the
+    // exact rescore must reproduce ivfTopK (exact scoring in the same
+    // probed cells) row for row
+    val all = Similarity.ivfPqTopK(emb, "vec_id", "embedding", queryVec,
+        nCells = 16, probes = 2, m = 32, nCentroids = 64, k = 10,
+        nCand = members.size + 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactIvf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryVec, nCentroids = 16, probes = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == exactIvf)
+  }
+
   test("annTopK returns exact scores, always finds the query itself") {
     val planes = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
