@@ -19,21 +19,28 @@ import graft.queries.Tables
   *    tables, so every foreign-key relationship of the original
   *    holds inside each replica and never crosses replicas —
   *    join/agg selectivities are preserved exactly.
-  *  - `documents.text`: replica r>0 suffixes every whitespace token
-  *    with `_r{r}`. Plain replication would make each doc an EXACT
+  *  - `documents.text`: replica r>0 caesar-shifts every letter by r
+  *    (a-z and A-Z rotate independently; digits/punct/whitespace
+  *    unchanged). Plain replication would make each doc an EXACT
   *    10-way duplicate, which multiplies every dedup operator's
   *    LSH/tokenset bucket membership 10x and its in-bucket pair
   *    work 100x — a data artifact of the derivation, not a property
-  *    of 10x more real data. Token-suffixing keeps each replica's
-  *    internal near-dup structure (planted fixture groups, length
-  *    and token-count distributions) bit-identical while making
-  *    cross-replica shingle/token/minhash spaces disjoint. n_chars
-  *    is recomputed from the rewritten text.
-  *  - `embeddings.embedding`: replica r>0 adds deterministic
-  *    per-component jitter (xxhash64(vec_id, r, i) mapped to
-  *    ±0.05) so vectors are not exact cross-replica duplicates
-  *    (which would collapse ANN cells/buckets into 10x-degenerate
-  *    piles) while labels and cluster structure survive.
+  *    of 10x more real data. (A first attempt suffixed each token
+  *    with `_r{r}`: word tokens diverged but every INTERIOR char
+  *    5-gram stayed shared cross-replica, and dedup_ngram's minhash
+  *    buckets went 10x-degenerate — 1004 s at sf1.0.) The caesar map
+  *    is bijective per character, so each replica's internal
+  *    near-dup structure, token/char-length distributions, and
+  *    n_chars are preserved EXACTLY while word tokens, char grams,
+  *    and shingle spaces are all cross-replica disjoint.
+  *  - `embeddings.embedding`: replica r>0 circularly shifts the
+  *    vector by r*13 positions (13 is coprime to the 64 dims).
+  *    Norms, labels, and within-replica cluster geometry are
+  *    preserved exactly; cross-replica cosines drop to
+  *    random-vector levels. (The first attempt added ±0.05 jitter:
+  *    cross-replica cosine stayed ~0.99 — above the 0.9 near-dup
+  *    threshold — so dedup_embed found 9 planted "near-dups" per
+  *    vector that 10x more real data would not have.)
   *
   * Usage: runMain graft.tools.DeriveSf [srcDir] [outDir] [reps]
   * Defaults: /root/testdata/sf0.1 -> target/testdata/sf1.0, 10x.
@@ -90,25 +97,28 @@ object DeriveSf {
       replicate(Tables.events(spark, src), reps)(
         offset(_, _, "event_id", "user_id")), 8)
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def caesar(s: String, r: Int): String =
+      s.drop(r % 26) + s.take(r % 26)
     write("documents",
       replicate(Tables.documents(spark, src), reps) { (df, r) =>
         val keyed = offset(df, r, "doc_id")
         if (r == 0) keyed
-        else keyed
-          .withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              t => concat(t, lit(s"_r$r"))), " "))
-          .withColumn("n_chars", length(col("text")).cast("long"))
+        else keyed.withColumn("text",
+          translate(col("text"), lower + upper,
+            caesar(lower, r) + caesar(upper, r)))
       }, 8)
 
     write("embeddings",
       replicate(Tables.embeddings(spark, src), reps) { (df, r) =>
         val keyed = offset(df, r, "vec_id")
-        if (r == 0) keyed
+        val dim = 64
+        val s = (r * 13) % dim
+        if (s == 0) keyed
         else keyed.withColumn("embedding",
-          transform(col("embedding"), (x, i) =>
-            (x + (xxhash64(col("vec_id"), lit(r), i) % 1001L - 500L)
-              .cast("double") / 10000.0d).cast("float")))
+          concat(slice(col("embedding"), s + 1, dim - s),
+            slice(col("embedding"), 1, s)))
       }, 4)
 
     spark.stop()
