@@ -89,13 +89,13 @@ object DeriveSf {
       replicate(Tables.part(spark, src), reps)(offset(_, _, "p_partkey")), 4)
     write("orders",
       replicate(Tables.orders(spark, src), reps)(
-        offset(_, _, "o_orderkey", "o_custkey")), 8)
+        offset(_, _, "o_orderkey", "o_custkey")), 32)
     write("lineitem",
       replicate(Tables.lineitem(spark, src), reps)(
-        offset(_, _, "l_orderkey", "l_partkey", "l_suppkey")), 16)
+        offset(_, _, "l_orderkey", "l_partkey", "l_suppkey")), 64)
     write("events",
       replicate(Tables.events(spark, src), reps)(
-        offset(_, _, "event_id", "user_id")), 8)
+        offset(_, _, "event_id", "user_id")), 32)
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase

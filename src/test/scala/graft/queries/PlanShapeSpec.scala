@@ -135,6 +135,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_winnow: fingerprint pairing is an equi-join on fp keys " +
+      "— no cartesian, windows only per-doc partitions") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the thinning windows partition by doc id — a global-order
+    // window here would serialize the whole gram table
+    assert(!"Window.*\\n.*SinglePartition".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("sim_ann_ivfpq: the ADC scan is cell-restricted via a semi " +
+      "join; no raw-vector cartesian anywhere") {
+    val p = plan("sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), "ADC scan must be restricted " +
+      "to probed-cell members via a semi join:\n" + p)
+  }
+
   test("pipeline_filter: quality gate filters AFTER the aggregation") {
     val p = plan("pipeline_filter")
     // The interpreted token HOFs must appear only in the pre-explode
