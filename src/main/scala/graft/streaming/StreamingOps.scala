@@ -292,6 +292,78 @@ object StreamingOps {
           col("__h1"), col("__h2"), k, mBits).as("bloom_hit"))
   }
 
+  /** The corpus's at-rest winnowing-fingerprint index for
+    * [[winnowGate]]: the batch `Dedup.winnowFingerprints` table
+    * reduced to its distinct fingerprints. Thinned to ~2/(w+1) of the
+    * all-grams table (the `corpusBandBuckets` role, but for
+    * exact-substring gating) — refreshed on the corpus's compaction
+    * cadence.
+    */
+  def corpusWinnowFps(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4): DataFrame =
+    graft.ext.Dedup.winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select("fp").distinct()
+
+  /** Streaming winnowing gate — `dedup_winnow`'s ingest form: an
+    * incoming doc sharing ANY selected fingerprint with the static
+    * corpus shares (with SWA's guarantee, for runs >= k+w-1 tokens)
+    * an exact substring with it and is flagged. The batch
+    * fingerprint pass cannot run on a stream (per-doc lead windows
+    * are unsupported), so the SAME selection is computed MAP-SIDE per
+    * doc: k-gram strings by the zip-shift trick, one md5 each, then
+    * each window-of-w minimum as a bounded per-doc HOF — the
+    * nearDupGate precedent (interpreted HOFs are banned on BATCH hot
+    * paths, fine per-doc on a stream). The short-doc rule matches
+    * batch exactly: fewer than w grams -> the single truncated
+    * pos-0 window; fewer than k tokens -> no fingerprints, doc
+    * emits nothing.
+    *
+    * Emits (idCol, n_fps, n_hit, wn_keep) per watermark window;
+    * wn_keep = no fingerprint hit. Spec pins stream == batch and the
+    * map-side fingerprints == `Dedup.winnowFingerprints` row-for-row.
+    */
+  def winnowGate(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, corpusFps: DataFrame, k: Int = 5, w: Int = 4,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val fps = winnowFpsCol(col(textCol), k, w)
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    wm.select(col(idCol), col(tsCol), fps.as("__fps"))
+      .filter(size(col("__fps")) > 0)
+      .select(col(idCol), col(tsCol), explode(col("__fps")).as("__fp"))
+      .join(corpusFps.select(col("fp").as("__cfp")),
+        col("__fp") === col("__cfp"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("__cfp").isNotNull.cast("long")).as("n_hit"))
+      .select(col(idCol), col("n_fps"), col("n_hit"),
+        (col("n_hit") === 0L).as("wn_keep"))
+  }
+
+  /** Map-side winnowing fingerprint array of a text column —
+    * bit-identical to `Dedup.winnowFingerprints`' per-doc distinct fp
+    * set (differential-pinned in StreamingOpsSpec). Empty array when
+    * the doc has fewer than k tokens.
+    */
+  def winnowFpsCol(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val tk = graft.ext.Dedup.tokens(text)
+    val n = greatest(size(tk) - (k - 1), lit(0))
+    // gramStr[i] = tokens i..i+k-1 joined by one space (1-based slice)
+    val gramStr = (1 until k).foldLeft(slice(tk, lit(1), n)) {
+      (acc, j) => zip_with(acc, slice(tk, lit(j + 1), n),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    val grams = transform(gramStr, g => md5(g))
+    // window starts 1..max(ng-w,0)+1; the tail slice clamps, so a
+    // short doc's single window is its truncated gram list (== batch)
+    val nStarts = greatest(size(grams) - w, lit(0)) + lit(1)
+    when(size(tk) >= k,
+      array_distinct(transform(sequence(lit(1), nStarts),
+        p => array_min(slice(grams, p, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
     * the stream never committed a batch — nothing to verify then.

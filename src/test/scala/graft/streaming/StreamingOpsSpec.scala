@@ -361,6 +361,77 @@ class StreamingOpsSpec extends SparkSpec {
       s"map-side signature diverged from batch: $gateHits vs $batchHits")
   }
 
+  test("winnowGate: map-side fingerprints == batch winnowFingerprints " +
+      "row-for-row; stream verdicts equal batch; SWA guarantee gates") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // differential: HOF fingerprint column vs the batch window pass
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
+    val docs0 = (1L to 30L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val ddf = docs0.toDF("doc_id", "text")
+    val mapSide = ddf.select(col("doc_id"),
+        explode(StreamingOps.winnowFpsCol(col("text"))).as("fp"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchSide = graft.ext.Dedup
+      .winnowFingerprints(ddf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mapSide == batchSide,
+      s"map-side winnow diverged from batch window pass")
+
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val fps = StreamingOps.corpusWinnowFps(corpus, "doc_id", "text")
+      .cache()
+    val rows = Seq(
+      // exact dup of corpus 100 -> every fingerprint hits
+      (1L, t(0), "alpha beta gamma delta epsilon zeta eta theta"),
+      // shares an 8-token run (k+w-1) with corpus 101 -> SWA
+      // guarantees >= 1 hit
+      (2L, t(1), "zz one two three four five six seven eight yy"),
+      // unrelated -> no hits, keep
+      (3L, t(2), "totally novel content nothing shared whatsoever here"),
+      // < k tokens -> no fingerprints, emits nothing
+      (4L, t(3), "hi there you"),
+      (5L, t(95), "watermark flush row far in the future okay fine"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.winnowGate(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", fps)
+      .writeStream.format("memory").queryName("wn_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT doc_id, n_fps, n_hit, wn_keep FROM wn_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    q.stop()
+    val batch = StreamingOps.winnowGate(
+        rows.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", fps)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch.filter(_._1 != 5L))
+    val verdicts = streamed.map(v => v._1 -> v._4).toMap
+    assert(verdicts == Map(1L -> false, 2L -> false, 3L -> true),
+      s"dup and shared-run docs flagged, novel kept, short absent: " +
+        s"$streamed")
+    // the exact dup hits on EVERY one of its fingerprints
+    val d1 = streamed.find(_._1 == 1L).get
+    assert(d1._2 == d1._3 && d1._2 > 0)
+  }
+
   test("bloomGate: stateless map-side probe — stream verdicts equal " +
       "the batch run; exact corpus members always hit") {
     val s = spark
