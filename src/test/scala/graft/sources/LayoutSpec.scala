@@ -158,6 +158,46 @@ class AnnLayoutSpec extends SparkSpec {
       .filter(col("cell").isin(probe: _*)).count()
     assert(q.count() == expected && expected > 0)
   }
+
+  test("IVF-PQ at-rest layout: the 2-partition pruned read's member " +
+      "ids drive pqTopKRescored to ivfPqTopK's exact result") {
+    import graft.ext.Similarity
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    // the query's probe-2 cells, exactly as ivfPqTopK picks them
+    val qd = qv.map(_.toDouble)
+    val probe = cents.zipWithIndex
+      .map { case (c, j) =>
+        (qd.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2.toDouble), j) }
+      .sortBy { case (d, j) => (-d, j) }.take(2).map(_._2)
+    val dir = Files.createTempDirectory("ivfpqlayout").toString
+    emb.withColumn("cell",
+        Similarity.ivfCell(emb, col("embedding"), cents))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val pruned = s.read.parquet(dir).filter(col("cell").isin(probe: _*))
+    val parts = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      })
+    assert(parts.nonEmpty && parts.forall(_ == 2),
+      s"expected a 2-partition pruned read, got $parts")
+    // the pruned read's ids ARE the semi-join restriction: feeding
+    // them to the PQ pipeline reproduces ivfPqTopK row for row —
+    // i.e. at rest, cell pruning is partition pruning
+    val viaLayout = Similarity.pqTopKRescored(emb, "vec_id",
+        "embedding", qv, m = 32, nCentroids = 64, k = 10, nCand = 80,
+        restrictTo = Some(pruned.select(col("vec_id"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv,
+        nCells = 16, probes = 2, m = 32, nCentroids = 64, k = 10,
+        nCand = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLayout == direct && direct.nonEmpty)
+  }
 }
 
 class ZOrderSpec extends SparkSpec {
