@@ -69,14 +69,15 @@ object Skyline {
       .withColumn("__le", max(col(maxCol)).over(w.rangeBetween(0L, 0L)))
     // B rows: per-bucket max → prefix max of strictly earlier buckets.
     // The window's input is ≤ `buckets` rows by construction — a
-    // constant, not a function of the data. The constant partition
-    // key states that on the plan (and keeps WindowExec's
+    // constant, not a function of the data. The NON-FOLDABLE constant partition
+    // key (pmod(col,1) — a bare literal is stripped by Spark 4's
+    // EliminateWindowPartitions, and x*0 simplifies to one) states that on the plan (and keeps WindowExec's
     // single-partition warning out of logs where it would mask a
     // real corpus-sized global window).
     val prefix = b.groupBy("__bucket")
       .agg(max(col(maxCol)).as("__bmax"))
       .withColumn("__pm", max(col("__bmax")).over(
-        Window.partitionBy(lit(0)).orderBy("__bucket")
+        Window.partitionBy(pmod(col("__bucket"), lit(1))).orderBy("__bucket")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .drop("__bmax")
     val joined = withLocal.join(broadcast(prefix), Seq("__bucket"))

@@ -1159,9 +1159,11 @@ object PipelineQueries {
       val sub = base.groupBy("shard").agg(sum(col("w")).as("sw"))
       val offs = sub
         .withColumn("off", coalesce(sum(col("sw")).over(
-          // 32-row shard table; constant partition key avoids the
-          // spurious single-partition WindowExec warning
-          Window.partitionBy(lit(0)).orderBy("shard").rowsBetween(
+          // 32-row shard table; non-foldable constant partition key (pmod(col,1); a bare
+          // literal is stripped by EliminateWindowPartitions)
+          // avoids the spurious single-partition WindowExec warning
+          Window.partitionBy(pmod(col("shard"), lit(1))).orderBy("shard")
+            .rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("shard"), col("off"))
       val tot = sub.agg(sum(col("sw")).as("bigw"))

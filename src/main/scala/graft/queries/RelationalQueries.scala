@@ -1330,9 +1330,10 @@ object RelationalQueries {
           expr("((CAST(v AS BIGINT) - lo) * 32) DIV (hi - lo + 1)"))
       val sub = sharded.groupBy("shard")
         .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
-      // 32-row shard table; constant partition key = no spurious
-      // single-partition WindowExec warning in the logs
-      val wOff = Window.partitionBy(lit(0)).orderBy("shard")
+      // 32-row shard table; non-foldable constant partition key (pmod(col,1); a bare
+      // literal is stripped by EliminateWindowPartitions) = no
+      // spurious single-partition WindowExec warning in the logs
+      val wOff = Window.partitionBy(pmod(col("shard"), lit(1))).orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = sub
         .withColumn("offa", coalesce(sum(col("sa")).over(wOff), lit(0L)))

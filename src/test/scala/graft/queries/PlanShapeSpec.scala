@@ -135,6 +135,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("NO battery query plans an unpartitioned WindowExec — every " +
+      "global-order cumsum is sharded or keyed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val empties = SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+      if (empties.isEmpty) Nil else Seq(q -> empties.size)
+    }
+    assert(bad.isEmpty,
+      s"single-task global windows in: ${bad.mkString(", ")}")
+  }
+
   test("dedup_winnow: fingerprint pairing is an equi-join on fp keys " +
       "— no cartesian, windows only per-doc partitions") {
     val p = plan("dedup_winnow")
