@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CountMin, Dedup, Multimodal, RollingHash64, Sampling, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, Multimodal, NaiveBayes, RollingHash64, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** LLM-training-data pipeline operators (driver mandate): dedup,
@@ -1937,6 +1937,30 @@ object PipelineQueries {
           (col("acc").cast("double") / lit(8192.0) / col("n_tokens"))
             .as("margin"),
           (col("acc") > 0L).as("keep"))),
+
+    // Distributed classifier TRAINING (ext/NaiveBayes.scala): the
+    // offline step text_classify_hash's inference shape assumes. One
+    // map-side-combinable groupBy produces a weight table bounded by
+    // |labels| × 4096 rows at any corpus size; weights are
+    // bit_length(count) — an integer log2 quantization with no
+    // float-log or summation-order seam (docs/HASH_NUMERICS.md).
+    // Trained on the even-doc_id half so text_nb_classify measures
+    // held-out generalization, not just resubstitution. (This
+    // corpus' lang labels draw from one shared vocabulary, so the
+    // correct NB output here is majority-class; NaiveBayesSpec
+    // proves class separation on an informative corpus.)
+    "text_nb_train" -> ((s, d) =>
+      NaiveBayes.trainWeights(
+        documents(s, d).filter(col("doc_id") % 2 === 0), "lang", 4096)),
+
+    // Apply the trained table to EVERY doc (including the held-out
+    // odd half): weight table broadcast, per-doc score agg is the
+    // only data-sized shuffle, argmax window partitions by doc_id.
+    "text_nb_classify" -> ((s, d) =>
+      NaiveBayes.classify(documents(s, d),
+        NaiveBayes.trainWeights(
+          documents(s, d).filter(col("doc_id") % 2 === 0), "lang", 4096),
+        "lang", 4096)),
 
     // Sorted-neighborhood record linkage — the third blocking family
     // next to LSH (dedup_minhash) and key blocking (dedup_key): sort
@@ -3939,6 +3963,40 @@ object PipelineQueries {
              AS margin,
            CAST(SUM(wb) AS BIGINT) > 0 AS keep
          FROM wb GROUP BY doc_id""",
+
+    // Weight table replayed exactly: same md5 bucket, same
+    // bit_length-of-count quantization (length(bin(n)) — integer on
+    // both engines), even-doc_id training half.
+    "text_nb_train" ->
+      s"""SELECT wl, b, CAST(length(bin(count(*))) AS BIGINT) AS w
+         FROM (SELECT lang AS wl,
+             ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
+           FROM (SELECT lang, unnest($Toks) AS t FROM documents
+             WHERE doc_id % 2 = 0))
+         GROUP BY wl, b""",
+
+    // Scores are BIGINT sums of the integer weights — exact,
+    // order-independent — so the argmax (score desc, label asc) is a
+    // total order both engines resolve identically.
+    "text_nb_classify" ->
+      s"""WITH tb AS (SELECT doc_id, lang AS true_label,
+             ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
+           FROM (SELECT doc_id, lang, unnest($Toks) AS t FROM documents)),
+         w AS (SELECT wl, b, CAST(length(bin(count(*))) AS BIGINT) AS w
+           FROM (SELECT lang AS wl,
+               ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
+             FROM (SELECT lang, unnest($Toks) AS t FROM documents
+               WHERE doc_id % 2 = 0))
+           GROUP BY wl, b),
+         sc AS (SELECT tb.doc_id, w.wl,
+             max(tb.true_label) AS true_label,
+             CAST(SUM(w.w) AS BIGINT) AS score
+           FROM tb JOIN w USING (b) GROUP BY tb.doc_id, w.wl),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, wl) AS rn FROM sc)
+         SELECT doc_id, wl AS pred_label, score, true_label,
+           (wl = true_label) AS correct
+         FROM rk WHERE rn = 1""",
 
     "dedup_snm" ->
       s"""WITH docs AS (

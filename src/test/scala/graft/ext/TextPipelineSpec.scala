@@ -424,3 +424,70 @@ class WinnowSpec extends SparkSpec {
     assert(!capped.exists(p => p._1 >= 3L))
   }
 }
+
+class NaiveBayesSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  // An INFORMATIVE corpus (the battery's synthetic documents table
+  // draws every lang's text from one shared vocabulary, so there the
+  // mathematically correct NB output is the majority class): each
+  // label here has marker tokens plus shared filler.
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 40L).map { i =>
+      val lbl = if (i % 2 == 0) "aa" else "bb"
+      val marker = if (lbl == "aa") "alpha apple anchor" else "bravo berry basket"
+      (i, s"$marker the of and common filler $marker", lbl)
+    }.toDF("doc_id", "text", "label")
+  }
+
+  test("weight table is bounded by labels x buckets and weights are " +
+      "bit_length of the token-bucket count") {
+    val w = NaiveBayes.trainWeights(corpus, "label", 64).collect()
+    assert(w.length <= 2 * 64)
+    // every weight is >= 1 and == floor(log2 cnt)+1 for SOME count:
+    // re-derive counts independently and compare
+    val counts = corpus
+      .select(col("label").as("wl"),
+        explode(Dedup.tokens(col("text"))).as("t"))
+      .select(col("wl"), Sampling.hashBucket(col("t"), "nb", 64).as("b"))
+      .groupBy("wl", "b").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    w.foreach { r =>
+      val cnt = counts((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == 64 - java.lang.Long.numberOfLeadingZeros(cnt))
+    }
+  }
+
+  test("held-out docs classify to their label on an informative " +
+      "corpus; scores are integer and tie-break is total") {
+    // split on doc_id % 4 so BOTH labels land in both halves (labels
+    // alternate with parity, so a % 2 split would train one class)
+    val tr = corpus.filter(col("doc_id") % 4 < 2)
+    val weights = NaiveBayes.trainWeights(tr, "label", 64)
+    val out = NaiveBayes.classify(
+      corpus.filter(col("doc_id") % 4 >= 2), weights, "label", 64)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      "marker tokens must dominate shared filler")
+  }
+
+  test("a class absent from a doc's buckets never outranks a present " +
+      "one, and docs with no trained bucket drop out") {
+    val s = spark
+    import s.implicits._
+    val tr = Seq(
+      (0L, "xx xx xx", "px"),
+      (1L, "yy", "py")).toDF("doc_id", "text", "label")
+    val weights = NaiveBayes.trainWeights(tr, "label", 64)
+    // "xx zz": only class px has any overlapping bucket -> px wins
+    // even though py exists; "zz zz": no trained bucket -> dropped.
+    val te = Seq((10L, "xx zz", "px"), (11L, "zz zz", "px"))
+      .toDF("doc_id", "text", "label")
+    val got = NaiveBayes.classify(te, weights, "label", 64).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 10L &&
+      got.head.getAs[String]("pred_label") == "px")
+  }
+}
