@@ -1359,6 +1359,18 @@ object PipelineQueries {
           sum(col("mult") * col("n_chars")).as("chars_resampled"))
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023, ext/Dsir.scala): pick the 100 raw docs whose hashed-
+    // unigram distribution best matches the src0 target split.
+    // Feature table is ONE bounded groupBy(bucket) (≤4096 rows at any
+    // corpus size, totals folded out of it — no extra pass); scoring
+    // broadcasts it; log2s are integer bit_lengths so weights are
+    // exact BIGINT sums (docs/HASH_NUMERICS.md); top-k is
+    // TakeOrderedAndProject (bounded heaps, never a global sort).
+    "sample_dsir" -> ((s, d) =>
+      graft.ext.Dsir.selectTopK(documents(s, d),
+        col("source") === "src0", 4096, 100)),
+
     // Quality-weighted importance sampling: keep probability =
     // quality * 0.5, so high-quality docs survive preferentially —
     // one deterministic map-side predicate (oracle re-derives exact
@@ -3151,6 +3163,28 @@ object PipelineQueries {
            CAST(sum(mult) AS BIGINT) AS n_resampled,
            CAST(sum(mult * n_chars) AS BIGINT) AS chars_resampled
          FROM m GROUP BY 1, 2""",
+
+    // DSIR replayed exactly: same md5 bucket, same bit_length
+    // quantization (length(bin(n)) — integer on both engines), same
+    // (w DESC, doc_id) total order.
+    "sample_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, source = 'src0' AS tgt,
+             ('0x' || substr(md5('dsir' || t), 1, 8))::BIGINT % 4096 AS b
+           FROM (SELECT doc_id, source, unnest($Toks) AS t
+             FROM documents)),
+         ft AS (SELECT b,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+           FROM tk GROUP BY b),
+         tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM ft),
+         sc AS (SELECT tk.doc_id,
+             SUM(length(bin(ft.ct + 1)) - length(bin(ft.cr + 1))) AS s,
+             COUNT(*) AS n, MAX(tk.tgt) AS tgt
+           FROM tk JOIN ft USING (b) GROUP BY tk.doc_id)
+         SELECT doc_id, CAST(s + n * (length(bin(tr + 4096))
+             - length(bin(tt + 4096))) AS BIGINT) AS w
+         FROM sc, tot WHERE NOT tgt
+         ORDER BY w DESC, doc_id LIMIT 100""",
 
     // same quality expression as pipeline_filter's (proven green
     // there); one double multiply by 500000.0 mirrors weight*(rate*1e6)

@@ -491,3 +491,68 @@ class NaiveBayesSpec extends SparkSpec {
       got.head.getAs[String]("pred_label") == "px")
   }
 }
+
+class DsirSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  // Informative corpus: target docs use marker tokens the raw pool
+  // mostly lacks; raw docs 0..9 are target-LIKE (share the markers),
+  // raw docs 10..29 are not. DSIR must select the target-like ones.
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val tgt = (100L until 120L).map(i =>
+      (i, "alpha apple anchor the of and", "target"))
+    val rawLike = (0L until 10L).map(i =>
+      (i, "alpha apple anchor the of and", "raw"))
+    val rawFar = (10L until 30L).map(i =>
+      (i, "zulu zebra zenith the of and", "raw"))
+    (tgt ++ rawLike ++ rawFar).toDF("doc_id", "text", "src")
+  }
+
+  test("feature table is bounded by buckets and counts split by side") {
+    val ft = Dsir.featureTable(corpus, col("src") === "target", 64)
+    assert(ft.count() <= 64)
+    val (tt, tr) = ft.agg(sum("ct"), sum("cr")).collect().head match {
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    assert(tt == 20 * 6 && tr == 30 * 6) // 6 tokens per doc
+  }
+
+  test("target-like raw docs outweigh far raw docs and top-k selects " +
+      "exactly them, target pool excluded") {
+    val w = Dsir.weights(corpus, col("src") === "target", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val likeMin = (0L until 10L).map(w).min
+    val farMax = (10L until 30L).map(w).max
+    assert(likeMin > farMax, s"likeMin=$likeMin farMax=$farMax")
+    val sel = Dsir.selectTopK(corpus, col("src") === "target", 64, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == (0L until 10L).toSet) // never a target doc_id
+  }
+
+  test("weights are exact integers: re-derive one doc's weight from " +
+      "independently computed bucket counts") {
+    val s = spark
+    import s.implicits._
+    val b = 64
+    val ft = Dsir.featureTable(corpus, col("src") === "target", b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val tt = ft.values.map(_._1).sum
+    val tr = ft.values.map(_._2).sum
+    def bitlen(n: Long) = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val toks = "zulu zebra zenith the of and".split(" ")
+    val expected = toks.map { t =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dsir" + t).getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        h.take(4).map("%02x".format(_)).mkString, 16) % b
+      val (ct, cr) = ft(bucket)
+      (bitlen(ct + 1) - bitlen(cr + 1)).toLong
+    }.sum + toks.length * (bitlen(tr + b) - bitlen(tt + b))
+    val got = Dsir.weights(corpus, col("src") === "target", b)
+      .filter(col("doc_id") === 15L).collect().head.getLong(1)
+    assert(got == expected)
+  }
+}

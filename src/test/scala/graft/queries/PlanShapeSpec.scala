@@ -169,6 +169,18 @@ class PlanShapeSpec extends SparkSpec {
       "to probed-cell members via a semi join:\n" + p)
   }
 
+  test("sample_dsir: bounded feature table broadcasts, top-k is " +
+      "TakeOrdered — never a global sort") {
+    val p = plan("sample_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be bounded per-partition heaps:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=4096-row feature table must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join anywhere:\n" + p)
+  }
+
   test("pipeline_filter: quality gate filters AFTER the aggregation") {
     val p = plan("pipeline_filter")
     // The interpreted token HOFs must appear only in the pre-explode
