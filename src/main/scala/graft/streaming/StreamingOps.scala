@@ -177,6 +177,52 @@ object StreamingOps {
         (col("n_known") * 5 >= col("n_bigrams") * 4).as("lm_keep"))
   }
 
+  /** Streaming DSIR gate — score arriving docs against a
+    * batch-trained `graft.ext.Dsir.featureTable` and keep the ones
+    * whose quantized log importance weight clears `minWeight`: the
+    * ingest-time form of importance-resampling data selection (batch
+    * selects a fixed top-k; a stream has no "all docs", so the gate
+    * thresholds the same exact-integer weight instead).
+    *
+    * Shape is the lmGate pattern: map-side token hash → stream-static
+    * BROADCAST join against the bounded (≤ buckets rows) feature
+    * table → one watermarked windowed aggregate per doc. The corpus
+    * token totals are two scalars of the static corpus, so the
+    * per-token normalization folds into a LITERAL (no stream-static
+    * cross join). A LEFT join scores tokens in buckets the corpus
+    * never occupied at the smoothed lr = bitlen(0+1)−bitlen(0+1) = 0
+    * — exactly what the batch formula yields for an empty bucket, so
+    * stream and batch weights agree doc-for-doc (spec-pinned).
+    *
+    * Emits (idCol, n_tokens, w, dsir_keep) per doc whose window
+    * closes; token-less docs emit nothing (same as batch `weights`).
+    */
+  def dsirGate(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, features: DataFrame, targetTokens: Long,
+      rawTokens: Long, buckets: Int, minWeight: Long,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val perTok = bitlen(rawTokens + buckets) - bitlen(targetTokens + buckets)
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    wm.select(col(idCol), col(tsCol),
+        explode(graft.ext.Dedup.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), col(tsCol),
+        graft.ext.Sampling.hashBucket(col("__t"), "dsir", buckets)
+          .as("__b"))
+      .join(broadcast(features.select(col("b").as("__b"),
+          (length(bin(col("ct") + 1)) - length(bin(col("cr") + 1)))
+            .cast("long").as("__lr"))),
+        Seq("__b"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__lr"), lit(0L))).as("__s"))
+      .withColumn("w", col("__s") + col("n_tokens") * lit(perTok))
+      .select(col(idCol), col("n_tokens"), col("w"),
+        (col("w") >= minWeight).as("dsir_keep"))
+  }
+
   /** The corpus's LSH band buckets as a SKINNY static table
     * (band, bk) DISTINCT — built in batch with the exact same hash
     * family as `graft.ext.Dedup.minhashSignatures`, then joined

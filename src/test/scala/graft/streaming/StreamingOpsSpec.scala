@@ -292,6 +292,66 @@ class StreamingOpsSpec extends SparkSpec {
       "bigram-less docs emit nothing")
   }
 
+  test("dsirGate: stream importance weights equal batch Dsir.weights " +
+      "doc-for-doc; unseen buckets score the smoothed 0") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val buckets = 64
+    // static corpus: target docs carry marker tokens
+    val corpus = Seq(
+      (100L, "alpha apple anchor the of and", "target"),
+      (101L, "alpha apple anchor the of and", "target"),
+      (102L, "zulu zebra zenith the of and", "raw"),
+      (103L, "zulu zebra zenith the of and", "raw")
+    ).toDF("doc_id", "text", "src")
+    val isTgt = col("src") === "target"
+    val ft = graft.ext.Dsir.featureTable(corpus, isTgt, buckets)
+    val Array(tt, tr) = ft.agg(sum("ct"), sum("cr")).collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // batch weights over the corpus itself = the gate's ground truth
+    val batchW = graft.ext.Dsir.weights(corpus, isTgt, buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Seq(
+      (100L, t(0), "alpha apple anchor the of and"),  // target-like
+      (102L, t(1), "zulu zebra zenith the of and"),   // raw-like
+      (200L, t(2), "qqq www eee"),                    // unseen buckets
+      (999L, t(95), "flush event far in the future"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.dsirGate(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", ft, tt, tr, buckets, minWeight = 0L)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    in.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT doc_id, n_tokens, w, dsir_keep FROM dsir_stream")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    q.stop()
+    // corpus docs: stream weight == batch weight exactly
+    assert(streamed(100L)._2 == batchW(100L))
+    assert(streamed(102L)._2 == batchW(102L))
+    // target-like keeps, raw-like drops at threshold 0
+    assert(streamed(100L)._3 && !streamed(102L)._3)
+    // all-unseen doc: every token scores lr=0, weight = n * perTok
+    def bitlen(n: Long) = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    assert(streamed(200L)._2 ==
+      3L * (bitlen(tr + buckets) - bitlen(tt + buckets)))
+    // batch run of the SAME gate matches the stream rows it emitted
+    val batchGate = StreamingOps.dsirGate(
+        docs.toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", ft, tt, tr, buckets, minWeight = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(streamed == batchGate.view.filterKeys(_ != 999L).toMap)
+  }
+
   test("nearDupGate: stream MinHash-LSH verdicts against a static " +
       "corpus equal the batch run; map-side signature probes the " +
       "same buckets as batch mining") {
