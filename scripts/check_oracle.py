@@ -48,7 +48,11 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # Spark-written tables (e.g. the derived sf1.0) are DIRECTORIES
+        # of part files; driver-generated testdata is a single file.
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     qdirs = sorted(d for d in os.listdir(out_dir)
