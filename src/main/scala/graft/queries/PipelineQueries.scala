@@ -117,6 +117,48 @@ object PipelineQueries {
           "(coalesce(c1, CAST(0 AS BIGINT)) + v)").as("p"))
   }
 
+  /** BM25-scored docs (doc_id, score) for the fixed 3-term query —
+    * the shared chain of `search_bm25` and `search_rrf`'s lexical
+    * leg. k1=1.2, b=0.75; per-term tf's PIVOTED to columns by
+    * conditional aggregation so the score is a fixed-order 3-term sum
+    * (bit-deterministic cross-engine — a per-(doc,term)-row SUM would
+    * add in shuffle order). Corpus stats (N, Σdl, df per term) are
+    * one 1-row aggregate broadcast back; ln() is IEEE-identical on
+    * both engines (proven by text_tfidf). `lit(2.2)`, not (k1 + 1):
+    * the Scala sum 1.2 + 1 is one ulp BELOW the double nearest to
+    * 2.2, while the oracle's literal 2.2 converts to that nearest
+    * double — raw scores would order-diverge at the top-k boundary.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val (k1, b) = (1.2, 0.75)
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+    val aggs = count(lit(1)).as("dl") +:
+      terms.map(t => sum(when(col("t") === t, 1L).otherwise(0L))
+        .as(s"tf_$t"))
+    // two consumers (stats + scoring): checkpoint the skinny
+    // per-doc table so the corpus is tokenized once, not twice
+    val perDoc = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(false)
+    val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    def part(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      idf * tf * lit(2.2) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .withColumn("score", terms.map(part).reduce(_ + _))
+      .select(col("doc_id"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
     // Group key is a 128-bit fingerprint built from two independent
@@ -822,39 +864,48 @@ object PipelineQueries {
     // aggregate broadcast back — the same bounded-crossJoin pattern
     // as the IVF centroids. ln() is IEEE-identical on both engines
     // (proven by text_tfidf).
-    "search_bm25" -> ((s, d) => {
-      val terms = Seq("spark", "join", "window")
-      val (k1, b) = (1.2, 0.75)
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
-      val aggs = count(lit(1)).as("dl") +:
-        terms.map(t => sum(when(col("t") === t, 1L).otherwise(0L))
-          .as(s"tf_$t"))
-      // two consumers (stats + scoring): checkpoint the skinny
-      // per-doc table so the corpus is tokenized once, not twice
-      val perDoc = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(false)
-      val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
-        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
-          .as(s"df_$t"))
-      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-      val avgdl = col("sumdl").cast("double") / col("n")
-      def part(t: String) = {
-        val tf = col(s"tf_$t").cast("double")
-        val idf = log(lit(1.0) +
-          (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
-        // lit(2.2), not (k1 + 1): the Scala sum 1.2 + 1 is one ulp
-        // BELOW the double nearest to 2.2, while the oracle's literal
-        // 2.2 converts to that nearest double — the raw scores would
-        // order-diverge at the top-k boundary
-        idf * tf * lit(2.2) /
-          (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-      }
-      perDoc.crossJoin(broadcast(stats))
-        .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
-        .withColumn("score", terms.map(part).reduce(_ + _))
+    "search_bm25" -> ((s, d) =>
+      bm25Scored(s, d)
         .orderBy(desc("score"), col("doc_id")).limit(10)
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
+    // Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. 2009,
+    // the fusion every production RAG stack runs) of the lexical BM25
+    // leg and the embedding cosine leg. Each leg contributes
+    // floor(1e9 / (60 + rank)) — the standard k=60 RRF term in exact
+    // integer micro-units (one DIV, no float reciprocal seam;
+    // docs/HASH_NUMERICS.md) — and a doc absent from a leg gets that
+    // leg's 0, the standard RRF convention. Both legs are k-bounded
+    // (20 rows) before ranking, so the rank windows run over constant
+    // pmod partition keys (bounded by construction, never
+    // corpus-sized), the fusion join is trivially broadcast, and each
+    // leg keeps its own scale posture (BM25: one agg + bounded-stats
+    // crossJoin + TakeOrdered; cosine: one codegen'd dot scan +
+    // TakeOrdered). The embeddings table is row-aligned with
+    // documents (vec_id = doc_id — one embedding per doc, the usual
+    // at-rest layout), so ranks fuse in one id space.
+    "search_rrf" -> ((s, d) => {
+      val one = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      val lex = bm25Scored(s, d)
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+        .withColumn("lex_rank", row_number().over(
+          one.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val vec = Similarity.topK(embeddings(s, d), "vec_id", "embedding",
+          q, 20)
+        .select(col("vec_id").as("doc_id"), col("score"))
+        .withColumn("vec_rank", row_number().over(
+          one.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000000 DIV (60 + lex_rank)"), lit(0L)) +
+           coalesce(expr("1000000000 DIV (60 + vec_rank)"), lit(0L)))
+            .as("rrf"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
     }),
 
     // 7-day rolling distinct active users per observed day. Sliding
@@ -2416,6 +2467,41 @@ object PipelineQueries {
   private def normSql(v: String) =
     s"sqrt(list_sum(list_transform($v, x -> x * x)))"
 
+  /** The BM25 scoring CTE chain (`sc` ends with (doc_id, score_raw))
+    * — shared by the `search_bm25` and `search_rrf` oracles, the SQL
+    * mirror of `bm25Scored`.
+    */
+  private val Bm25Ctes =
+    s"""tk AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+          pd AS (SELECT doc_id, count(*) AS dl,
+                 sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+                 sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf_join,
+                 sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf_window
+                 FROM tk GROUP BY doc_id),
+          st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                 sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                 sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+                 FROM pd),
+          sc AS (SELECT doc_id,
+            ln(1.0 + (n - df_spark + 0.5) / (df_spark + 0.5))
+              * CAST(tf_spark AS DOUBLE) * 2.2
+              / (CAST(tf_spark AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                          / (CAST(sumdl AS DOUBLE) / n)))
+            + ln(1.0 + (n - df_join + 0.5) / (df_join + 0.5))
+              * CAST(tf_join AS DOUBLE) * 2.2
+              / (CAST(tf_join AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                          / (CAST(sumdl AS DOUBLE) / n)))
+            + ln(1.0 + (n - df_window + 0.5) / (df_window + 0.5))
+              * CAST(tf_window AS DOUBLE) * 2.2
+              / (CAST(tf_window AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                          / (CAST(sumdl AS DOUBLE) / n))) AS score_raw
+            FROM pd CROSS JOIN st
+            WHERE tf_spark + tf_join + tf_window > 0)"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -3022,37 +3108,36 @@ object PipelineQueries {
     // Mirrors search_bm25's fixed-order arithmetic: same pivoted tf
     // columns, same parenthesization, ln() on both engines.
     "search_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
-          pd AS (SELECT doc_id, count(*) AS dl,
-                 sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
-                 sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf_join,
-                 sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf_window
-                 FROM tk GROUP BY doc_id),
-          st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
-                 sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
-                 sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
-                 sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
-                 FROM pd),
-          sc AS (SELECT doc_id,
-            ln(1.0 + (n - df_spark + 0.5) / (df_spark + 0.5))
-              * CAST(tf_spark AS DOUBLE) * 2.2
-              / (CAST(tf_spark AS DOUBLE)
-                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
-                          / (CAST(sumdl AS DOUBLE) / n)))
-            + ln(1.0 + (n - df_join + 0.5) / (df_join + 0.5))
-              * CAST(tf_join AS DOUBLE) * 2.2
-              / (CAST(tf_join AS DOUBLE)
-                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
-                          / (CAST(sumdl AS DOUBLE) / n)))
-            + ln(1.0 + (n - df_window + 0.5) / (df_window + 0.5))
-              * CAST(tf_window AS DOUBLE) * 2.2
-              / (CAST(tf_window AS DOUBLE)
-                 + 1.2 * (1.0 - 0.75 + 0.75 * dl
-                          / (CAST(sumdl AS DOUBLE) / n))) AS score_raw
-            FROM pd CROSS JOIN st
-            WHERE tf_spark + tf_join + tf_window > 0)
+      s"""WITH $Bm25Ctes
           SELECT doc_id, round(score_raw, 6) AS score FROM sc
           ORDER BY score_raw DESC, doc_id LIMIT 10""",
+
+    // RRF replayed exactly: both legs' top-20 ranks under the same
+    // (raw score desc, id) total orders their green oracles pin, then
+    // integer micro-unit reciprocal ranks — one DIV per leg.
+    "search_rrf" ->
+      s"""WITH $Bm25Ctes,
+          lex AS (SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM (SELECT doc_id, score_raw FROM sc
+              ORDER BY score_raw DESC, doc_id LIMIT 20)),
+          q AS (SELECT $VecD AS qv FROM embeddings WHERE vec_id = 0),
+          sv AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          vtop AS (SELECT vec_id AS doc_id, vscore FROM (
+              SELECT vec_id, ${dotSql("v", "qv")}
+                / (${normSql("v")} * ${normSql("qv")}) AS vscore
+              FROM sv, q)
+            ORDER BY vscore DESC, vec_id LIMIT 20),
+          vr AS (SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY vscore DESC, doc_id) AS BIGINT) AS vec_rank
+            FROM vtop)
+          SELECT COALESCE(lex.doc_id, vr.doc_id) AS doc_id,
+            CAST(COALESCE(1000000000 // (60 + lex_rank), 0)
+               + COALESCE(1000000000 // (60 + vec_rank), 0)
+               AS BIGINT) AS rrf,
+            lex_rank, vec_rank
+          FROM lex FULL OUTER JOIN vr ON lex.doc_id = vr.doc_id
+          ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     // CUSUM replay: identical integer scaling; the HUGEINT window sum
     // casts back to BIGINT to match Spark's long.
