@@ -127,6 +127,90 @@ object AsOfJoinNative {
       rightTime, rightPayload, direction, tolerance)
   }
 
+  /** Key + TIME-RANGE co-partitioned as-of join — the mitigation for
+    * a hot key whose VERSION side is also large (where [[asofSalted]]
+    * pays ×salts replication of the full version history).
+    *
+    * The probe time axis is cut into `shards` equal-width buckets
+    * (bounds from one 2-scalar aggregate over the probes); each side
+    * clusters on the composite (key·shards + bucket), so a hot key's
+    * probes spread over `shards` partitions. Correctness across the
+    * cut: a probe in bucket b may need a version from an EARLIER
+    * bucket, so each left-occupied (key, bucket) is padded with ONE
+    * carried row — the maximal (time, payload-tuple) version among
+    * all buckets < b, i.e. exactly the row the exec's backward merge
+    * would have picked from the past — computed from the
+    * bucket-compacted version table (≤ shards+1 rows per key: the
+    * per-bucket max-struct compaction is a balanced hash aggregate,
+    * and all pre-range buckets collapse to one). Versions after the
+    * last probe are dropped (backward can never match them).
+    * Replication is ≤ 1 row per (key, occupied bucket) — independent
+    * of version-history length, the structural win over salting.
+    *
+    * Backward direction (tolerance supported: carried rows keep their
+    * original time, so the staleness bound still evaluates inside the
+    * merge). Requires |key| < Long.MaxValue / shards.
+    */
+  def asofTimeSharded(left: DataFrame, leftKey: Column,
+      leftTime: Column, right: DataFrame, rightKey: Column,
+      rightTime: Column, rightPayload: Seq[(String, Column)],
+      shards: Int, tolerance: Long = -1L): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val bounds = left.agg(min(leftTime.cast("long")),
+      max(leftTime.cast("long"))).head()
+    if (bounds.isNullAt(0))
+      // no mergeable probe: plain join degenerates to the same
+      // all-null-payload output without the sharding machinery
+      return asofJoin(left, leftKey, leftTime, right, rightKey,
+        rightTime, rightPayload, "backward", tolerance)
+    val (minT, maxT) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (maxT - minT) / shards + 1L)
+    // exact floor division (integer / truncates toward zero, wrong
+    // for the negative pre-range buckets): (x - pmod(x,w)) / w — the
+    // numerator is an exact multiple of w, so the double divide is
+    // exact for |numerator| < 2^53 (micros timestamps: year < 2255)
+    def fdiv(x: Column): Column = (x - pmod(x, lit(width))) / width
+    val lb = fdiv(leftTime.cast("long") - minT).cast("long")
+
+    // versions with named payload columns, bucketed; pre-range
+    // buckets collapse to -1 (they are "before every probe bucket"
+    // alike), post-range versions dropped
+    val named = rightPayload.map(_._1)
+    val rBase = right
+      .filter(rightKey.isNotNull && rightTime.isNotNull)
+      .select(rightKey.cast("long").as("__sk") +:
+        rightTime.cast("long").as("__st") +:
+        rightPayload.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("__sb",
+        greatest(fdiv(col("__st") - minT).cast("long"), lit(-1L)))
+      .filter(col("__sb") < shards)
+    // per-(key, bucket) compaction to the exec's tie order: max
+    // (time, payload-tuple) — balanced regardless of key heat
+    val vstruct = struct(col("__st") +: named.map(col): _*)
+    val lpb = rBase.groupBy(col("__sk"), col("__sb"))
+      .agg(max(vstruct).as("__v"))
+    // left-occupied buckets; carried row = best version of any
+    // earlier bucket (per-key inputs are <= shards+1 rows each side)
+    val leftBk = left.filter(leftKey.isNotNull && leftTime.isNotNull)
+      .select(leftKey.cast("long").as("__lk"), lb.as("__lb"))
+      .distinct()
+    val carried = leftBk
+      .join(lpb, col("__lk") === col("__sk") && col("__sb") < col("__lb"))
+      .groupBy(col("__lk"), col("__lb"))
+      .agg(max(col("__v")).as("__v"))
+      .select(col("__lk").as("__sk") +: col("__lb").as("__sb") +:
+        col("__v.__st").as("__st") +:
+        named.map(n => col(s"__v.$n").as(n)): _*)
+    val localRight = rBase.filter(col("__sb") >= 0)
+      .select(col("__sk") +: col("__sb") +: col("__st") +:
+        named.map(col): _*)
+    val shardedRight = localRight.unionByName(carried)
+    asofJoin(left, leftKey.cast("long") * shards + lb, leftTime,
+      shardedRight, col("__sk") * shards + col("__sb"), col("__st"),
+      rightPayload.map { case (n, _) => n -> col(n) },
+      "backward", tolerance)
+  }
+
   private def asofJoin(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
       rightTime: Column, rightPayload: Seq[(String, Column)],

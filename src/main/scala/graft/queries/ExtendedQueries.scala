@@ -87,6 +87,30 @@ object ExtendedQueries {
           col("click_us"), col("click_value"))
     }),
 
+    // The same attribution through the TIME-SHARDED wrapper: probes
+    // co-partition on (user, time-bucket) so a hot user's probe
+    // stream splits across 8 partitions, and each left-occupied
+    // bucket is padded with ONE carried boundary version instead of
+    // salting's full-history ×salts replication — the key+time-range
+    // co-partitioning posture for hot keys with LONG version
+    // histories. Result is bit-identical to the unsalted native join
+    // (oracle replays the plain ASOF).
+    "join_asof_sharded" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoinNative.asofTimeSharded(
+          purchases, col("user_id"), unix_micros(col("ts")),
+          clicks, col("user_id"), unix_micros(col("ts")),
+          Seq("click_us" -> unix_micros(col("ts")),
+            "click_value" -> col("value")), shards = 8)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_us"), col("click_value"))
+    }),
+
     // Forward attribution through the native exec (peek-don't-consume
     // merge head; ties to the MIN payload tuple = firstLater's rule).
     // Clicks pre-deduped per (user, ts) exactly like join_asof_forward
@@ -913,6 +937,15 @@ object ExtendedQueries {
 
     // Salting is plan-side only — the oracle replays the plain ASOF.
     "join_asof_salted" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+         epoch_us(c.ts) AS click_us, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts""",
+
+    // Time-sharding is plan-side only — the oracle replays the plain
+    // ASOF (carried boundary rows reconstruct cross-bucket matches).
+    "join_asof_sharded" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
          epoch_us(c.ts) AS click_us, c.value AS click_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -463,6 +463,103 @@ class AsOfJoinNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("asofTimeSharded seeded-random differential vs asofBackward: " +
+      "pre/post-range versions, ties, null keys, several shard counts") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1, 2, 3); shards <- Seq(1, 4, 8)) {
+      val rnd = new scala.util.Random(seed)
+      // probes in [50, 90); versions in [0, 120) so some fall BEFORE
+      // every probe bucket (carry path incl. the collapsed -1 bucket)
+      // and some AFTER the last probe (drop path); coarse values =>
+      // many exact (key,time) ties exercising the max-tuple rule
+      val left = (Seq.fill(250)((Some(rnd.nextInt(6).toLong),
+        Some((50 + rnd.nextInt(40)).toLong),
+        rnd.nextInt(1000).toString)) :+
+        ((None: Option[Long], None: Option[Long], "nullrow")))
+        .toDF("k", "t", "pid")
+      val right = Seq.fill(400)((rnd.nextInt(6).toLong,
+        rnd.nextInt(120).toLong, rnd.nextInt(4).toDouble))
+        .toDF("k", "t", "v").repartition(7)
+      val sharded = AsOfJoinNative.asofTimeSharded(
+          left.repartition(5), col("k"), col("t"), right, col("k"),
+          col("t"), Seq("rt" -> col("t"), "rv" -> col("v")), shards)
+        .select("pid", "rt", "rv").collect()
+        .map(_.toSeq.toString).sorted
+      val plain = run(left, right)
+        .select("pid", "rt", "rv").collect()
+        .map(_.toSeq.toString).sorted
+      assert(sharded.sameElements(plain),
+        s"seed $seed shards $shards diverged")
+    }
+  }
+
+  test("asofTimeSharded tolerance differential and degenerate " +
+      "no-mergeable-probe fallback") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(200)((rnd.nextInt(5).toLong,
+      (50 + rnd.nextInt(40)).toLong, rnd.nextInt(1000).toString))
+      .toDF("k", "t", "pid")
+    val right = Seq.fill(300)((rnd.nextInt(5).toLong,
+      rnd.nextInt(120).toLong, rnd.nextInt(4).toDouble))
+      .toDF("k", "t", "v")
+    val sharded = AsOfJoinNative.asofTimeSharded(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), 4, tolerance = 7L)
+      .select("pid", "rt", "rv").collect().map(_.toSeq.toString).sorted
+    val plain = AsOfJoinNative.asofBackwardWithin(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), tolerance = 7L)
+      .select("pid", "rt", "rv").collect().map(_.toSeq.toString).sorted
+    assert(sharded.sameElements(plain))
+    // all probe TIMES null: the bounds aggregate is null -> the
+    // plain-join fallback path; a null-keyed (but timed) probe takes
+    // the normal leftovers path — both must come back null-padded
+    val nullLeft = Seq((Some(1L), None: Option[Long], "a"),
+      (None: Option[Long], None: Option[Long], "b")).toDF("k", "t", "pid")
+    val out = AsOfJoinNative.asofTimeSharded(nullLeft, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), 4)
+      .collect()
+    assert(out.length == 2 && out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("asofTimeSharded skew posture: the hot key's probes spread " +
+      "across time shards and version replication is one carried row " +
+      "per occupied bucket — not salting's full-history copy") {
+    val s = spark
+    import s.implicits._
+    // hot key 0: 20k probes over a wide time range, LONG version
+    // history (2k versions); cold tail on keys 1..7
+    val left = ((1 to 20000).map(i => (0L, i.toLong, i.toLong)) ++
+      (1 to 500).map(i => ((i % 7 + 1).toLong, i.toLong, 100000L + i)))
+      .toDF("k", "t", "pid")
+    val right = ((1 to 2000).map(i => (0L, (i * 10).toLong, i * 1.0)) ++
+      (1L to 7L).map(k => (k, 10L, k * 10 + 1.0))).toDF("k", "t", "v")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sharded = AsOfJoinNative.asofTimeSharded(left, col("k"),
+        col("t"), right, col("k"), col("t"),
+        Seq("rt" -> col("t"), "rv" -> col("v")), 8)
+      val plain = run(left, right)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("pid", "rt", "rv").collect()
+          .map(_.toSeq.toString).sorted.toSeq
+      assert(rows(sharded) == rows(plain),
+        "time-sharding must not change any row")
+      def maxPart(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("p", spark_partition_id()).groupBy("p")
+          .count().agg(max("count")).head.getLong(0)
+      val hot = maxPart(plain)
+      val spread = maxPart(sharded)
+      assert(hot >= 20000L, s"unsharded hot partition: $hot")
+      assert(spread <= hot / 2,
+        s"time shards must spread the hot key: $spread vs $hot")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("exec metrics: numOutputRows == probe rows (left-outer " +
       "contract), matchedRows counts only real payload hits") {
     val s = spark
