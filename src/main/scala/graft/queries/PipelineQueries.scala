@@ -1343,7 +1343,14 @@ object PipelineQueries {
     // PageRank over a deterministic synthetic doc graph (each doc
     // links to (2i+1)%N and (3i+7)%N — same construction in the
     // oracle, like synthPii). Exercises operators/PageRank: 10
-    // power-method rounds, exact-decimal contribution sums.
+    // power-method rounds, exact-decimal contribution sums. The
+    // output is the SCALE-FREE rank·N (1.0 = uniform): raw ranks
+    // shrink as 1/N, so a fixed 6dp rounding loses its absorption
+    // margin as the corpus grows (the derived sf1.0's sparse doc_id
+    // space pushed ranks to ~1e-8 and the two engines' ~1e-15
+    // RELATIVE double drift flipped 6dp digits); rank·N keeps values
+    // O(1) at any corpus size, so the same relative drift stays ~1e-15
+    // absolute — far inside the rounding.
     "graph_pagerank" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"))
       val n = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -1351,8 +1358,14 @@ object PipelineQueries {
         ((col("doc_id") * 2 + 1) % n).as("dst"))
       val e2 = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 3 + 7) % n).as("dst"))
-      graft.operators.PageRank.ranks(e1.union(e2), 10, 0.85)
-        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+      // normalize by the GRAPH's node count (= ranks' row count; the
+      // final state is checkpointed, so count() re-reads, not
+      // re-runs), not the id-space modulus n — they differ when
+      // doc_ids are sparse
+      val ranked = graft.operators.PageRank.ranks(e1.union(e2), 10, 0.85)
+      val nNodes = ranked.count()
+      ranked.select(col("id").as("doc_id"),
+        round(col("rank") * nNodes, 6).as("rank_xn"))
     }),
 
     // Degree distribution over the same synthetic doc graph — the
@@ -3512,18 +3525,24 @@ object PipelineQueries {
              JOIN deg ON deg.src = e.src
              GROUP BY e.dst) m ON m.dst = nodes.id)"""
       }.mkString(",\n")
-      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
-         e AS (SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
-               FROM documents, nn
+      s"""WITH nm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*2 + 1) % nm.m AS dst
+               FROM documents, nm
                UNION ALL
-               SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn),
+               SELECT doc_id, (doc_id*3 + 7) % nm.m FROM documents, nm),
          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
          nodes AS (SELECT DISTINCT id FROM
            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         -- the rank normalizer is the GRAPH's node count (exactly
+         -- PageRank.ranks' nNodes), NOT the id-space modulus m: the
+         -- two only coincide when doc_ids are dense (they diverged
+         -- 915x on the derived sf1.0's sparse id blocks)
+         nn AS (SELECT count(*) AS n FROM nodes),
          r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank
                 FROM nodes, nn),
          $iters
-         SELECT id AS doc_id, round(rank, 6) AS rank FROM r10"""
+         SELECT id AS doc_id, round(rank * nn.n, 6) AS rank_xn
+         FROM r10, nn"""
     },
 
     // Degree-pair histogram over the same synthetic edge construction.

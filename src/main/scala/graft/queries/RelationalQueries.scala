@@ -202,10 +202,16 @@ object RelationalQueries {
         Seq(desc("o_totalprice"), col("o_orderkey")), k = 3)
         .withColumnRenamed("rank", "rn")),
 
-    // Running aggregate window over a partition.
+    // Running aggregate window over a partition. The driver data has
+    // duplicate (l_orderkey, l_linenumber) pairs, so the ROWS-frame
+    // order must ALSO sort the summed column itself — otherwise the
+    // running values at a tie depend on physical row order (green at
+    // sf0.1 only by shuffle luck; diverged at the derived sf1.0).
+    // With (linenumber, quantity) ties the two orders give identical
+    // sums, so the output is a pure function of the data.
     "window_running" -> ((s, d) => {
       val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       lineitem(s, d).filter(col("l_orderkey") < 1000)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -1463,8 +1469,14 @@ object RelationalQueries {
           sum(col("cents")).as("total_cents"),
           sum(col("rk") * col("cents")).as("wsum"))
         .select(col("c_nationkey"), col("n_customers"), col("total_cents"),
-          expr("(2*wsum - (n_customers+1)*total_cents) * 10000" +
-            " DIV (n_customers*total_cents)").as("gini_bp"))
+          // DECIMAL(38,0)-lifted: the long form overflowed at the
+          // derived sf1.0 (wsum·10000 passes 2^63 past ~60k customers
+          // per nation); integral DIV on decimals is exact in both
+          // engines (DuckDB computes the same in HUGEINT)
+          expr("CAST((2*CAST(wsum AS DECIMAL(38,0)) - (n_customers+1)" +
+            "*CAST(total_cents AS DECIMAL(38,0))) * 10000" +
+            " DIV (CAST(n_customers AS DECIMAL(38,0))*total_cents)" +
+            " AS BIGINT)").as("gini_bp"))
     })
   )
 
@@ -1790,7 +1802,7 @@ object RelationalQueries {
     "window_running" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-           PARTITION BY l_orderkey ORDER BY l_linenumber
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_qty
          FROM lineitem WHERE l_orderkey < 1000""",
