@@ -2136,20 +2136,29 @@ object RelationalQueries {
            min(group_size) AS min_group_size
          FROM g""",
 
-    // direct NOT-EXISTS-dominator spelling of the textbook dominance
-    // (≤/≥ on both dims, strict on at least one) — the two-phase
-    // window must be result-identical
+    // Sort-based spelling of the textbook dominance (≤/≥ on both
+    // dims, strict on at least one), provably the same set as the
+    // NOT-EXISTS dominator form but O(n log n): a row survives iff
+    // its date is the max within its exact price AND strictly beats
+    // the running max date over all strictly-cheaper prices. (The
+    // original quadratic NOT EXISTS was the oracle through round 11's
+    // sf0.1 runs — hash-identical there — but is intractable in
+    // DuckDB at the derived sf1.0's 1.5M orders.)
     "skyline_pareto" ->
-      """SELECT o_orderkey, o_totalprice,
-         CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch
-         FROM orders o
-         WHERE NOT EXISTS (SELECT 1 FROM orders d
-           WHERE CAST(round(d.o_totalprice * 100) AS BIGINT)
-                 <= CAST(round(o.o_totalprice * 100) AS BIGINT)
-             AND d.o_orderdate >= o.o_orderdate
-             AND (CAST(round(d.o_totalprice * 100) AS BIGINT)
-                  < CAST(round(o.o_totalprice * 100) AS BIGINT)
-               OR d.o_orderdate > o.o_orderdate))""",
+      """WITH s AS (SELECT o_orderkey, o_totalprice, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders),
+         w AS (SELECT *,
+           max(o_orderdate) OVER (PARTITION BY pc) AS grp_max,
+           max(o_orderdate) OVER (ORDER BY pc
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS cheaper_max
+           FROM s)
+         SELECT o_orderkey, o_totalprice,
+           CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch
+         FROM w
+         WHERE o_orderdate = grp_max
+           AND (cheaper_max IS NULL OR cheaper_max < o_orderdate)""",
 
     "profile_ldiv" ->
       """WITH g AS (SELECT c_nationkey, count(*) AS group_size,
