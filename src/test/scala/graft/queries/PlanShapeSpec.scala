@@ -169,6 +169,17 @@ class PlanShapeSpec extends SparkSpec {
       "to probed-cell members via a semi join:\n" + p)
   }
 
+  test("text_nb_classify: the bounded weight table broadcasts and " +
+      "the argmax window partitions by doc_id — never global") {
+    val p = plan("text_nb_classify")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=|labels|x4096-row weight table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no corpus-sized shuffle join:\n" + p)
+    assert(!"Window.*\\n.*SinglePartition".r.findFirstIn(p).isDefined,
+      "argmax must partition by doc_id:\n" + p)
+  }
+
   test("sample_dsir: bounded feature table broadcasts, top-k is " +
       "TakeOrdered — never a global sort") {
     val p = plan("sample_dsir")
