@@ -147,22 +147,32 @@ object AsOfJoinNative {
     * Replication is ≤ 1 row per (key, occupied bucket) — independent
     * of version-history length, the structural win over salting.
     *
-    * Backward direction (tolerance supported: carried rows keep their
-    * original time, so the staleness bound still evaluates inside the
-    * merge). Requires |key| < Long.MaxValue / shards.
+    * All three directions (tolerance supported: carried rows keep
+    * their original time, so the staleness bound still evaluates
+    * inside the merge). Backward carries the maximal earlier version
+    * forward; forward carries the minimal later version backward
+    * (earliest-later, min-payload-tuple ties — `firstLater`'s rule);
+    * nearest carries BOTH, and the exec's |Δt| pick over {best
+    * earlier, locals, best later} equals the global nearest. Versions
+    * a direction can never match (after the last probe for backward,
+    * before the first for forward) are dropped; the unmatchable-side
+    * out-of-range buckets collapse to one sentinel each.
+    * Requires |key| < Long.MaxValue / (shards + 1).
     */
   def asofTimeSharded(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
       rightTime: Column, rightPayload: Seq[(String, Column)],
-      shards: Int, tolerance: Long = -1L): DataFrame = {
+      shards: Int, direction: String = "backward",
+      tolerance: Long = -1L): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
+    require(Set("backward", "forward", "nearest")(direction), direction)
     val bounds = left.agg(min(leftTime.cast("long")),
       max(leftTime.cast("long"))).head()
     if (bounds.isNullAt(0))
       // no mergeable probe: plain join degenerates to the same
       // all-null-payload output without the sharding machinery
       return asofJoin(left, leftKey, leftTime, right, rightKey,
-        rightTime, rightPayload, "backward", tolerance)
+        rightTime, rightPayload, direction, tolerance)
     val (minT, maxT) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (maxT - minT) / shards + 1L)
     // exact floor division (integer / truncates toward zero, wrong
@@ -172,43 +182,59 @@ object AsOfJoinNative {
     def fdiv(x: Column): Column = (x - pmod(x, lit(width))) / width
     val lb = fdiv(leftTime.cast("long") - minT).cast("long")
 
-    // versions with named payload columns, bucketed; pre-range
-    // buckets collapse to -1 (they are "before every probe bucket"
-    // alike), post-range versions dropped
+    // versions with named payload columns, bucketed; out-of-range
+    // buckets collapse to the -1 / `shards` sentinels ("before every
+    // probe bucket" / "after every probe bucket" alike), and the
+    // side a direction can never match is dropped
     val named = rightPayload.map(_._1)
-    val rBase = right
+    val all = right
       .filter(rightKey.isNotNull && rightTime.isNotNull)
       .select(rightKey.cast("long").as("__sk") +:
         rightTime.cast("long").as("__st") +:
         rightPayload.map { case (n, c) => c.as(n) }: _*)
       .withColumn("__sb",
-        greatest(fdiv(col("__st") - minT).cast("long"), lit(-1L)))
-      .filter(col("__sb") < shards)
-    // per-(key, bucket) compaction to the exec's tie order: max
-    // (time, payload-tuple) — balanced regardless of key heat
-    val vstruct = struct(col("__st") +: named.map(col): _*)
-    val lpb = rBase.groupBy(col("__sk"), col("__sb"))
-      .agg(max(vstruct).as("__v"))
-    // left-occupied buckets; carried row = best version of any
-    // earlier bucket (per-key inputs are <= shards+1 rows each side)
+        greatest(least(fdiv(col("__st") - minT).cast("long"),
+          lit(shards.toLong)), lit(-1L)))
+    val rBase = direction match {
+      case "backward" => all.filter(col("__sb") < shards)
+      case "forward"  => all.filter(col("__sb") >= 0)
+      case "nearest"  => all
+    }
+    // left-occupied buckets (bounded: <= shards per key)
     val leftBk = left.filter(leftKey.isNotNull && leftTime.isNotNull)
       .select(leftKey.cast("long").as("__lk"), lb.as("__lb"))
       .distinct()
-    val carried = leftBk
-      .join(lpb, col("__lk") === col("__sk") && col("__sb") < col("__lb"))
-      .groupBy(col("__lk"), col("__lb"))
-      .agg(max(col("__v")).as("__v"))
-      .select(col("__lk").as("__sk") +: col("__lb").as("__sb") +:
-        col("__v.__st").as("__st") +:
-        named.map(n => col(s"__v.$n").as(n)): _*)
-    val localRight = rBase.filter(col("__sb") >= 0)
+    // per-(key, bucket) compaction to the exec's tie orders: max
+    // (time, payload-tuple) for the backward carry, min for the
+    // forward carry — balanced hash aggregates regardless of key
+    // heat, and the carry joins see <= shards+2 rows per key per side
+    val vstruct = struct(col("__st") +: named.map(col): _*)
+    def carry(agg: Column => Column, cond: Column): DataFrame =
+      leftBk
+        .join(rBase.groupBy(col("__sk"), col("__sb"))
+            .agg(agg(vstruct).as("__v")),
+          col("__lk") === col("__sk") && cond)
+        .groupBy(col("__lk"), col("__lb"))
+        .agg(agg(col("__v")).as("__v"))
+        .select(col("__lk").as("__sk") +: col("__lb").as("__sb") +:
+          col("__v.__st").as("__st") +:
+          named.map(n => col(s"__v.$n").as(n)): _*)
+    val earlier = carry(max, col("__sb") < col("__lb"))
+    val later = carry(min, col("__sb") > col("__lb"))
+    val carries = direction match {
+      case "backward" => earlier
+      case "forward"  => later
+      case "nearest"  => earlier.unionByName(later)
+    }
+    val localRight = rBase
+      .filter(col("__sb") >= 0 && col("__sb") < shards)
       .select(col("__sk") +: col("__sb") +: col("__st") +:
         named.map(col): _*)
-    val shardedRight = localRight.unionByName(carried)
+    val shardedRight = localRight.unionByName(carries)
     asofJoin(left, leftKey.cast("long") * shards + lb, leftTime,
       shardedRight, col("__sk") * shards + col("__sb"), col("__st"),
       rightPayload.map { case (n, _) => n -> col(n) },
-      "backward", tolerance)
+      direction, tolerance)
   }
 
   private def asofJoin(left: DataFrame, leftKey: Column,

@@ -463,16 +463,20 @@ class AsOfJoinNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("asofTimeSharded seeded-random differential vs asofBackward: " +
-      "pre/post-range versions, ties, null keys, several shard counts") {
+  test("asofTimeSharded seeded-random differential vs the plain exec " +
+      "in ALL directions: pre/post-range versions, ties, null keys, " +
+      "several shard counts") {
     val s = spark
     import s.implicits._
-    for (seed <- Seq(1, 2, 3); shards <- Seq(1, 4, 8)) {
+    for (seed <- Seq(1, 2, 3); shards <- Seq(1, 4, 8);
+        dir <- Seq("backward", "forward", "nearest")) {
       val rnd = new scala.util.Random(seed)
       // probes in [50, 90); versions in [0, 120) so some fall BEFORE
-      // every probe bucket (carry path incl. the collapsed -1 bucket)
-      // and some AFTER the last probe (drop path); coarse values =>
-      // many exact (key,time) ties exercising the max-tuple rule
+      // every probe bucket (earlier-carry path incl. the collapsed -1
+      // bucket; dropped for forward) and some AFTER the last probe
+      // (later-carry for forward/nearest; dropped for backward);
+      // coarse values => many exact (key,time) ties exercising both
+      // tuple tie rules
       val left = (Seq.fill(250)((Some(rnd.nextInt(6).toLong),
         Some((50 + rnd.nextInt(40)).toLong),
         rnd.nextInt(1000).toString)) :+
@@ -481,16 +485,24 @@ class AsOfJoinNativeSpec extends SparkSpec {
       val right = Seq.fill(400)((rnd.nextInt(6).toLong,
         rnd.nextInt(120).toLong, rnd.nextInt(4).toDouble))
         .toDF("k", "t", "v").repartition(7)
+      val payload = Seq("rt" -> col("t"), "rv" -> col("v"))
       val sharded = AsOfJoinNative.asofTimeSharded(
           left.repartition(5), col("k"), col("t"), right, col("k"),
-          col("t"), Seq("rt" -> col("t"), "rv" -> col("v")), shards)
+          col("t"), payload, shards, dir)
         .select("pid", "rt", "rv").collect()
         .map(_.toSeq.toString).sorted
-      val plain = run(left, right)
-        .select("pid", "rt", "rv").collect()
+      val plainDf = dir match {
+        case "backward" => AsOfJoinNative.asofBackward(left, col("k"),
+          col("t"), right, col("k"), col("t"), payload)
+        case "forward" => AsOfJoinNative.asofForward(left, col("k"),
+          col("t"), right, col("k"), col("t"), payload)
+        case "nearest" => AsOfJoinNative.asofNearest(left, col("k"),
+          col("t"), right, col("k"), col("t"), payload)
+      }
+      val plain = plainDf.select("pid", "rt", "rv").collect()
         .map(_.toSeq.toString).sorted
       assert(sharded.sameElements(plain),
-        s"seed $seed shards $shards diverged")
+        s"seed $seed shards $shards dir $dir diverged")
     }
   }
 
