@@ -867,6 +867,45 @@ object ExtendedQueries {
     // the aggregate key domain is bounded by distinct paths, not
     // sessions — and the top-10 is a deterministic (count DESC, path
     // ASC) order + limit.
+    // Top-k trajectory similarity (the REPOSE/distributed-trajectory
+    // family): which users' clickstreams look most like user 0's?
+    // Trajectories reduce to DISTINCT event-type 3-gram sets (one
+    // per-user lead window over the total (us, event_id) order, one
+    // distinct), similarity is exact set Jaccard in integer basis
+    // points — ni*10000 DIV (na+nq-ni), no floats — against the
+    // broadcast query-user gram set, and the top-10 is
+    // TakeOrderedAndProject. Scale: one user_id exchange for the
+    // window, one distinct, a broadcast semi-ish join; candidate
+    // users with zero overlap keep bp=0 via the left join (they are
+    // real candidates, just maximally dissimilar).
+    "sim_trajectory" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val grams = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("g"))
+        .distinct()
+        .localCheckpoint(false)
+      val q = grams.filter(col("user_id") === 0)
+        .select(col("g").as("qg"))
+      val inter = grams.join(broadcast(q), col("g") === col("qg"))
+        .groupBy("user_id").agg(count(lit(1)).as("ni"))
+      grams.groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(inter, Seq("user_id"), "left")
+        .crossJoin(broadcast(q.agg(count(lit(1)).as("nq"))))
+        .filter(col("user_id") =!= 0)
+        .select(col("user_id"), col("na"),
+          coalesce(col("ni"), lit(0L)).as("ni"), col("nq"))
+        .withColumn("jaccard_bp",
+          expr("ni * 10000 DIV (na + nq - ni)"))
+        .orderBy(desc("jaccard_bp"), col("user_id")).limit(10)
+    }),
+
     "events_top_paths" -> ((s, d) => {
       val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
@@ -1430,6 +1469,36 @@ object ExtendedQueries {
            CAST(1000 // n + CASE WHEN rk <= 1000 % n THEN 1 ELSE 0 END
              AS BIGINT) AS credit_milli
          FROM t""",
+
+    // Gram construction replayed with the same total (us, event_id)
+    // lead order; Jaccard in exact integer basis points.
+    "sim_trajectory" ->
+      """WITH ev AS (SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+           FROM events),
+         tg AS (SELECT user_id, event_type || '>' || e2 || '>' || e3 AS g
+           FROM (SELECT user_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS e2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS e3
+             FROM ev)
+           WHERE e3 IS NOT NULL),
+         grams AS (SELECT DISTINCT user_id, g FROM tg),
+         q AS (SELECT g AS qg FROM grams WHERE user_id = 0),
+         nqt AS (SELECT count(*) AS nq FROM q),
+         sizes AS (SELECT user_id, count(*) AS na FROM grams GROUP BY 1),
+         inter AS (SELECT user_id, count(*) AS ni
+           FROM grams JOIN q ON g = qg GROUP BY 1)
+         SELECT s.user_id, s.na,
+           CAST(coalesce(i.ni, 0) AS BIGINT) AS ni, nqt.nq,
+           CAST(coalesce(i.ni, 0) * 10000
+             // (s.na + nqt.nq - coalesce(i.ni, 0)) AS BIGINT)
+             AS jaccard_bp
+         FROM sizes s LEFT JOIN inter i ON s.user_id = i.user_id
+         CROSS JOIN nqt
+         WHERE s.user_id <> 0
+         ORDER BY jaccard_bp DESC, s.user_id LIMIT 10""",
 
     "events_top_paths" ->
       """SELECT path, COUNT(*) AS n_sessions FROM (
