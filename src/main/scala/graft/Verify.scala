@@ -10,6 +10,11 @@ object Verify {
     // re-check of just-changed queries. The driver passes 2 args.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // 4 threads by default — measured FASTER than 16 for the sf0.01
+    // gate (tiny partitions, task overhead dominates). For big scale
+    // factors set SPARK_GRAFT_CPUS=32: results are partitioning-
+    // invariant (ShuffleInvarianceSpec pins the whole battery), so
+    // thread count is purely a wall-clock knob.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
