@@ -749,7 +749,10 @@ object StreamingOps {
     * timeout), after which its probes enrich as null until the next
     * version arrives — the documented cold-key tradeoff. The default
     * (-1) keeps every key forever, matching the batch semantics
-    * exactly.
+    * exactly. The watermark delay equals the eviction horizon, so a
+    * key may lag the fastest key's event times by up to
+    * `evictAfterUs` without its rows being dropped as late; beyond
+    * that the key is stale past the caller's own retention choice.
     */
   def asofJoinStream(probes: Dataset[AsOfProbe],
       versions: Dataset[AsOfVersion],
@@ -760,13 +763,20 @@ object StreamingOps {
       .unionByName(versions
         .map(v => AsOfUnion(v.key, v.ts, is_right = true, 0L, v.value)))
     val evicting = evictAfterUs >= 0
-    // event-time timeouts require a watermark; one node above the
-    // union covers both legs (delay 0: arrival is event-time-ordered
-    // per the op's contract, so nothing is dropped by the watermark)
+    // Event-time timeouts require a watermark. The ordering contract
+    // is PER-KEY, but a watermark is GLOBAL: with delay 0, a key
+    // lagging another key's event times would have its rows silently
+    // dropped as late before they reach the state function. Using the
+    // caller's eviction horizon as the delay tolerates cross-key skew
+    // up to exactly the retention the caller already chose; a key
+    // lagging further is by definition stale beyond that horizon.
+    // (Eviction then fires once a key lags ~2x the horizon — the
+    // timeout still guarantees AT LEAST evictAfterUs of retention.)
     val tagged =
       if (!evicting) raw
       else raw.withColumn("__et", timestamp_micros(col("ts")))
-        .withWatermark("__et", "0 seconds").as[AsOfUnion]
+        .withWatermark("__et", s"$evictAfterUs microseconds")
+        .as[AsOfUnion]
     val timeoutConf =
       if (evicting) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -831,7 +841,10 @@ object StreamingOps {
     * with exactly the row a closing event would have produced — and
     * the key's state evicted. After a flush, a reborn key restarts
     * session numbering at 1 (the counter lived in the evicted state).
-    * The spec pins flush == close and the restart.
+    * The watermark delay equals the flush horizon, so a user may lag
+    * the fastest stream's event times by up to `flushAfterUs`
+    * without mid-session events being dropped as late. The spec pins
+    * flush == close, the restart, and the lagging-key tolerance.
     */
   def patternStream(ev: Dataset[PatternEvent],
       gapUs: Long = 1800000000L,
@@ -841,10 +854,17 @@ object StreamingOps {
     import ev.sparkSession.implicits._
     val rx = pattern
     val flushing = flushAfterUs >= 0
+    // Watermark delay = the flush horizon: the ordering contract is
+    // per-key but the watermark is global, so delay 0 would silently
+    // drop a lagging user's mid-session events as late. With the
+    // horizon as delay, any user within flushAfterUs of the fastest
+    // stream is safe; the flush then fires once a session has been
+    // silent ~2x the horizon (still AT LEAST flushAfterUs).
     val src =
       if (!flushing) ev
       else ev.withColumn("__et", timestamp_micros(col("us")))
-        .withWatermark("__et", "0 seconds").as[PatternEvent]
+        .withWatermark("__et", s"$flushAfterUs microseconds")
+        .as[PatternEvent]
     val timeoutConf =
       if (flushing) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout

@@ -1057,4 +1057,74 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(aRows == Set((2L, 2L), (1L, 1L)), aRows.toString)
   }
+
+  test("patternStream flushAfterUs: a user lagging the fastest " +
+      "stream's event times by less than the flush horizon is NOT " +
+      "dropped as late (watermark delay == horizon)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val M = 1000000L
+    val gap = 60 * M
+    def ev(u: Long, id: Long, t: String, us: Long) =
+      StreamingOps.PatternEvent(u, id, t, us)
+    val in = MemoryStream[StreamingOps.PatternEvent]
+    val q = StreamingOps.patternStream(in.toDS(), gapUs = gap,
+        flushAfterUs = gap)
+      .writeStream.format("memory").queryName("pattern_lag")
+      .outputMode("append").start()
+    def rows = s.sql(
+        "SELECT user_id, sess, n_events, hit FROM pattern_lag " +
+        "WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // user 2 races ahead to 200s: watermark after this batch is
+    // 200s - 60s = 140s (delay 0 would put it at 200s)
+    in.addData(ev(2, 1, "view", 200 * M))
+    q.processAllAvailable()
+    // user 1 lags at 150-152s — above the delayed watermark, so the
+    // whole session survives; with delay 0 it would be silently
+    // dropped and the close below would report a 1-event session
+    in.addData(ev(1, 2, "view", 150 * M), ev(1, 3, "click", 151 * M),
+      ev(1, 4, "purchase", 152 * M))
+    q.processAllAvailable()
+    // a beyond-gap event closes user 1's session deterministically
+    in.addData(ev(1, 5, "view", 300 * M))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows == Set((1L, 1L, 3L, true)), rows.toString)
+  }
+
+  test("asofJoinStream evictAfterUs: a key lagging the fastest " +
+      "key's event times by less than the eviction horizon still " +
+      "enriches (watermark delay == horizon)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val M = 1000000L
+    val probes = MemoryStream[StreamingOps.AsOfProbe]
+    val versions = MemoryStream[StreamingOps.AsOfVersion]
+    val q = StreamingOps.asofJoinStream(probes.toDS(), versions.toDS(),
+        evictAfterUs = 60 * M)
+      .writeStream.format("memory").queryName("asof_lag")
+      .outputMode("append").start()
+    def byProbe = s.sql(
+        "SELECT probe_id, match_ts, match_value FROM asof_lag")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2))))
+      .toMap
+    // key 2 races ahead to 200s: watermark becomes 140s, not 200s
+    versions.addData(StreamingOps.AsOfVersion(2L, 200 * M, 9.9))
+    q.processAllAvailable()
+    // key 1 lags at 150-151s — within the horizon, so its version
+    // and probe survive the watermark filter and the probe emits an
+    // enriched row; with delay 0 both rows would be dropped and
+    // probe 201 would emit NOTHING (violating every-probe-emits)
+    versions.addData(StreamingOps.AsOfVersion(1L, 150 * M, 1.5))
+    probes.addData(StreamingOps.AsOfProbe(1L, 151 * M, 201L))
+    q.processAllAvailable()
+    q.stop()
+    assert(byProbe(201L) == (Some(150 * M), Some(1.5)),
+      byProbe.toString)
+  }
 }
