@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,25 +15,52 @@ import org.apache.spark.sql.functions._
   *   - TRAIN is one `groupBy(label, bucket).count()` — map-side
   *     combinable, and the result is bounded by |labels| × buckets
   *     rows regardless of corpus size (hashed features, never a
-  *     vocabulary scan).
-  *   - CLASSIFY broadcasts that bounded weight table; the only
-  *     data-sized shuffle is the per-doc score aggregation, and the
-  *     argmax window partitions by doc_id (never global).
+  *     vocabulary scan). The per-class totals are a window over
+  *     that bounded table, partitioned by class.
+  *   - CLASSIFY broadcasts the bounded weight table; token rows
+  *     fan out by |labels| (full class coverage — see below) and
+  *     the only data-sized shuffle is the per-doc score
+  *     aggregation. The argmax window partitions by doc_id, never
+  *     global.
   *
-  * Exact-numerics policy (docs/HASH_NUMERICS.md): the per-token
-  * log-likelihood is quantized to `bit_length(count) = floor(log2
-  * count) + 1` — an INTEGER computed via `length(bin(count))`, which
-  * is exact and identical on every engine. Scores are then BIGINT
-  * sums: order-independent, oracle-replayable, no float-log /
-  * summation-order seam, and the argmax tie-break (score desc, label
-  * asc) is total. The class prior is deliberately omitted (uniform
-  * prior) — with per-class token volumes this close the likelihood
-  * term dominates, and adding a float prior would reopen the seam.
+  * Model: multinomial NB with Laplace smoothing and a uniform class
+  * prior — `log p(bucket|class) = log(cnt+1) - log(tot_c+B)` where
+  * `tot_c` is the class's training-token count and `B` the bucket
+  * count. The denominator matters: without it every shared bucket's
+  * weight scales with class volume and the classifier is
+  * systematically biased toward the biggest class. Unseen
+  * (class,bucket) pairs score `log(1) - log(tot_c+B)` — each class
+  * scores EVERY token of a doc, hit or not, so a class cannot gain
+  * by merely missing buckets (log-probabilities are negative; under
+  * a hits-only sum a miss would out-score a hit).
+  *
+  * Exact-numerics policy (docs/HASH_NUMERICS.md form 4): each log2
+  * term is quantized to HALF-bit precision with pure integer
+  * arithmetic — `bit_length(n·n) - 1 = floor(2·log2 n)`, computed
+  * via `length(bin(n*n))`, identical on every engine. Scores are
+  * BIGINT sums: order-independent, oracle-replayable, no float-log
+  * or summation-order seam, and the argmax tie-break (score desc,
+  * label asc) is total. Squaring bounds `tot_c + B < 2^31.5`
+  * (~3.0e9 training tokens per class); beyond that, train on a
+  * per-class sample or shard labels — the weight table itself is
+  * volume-independent.
   */
 object NaiveBayes {
 
-  /** Weight table `(wl, b, w)` from labeled docs: token occurrences
-    * hashed into `buckets` features, `w = bit_length(count)`.
+  /** floor(2·log2 n) + 1 for positive integer n, as a long column —
+    * the half-bit log2 quantum (bit_length of n², exact integers
+    * both engines).
+    */
+  private def bitLen2(n: Column): Column =
+    length(bin(n * n)).cast("long")
+
+  /** Weight table `(wl, b, w, u)` from labeled docs: token
+    * occurrences hashed into `buckets` features,
+    * `w = floor(2·log2(cnt+1)) - floor(2·log2(tot_c+buckets))` (the
+    * half-bit-quantized Laplace log-likelihood, numerator AND
+    * denominator so class volume cancels) and `u` the class's
+    * unseen-bucket weight (`cnt = 0`), carried per row so `classify`
+    * can score misses without a second table.
     */
   def trainWeights(docs: DataFrame, labelCol: String,
       buckets: Int): DataFrame =
@@ -43,16 +71,23 @@ object NaiveBayes {
         Sampling.hashBucket(col("t"), "nb", buckets).as("b"))
       .groupBy("wl", "b")
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy("wl")))
       .select(col("wl"), col("b"),
-        length(bin(col("cnt"))).cast("long").as("w"))
+        (bitLen2(col("cnt") + 1) - bitLen2(col("tot") + buckets))
+          .as("w"),
+        (lit(1L) - bitLen2(col("tot") + buckets)).as("u"))
 
   /** Per-doc argmax prediction against a (broadcast) weight table.
-    * Docs whose tokens hit no trained bucket for ANY class drop out
-    * (they have no score row — the caller decides a fallback); any
-    * doc with at least one hit keeps every class it overlaps, and
-    * absent classes can only lose (scores are sums of positive
-    * weights, so a missing class's implicit 0 never beats a present
-    * one).
+    * Every trained class scores every token of every doc — hits via
+    * `w`, misses via the class's unseen weight `u` (token rows fan
+    * out by |labels| through a broadcast of the distinct class
+    * stats; the weight lookup is a broadcast LEFT join, so the only
+    * data-sized shuffle is the per-doc score aggregation). Docs
+    * whose tokens hit no trained bucket for ANY class drop out
+    * (all-unseen rows rank classes by size alone — the caller
+    * decides a fallback); the drop is a doc-partitioned window max,
+    * sharing the argmax window's exchange.
     */
   def classify(docs: DataFrame, weights: DataFrame, labelCol: String,
       buckets: Int): DataFrame = {
@@ -61,10 +96,17 @@ object NaiveBayes {
         explode(Dedup.tokens(col("text"))).as("t"))
       .select(col("doc_id"), col("true_label"),
         Sampling.hashBucket(col("t"), "nb", buckets).as("b"))
-    tb.join(broadcast(weights), Seq("b"))
+    val classStats = weights.select(col("wl"), col("u")).distinct()
+    tb.crossJoin(broadcast(classStats))
+      .join(broadcast(weights.select(col("wl"), col("b"), col("w"))),
+        Seq("wl", "b"), "left")
       .groupBy(col("doc_id"), col("wl"))
       .agg(max(col("true_label")).as("true_label"),
-        sum(col("w")).as("score"))
+        sum(coalesce(col("w"), col("u"))).as("score"),
+        max(when(col("w").isNotNull, 1).otherwise(0)).as("hit"))
+      .withColumn("any_hit",
+        max(col("hit")).over(Window.partitionBy("doc_id")))
+      .filter(col("any_hit") === 1)
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("wl"))))

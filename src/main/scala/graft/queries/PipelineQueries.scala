@@ -2017,21 +2017,27 @@ object PipelineQueries {
     // Distributed classifier TRAINING (ext/NaiveBayes.scala): the
     // offline step text_classify_hash's inference shape assumes. One
     // map-side-combinable groupBy produces a weight table bounded by
-    // |labels| × 4096 rows at any corpus size; weights are
-    // bit_length(count) — an integer log2 quantization with no
-    // float-log or summation-order seam (docs/HASH_NUMERICS.md).
-    // Trained on the even-doc_id half so text_nb_classify measures
-    // held-out generalization, not just resubstitution. (This
-    // corpus' lang labels draw from one shared vocabulary, so the
-    // correct NB output here is majority-class; NaiveBayesSpec
-    // proves class separation on an informative corpus.)
+    // |labels| × 4096 rows at any corpus size; weights are the
+    // half-bit-quantized Laplace log-likelihood
+    // floor(2·log2(cnt+1)) − floor(2·log2(tot_c+4096)) — pure
+    // integer arithmetic (length(bin(n*n))), no float-log or
+    // summation-order seam (docs/HASH_NUMERICS.md), and the
+    // denominator cancels class volume so the biggest class gets no
+    // systematic edge. Trained on the even-doc_id half so
+    // text_nb_classify measures held-out generalization, not just
+    // resubstitution. (This corpus' lang labels draw from one
+    // shared vocabulary, so per-class weights here differ only by
+    // sampling noise; NaiveBayesSpec proves class separation and
+    // imbalance-robustness on informative corpora.)
     "text_nb_train" -> ((s, d) =>
       NaiveBayes.trainWeights(
         documents(s, d).filter(col("doc_id") % 2 === 0), "lang", 4096)),
 
     // Apply the trained table to EVERY doc (including the held-out
-    // odd half): weight table broadcast, per-doc score agg is the
-    // only data-sized shuffle, argmax window partitions by doc_id.
+    // odd half): weight table broadcast (hits via w, misses via the
+    // per-class unseen weight u — every class scores every token),
+    // per-doc score agg is the only data-sized shuffle, argmax
+    // window partitions by doc_id.
     "text_nb_classify" -> ((s, d) =>
       NaiveBayes.classify(documents(s, d),
         NaiveBayes.trainWeights(
@@ -4103,15 +4109,24 @@ object PipelineQueries {
          FROM wb GROUP BY doc_id""",
 
     // Weight table replayed exactly: same md5 bucket, same
-    // bit_length-of-count quantization (length(bin(n)) — integer on
-    // both engines), even-doc_id training half.
+    // half-bit log2 quantization (length(bin(n*n)) — integer on
+    // both engines) of the Laplace numerator (cnt+1) and
+    // denominator (tot+4096); totals cast to BIGINT before the
+    // square so bin() sees the same type. Even-doc_id training half.
     "text_nb_train" ->
-      s"""SELECT wl, b, CAST(length(bin(count(*))) AS BIGINT) AS w
-         FROM (SELECT lang AS wl,
-             ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
-           FROM (SELECT lang, unnest($Toks) AS t FROM documents
-             WHERE doc_id % 2 = 0))
-         GROUP BY wl, b""",
+      s"""SELECT wl, b,
+           CAST(length(bin((cnt+1)*(cnt+1)))
+             - length(bin(tb*tb)) AS BIGINT) AS w,
+           CAST(1 - length(bin(tb*tb)) AS BIGINT) AS u
+         FROM (SELECT wl, b, cnt,
+             CAST(tot AS BIGINT) + 4096 AS tb
+           FROM (SELECT wl, b, count(*) AS cnt,
+               SUM(count(*)) OVER (PARTITION BY wl) AS tot
+             FROM (SELECT lang AS wl,
+                 ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
+               FROM (SELECT lang, unnest($Toks) AS t FROM documents
+                 WHERE doc_id % 2 = 0))
+             GROUP BY wl, b))""",
 
     // Scores are BIGINT sums of the integer weights — exact,
     // order-independent — so the argmax (score desc, label asc) is a
@@ -4120,18 +4135,32 @@ object PipelineQueries {
       s"""WITH tb AS (SELECT doc_id, lang AS true_label,
              ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
            FROM (SELECT doc_id, lang, unnest($Toks) AS t FROM documents)),
-         w AS (SELECT wl, b, CAST(length(bin(count(*))) AS BIGINT) AS w
-           FROM (SELECT lang AS wl,
-               ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
-             FROM (SELECT lang, unnest($Toks) AS t FROM documents
-               WHERE doc_id % 2 = 0))
-           GROUP BY wl, b),
-         sc AS (SELECT tb.doc_id, w.wl,
+         w AS (SELECT wl, b,
+             CAST(length(bin((cnt+1)*(cnt+1)))
+               - length(bin(tb*tb)) AS BIGINT) AS w,
+             CAST(1 - length(bin(tb*tb)) AS BIGINT) AS u
+           FROM (SELECT wl, b, cnt,
+               CAST(tot AS BIGINT) + 4096 AS tb
+             FROM (SELECT wl, b, count(*) AS cnt,
+                 SUM(count(*)) OVER (PARTITION BY wl) AS tot
+               FROM (SELECT lang AS wl,
+                   ('0x' || substr(md5('nb' || t), 1, 8))::BIGINT % 4096 AS b
+                 FROM (SELECT lang, unnest($Toks) AS t FROM documents
+                   WHERE doc_id % 2 = 0))
+               GROUP BY wl, b))),
+         cs AS (SELECT DISTINCT wl, u FROM w),
+         sc AS (SELECT tb.doc_id, cs.wl,
              max(tb.true_label) AS true_label,
-             CAST(SUM(w.w) AS BIGINT) AS score
-           FROM tb JOIN w USING (b) GROUP BY tb.doc_id, w.wl),
+             CAST(SUM(COALESCE(w.w, cs.u)) AS BIGINT) AS score,
+             max(CASE WHEN w.w IS NOT NULL THEN 1 ELSE 0 END) AS hit
+           FROM tb CROSS JOIN cs
+           LEFT JOIN w ON w.wl = cs.wl AND w.b = tb.b
+           GROUP BY tb.doc_id, cs.wl),
+         fh AS (SELECT *, max(hit) OVER (PARTITION BY doc_id)
+             AS any_hit FROM sc),
          rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-             ORDER BY score DESC, wl) AS rn FROM sc)
+             ORDER BY score DESC, wl) AS rn FROM fh
+           WHERE any_hit = 1)
          SELECT doc_id, wl AS pred_label, score, true_label,
            (wl = true_label) AS correct
          FROM rk WHERE rn = 1""",

@@ -442,21 +442,26 @@ class NaiveBayesSpec extends SparkSpec {
     }.toDF("doc_id", "text", "label")
   }
 
-  test("weight table is bounded by labels x buckets and weights are " +
-      "bit_length of the token-bucket count") {
+  test("weight table is bounded by labels x buckets; weights are the " +
+      "half-bit-quantized Laplace log-likelihood with the class-total " +
+      "denominator, u the unseen weight") {
     val w = NaiveBayes.trainWeights(corpus, "label", 64).collect()
     assert(w.length <= 2 * 64)
-    // every weight is >= 1 and == floor(log2 cnt)+1 for SOME count:
-    // re-derive counts independently and compare
+    // re-derive counts and class totals independently and compare
+    def bl2(n: Long) = 64L - java.lang.Long.numberOfLeadingZeros(n * n)
     val counts = corpus
       .select(col("label").as("wl"),
         explode(Dedup.tokens(col("text"))).as("t"))
       .select(col("wl"), Sampling.hashBucket(col("t"), "nb", 64).as("b"))
       .groupBy("wl", "b").count().collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = counts.groupBy(_._1._1).map { case (l, m) =>
+      l -> m.values.sum }
     w.foreach { r =>
       val cnt = counts((r.getString(0), r.getLong(1)))
-      assert(r.getLong(2) == 64 - java.lang.Long.numberOfLeadingZeros(cnt))
+      val den = bl2(totals(r.getString(0)) + 64)
+      assert(r.getLong(2) == bl2(cnt + 1) - den)
+      assert(r.getLong(3) == 1L - den)
     }
   }
 
@@ -482,13 +487,40 @@ class NaiveBayesSpec extends SparkSpec {
       (0L, "xx xx xx", "px"),
       (1L, "yy", "py")).toDF("doc_id", "text", "label")
     val weights = NaiveBayes.trainWeights(tr, "label", 64)
-    // "xx zz": only class px has any overlapping bucket -> px wins
-    // even though py exists; "zz zz": no trained bucket -> dropped.
+    // "xx zz": only class px has any overlapping bucket; py scores
+    // the doc all-unseen and must lose (the unseen weight is the
+    // class's smallest) -> px wins; "zz zz": no trained bucket for
+    // ANY class -> dropped entirely.
     val te = Seq((10L, "xx zz", "px"), (11L, "zz zz", "px"))
       .toDF("doc_id", "text", "label")
     val got = NaiveBayes.classify(te, weights, "label", 64).collect()
     assert(got.length == 1 && got.head.getLong(0) == 10L &&
       got.head.getAs[String]("pred_label") == "px")
+  }
+
+  test("class imbalance: a 5x-volume class gains no systematic edge " +
+      "— the denominator cancels volume, so a held-out minority doc " +
+      "still classifies to its label (the hits-only bit_length(count) " +
+      "scheme misclassifies this exact corpus)") {
+    val s = spark
+    import s.implicits._
+    // identical shared-token distribution in both classes, one
+    // marker each at the same RATE; "big" has 5x the volume
+    val tr = ((0L until 40L).map(i =>
+        (i, "the of and in to bigmark", "big")) ++
+      (100L until 108L).map(i =>
+        (i, "the of and in to smallmark", "small")))
+      .toDF("doc_id", "text", "label")
+    val weights = NaiveBayes.trainWeights(tr, "label", 64)
+    // under the old hits-only scheme: big scores 5*bitlen(40)=30,
+    // small 6*bitlen(8)=24 -> "big" wins on a doc that is
+    // distributionally pure "small"
+    val te = Seq((999L, "the of and in to smallmark", "small"))
+      .toDF("doc_id", "text", "label")
+    val got = NaiveBayes.classify(te, weights, "label", 64).collect()
+    assert(got.length == 1 &&
+      got.head.getAs[String]("pred_label") == "small",
+      got.mkString(";"))
   }
 }
 
