@@ -61,24 +61,47 @@ object Engine {
       if (ingestOrder.nonEmpty) ingestOrder else Seq(col(IngestCol))
     // 1-based POST-filter row position (main.gs:69): numbers the rows
     // that survived the filter, in ingest order. Computed ONLY for
-    // `self[]` mappings, and distributed: sort by the order key
-    // (range exchange), then zipWithIndex — a count job over the
-    // sorted partitions plus a per-partition offset map, i.e. the
-    // shard-offset prefix sum with Spark doing the bookkeeping. The
-    // shuffle output is reused between the two jobs and the range
-    // bounds are sampled once per lineage, so the numbering is stable.
+    // `self[]` mappings, distributed AND lazy (no job until an
+    // action): global sort (one range exchange), then
+    // monotonically_increasing_id — whose value is exactly
+    // (partition_id << 33) + local_row_index, i.e. the shard id and
+    // within-shard position in one narrow projection. Per-shard
+    // counts cumsum over the ≤|partitions|-row subtotal table (the
+    // sample_pps shard-offset pattern; pmod keeps the constant
+    // partition key non-foldable), broadcast back, global position =
+    // offset + local index + 1. Range-partition ids ascend with the
+    // sort order and the local index follows the within-partition
+    // sort, so the numbering equals rank in global ingest order. The
+    // stamped subtree has two consumers; both sit above the same
+    // range exchange, which Spark's ReuseExchange dedupes, and the
+    // sorted layout is deterministic regardless.
     val compiled = Compiler.compile(rules, display.columns.toSeq,
       col(RowPosCol))
     val filtered = ordered.filter(compiled.filter)
     val numbered =
       if (!rules.usesSelf) filtered
       else {
-        val sorted = filtered.orderBy(orderCols: _*)
-        val outSchema = sorted.schema.add(RowPosCol,
-          org.apache.spark.sql.types.LongType, nullable = false)
-        val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
-        sorted.sparkSession.createDataFrame(rows, outSchema)
+        val mid = "__graft_mid"
+        val shard = "__graft_shard"
+        val localMask = (1L << 33) - 1L
+        val stamped = filtered.orderBy(orderCols: _*)
+          .withColumn(mid, monotonically_increasing_id())
+        val offs = stamped
+          .groupBy(shiftright(col(mid), 33).as(shard))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(
+            sum(col("cnt")).over(
+              Window.partitionBy(pmod(col(shard), lit(1)))
+                .orderBy(shard)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col(shard), col("off"))
+        stamped
+          .withColumn(shard, shiftright(col(mid), 33))
+          .join(broadcast(offs), shard)
+          .withColumn(RowPosCol,
+            col("off") + (col(mid).bitwiseAND(localMask)) + 1L)
+          .drop(mid, shard, "off")
       }
     numbered.select(compiled.projections: _*)
   }
