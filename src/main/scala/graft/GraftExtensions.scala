@@ -90,7 +90,15 @@ object GraftExtensions {
     val kVal = kExpr.eval()
     if (kVal == null) fail("k must not be NULL")
     val k = kVal match {
-      case n: java.lang.Number => n.intValue()
+      case n: java.lang.Number =>
+        // no silent truncation: intValue() would wrap 2^32+2 to 2
+        // and floor 2.9 to 2 — both must be rejected, not resized
+        val l = n.longValue()
+        if (n.doubleValue() != l)
+          fail(s"k must be an integer, got $n")
+        if (l < Int.MinValue || l > Int.MaxValue)
+          fail(s"k out of Int range: $l")
+        l.toInt
       case other => fail(
         s"k must be numeric, got ${other.getClass.getSimpleName}")
     }

@@ -599,7 +599,12 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 64,
       minShared: Int = 2): DataFrame = {
+    // three consumers below (doc-frequency agg, both sides of the
+    // pair self-join) — checkpoint the skinny (id, fp) table so the
+    // corpus tokenize + two window passes run once, not three times
+    // (the bm25Scored / sim_trajectory pattern)
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint(false)
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") > 1 && col("dfc") <= maxDocFreq)
       .select("fp")

@@ -69,7 +69,12 @@ object Dsir {
     */
   def weights(docs: DataFrame, isTarget: Column,
       buckets: Int): DataFrame = {
-    val ft = featureTable(docs, isTarget, buckets)
+    // Two consumers of the bounded feature table (totals fold +
+    // broadcast) — checkpoint it so the corpus-sized tokenize/count
+    // subtree is guaranteed to run once even if exchange reuse is
+    // off or AQE re-plans (the contamination_check pattern); the
+    // checkpointed table itself is <= `buckets` rows.
+    val ft = featureTable(docs, isTarget, buckets).localCheckpoint(false)
     // Corpus token totals from the bounded table — no second pass.
     val totals = ft.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val perTok = lit(buckets)

@@ -67,12 +67,8 @@ object RollingHash64 {
     * registry; use via `call_function("rolling_hash64", c)` or SQL.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash64")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    graft.functions.Registration.registerOnce(spark, "rolling_hash64")(
+      exprs => RollingHash64(exprs.head))
 
   /** Column API (requires `register(spark)` once per session). */
   def rolling_hash64(c: Column): Column =

@@ -110,14 +110,9 @@ case class BloomContains(bitmap: Expression, h1: Expression,
 object BloomContains {
   /** Register `bloom_contains(bitmap, h1, h2, k, mBits)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bloom_contains",
-        exprs => BloomContains(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
-        "built-in")
+    Registration.registerOnce(spark, "bloom_contains")(
+      exprs => BloomContains(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4)))
 
   /** Column API (requires registration — `register(spark)` or the
     * `GraftExtensions` entry point). */

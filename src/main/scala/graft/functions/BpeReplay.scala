@@ -143,12 +143,8 @@ case class BpeReplay(word: Expression, mergesFlat: Expression)
 object BpeReplay {
   /** Register `bpe_replay(word, mergesFlat)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_replay")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bpe_replay", exprs => BpeReplay(exprs(0), exprs(1)), "built-in")
+    Registration.registerOnce(spark, "bpe_replay")(
+      exprs => BpeReplay(exprs(0), exprs(1)))
 
   /** Column API (requires `register(spark)` once per session):
     * merges as [l0, r0, l1, r1, ...] in learned order.

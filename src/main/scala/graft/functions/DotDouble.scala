@@ -87,12 +87,8 @@ case class DotDouble(left: Expression, right: Expression)
 object DotDouble {
   /** Register `dot_double(a, b)` in the session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_double")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "dot_double", exprs => DotDouble(exprs(0), exprs(1)), "built-in")
+    Registration.registerOnce(spark, "dot_double")(
+      exprs => DotDouble(exprs(0), exprs(1)))
 
   /** Column API (requires `register(spark)` once per session). */
   def dot_double(a: Column, b: Column): Column =

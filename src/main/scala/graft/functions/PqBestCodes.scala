@@ -178,14 +178,8 @@ case class PqBestCodes(codes: Expression, cbFlat: Expression,
 object PqBestCodes {
   /** Register `pq_best_codes(codes, cbFlat, nCentroids, sub)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("pq_best_codes")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "pq_best_codes",
-        exprs => PqBestCodes(exprs(0), exprs(1), exprs(2), exprs(3)),
-        "built-in")
+    Registration.registerOnce(spark, "pq_best_codes")(
+      exprs => PqBestCodes(exprs(0), exprs(1), exprs(2), exprs(3)))
 
   /** Column API (requires `register(spark)` once per session): codebook
     * row-major `[sm][centroid][dim]`, flattened.

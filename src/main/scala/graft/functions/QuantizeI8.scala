@@ -108,12 +108,8 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
 object QuantizeI8 {
   /** Register `quantize_i8(v)` in the session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("quantize_i8")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "quantize_i8", exprs => QuantizeI8(exprs(0)), "built-in")
+    Registration.registerOnce(spark, "quantize_i8")(
+      exprs => QuantizeI8(exprs(0)))
 
   /** Column API (requires `register(spark)` once per session). */
   def quantize_i8(v: Column): Column =

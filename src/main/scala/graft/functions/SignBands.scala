@@ -171,14 +171,8 @@ case class SignBands(vec: Expression, planes: Expression,
 object SignBands {
   /** Register `sign_bands(vec, planesFlat, bands, rowsPerBand)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent: a re-registration would log a noisy
-    // SimpleFunctionRegistry "replacing" warning per call site
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("sign_bands")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "sign_bands",
-        exprs => SignBands(exprs(0), exprs(1), exprs(2), exprs(3)),
-        "built-in")
+    Registration.registerOnce(spark, "sign_bands")(
+      exprs => SignBands(exprs(0), exprs(1), exprs(2), exprs(3)))
 
   /** Column API (requires `register(spark)` once per session): planes
     * row-major `[plane][dim]`, flattened.

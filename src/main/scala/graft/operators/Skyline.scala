@@ -69,11 +69,13 @@ object Skyline {
       .withColumn("__le", max(col(maxCol)).over(w.rangeBetween(0L, 0L)))
     // B rows: per-bucket max → prefix max of strictly earlier buckets.
     // The window's input is ≤ `buckets` rows by construction — a
-    // constant, not a function of the data. The NON-FOLDABLE constant partition
-    // key (pmod(col,1) — a bare literal is stripped by Spark 4's
-    // EliminateWindowPartitions, and x*0 simplifies to one) states that on the plan (and keeps WindowExec's
-    // single-partition warning out of logs where it would mask a
-    // real corpus-sized global window).
+    // constant, not a function of the data. The partition key must be
+    // a NON-FOLDABLE constant: a bare literal is stripped by Spark
+    // 4's EliminateWindowPartitions and `x*0` constant-folds to a
+    // literal, so pmod(col, 1) is used. It states the bounded-window
+    // intent on the plan and keeps WindowExec's single-partition
+    // warning out of logs, where it would mask a real corpus-sized
+    // global window.
     val prefix = b.groupBy("__bucket")
       .agg(max(col(maxCol)).as("__bmax"))
       .withColumn("__pm", max(col("__bmax")).over(

@@ -41,6 +41,10 @@ class GraftExtensionsSpec extends SparkSpec {
     bad("SELECT kmv_distinct('x', CAST(NULL AS INT))", "NULL")
     bad("SELECT kmv_distinct('x', 'many')", "numeric")
     bad("SELECT kmv_distinct('x', 1)", ">= 2")
+    // no silent truncation: intValue() would wrap 2^32+2 to k=2 and
+    // floor 2.9 to k=2 — both must reject, not run with a tiny sketch
+    bad("SELECT kmv_distinct('x', 4294967298)", "out of Int range")
+    bad("SELECT kmv_distinct('x', CAST(2.9 AS DOUBLE))", "integer")
     // and the well-formed call still works through the same builder
     assert(spark.sql("SELECT kmv_distinct(t, 16) FROM VALUES ('a'), " +
       "('b'), ('a') AS v(t)").head.getLong(0) == 2L)
