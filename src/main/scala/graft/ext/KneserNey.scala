@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney bigram language-model scoring — the
+  * modern smoothing family (Kneser & Ney 1995; Chen & Goodman 1998)
+  * next to the add-one model of `text_lm_score`, and the scorer a
+  * CCNet-style perplexity gate would actually ship. The reference
+  * engine has no LM surface; this is driver-mandated pipeline depth.
+  *
+  * Model, with discount d = 3/4 (dyadic on purpose):
+  *
+  *   p_KN(w|v) = max(c(vw) − d, 0)/c(v)
+  *             + d·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+  *
+  * where c(·) are reference-split bigram counts, N1+(v·) the number
+  * of distinct continuations of v, N1+(·w) the number of distinct
+  * contexts of w (the "novel-continuation" count that distinguishes
+  * KN from plain interpolation), and N1+(··) the number of distinct
+  * bigram types. Multiplying through by 4·c(v)·N1+(··) makes the
+  * probability an EXACT BIGINT rational:
+  *
+  *   num = max(4·c(vw) − 3, 0)·Ncc + 3·N1+(v·)·max(N1+(·w), 1)
+  *   den = 4·c(v)·Ncc
+  *
+  * An unseen context v backs off to the continuation distribution
+  * alone: num = max(N1+(·w), 1), den = Ncc (the max(·,1) is the OOV
+  * floor of one continuation type). No floats anywhere; the
+  * per-bigram log2 is the bit_length quantization of
+  * docs/HASH_NUMERICS.md form 4 — wq = bitlen(num) − bitlen(den) —
+  * so doc scores are order-independent BIGINT sums, replayable
+  * bit-for-bit by the DuckDB oracle.
+  *
+  * Design for 100 TB:
+  *   - Training is bigram-TYPE-bounded: one groupBy(v,w) count, then
+  *     two aggregates OVER THAT TABLE (contexts, continuations) and
+  *     a 1-row type total — never a second corpus pass. The count
+  *     table is checkpointed once for its four consumers.
+  *   - Scoring is one lag window per doc (doc-partitioned) plus
+  *     keyed joins against the bounded model tables; the model side
+  *     of each join is the small side at any corpus scale.
+  *   - Overflow ceiling: c(v)·Ncc < 2^61. At trillion-token scale
+  *     train the reference model on a sample (standard practice) —
+  *     the SCORED side is unbounded either way.
+  */
+object KneserNey {
+
+  /** Word stream used by both LM scorers: lowercase letter runs. */
+  private def toks(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as(Seq("pos", "w")))
+
+  private def bigramRows(df: DataFrame): DataFrame =
+    toks(df)
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+
+  /** Per-bigram quantized KN log-scores of every non-reference doc:
+    * (doc_id, known, wq) — `known` marks bigrams seen in the
+    * reference split, `wq = bitlen(num) − bitlen(den)` the half-open
+    * integer log2 of the exact rational p_KN.
+    *
+    * @param refPred marks the training (reference) split; everything
+    *                else is scored.
+    */
+  def bigramScores(docs: DataFrame, refPred: Column): DataFrame = {
+    // bigram-type count table — four consumers (contexts,
+    // continuations, type total, score join): checkpoint so the
+    // reference corpus is tokenized once
+    val big = bigramRows(docs.filter(refPred))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val ctx = big.groupBy(col("w1").as("v1"))
+      .agg(sum(col("c2")).as("cv"), count(lit(1)).as("nv"))
+    val cont = big.groupBy(col("w2").as("v2"))
+      .agg(count(lit(1)).as("nw"))
+    val ncc = big.agg(count(lit(1)).as("ncc"))
+    val cb = coalesce(col("c2"), lit(0L))
+    val nw1 = greatest(coalesce(col("nw"), lit(0L)), lit(1L))
+    val num = when(col("cv").isNotNull,
+      greatest(cb * 4 - 3, lit(0L)) * col("ncc") +
+        col("nv") * 3 * nw1)
+      .otherwise(nw1)
+    val den = when(col("cv").isNotNull, col("cv") * 4 * col("ncc"))
+      .otherwise(col("ncc"))
+    bigramRows(docs.filter(!refPred))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, col("w1") === col("v1"), "left").drop("v1")
+      .join(cont, col("w2") === col("v2"), "left").drop("v2")
+      .crossJoin(broadcast(ncc))
+      .select(col("doc_id"),
+        col("c2").isNotNull.cast("long").as("known"),
+        (length(bin(num)) - length(bin(den))).cast("long").as("wq"))
+  }
+
+  /** Per-doc roll-up: (doc_id, n_bigrams, n_known, kn_logq) with
+    * kn_logq = Σ wq, the sum of bit_length-quantized log2 p_KN — the
+    * integer total order a perplexity gate thresholds on.
+    */
+  def docScores(docs: DataFrame, refPred: Column): DataFrame =
+    bigramScores(docs, refPred)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("known")).as("n_known"),
+        sum(col("wq")).as("kn_logq"))
+}

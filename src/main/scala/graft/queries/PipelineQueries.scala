@@ -1393,6 +1393,27 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // k-core decomposition (operators/KCore.scala) over the same
+    // undirected doc graph — the standard "dense cohesive subgraph"
+    // pass (spam/link-farm detection, graph sparsification before
+    // embedding). 8 peeling rounds, k=3, fixed-round semantics like
+    // graph_bfs/graph_label_prop so the oracle unrolls identically;
+    // KCoreSpec pins that the generator graph converges inside the
+    // budget.
+    "graph_kcore" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val e0 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst")))
+      val sym = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.operators.KCore.core(sym, 3, 8)
+        .select(col("id").as("doc_id"), col("deg"))
+    }),
+
     // Poisson bootstrap (Chamandy et al., Google 2012) — THE
     // distributed bootstrap: classical resampling needs n draws from
     // a known global n (a coordination point); Poisson(1)
@@ -1703,6 +1724,15 @@ object PipelineQueries {
           // exact integer keep rule: >= 80% of bigram starts seen in
           // the reference model
           (sum(col("known")) * 5 >= count(lit(1)) * 4).as("lm_keep"))),
+
+    // Interpolated Kneser–Ney bigram scoring (ext/KneserNey.scala):
+    // the modern smoothing next to text_lm_score's add-one model —
+    // novel-continuation counts, dyadic discount 3/4, EXACT BIGINT
+    // rationals, bit_length-quantized log2 (the scale shape and
+    // determinism argument live on the ext object).
+    "text_lm_kn" -> ((s, d) =>
+      graft.ext.KneserNey.docScores(documents(s, d),
+        col("doc_id") % 5 === 0)),
 
     // CCNet-style perplexity bucketing: split the scored corpus into
     // head/middle/tail TERCILES per language by LM score (head = most
@@ -3646,6 +3676,32 @@ object PipelineQueries {
          SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d5"""
     },
 
+    // 8 unrolled k=3 peeling rounds — degrees recomputed inside the
+    // surviving subgraph each round, exactly KCore.core.
+    "graph_kcore" -> {
+      val rounds = (2 to 8).map { i =>
+        s"""s${i - 1} AS (SELECT src AS id FROM d${i - 1} WHERE deg >= 3),
+           d$i AS (SELECT e.src, CAST(count(*) AS BIGINT) AS deg
+             FROM e JOIN s${i - 1} a ON e.src = a.id
+                    JOIN s${i - 1} b ON e.dst = b.id
+             GROUP BY e.src)"""
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e0 AS (SELECT doc_id AS src,
+                  (doc_id*2 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id*3 + 7) % (SELECT n FROM nn)
+                FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+           WHERE src <> dst),
+         d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+         $rounds
+         SELECT src AS doc_id, deg FROM d8 WHERE deg >= 3"""
+    },
+
     // chunk_idx = start // stride (same as posexplode's position);
     // list_slice clamps at the end exactly like Spark's slice
     "text_chunk" ->
@@ -3877,6 +3933,59 @@ object PipelineQueries {
            CAST(sum(known) AS BIGINT) AS n_known,
            CAST(sum(p) AS BIGINT) AS sum_p,
            (sum(known) * 5 >= count(*) * 4) AS lm_keep
+         FROM scored GROUP BY doc_id""",
+
+    // Kneser–Ney replayed exactly: same bigram-type tables (counts,
+    // distinct continuations nv, distinct contexts nw, type total
+    // ncc — HUGEINT sums pinned to BIGINT), same exact-rational
+    // num/den forms with the dyadic 3/4 discount, same
+    // length(bin(n)) log2 quantization. Doc scores are BIGINT sums.
+    "text_lm_kn" ->
+      s"""WITH rt AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents WHERE doc_id % 5 = 0),
+         rtok AS (SELECT doc_id, unnest(ws) AS w,
+                  unnest(generate_series(1, len(ws))) AS pos FROM rt),
+         rbig AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+             SELECT w AS w1,
+                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             FROM rtok)
+           WHERE w2 IS NOT NULL GROUP BY w1, w2),
+         ctx AS (SELECT w1 AS v1, CAST(sum(c2) AS BIGINT) AS cv,
+                 CAST(count(*) AS BIGINT) AS nv
+               FROM rbig GROUP BY w1),
+         cont AS (SELECT w2 AS v2, CAST(count(*) AS BIGINT) AS nw
+               FROM rbig GROUP BY w2),
+         vcc AS (SELECT CAST(count(*) AS BIGINT) AS ncc FROM rbig),
+         st AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents WHERE doc_id % 5 <> 0),
+         stok AS (SELECT doc_id, unnest(ws) AS w,
+                  unnest(generate_series(1, len(ws))) AS pos FROM st),
+         sbig AS (SELECT doc_id, w1, w2 FROM (
+             SELECT doc_id, w AS w1,
+                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             FROM stok)
+           WHERE w2 IS NOT NULL),
+         scored AS (
+           SELECT s.doc_id,
+             CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
+             CAST(length(bin(
+               CASE WHEN x.cv IS NOT NULL
+                 THEN greatest(COALESCE(b.c2, 0) * 4 - 3, 0) * vcc.ncc
+                      + x.nv * 3 * greatest(COALESCE(c.nw, 0), 1)
+                 ELSE greatest(COALESCE(c.nw, 0), 1) END))
+               - length(bin(
+               CASE WHEN x.cv IS NOT NULL THEN x.cv * 4 * vcc.ncc
+                    ELSE vcc.ncc END)) AS BIGINT) AS wq
+           FROM sbig s
+           LEFT JOIN rbig b ON s.w1 = b.w1 AND s.w2 = b.w2
+           LEFT JOIN ctx x ON s.w1 = x.v1
+           LEFT JOIN cont c ON s.w2 = c.v2
+           CROSS JOIN vcc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(known) AS BIGINT) AS n_known,
+           CAST(sum(wq) AS BIGINT) AS kn_logq
          FROM scored GROUP BY doc_id""",
 
     // Mirrors the integer tercile assignment exactly: avg_p and all

@@ -588,3 +588,43 @@ class DsirSpec extends SparkSpec {
     assert(got == expected)
   }
 }
+
+class KneserNeySpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("bigram scores equal hand-derived exact KN rationals: seen " +
+      "bigram, unseen bigram in a seen context, and unseen-context " +
+      "backoff") {
+    val s = spark
+    import s.implicits._
+    // ref doc: a b a b a c  ->  c(ab)=2, c(ba)=2, c(ac)=1, Ncc=3
+    //   ctx a: cv=3, nv=2;  ctx b: cv=2, nv=1
+    //   cont: nw(a)=nw(b)=nw(c)=1
+    val docs = Seq((0L, "a b a b a c"), (1L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = KneserNey.bigramScores(docs, col("doc_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._3, r._2))
+    // (a,b): p = (2-3/4)/3 + (3/4)(2/3)(1/3) = 21/36; wq = bl(21)-bl(36) = -1
+    // (b,c): p = (3/4)(1/2)(1/3) = 3/24;              wq = bl(3)-bl(24) = -3
+    // (c,d): unseen context -> p = 1/Ncc = 1/3;        wq = bl(1)-bl(3)  = -1
+    assert(got.toSeq == Seq((1L, 0L, -3L), (1L, 0L, -1L), (1L, 1L, -1L)),
+      got.mkString(";"))
+  }
+
+  test("doc roll-up sums the quantized logs; a doc made of seen " +
+      "bigrams outscores a same-length doc of novel ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b a b a c"),
+      (1L, "a b a b"), (2L, "x y z q")).toDF("doc_id", "text")
+    val rows = KneserNey.docScores(docs, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L)._1 == 3 && rows(2L)._1 == 3)
+    assert(rows(1L)._2 == 3, "all of doc 1's bigrams are known")
+    assert(rows(2L)._2 == 0, "none of doc 2's bigrams are known")
+    assert(rows(1L)._3 > rows(2L)._3,
+      s"KN must rank in-distribution text higher: $rows")
+  }
+}
