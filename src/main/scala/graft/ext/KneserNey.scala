@@ -60,10 +60,52 @@ object KneserNey {
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("w").as("w1"), col("w2"))
 
+  /** The quantized-KN weight from the (possibly-null) joined model
+    * columns — shared by the batch scorer and the streaming `knGate`
+    * so the two can never drift. `ncc` is a column here (the batch
+    * path cross-joins the 1-row type total; the gate folds it to a
+    * literal to avoid a stream-static cross join).
+    */
+  private[graft] def wq(c2: Column, cv: Column, nv: Column,
+      nw: Column, ncc: Column): Column = {
+    val cb = coalesce(c2, lit(0L))
+    val nw1 = greatest(coalesce(nw, lit(0L)), lit(1L))
+    val num = when(cv.isNotNull,
+      greatest(cb * 4 - 3, lit(0L)) * ncc + nv * 3 * nw1)
+      .otherwise(nw1)
+    val den = when(cv.isNotNull, cv * 4 * ncc).otherwise(ncc)
+    (length(bin(num)) - length(bin(den))).cast("long")
+  }
+
+  /** The trained model: bigram counts (w1, w2, c2), context stats
+    * (v1, cv, nv), continuation stats (v2, nw), and the bigram-type
+    * total as a SCALAR (so a streaming consumer needs no
+    * stream-static cross join). All three tables are
+    * bigram-TYPE-bounded.
+    */
+  case class Model(bigrams: DataFrame, contexts: DataFrame,
+    continuations: DataFrame, nccTypes: Long)
+
+  /** Train the KN model tables on a reference corpus. Runs one Spark
+    * job (the type-total count; the checkpoint materializes under
+    * it), like any training step.
+    */
+  def trainModel(refDocs: DataFrame): Model = {
+    val big = bigramRows(refDocs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    Model(big,
+      big.groupBy(col("w1").as("v1"))
+        .agg(sum(col("c2")).as("cv"), count(lit(1)).as("nv")),
+      big.groupBy(col("w2").as("v2"))
+        .agg(count(lit(1)).as("nw")),
+      big.count())
+  }
+
   /** Per-bigram quantized KN log-scores of every non-reference doc:
     * (doc_id, known, wq) — `known` marks bigrams seen in the
-    * reference split, `wq = bitlen(num) − bitlen(den)` the half-open
-    * integer log2 of the exact rational p_KN.
+    * reference split, `wq = bitlen(num) − bitlen(den)` the
+    * integer-quantized log2 of the exact rational p_KN.
     *
     * @param refPred marks the training (reference) split; everything
     *                else is scored.
@@ -80,14 +122,6 @@ object KneserNey {
     val cont = big.groupBy(col("w2").as("v2"))
       .agg(count(lit(1)).as("nw"))
     val ncc = big.agg(count(lit(1)).as("ncc"))
-    val cb = coalesce(col("c2"), lit(0L))
-    val nw1 = greatest(coalesce(col("nw"), lit(0L)), lit(1L))
-    val num = when(col("cv").isNotNull,
-      greatest(cb * 4 - 3, lit(0L)) * col("ncc") +
-        col("nv") * 3 * nw1)
-      .otherwise(nw1)
-    val den = when(col("cv").isNotNull, col("cv") * 4 * col("ncc"))
-      .otherwise(col("ncc"))
     bigramRows(docs.filter(!refPred))
       .join(big, Seq("w1", "w2"), "left")
       .join(ctx, col("w1") === col("v1"), "left").drop("v1")
@@ -95,7 +129,8 @@ object KneserNey {
       .crossJoin(broadcast(ncc))
       .select(col("doc_id"),
         col("c2").isNotNull.cast("long").as("known"),
-        (length(bin(num)) - length(bin(den))).cast("long").as("wq"))
+        wq(col("c2"), col("cv"), col("nv"), col("nw"), col("ncc"))
+          .as("wq"))
   }
 
   /** Per-doc roll-up: (doc_id, n_bigrams, n_known, kn_logq) with

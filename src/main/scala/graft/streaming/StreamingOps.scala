@@ -177,6 +177,51 @@ object StreamingOps {
         (col("n_known") * 5 >= col("n_bigrams") * 4).as("lm_keep"))
   }
 
+  /** Streaming Kneser–Ney gate — the `text_lm_kn` mirror of
+    * [[lmGate]]: score arriving docs against a batch-trained
+    * `graft.ext.KneserNey.Model` and emit the same
+    * (id, n_bigrams, n_known, kn_logq) roll-up the batch
+    * `KneserNey.docScores` produces, doc-for-doc (spec-pinned).
+    *
+    * Shape is the lmGate pattern: per-doc bigrams as a MAP-SIDE
+    * array (zip of the token array with its shift — no window, so
+    * the batch scorer's lag formulation is not needed), three
+    * stream-static BROADCAST left joins against the
+    * bigram-type-bounded model tables, one watermarked windowed
+    * aggregate per doc. The bigram-type total is a literal from the
+    * model (no stream-static cross join). The weight expression is
+    * `KneserNey.wq` itself — stream and batch share one definition
+    * and cannot drift. Bigram-less docs (< 2 words) emit nothing,
+    * same as batch.
+    */
+  def knGate(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, model: graft.ext.KneserNey.Model,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    val tk = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+      lit(0))
+    val n = greatest(size(tk) - 1, lit(0))
+    val pairs = zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    wm.select(col(idCol), col(tsCol), explode(pairs).as("__bg"))
+      .select(col(idCol), col(tsCol),
+        col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.contexts), col("w1") === col("v1"), "left")
+      .join(broadcast(model.continuations), col("w2") === col("v2"),
+        "left")
+      .withColumn("__wq", graft.ext.KneserNey.wq(col("c2"), col("cv"),
+        col("nv"), col("nw"), lit(model.nccTypes)))
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2").isNotNull.cast("long")).as("n_known"),
+        sum(col("__wq")).as("kn_logq"))
+      .select(col(idCol), col("n_bigrams"), col("n_known"),
+        col("kn_logq"))
+  }
+
   /** Streaming DSIR gate — score arriving docs against a
     * batch-trained `graft.ext.Dsir.featureTable` and keep the ones
     * whose quantized log importance weight clears `minWeight`: the

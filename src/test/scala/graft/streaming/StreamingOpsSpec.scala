@@ -292,6 +292,46 @@ class StreamingOpsSpec extends SparkSpec {
       "bigram-less docs emit nothing")
   }
 
+  test("knGate: stream KN scores equal batch KneserNey.docScores " +
+      "doc-for-doc; bigram-less docs emit nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val ref = Seq((0L, "a b a b a c"), (1L, "b c a d"))
+      .toDF("doc_id", "text")
+    val scoredDocs = Seq(
+      (10L, "a b c d"),        // seen + backoff mix
+      (11L, "x y z"),          // all-novel
+      (12L, "solo"))           // no bigrams -> emits nothing
+    // batch ground truth: same corpus, refPred = ids < 10
+    val corpus = ref.unionByName(scoredDocs.toDF("doc_id", "text"))
+    val batch = graft.ext.KneserNey.docScores(corpus, col("doc_id") < 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val model = graft.ext.KneserNey.trainModel(ref)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.knGate(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", model)
+      .writeStream.format("memory").queryName("kn_stream")
+      .outputMode("append").start()
+    in.addData(scoredDocs.map { case (id, tx) => (id, t(0), tx) }: _*)
+    q.processAllAvailable()
+    in.addData((999L, t(95), "flush event far in the future"))
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT doc_id, n_bigrams, n_known, kn_logq FROM kn_stream " +
+        "WHERE doc_id < 999")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    q.stop()
+    assert(batch.contains(10L) && batch.contains(11L) &&
+      !batch.contains(12L), batch.toString)
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("dsirGate: stream importance weights equal batch Dsir.weights " +
       "doc-for-doc; unseen buckets score the smoothed 0") {
     val s = spark
