@@ -61,9 +61,8 @@ object Engine {
       if (ingestOrder.nonEmpty) ingestOrder else Seq(col(IngestCol))
     // 1-based POST-filter row position (main.gs:69): numbers the rows
     // that survived the filter, in ingest order. Computed ONLY for
-    // `self[]` mappings, distributed AND lazy (no job until an
-    // action): global sort (one range exchange), then
-    // monotonically_increasing_id — whose value is exactly
+    // `self[]` mappings, and distributed: global sort (one range
+    // exchange), then monotonically_increasing_id — whose value is exactly
     // (partition_id << 33) + local_row_index, i.e. the shard id and
     // within-shard position in one narrow projection. Per-shard
     // counts cumsum over the ≤|partitions|-row subtotal table (the
@@ -72,9 +71,18 @@ object Engine {
     // offset + local index + 1. Range-partition ids ascend with the
     // sort order and the local index follows the within-partition
     // sort, so the numbering equals rank in global ingest order. The
-    // stamped subtree has two consumers; both sit above the same
-    // range exchange, which Spark's ReuseExchange dedupes, and the
-    // sorted layout is deterministic regardless.
+    // stamped subtree has two consumers whose shard ids MUST come
+    // from one physical layout: AQE can re-plan the range exchange
+    // differently per consumer (observed at sf1.0 — coalesced
+    // partition counts diverged, so the offset table covered fewer
+    // shards than the data and the join dropped rows), so the
+    // stamped frame is localCheckpoint'd: one materialization that
+    // every consumer and every downstream action reads (the old
+    // zipWithIndex shape re-ran the whole scan+filter+sort lineage
+    // per action on top of its eager count job). Under AQE the
+    // checkpoint materializes the sort's stages at transform() time
+    // even with eager=false — the accepted cost of layout
+    // consistency.
     val compiled = Compiler.compile(rules, display.columns.toSeq,
       col(RowPosCol))
     val filtered = ordered.filter(compiled.filter)
@@ -86,6 +94,7 @@ object Engine {
         val localMask = (1L << 33) - 1L
         val stamped = filtered.orderBy(orderCols: _*)
           .withColumn(mid, monotonically_increasing_id())
+          .localCheckpoint(false)
         val offs = stamped
           .groupBy(shiftright(col(mid), 33).as(shard))
           .agg(count(lit(1)).as("cnt"))
