@@ -1393,6 +1393,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // Common-neighbor link prediction (operators/LinkPredict.scala)
+    // over the same doc graph: strongest non-adjacent distance-2
+    // pairs, hub centers (deg > 64) excluded — the supernode guard
+    // that keeps the wedge join O(maxDeg²) per center at any scale.
+    // Top-100 by (cn desc, u, v) runs as TakeOrderedAndProject.
+    "graph_link_predict" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val e = docs.select(col("doc_id").as("id_a"),
+          ((col("doc_id") * 2 + 1) % n).as("id_b"))
+        .union(docs.select(col("doc_id").as("id_a"),
+          ((col("doc_id") * 3 + 7) % n).as("id_b")))
+      graft.operators.LinkPredict.commonNeighbors(e, 64, 2, 100)
+    }),
+
     // k-core decomposition (operators/KCore.scala) over the same
     // undirected doc graph — the standard "dense cohesive subgraph"
     // pass (spam/link-farm detection, graph sparsification before
@@ -3675,6 +3690,37 @@ object PipelineQueries {
          $rounds
          SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d5"""
     },
+
+    // Same wedge enumeration, hub cap, anti join and unique total
+    // order (cn desc, u, v) as LinkPredict.commonNeighbors.
+    "graph_link_predict" ->
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         e0 AS (SELECT doc_id AS id_a,
+                  (doc_id*2 + 1) % (SELECT n FROM nn) AS id_b
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id*3 + 7) % (SELECT n FROM nn)
+                FROM documents),
+         und AS (SELECT DISTINCT least(id_a, id_b) AS u,
+                  greatest(id_a, id_b) AS v
+                FROM e0 WHERE id_a <> id_b),
+         deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+             (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+           GROUP BY x),
+         ctr AS (SELECT x AS c FROM deg WHERE d <= 64),
+         adj AS (SELECT c, nb FROM
+             (SELECT u AS c, v AS nb FROM und
+              UNION ALL SELECT v, u FROM und) s
+           JOIN ctr USING (c)),
+         pairs AS (SELECT a.nb AS u, b.nb AS v,
+               CAST(count(*) AS BIGINT) AS cn
+             FROM adj a JOIN adj b ON a.c = b.c AND a.nb < b.nb
+             GROUP BY a.nb, b.nb),
+         pred AS (SELECT p.u, p.v, p.cn FROM pairs p
+             LEFT JOIN und ON und.u = p.u AND und.v = p.v
+             WHERE und.u IS NULL)
+         SELECT u, v, cn FROM pred WHERE cn >= 2
+         ORDER BY cn DESC, u, v LIMIT 100""",
 
     // 8 unrolled k=3 peeling rounds — degrees recomputed inside the
     // surviving subgraph each round, exactly KCore.core.
