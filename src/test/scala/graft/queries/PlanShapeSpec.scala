@@ -17,6 +17,32 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("text_lm_kn: model joins are keyed (no cartesian); the only " +
+      "nested-loop is the 1-row type-total broadcast") {
+    val p = plan("text_lm_kn")
+    assert(!p.contains("CartesianProduct"), p)
+    // bigram/context/continuation joins must be keyed joins, never a
+    // row×row blowup; the ncc crossJoin broadcasts a single row
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("graph_kcore: per-round peels are semi joins + partial-agg " +
+      "degree counts; no cartesian, no window anywhere") {
+    val p = plan("graph_kcore")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"),
+      "survivor filtering must be semi joins:\n" + p)
+    assert(!p.contains("WindowExec"), "no window belongs here:\n" + p)
+  }
+
+  test("graph_link_predict: top-k runs as TakeOrderedAndProject " +
+      "(bounded heaps, no global sort); no cartesian product") {
+    val p = plan("graph_link_predict")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source_bucketed: the co-bucketed sort-merge join needs no " +
       "shuffle — the only Exchange is the post-join aggregate's") {
     val p = plan("source_bucketed")
