@@ -1481,6 +1481,17 @@ object PipelineQueries {
           TextAnalysis.qualityScore(col("text")), 0.5))
         .select("doc_id", "lang", "source")),
 
+    // Greedy k-center coreset selection (ext/Coreset.scala) over the
+    // embeddings table: Gonzalez farthest-point traversal, k=8 — the
+    // DIVERSITY selection next to sim_mmr's relevance/novelty ranking
+    // and sample_dsir's distribution matching. Exact-replay argument
+    // (three-dot d² identity, unique argmax order, explicit
+    // selected-id exclusion) lives on the ext object.
+    "sample_kcenter" -> ((s, d) =>
+      graft.ext.Coreset.kCenter(
+        embeddings(s, d), "vec_id", "embedding", 8)
+        .select(col("sel_rank"), col("id").as("vec_id"), col("d2"))),
+
     // Triangle enumeration over the same synthetic doc graph as
     // graph_pagerank — degree-oriented wedge join (operators/
     // Triangles), each triangle exactly once, O(m^1.5) bound.
@@ -3689,6 +3700,47 @@ object PipelineQueries {
          d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
          $rounds
          SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d5"""
+    },
+
+    // Greedy k-center unrolled: per round, argmax of the running
+    // min-d² (excluding already-selected ids), then least() against
+    // the new center. d² is the same three-dot identity in the same
+    // parse tree; list_sum(list_transform) matches DotDouble's left
+    // fold bit-for-bit (the proven sim_* seam). Every CTE is
+    // MATERIALIZED: each m/c is referenced more than once, and
+    // DuckDB's default inlining re-expands the whole chain per
+    // reference — exponential (measured: hung at sf0.001; 0.5 s
+    // materialized).
+    "sample_kcenter" -> {
+      def d2 =
+        s"((${dotSql("e.embedding", "e.embedding")} + ${dotSql("c.embedding", "c.embedding")}) - (2.0 * ${dotSql("e.embedding", "c.embedding")}))"
+      val rounds = (2 to 8).map { r =>
+        val excl = (1 until r).map(i => s"SELECT vec_id FROM c$i")
+          .mkString(" UNION ALL ")
+        val mNext =
+          if (r < 8)
+            s""",
+           m$r AS MATERIALIZED (SELECT m.vec_id, least(m.md, $d2) AS md
+             FROM m${r - 1} m JOIN embeddings e ON m.vec_id = e.vec_id,
+               c$r c)"""
+          else ""
+        s"""p$r AS MATERIALIZED (SELECT vec_id, md FROM m${r - 1}
+           WHERE vec_id NOT IN ($excl)
+           ORDER BY md DESC, vec_id LIMIT 1),
+         c$r AS MATERIALIZED (SELECT e.vec_id, e.embedding
+           FROM embeddings e JOIN p$r USING (vec_id))$mNext"""
+      }.mkString(",\n")
+      val sel = (2 to 8).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, round(md, 6) FROM p$r")
+        .mkString("\n")
+      s"""WITH c1 AS MATERIALIZED (SELECT vec_id, embedding
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+         m1 AS MATERIALIZED (SELECT e.vec_id, $d2 AS md
+           FROM embeddings e, c1 c),
+         $rounds
+         SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+           CAST(0.0 AS DOUBLE) AS d2 FROM c1
+         $sel"""
     },
 
     // Same wedge enumeration, hub cap, anti join and unique total
