@@ -615,4 +615,58 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Content-defined chunking (the LBFS/rsync/restic storage-dedup
+    * family): a chunk boundary falls wherever a rolling hash of the
+    * last `window` characters hits 0 mod `maskMod`, so an insertion
+    * or deletion reshapes only the chunks it touches — unlike
+    * fixed-width blocks, where one shifted byte re-keys every block
+    * after it. Returns one row per (id, chunk_idx, chunk); callers
+    * aggregate by chunk content to find cross-document duplication.
+    *
+    * Determinism / oracle replay: the window hash is a base-257
+    * polynomial over codepoints mod 1,000,003 — every intermediate
+    * stays far inside non-negative BIGINT, so trunc and floor agree
+    * and DuckDB replays it as a per-window `list_reduce` fold (the
+    * text_rollhash seam, without needing HUGEINT wraparound), while
+    * the Spark side runs ONE codegen'd rolling pass
+    * (`functions/CdcCuts`) maintaining exactly the same per-window
+    * value. No min/max chunk clamps: production CDC adds them but
+    * they need sequential carry between boundaries; natural
+    * boundaries keep the whole operator one map-side projection.
+    * Expected chunk length ≈ maskMod chars.
+    *
+    * Scale shape: per-doc O(len) map-side work inside whole-stage
+    * codegen, zero shuffles — the caller's chunk-keyed aggregate is
+    * the only exchange, and it is partially aggregated map-side.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, maskMod: Int = 32): DataFrame = {
+    require(window >= 2 && maskMod >= 2,
+      s"cdcChunks: window=$window maskMod=$maskMod")
+    graft.functions.CdcCuts.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        graft.ext.TextAnalysis.normalized(col(textCol)).as("nt"))
+      .withColumn("n", length(col("nt")).cast("long"))
+      // window END positions e (0-based) whose trailing `window`
+      // chars hash to 0 mod maskMod — one codegen'd rolling pass
+      // (functions/CdcCuts), bit-identical to the per-window fold
+      .withColumn("cuts",
+        graft.functions.CdcCuts.cdc_cuts(col("nt"), window, maskMod))
+      // chunk bounds: -1, every cut, and n-1 unless the last cut IS
+      // n-1 (the filter-over-singleton trick yields [] vs [n-1]
+      // without an untyped empty-array CASE branch)
+      .withColumn("bnds", expr(
+        """concat(array(-1L), cuts,
+             filter(array(n - 1),
+               x -> coalesce(try_element_at(cuts, -1), -2L) != x))"""))
+      .withColumn("chunks", expr(
+        """transform(sequence(1L, CAST(size(bnds) AS BIGINT) - 1),
+             i -> substring(nt,
+               CAST(element_at(bnds, CAST(i AS INT)) + 2 AS INT),
+               CAST(element_at(bnds, CAST(i AS INT) + 1)
+                 - element_at(bnds, CAST(i AS INT)) AS INT)))"""))
+      .select(col("id"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+  }
 }

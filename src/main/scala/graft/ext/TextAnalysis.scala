@@ -22,7 +22,9 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
       lit(0)))
 
-  private val Stopwords =
+  // Shared with Rake's phrase segmentation — oracles embed the same
+  // literal list, so keep additions mirrored there.
+  val Stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "on")
 
   /** Fraction of tokens that are stopwords (0 when no tokens). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CountMin, Dedup, Multimodal, NaiveBayes, RollingHash64, Sampling, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, Multimodal, NaiveBayes, Rake, RollingHash64, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** LLM-training-data pipeline operators (driver mandate): dedup,
@@ -740,6 +740,14 @@ object PipelineQueries {
           (col("top_c").cast("double") / col("n_c")).as("top_tok_ratio"))
       gramStats.join(tokStats, "doc_id")
     }),
+
+    // RAKE keyword extraction (ext/Rake): top-3 stopword-delimited
+    // phrases per doc by exact micro-unit degree/frequency scores —
+    // the within-document complement to text_tfidf's corpus ranking.
+    "text_rake" -> ((s, d) =>
+      Rake.topPhrases(documents(s, d), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("rake_rank"), col("phrase"),
+          col("score_micro"), col("n_occ"))),
 
     // TF-IDF top-3 terms per doc. Two partial-agg shuffles (doc×term,
     // then term) + a broadcast of the 1-row corpus count; ranking on
@@ -1972,6 +1980,21 @@ object PipelineQueries {
       Dedup.winnowPairs(documents(s, d), "doc_id", "text",
         k = 5, w = 4, maxDocFreq = 64, minShared = 2)),
 
+    // Content-defined chunking dedup (ext/Dedup.cdcChunks — the
+    // LBFS/restic storage-dedup family): rolling-hash boundaries,
+    // then one chunk-keyed aggregate surfaces every chunk shared
+    // across documents or repeated within one. Complements winnowing
+    // (which FINGERPRINTS overlap) by recovering the actual shared
+    // byte ranges — what a storage layer would dedup at rest.
+    "dedup_cdc" -> ((s, d) =>
+      Dedup.cdcChunks(documents(s, d), "doc_id", "text")
+        .groupBy("chunk")
+        .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1)
+        .select(md5(col("chunk")).as("fp"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          col("n_docs"), col("n_occ"))),
+
     // The remediation side of dedup_spans: REMOVE every token covered
     // by a duplicated 5-gram window and fingerprint the cleaned text
     // (md5 over the order-preserved kept tokens — full-text compare
@@ -2191,6 +2214,9 @@ object PipelineQueries {
   private val NormText =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val Toks = "string_split_regex(lower(trim(text)), '\\s+')"
+  // TextAnalysis.Stopwords as a SQL IN-list (RAKE segmentation)
+  private val StopsSql =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
   // Gopher-gate signals over a token list `ws` (mirrors
   // TextAnalysis.{avgTokenLength,symbolWordRatio,alphaWordFrac,
@@ -3097,6 +3123,42 @@ object PipelineQueries {
                    AS top_tok_ratio FROM tk GROUP BY 1)
           SELECT gs.doc_id, n_tokens, dup2_frac, top_tok_ratio
           FROM gs JOIN tr ON gs.doc_id = tr.doc_id""",
+
+    // RAKE replay: same running-stopword-count segment ids (the
+    // window's default RANGE frame matches Spark's — pos is unique
+    // per doc), same deg·10⁶ // freq micro-unit word scores
+    // (non-negative, floor == trunc), phrase text assembled in pos
+    // order, identical-phrase dedup, (score desc, phrase) top-3.
+    "text_rake" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,
+             generate_subscripts(ws, 1) - 1 AS pos
+           FROM (SELECT doc_id, $Toks AS ws FROM documents)),
+         sg AS (SELECT doc_id, pos, w,
+             w IN ($StopsSql) AS is_stop,
+             sum(CASE WHEN w IN ($StopsSql) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS ph
+           FROM tok),
+         nw AS (SELECT doc_id, ph, pos, w FROM sg WHERE NOT is_stop),
+         pl AS (SELECT doc_id, ph, count(*) AS plen FROM nw
+           GROUP BY 1, 2),
+         occ AS (SELECT nw.doc_id, nw.ph, nw.pos, nw.w, pl.plen
+           FROM nw JOIN pl ON nw.doc_id = pl.doc_id AND nw.ph = pl.ph),
+         wsc AS (SELECT doc_id, w,
+             CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS wscore
+           FROM occ GROUP BY 1, 2),
+         ps AS (SELECT o.doc_id, o.ph,
+             CAST(sum(wscore) AS BIGINT) AS score,
+             string_agg(o.w, ' ' ORDER BY o.pos) AS phrase
+           FROM occ o JOIN wsc ON o.doc_id = wsc.doc_id AND o.w = wsc.w
+           GROUP BY 1, 2),
+         pd AS (SELECT doc_id, phrase, max(score) AS score_micro,
+             count(*) AS n_occ FROM ps GROUP BY 1, 2),
+         rk AS (SELECT doc_id, phrase, score_micro, n_occ,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, phrase) AS rn FROM pd)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rake_rank, phrase,
+           score_micro, n_occ
+         FROM rk WHERE rn <= 3""",
 
     "vocab_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS term FROM documents)
@@ -4250,6 +4312,37 @@ object PipelineQueries {
          WHERE fp IN (SELECT fp FROM keep) AND a.doc_id < b.doc_id
          GROUP BY 1, 2
          HAVING count(*) >= 2""",
+
+    // Content-defined chunking replay: same base-257 mod-1,000,003
+    // window fold (list_reduce over the 8-char slice — the
+    // text_rollhash seam, no HUGEINT needed: everything stays far
+    // inside BIGINT), same boundary rule (h % 32 = 0 at window END
+    // positions e >= 7), same -1/cuts/n-1 bound assembly and
+    // substring arithmetic. All operands non-negative, so Spark's
+    // trunc DIV/% and DuckDB's floor agree.
+    "dedup_cdc" ->
+      s"""WITH ch AS (SELECT doc_id, nt,
+             [c FOR c IN string_split(nt, '') IF c != ''] AS cs
+           FROM (SELECT doc_id, $NormText AS nt FROM documents)),
+         cu AS (SELECT doc_id, nt, len(cs) AS n,
+             [e FOR e IN range(7, len(cs))
+              IF list_reduce(list_prepend(0::BIGINT,
+                   [ascii(c)::BIGINT FOR c IN cs[e - 6 : e + 1]]),
+                 (a, x) -> (a * 257 + x) % 1000003) % 32 = 0] AS cuts
+           FROM ch),
+         bn AS (SELECT doc_id, nt,
+             list_concat(list_concat([-1], cuts),
+               CASE WHEN len(cuts) > 0 AND cuts[-1] = n - 1
+                    THEN []::BIGINT[] ELSE [n - 1] END) AS bnds
+           FROM cu),
+         ck AS (SELECT doc_id,
+             unnest([substr(nt, bnds[i] + 2, bnds[i + 1] - bnds[i])
+                     FOR i IN range(1, len(bnds))]) AS chunk
+           FROM bn)
+         SELECT md5(chunk) AS fp,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM ck GROUP BY chunk HAVING count(*) > 1""",
 
     "dedup_spans_clean" ->
       s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,

@@ -1477,6 +1477,44 @@ object RelationalQueries {
             "*CAST(total_cents AS DECIMAL(38,0))) * 10000" +
             " DIV (CAST(n_customers AS DECIMAL(38,0))*total_cents)" +
             " AS BIGINT)").as("gini_bp"))
+    }),
+
+    // Cramér's V association between two categorical columns — the
+    // chi²-based contingency audit next to profile_mutual_info's
+    // information-theoretic one ("does order priority co-vary with
+    // status?"). Exact end to end: the full r×c contingency grid
+    // (zero cells included — they carry chi² mass), each cell's
+    // (n·obs − r·c)²·10⁶ DIV (n·r·c) term in DECIMAL(38,0)
+    // (delta ≤ n² so delta²·10⁶ ≤ 5·10³⁰ at 1.5M rows — the
+    // profile_gini lift precedent; all terms non-negative so trunc
+    // DIV == DuckDB's floor //), summed to chi²·10⁶; V²·10⁶ =
+    // chi²·10⁶ DIV (n·dof). Scale shape: three partial-agg'd counts
+    // over orders + one broadcast cross of the category-bounded
+    // marginals — no corpus-sized shuffle anywhere.
+    "profile_cramers_v" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderpriority").as("rcat"),
+        col("o_orderstatus").as("ccat"))
+      val obs = o.groupBy("rcat", "ccat").agg(count(lit(1)).as("obs"))
+      val rt = o.groupBy("rcat").agg(count(lit(1)).as("r"))
+      val ct = o.groupBy("ccat").agg(count(lit(1)).as("c"))
+      val n = o.agg(count(lit(1)).as("n"))
+      val cells = rt.crossJoin(broadcast(ct))
+        .join(broadcast(obs), Seq("rcat", "ccat"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        .crossJoin(broadcast(n))
+      cells
+        .withColumn("term", expr(
+          """CAST((CAST(n AS DECIMAL(38,0))*obs - CAST(r AS DECIMAL(38,0))*c)
+               * (CAST(n AS DECIMAL(38,0))*obs - CAST(r AS DECIMAL(38,0))*c)
+               * 1000000
+               DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"""))
+        .agg(max("n").as("n"),
+          countDistinct("rcat").as("n_rcat"),
+          countDistinct("ccat").as("n_ccat"),
+          sum("term").as("chi2_micro"))
+        .select(col("n"), col("n_rcat"), col("n_ccat"), col("chi2_micro"),
+          expr("chi2_micro DIV (n * greatest(least(n_rcat, n_ccat) - 1, 1))")
+            .as("v2_micro"))
     })
   )
 
@@ -2341,6 +2379,35 @@ object RelationalQueries {
            CAST(SUM(cents) AS BIGINT) AS total_cents,
            CAST((2*SUM(rk*cents) - (COUNT(*)+1)*SUM(cents)) * 10000
              // (COUNT(*)*SUM(cents)) AS BIGINT) AS gini_bp
-         FROM r GROUP BY 1"""
+         FROM r GROUP BY 1""",
+
+    // Same full contingency grid (zero cells via the marginal cross +
+    // left join), same HUGEINT-exact cell terms — non-negative, so
+    // DuckDB's floor // matches Spark's trunc DIV.
+    "profile_cramers_v" ->
+      """WITH o AS (SELECT o_orderpriority AS rcat,
+             o_orderstatus AS ccat FROM orders),
+         obs AS (SELECT rcat, ccat, count(*) AS obs FROM o GROUP BY 1, 2),
+         rt AS (SELECT rcat, count(*) AS r FROM o GROUP BY 1),
+         ct AS (SELECT ccat, count(*) AS c FROM o GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM o),
+         cells AS (SELECT rt.rcat, ct.ccat, rt.r, ct.c,
+             coalesce(obs.obs, 0) AS obs, nn.n
+           FROM rt CROSS JOIN ct
+           LEFT JOIN obs ON rt.rcat = obs.rcat AND ct.ccat = obs.ccat
+           CROSS JOIN nn),
+         t AS (SELECT n, rcat, ccat,
+             CAST((n::HUGEINT*obs - r::HUGEINT*c)
+                  * (n::HUGEINT*obs - r::HUGEINT*c) * 1000000
+                  // (n::HUGEINT * r * c) AS BIGINT) AS term
+           FROM cells)
+         SELECT max(n) AS n,
+           count(DISTINCT rcat) AS n_rcat,
+           count(DISTINCT ccat) AS n_ccat,
+           CAST(sum(term) AS BIGINT) AS chi2_micro,
+           CAST(sum(term) // (max(n) * greatest(
+             least(count(DISTINCT rcat), count(DISTINCT ccat)) - 1, 1))
+             AS BIGINT) AS v2_micro
+         FROM t"""
   )
 }
