@@ -35,6 +35,7 @@ case class CdcCuts(str: Expression, window: Expression,
 
   override def children: Seq[Expression] = Seq(str, window, maskMod)
   override def nullable: Boolean = str.nullable
+  override def prettyName: String = "cdc_cuts"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = {

@@ -706,4 +706,33 @@ class PlanShapeSpec extends SparkSpec {
       && !p.contains("BroadcastNestedLoopJoin"),
       "SNM must not mine pairs via a join")
   }
+
+  test("dedup_cdc: boundaries via the codegen'd cdc_cuts expression " +
+      "(not an interpreted HOF fold); chunk agg is the only join-free " +
+      "exchange path — no window, no join of any kind") {
+    val p = plan("dedup_cdc")
+    assert(p.contains("cdc_cuts"), "must use the native expression:\n" + p)
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "CDC dedup is scan -> chunk aggregate, nothing else:\n" + p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p)
+  }
+
+  test("text_rake: every window and exchange clusters on the doc id " +
+      "— nothing corpus-global; no cartesian") {
+    val p = plan("text_rake")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(id"),
+      "rake stages must cluster on the doc id:\n" + p)
+  }
+
+  test("profile_cramers_v: the contingency grid builds from broadcast " +
+      "category-bounded marginals — no shuffle join, no window") {
+    val p = plan("profile_cramers_v")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "marginal joins must broadcast:\n" + p)
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p)
+  }
 }
