@@ -778,6 +778,45 @@ object ExtendedQueries {
             .as("mae"))
     }),
 
+    // Holt linear-trend (double exponential) smoothing per event
+    // type over the daily-count series — the trend-aware forecaster
+    // next to events_forecast_naive's seasonal baseline. Dyadic
+    // smoothing constants (α=1/2; trend recurrence pre-expanded to
+    // b' = x/8 − l/8 + 7b/8 so every coefficient is a power of two)
+    // and one fixed fold order make the doubles bit-identical on
+    // both engines — the oracle replays the recurrence as a
+    // recursive CTE (NOT list_reduce: DuckDB 1.0 mutates the
+    // accumulator struct field-by-field, so a later field reads the
+    // already-updated level) — and the 2⁻²⁰-dyadic-unit floor at the
+    // end quantizes identical doubles identically
+    // (docs/HASH_NUMERICS.md). Scale shape: one keyed partial-agg'd
+    // count to the day-level table, then a fold over each type's
+    // domain-bounded day list; the inherently sequential recurrence
+    // runs per type, never over the corpus.
+    "events_holt" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          """aggregate(
+               slice(transform(xs, e -> e.y), 2, size(xs) - 1),
+               named_struct('l', xs[0].y, 'b', CAST(NULL AS DOUBLE)),
+               (a, y) -> CASE WHEN a.b IS NULL
+                 THEN named_struct('l', y, 'b', y - a.l)
+                 ELSE named_struct(
+                   'l', 0.5D * y + 0.5D * (a.l + a.b),
+                   'b', 0.125D * (y - a.l) + 0.875D * a.b)
+                 END)"""))
+        .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+          expr("CAST(floor(st.l * 1048576) AS BIGINT)").as("level_dy"),
+          expr("CAST(floor(st.b * 1048576) AS BIGINT)").as("trend_dy"),
+          expr("CAST(floor((st.l + 7 * st.b) * 1048576) AS BIGINT)")
+            .as("fc7_dy"))
+    }),
+
     // Experimentation analytics: two-proportion conversion test
     // between user cohorts (A/B by user_id parity). Conversion =
     // "purchased within the user's first 20 events" — exact integers
@@ -1416,6 +1455,40 @@ object ExtendedQueries {
            round(CAST(SUM(ABS(n - pred)) AS DOUBLE) / count(*), 6)
              AS mae
          FROM l WHERE pred IS NOT NULL GROUP BY 1""",
+
+    // Holt recurrence replayed as a recursive CTE — one affine step
+    // per day index, every field computed from the PRIOR row h.* (no
+    // struct-mutation hazard; list_reduce in DuckDB 1.0 updates the
+    // accumulator in place so a later field would read the new
+    // level). Same dyadic coefficients and fold order as the Spark
+    // HOF aggregate -> bit-identical doubles -> identical floors.
+    "events_holt" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+             CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS t
+           FROM daily),
+         nn AS (SELECT event_type, max(t) AS n_days FROM idx
+           GROUP BY 1),
+         holt AS (
+           SELECT event_type, t, y AS l, CAST(NULL AS DOUBLE) AS b
+           FROM idx WHERE t = 1
+           UNION ALL
+           SELECT i.event_type, i.t,
+             CASE WHEN h.b IS NULL THEN i.y
+                  ELSE 0.5 * i.y + 0.5 * (h.l + h.b) END,
+             CASE WHEN h.b IS NULL THEN i.y - h.l
+                  ELSE 0.125 * (i.y - h.l) + 0.875 * h.b END
+           FROM holt h JOIN idx i
+             ON i.event_type = h.event_type AND i.t = h.t + 1)
+         SELECT h.event_type, CAST(nn.n_days AS BIGINT) AS n_days,
+           CAST(floor(h.l * 1048576) AS BIGINT) AS level_dy,
+           CAST(floor(h.b * 1048576) AS BIGINT) AS trend_dy,
+           CAST(floor((h.l + 7 * h.b) * 1048576) AS BIGINT) AS fc7_dy
+         FROM holt h JOIN nn ON h.event_type = nn.event_type
+         WHERE h.t = nn.n_days""",
 
     "events_ab_test" ->
       """WITH r AS (SELECT user_id, event_type,
