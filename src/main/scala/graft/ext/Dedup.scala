@@ -621,8 +621,10 @@ object Dedup {
     * last `window` characters hits 0 mod `maskMod`, so an insertion
     * or deletion reshapes only the chunks it touches — unlike
     * fixed-width blocks, where one shifted byte re-keys every block
-    * after it. Returns one row per (id, chunk_idx, chunk); callers
-    * aggregate by chunk content to find cross-document duplication.
+    * after it. Returns one row per (id, carry…, chunk_idx, chunk);
+    * callers aggregate by chunk content to find cross-document
+    * duplication. Stateless and map-side throughout, so it runs
+    * unchanged on a streaming DataFrame (StreamingOps.cdcGate).
     *
     * Determinism / oracle replay: the window hash is a base-257
     * polynomial over codepoints mod 1,000,003 — every intermediate
@@ -641,12 +643,13 @@ object Dedup {
     * the only exchange, and it is partially aggregated map-side.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, maskMod: Int = 32): DataFrame = {
+      window: Int = 8, maskMod: Int = 32,
+      carry: Seq[String] = Nil): DataFrame = {
     require(window >= 2 && maskMod >= 2,
       s"cdcChunks: window=$window maskMod=$maskMod")
     graft.functions.CdcCuts.register(df.sparkSession)
-    df.select(col(idCol).as("id"),
-        graft.ext.TextAnalysis.normalized(col(textCol)).as("nt"))
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+        graft.ext.TextAnalysis.normalized(col(textCol)).as("nt"): _*)
       .withColumn("n", length(col("nt")).cast("long"))
       // window END positions e (0-based) whose trailing `window`
       // chars hash to 0 mod maskMod — one codegen'd rolling pass
@@ -666,7 +669,7 @@ object Dedup {
                CAST(element_at(bnds, CAST(i AS INT)) + 2 AS INT),
                CAST(element_at(bnds, CAST(i AS INT) + 1)
                  - element_at(bnds, CAST(i AS INT)) AS INT)))"""))
-      .select(col("id"),
-        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(col("id") +: carry.map(col) :+
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")): _*)
   }
 }

@@ -455,6 +455,47 @@ object StreamingOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct content-defined chunk fingerprints of a static corpus —
+    * the at-rest index `cdcGate` probes (dedup_cdc's ingest form).
+    */
+  def corpusCdcFps(corpus: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, maskMod: Int = 32): DataFrame =
+    graft.ext.Dedup.cdcChunks(corpus, idCol, textCol, window, maskMod)
+      .select(md5(col("chunk")).as("fp")).distinct()
+
+  /** Streaming content-defined-chunking gate — `dedup_cdc`'s ingest
+    * form: an incoming doc sharing ANY chunk with the static corpus
+    * shares an exact substring whose boundaries the rolling hash
+    * placed identically on both sides (content-defined, so a shared
+    * run long enough to contain one full chunk is caught no matter
+    * how it shifted). Chunking is the SAME stateless map-side
+    * `Dedup.cdcChunks` the batch query uses — one codegen'd
+    * `CdcCuts` pass per doc, no state store, no stream-side window
+    * functions — so stream and batch verdicts are identical by
+    * construction (spec-pinned anyway).
+    *
+    * Emits (idCol, n_chunks, n_hit, cdc_keep) per watermark window;
+    * cdc_keep = no chunk hit.
+    */
+  def cdcGate(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, corpusFps: DataFrame, window: Int = 8,
+      maskMod: Int = 32, watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    graft.ext.Dedup
+      .cdcChunks(wm, idCol, textCol, window, maskMod, carry = Seq(tsCol))
+      .select(col("id"), col(tsCol), md5(col("chunk")).as("__fp"))
+      .join(corpusFps.select(col("fp").as("__cfp")),
+        col("__fp") === col("__cfp"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol),
+        windowDur), col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__cfp").isNotNull.cast("long")).as("n_hit"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_hit"),
+        (col("n_hit") === 0L).as("cdc_keep"))
+  }
+
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
     * the stream never committed a batch — nothing to verify then.

@@ -532,6 +532,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(d1._2 == d1._3 && d1._2 > 0)
   }
 
+  test("cdcGate: stream verdicts equal the batch run; an exact corpus " +
+      "dup hits on every chunk; novel content keeps") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val shared = "spark join window batch stream sort merge hash key " +
+      "table scan row group filter order part small big slow fast"
+    val corpus = Seq((100L, shared),
+      (101L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fps = StreamingOps.corpusCdcFps(corpus, "doc_id", "text").cache()
+    val rows = Seq(
+      (1L, t(0), shared), // exact dup -> every chunk hits
+      // embeds the whole corpus-100 text shifted by a prefix: the
+      // content-defined boundaries re-align inside the shared run
+      (2L, t(1), "zz yy xx " + shared),
+      (3L, t(2), "totally novel content nothing shared whatsoever"),
+      (4L, t(95), "watermark flush row far in the future okay fine"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.cdcGate(in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", fps)
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2).map(d => (d._1, d._2, d._3)): _*)
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT doc_id, n_chunks, n_hit, cdc_keep FROM cdc_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    q.stop()
+    val batch = StreamingOps.cdcGate(
+        rows.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", fps)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch.filter(_._1 != 4L),
+      s"stream/batch diverged: $streamed vs $batch")
+    val verdicts = streamed.map(v => v._1 -> v._4).toMap
+    assert(verdicts(1L) == false && verdicts(3L) == true, streamed)
+    val d1 = streamed.find(_._1 == 1L).get
+    assert(d1._2 == d1._3 && d1._2 > 0, s"exact dup must hit all: $d1")
+    // shifted embed still shares at least one interior chunk
+    val d2 = streamed.find(_._1 == 2L).get
+    assert(d2._3 > 0 && !d2._4, s"shifted dup must be flagged: $d2")
+  }
+
   test("bloomGate: stateless map-side probe — stream verdicts equal " +
       "the batch run; exact corpus members always hit") {
     val s = spark
