@@ -817,6 +817,48 @@ object ExtendedQueries {
             .as("fc7_dy"))
     }),
 
+    // Lag-7 autocorrelation of the per-type daily series — the
+    // seasonality audit behind events_forecast_naive's weekly
+    // baseline and events_holt's trend fit. Exact end to end:
+    // deviations scaled by n (dx = n·x − Σx stays integral, the
+    // mean never materializes as a double), numerator over the
+    // lag-paired days and denominator over all days as
+    // DECIMAL(38,0) sums, ratio emitted in SIGN-SPLIT micro-units —
+    // floor(|num|·10⁶ DIV den) negated when num < 0, because trunc
+    // (Spark DIV) and floor (DuckDB //) only agree on non-negatives.
+    // |num| <= den (Cauchy–Schwarz), so acf7_micro ∈ [−10⁶, 10⁶];
+    // a constant series (den = 0) yields NULL via nullif, not an
+    // ANSI divide-by-zero;
+    // the raw num/den BIGINT casts hold while n·x_max < ~3·10⁹
+    // (dx² ≤ 2⁶³) — lift to DECIMAL output past that. Scale shape:
+    // one keyed day-level aggregate, one type-partitioned lag over
+    // the domain-bounded day table, one final aggregate.
+    "profile_autocorr" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      daily.withColumn("xl", lag("x", 7).over(w))
+        .join(tot, "event_type")
+        .withColumn("dx", expr("CAST(n AS DECIMAL(38,0)) * x - sx"))
+        .withColumn("dxl", expr(
+          """CASE WHEN xl IS NULL THEN NULL
+               ELSE CAST(n AS DECIMAL(38,0)) * xl - sx END"""))
+        .groupBy("event_type")
+        .agg(max("n").cast("long").as("n_days"),
+          sum(expr("dx * dxl")).as("num"),
+          sum(expr("dx * dx")).as("den"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(num AS BIGINT)").as("acf_num"),
+          expr("CAST(den AS BIGINT)").as("acf_den"),
+          expr("""CAST(CASE WHEN num < 0
+                    THEN -((-num) * 1000000 DIV nullif(den, 0))
+                    ELSE num * 1000000 DIV nullif(den, 0) END AS BIGINT)""")
+            .as("acf7_micro"))
+    }),
+
     // Experimentation analytics: two-proportion conversion test
     // between user cohorts (A/B by user_id parity). Conversion =
     // "purchased within the user's first 20 events" — exact integers
@@ -1489,6 +1531,35 @@ object ExtendedQueries {
            CAST(floor((h.l + 7 * h.b) * 1048576) AS BIGINT) AS fc7_dy
          FROM holt h JOIN nn ON h.event_type = nn.event_type
          WHERE h.t = nn.n_days""",
+
+    // Same n-scaled deviations in HUGEINT, same sign-split floor
+    // division (operands made non-negative before //, so DuckDB's
+    // floor matches Spark's trunc).
+    "profile_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*) AS n, sum(x) AS sx
+           FROM daily GROUP BY 1),
+         lg AS (SELECT event_type, day, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS xl
+           FROM daily),
+         tm AS (SELECT l.event_type, t.n,
+             (t.n::HUGEINT * l.x - t.sx) AS dx,
+             CASE WHEN l.xl IS NULL THEN NULL
+                  ELSE t.n::HUGEINT * l.xl - t.sx END AS dxl
+           FROM lg l JOIN tot t ON l.event_type = t.event_type),
+         ag AS (SELECT event_type, max(n) AS n_days,
+             sum(dx * dxl) AS num, sum(dx * dx) AS den
+           FROM tm GROUP BY 1)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(num AS BIGINT) AS acf_num,
+           CAST(den AS BIGINT) AS acf_den,
+           CAST(CASE WHEN num < 0
+                  THEN -((-num) * 1000000 // nullif(den, 0))
+                  ELSE num * 1000000 // nullif(den, 0) END AS BIGINT)
+             AS acf7_micro
+         FROM ag""",
 
     "events_ab_test" ->
       """WITH r AS (SELECT user_id, event_type,

@@ -749,6 +749,41 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("rake_rank"), col("phrase"),
           col("score_micro"), col("n_occ"))),
 
+    // Corpus collocation mining: top-25 adjacent word bigrams by PMI
+    // lift c12·N/(c1·c2) — phrase discovery, the corpus-level
+    // companion to text_rake's within-doc extraction. The lift is the
+    // PMI argument without the log (monotone for ranking, and exact:
+    // DECIMAL(38,0) product, floor-divided to micro-units — all
+    // operands non-negative so trunc == floor; docs/HASH_NUMERICS.md).
+    // The c12 >= 5 support floor is the standard collocation noise
+    // gate. (lift desc, w1, w2) is a unique total order for the
+    // limit. Scale shape: one doc-keyed lead window, two partial-agg
+    // shuffles to vocab-bounded tables, keyed joins (AQE broadcasts
+    // them at test scale; at web-scale vocab they stay keyed), and a
+    // TakeOrdered top-k.
+    "text_collocations" -> ((s, d) => {
+      val tk = documents(s, d).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+          lit(0))).as(Seq("pos", "w")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tk.withColumn("w2", lead(col("w"), 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = tk.groupBy(col("w").as("u")).agg(count(lit(1)).as("cu"))
+      val nt = tk.agg(count(lit(1)).as("nt"))
+      big
+        .join(uni.select(col("u").as("w1"), col("cu").as("c1")), "w1")
+        .join(uni.select(col("u").as("w2"), col("cu").as("c2")), "w2")
+        .crossJoin(broadcast(nt))
+        .filter(col("c12") >= 5)
+        .withColumn("lift_micro", expr(
+          """CAST(CAST(c12 AS DECIMAL(38,0)) * nt * 1000000
+               DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"""))
+        .orderBy(desc("lift_micro"), col("w1"), col("w2"))
+        .limit(25)
+        .select("w1", "w2", "c12", "lift_micro")
+    }),
+
     // TF-IDF top-3 terms per doc. Two partial-agg shuffles (doc×term,
     // then term) + a broadcast of the 1-row corpus count; ranking on
     // the ROUNDED score so cross-engine ulp noise in ln() can't flip
@@ -3159,6 +3194,29 @@ object PipelineQueries {
          SELECT doc_id, CAST(rn AS BIGINT) AS rake_rank, phrase,
            score_micro, n_occ
          FROM rk WHERE rn <= 3""",
+
+    // Same adjacency bigrams (doc-partitioned lead over [a-z]+
+    // positions — the text_lm_kn idiom), same HUGEINT lift product,
+    // same support floor and unique (lift desc, w1, w2) order.
+    "text_collocations" ->
+      """WITH tok AS (SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+                 FROM documents)),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM (
+             SELECT w AS w1,
+                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             FROM tok) WHERE w2 IS NOT NULL GROUP BY 1, 2),
+         uni AS (SELECT w AS u, count(*) AS cu FROM tok GROUP BY 1),
+         nt AS (SELECT count(*) AS nt FROM tok)
+         SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+           CAST(b.c12::HUGEINT * nt.nt * 1000000
+                // (u1.cu::HUGEINT * u2.cu) AS BIGINT) AS lift_micro
+         FROM big b JOIN uni u1 ON b.w1 = u1.u
+           JOIN uni u2 ON b.w2 = u2.u CROSS JOIN nt
+         WHERE b.c12 >= 5
+         ORDER BY lift_micro DESC, w1, w2 LIMIT 25""",
 
     "vocab_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($Toks) AS term FROM documents)
