@@ -41,6 +41,36 @@ class CdcCutsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunks emits exactly the substrings between cdc_cuts " +
+      "boundaries on both eval paths (single-pass == assembled)") {
+    CdcCuts.register(spark)
+    val s0 = spark; import s0.implicits._
+    val texts = Seq("spark join window batch stream sort merge hash " +
+        "key table scan row group filter order part small big slow",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", "short", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    def assemble(t: String, w: Int, m: Int): Seq[String] = {
+      val cuts = foldCuts(t, w, m).map(_.toInt)
+      val bounds = (-1 +: cuts) ++
+        (if (cuts.nonEmpty && cuts.last == t.length - 1) Nil
+         else Seq(t.length - 1))
+      bounds.sliding(2).collect {
+        case Seq(a, b) => t.substring(a + 1, b + 1)
+      }.toSeq
+    }
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN");
+         (w, m) <- Seq((8, 32), (4, 8))) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val got = df.select(col("id"), CdcCuts.cdc_chunks(col("t"), w, m))
+          .orderBy("id").collect().map(_.getSeq[String](1).toSeq)
+        val exp = texts.map(assemble(_, w, m))
+        assert(got.toSeq == exp, s"mode $codegen w=$w m=$m: $got vs $exp")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("null input yields null, not a crash") {
     CdcCuts.register(spark)
     val s0 = spark; import s0.implicits._

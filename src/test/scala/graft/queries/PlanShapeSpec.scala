@@ -711,7 +711,7 @@ class PlanShapeSpec extends SparkSpec {
       "(not an interpreted HOF fold); chunk agg is the only join-free " +
       "exchange path — no window, no join of any kind") {
     val p = plan("dedup_cdc")
-    assert(p.contains("cdc_cuts"), "must use the native expression:\n" + p)
+    assert(p.contains("cdc_chunks"), "must use the native expression:\n" + p)
     assert(!p.contains("WindowExec") && !p.contains("CartesianProduct")
       && !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "CDC dedup is scan -> chunk aggregate, nothing else:\n" + p)
