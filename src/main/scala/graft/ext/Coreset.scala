@@ -34,16 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Coreset {
 
-  /** @param vecs (idCol, vecCol: array<float>) — ids unique
-    * @return (sel_rank 1..k, id, d2) — d2 the 6dp-rounded squared L2
-    *         from the already-selected set at the moment of
-    *         selection (0.0 for the seed, which is the smallest id)
+  /** One farthest-point traversal: the selected (rank, id, d2) rows
+    * plus the final per-point frame carrying the running min-d² `md`
+    * (over ALL k centers) and the argmin center rank `bc` (strict-<
+    * update, so ties keep the earliest = lowest-rank center).
     */
-  def kCenter(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+  private def traverse(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): (Seq[(Long, Long, Double)], DataFrame) = {
     require(k >= 1, s"kcenter: k=$k")
-    val spark = vecs.sparkSession
-    import spark.implicits._
     def dot(a: Column, b: Column) = Similarity.dot(vecs, a, b)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("xx", dot(col("v"), col("v")))
@@ -55,23 +53,73 @@ object Coreset {
     val picked = scala.collection.mutable.ArrayBuffer(
       (1L, seed.getLong(0), 0.0))
     var centerVec: Seq[Float] = seed.getSeq[Float](1)
-    var md: DataFrame = null
-    for (r <- 2L to k.toLong) {
+    // fold center r's distances into (md, bc); r covers 1..k so the
+    // final frame reflects ALL selected centers
+    def fold(md: DataFrame, r: Long): DataFrame = {
       // ⟨c,c⟩ as the same strict left fold DotDouble runs
       var yy = 0.0
       centerVec.foreach(f => yy += f.toDouble * f.toDouble)
       val cLit = array(centerVec.map(f => lit(f.toDouble)): _*)
       val d2 = (col("xx") + lit(yy)) - (lit(2.0) * dot(col("v"), cLit))
-      md = (if (md == null) base.withColumn("md", d2)
-            else md.withColumn("md", least(col("md"), d2)))
+      (if (md == null)
+         base.withColumn("md", d2).withColumn("bc", lit(1L))
+       else md
+         .withColumn("bc", when(d2 < col("md"), lit(r)).otherwise(col("bc")))
+         .withColumn("md", least(col("md"), d2)))
         .localCheckpoint(false)
+    }
+    var md: DataFrame = fold(null, 1L)
+    for (r <- 2L to k.toLong) {
       val pick = md
         .filter(!col("id").isin(picked.map(_._2).toSeq: _*))
         .orderBy(col("md").desc, col("id"))
         .limit(1).select(col("id"), col("v"), col("md")).head()
       picked += ((r, pick.getLong(0), round6(pick.getDouble(2))))
       centerVec = pick.getSeq[Float](1)
+      md = fold(md, r)
     }
-    picked.toSeq.toDF("sel_rank", "id", "d2")
+    (picked.toSeq, md)
+  }
+
+  /** @param vecs (idCol, vecCol: array<float>) — ids unique
+    * @return (sel_rank 1..k, id, d2) — d2 the 6dp-rounded squared L2
+    *         from the already-selected set at the moment of
+    *         selection (0.0 for the seed, which is the smallest id)
+    */
+  def kCenter(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    traverse(vecs, idCol, vecCol, k)._1.toDF("sel_rank", "id", "d2")
+  }
+
+  /** K-center CLUSTERING report: every point assigned to its nearest
+    * selected center (strict-< updates → ties keep the lowest rank),
+    * one row per center with membership count and coverage radius —
+    * the certificate that the k selected points cover the space
+    * (max over max_d2 is the k-center objective the traversal
+    * 2-approximates).
+    *
+    * The radius quantizes as floor(max·10⁶) BIGINT micro-units, NOT
+    * round(·, 6): over a large pool some max lands near a .5×10⁻⁶
+    * midpoint where Spark's BigDecimal HALF_UP and DuckDB's round
+    * disagree (the r07/profile_embeddings seam — found again here at
+    * the derived sf1.0); floor of identical doubles is identical.
+    *
+    * @return (center_rank, center_id, n_assigned, max_d2_micro)
+    */
+  def assignReport(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val (picked, md) = traverse(vecs, idCol, vecCol, k)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centers = picked.map(p => (p._1, p._2)).toDF("center_rank", "cid")
+    md.groupBy(col("bc").as("center_rank"))
+      .agg(count(lit(1)).as("n_assigned"),
+        expr("CAST(floor(max(md) * 1000000.0) AS BIGINT)")
+          .as("max_d2_micro"))
+      .join(broadcast(centers), Seq("center_rank"))
+      .select(col("center_rank"), col("cid").as("center_id"),
+        col("n_assigned"), col("max_d2_micro"))
   }
 }

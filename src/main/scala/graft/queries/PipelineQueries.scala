@@ -1535,6 +1535,15 @@ object PipelineQueries {
         embeddings(s, d), "vec_id", "embedding", 8)
         .select(col("sel_rank"), col("id").as("vec_id"), col("d2"))),
 
+    // K-center CLUSTERING report over the same traversal: every
+    // point assigned to its nearest selected center (strict-< argmin
+    // folds keep the lowest rank on ties), per-center membership +
+    // squared coverage radius — the certificate that the k selected
+    // points cover the embedding space (ext/Coreset.assignReport).
+    "sim_kcenter_assign" -> ((s, d) =>
+      graft.ext.Coreset.assignReport(
+        embeddings(s, d), "vec_id", "embedding", 8)),
+
     // Triangle enumeration over the same synthetic doc graph as
     // graph_pagerank — degree-oriented wedge join (operators/
     // Triangles), each triangle exactly once, O(m^1.5) bound.
@@ -3861,6 +3870,44 @@ object PipelineQueries {
          SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
            CAST(0.0 AS DOUBLE) AS d2 FROM c1
          $sel"""
+    },
+
+    // The same unrolled chain with the argmin center rank `bc`
+    // threaded through every m-table (CASE on d2 < old md BEFORE the
+    // least() update — exactly the withColumn order the Spark side
+    // uses) and extended to m8 so the final frame reflects all 8
+    // centers; report = group by bc + the c-table center ids.
+    "sim_kcenter_assign" -> {
+      def d2 =
+        s"((${dotSql("e.embedding", "e.embedding")} + ${dotSql("c.embedding", "c.embedding")}) - (2.0 * ${dotSql("e.embedding", "c.embedding")}))"
+      val rounds = (2 to 8).map { r =>
+        val excl = (1 until r).map(i => s"SELECT vec_id FROM c$i")
+          .mkString(" UNION ALL ")
+        s"""p$r AS MATERIALIZED (SELECT vec_id, md FROM m${r - 1}
+           WHERE vec_id NOT IN ($excl)
+           ORDER BY md DESC, vec_id LIMIT 1),
+         c$r AS MATERIALIZED (SELECT e.vec_id, e.embedding
+           FROM embeddings e JOIN p$r USING (vec_id)),
+         m$r AS MATERIALIZED (SELECT m.vec_id,
+             least(m.md, $d2) AS md,
+             CASE WHEN $d2 < m.md THEN $r ELSE m.bc END AS bc
+           FROM m${r - 1} m JOIN embeddings e ON m.vec_id = e.vec_id,
+             c$r c)"""
+      }.mkString(",\n")
+      val centers = (1 to 8).map(r =>
+        s"SELECT $r AS center_rank, vec_id FROM c$r")
+        .mkString(" UNION ALL ")
+      s"""WITH c1 AS MATERIALIZED (SELECT vec_id, embedding
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+         m1 AS MATERIALIZED (SELECT e.vec_id, $d2 AS md, 1 AS bc
+           FROM embeddings e, c1 c),
+         $rounds,
+         ctr AS ($centers)
+         SELECT CAST(m.bc AS BIGINT) AS center_rank,
+           ctr.vec_id AS center_id, count(*) AS n_assigned,
+           CAST(floor(max(m.md) * 1000000.0) AS BIGINT) AS max_d2_micro
+         FROM m8 m JOIN ctr ON m.bc = ctr.center_rank
+         GROUP BY 1, 2"""
     },
 
     // Same wedge enumeration, hub cap, anti join and unique total

@@ -36,6 +36,32 @@ class CoresetSpec extends SparkSpec {
       (3L, 2L, 0.0)), got.mkString(";"))
   }
 
+  test("assignReport: k=2 on the hand fixture — 1,3 cover to the " +
+      "seed (radius 1e6 micro), 2,4 to the far center (16e6 micro)") {
+    val df = vecs(
+      1L -> Seq(0f, 0f), 2L -> Seq(10f, 0f),
+      3L -> Seq(0f, 1f), 4L -> Seq(6f, 0f))
+    val got = Coreset.assignReport(df, "vec_id", "embedding", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 2L, 1000000L), (2L, 2L, 2L, 16000000L)),
+      got.mkString(";"))
+  }
+
+  test("assignReport: k=n — every point is its own center with " +
+      "radius 0 (self-distance exactly 0.0, ties keep earliest rank)") {
+    val df = vecs(
+      1L -> Seq(0f, 0f), 2L -> Seq(10f, 0f),
+      3L -> Seq(0f, 1f), 4L -> Seq(6f, 0f))
+    val got = Coreset.assignReport(df, "vec_id", "embedding", 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 0L),
+      (3L, 1L, 0L), (4L, 1L, 0L)), got.mkString(";"))
+  }
+
   test("k=1 returns just the seed") {
     val df = vecs(7L -> Seq(1f, 2f), 9L -> Seq(3f, 4f))
     val got = Coreset.kCenter(df, "vec_id", "embedding", 1).collect()
