@@ -859,6 +859,33 @@ object ExtendedQueries {
             .as("acf7_micro"))
     }),
 
+    // Weekly seasonal index per event type — the seasonality
+    // MEASUREMENT next to profile_autocorr's seasonality TEST and
+    // events_holt's trend fit: per (type, day-of-week) mean daily
+    // count and its ratio to the type's overall mean, as exact
+    // integer cross-ratios (s·n_all·10⁶ DIV (n_days·s_all) — all
+    // positive, trunc == floor; DECIMAL-lifted per the gini
+    // precedent). Day-of-week = Monday 0 .. Sunday 6 (Spark weekday
+    // == DuckDB isodow − 1; dayofweek starts at different days in
+    // the two engines). Scale shape: two keyed partial-agg'd counts
+    // over the day-level table, one dow-domain-bounded join.
+    "events_seasonality" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", expr("CAST(weekday(day) AS BIGINT)"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_all"), sum("x").as("s_all"))
+      daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("s"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          expr("s * 1000000 DIV n_days").as("mean_micro"),
+          expr("""CAST(CAST(s AS DECIMAL(38,0)) * n_all * 1000000
+                  DIV (CAST(n_days AS DECIMAL(38,0)) * s_all)
+                  AS BIGINT)""").as("index_micro"))
+    }),
+
     // Experimentation analytics: two-proportion conversion test
     // between user cohorts (A/B by user_id parity). Conversion =
     // "purchased within the user's first 20 events" — exact integers
@@ -1560,6 +1587,25 @@ object ExtendedQueries {
                   ELSE num * 1000000 // nullif(den, 0) END AS BIGINT)
              AS acf7_micro
          FROM ag""",
+
+    // isodow - 1 == Spark's weekday (Monday 0); all-positive integer
+    // cross-ratios, HUGEINT product.
+    "events_seasonality" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         d2 AS (SELECT event_type, isodow(day) - 1 AS dow, x
+           FROM daily),
+         tot AS (SELECT event_type, count(*) AS n_all, sum(x) AS s_all
+           FROM d2 GROUP BY 1),
+         g AS (SELECT event_type, dow, count(*) AS n_days, sum(x) AS s
+           FROM d2 GROUP BY 1, 2)
+         SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(s * 1000000 // n_days AS BIGINT) AS mean_micro,
+           CAST(s::HUGEINT * n_all * 1000000
+                // (n_days::HUGEINT * s_all) AS BIGINT) AS index_micro
+         FROM g JOIN tot ON g.event_type = tot.event_type""",
 
     "events_ab_test" ->
       """WITH r AS (SELECT user_id, event_type,
