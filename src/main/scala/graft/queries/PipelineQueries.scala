@@ -1683,6 +1683,46 @@ object PipelineQueries {
         .select("doc_id", "phash", "canonical_doc", "n_same_hash")
     }),
 
+    // Image NEAR-dup mining — the Hamming-radius companion to
+    // mm_dedup_phash's exact-hash groups: distinct dHash values band
+    // into 3 pigeonhole chunks (19+19+18 bits of the 56-bit hash —
+    // radius-2 complete: two flipped bits can dirty at most two
+    // chunks), candidate hash pairs come only from shared
+    // (band,chunk) buckets via the salted-guard bucketPairs, and the
+    // exact popcount verifies 1 <= hamming <= 2 (0 = exact dup,
+    // already mm_dedup_phash's job). Pairing runs on DISTINCT hashes
+    // with group sizes carried alongside — the hash space is bounded,
+    // so output and pair work stay O(|hashes|²-ish) at ANY corpus
+    // size, never O(docs²) (doc-level pairs here would be group_a ×
+    // group_b row blowups).
+    "mm_dedup_phash_near" -> ((s, d) => {
+      val hs = Multimodal.dHash(
+          documents(s, d).select(col("doc_id"),
+            syntheticGray8Payload.as("payload")),
+          "doc_id", "payload").toDF()
+        .groupBy("phash").agg(count(lit(1)).as("nd"))
+        .select(col("phash").as("id"), col("nd"))
+        .localCheckpoint(false) // feeds banding + both verify joins
+      val offs = Seq((0, 19), (19, 19), (38, 18))
+      val banded = hs.select(col("id"),
+        explode(array(offs.zipWithIndex.map { case ((o, wd), j) =>
+          struct(lit(j).as("band"),
+            shiftright(col("id"), o).bitwiseAND(lit((1L << wd) - 1))
+              .as("bk"))
+        }: _*)).as("x"))
+        .select(col("id"), col("x.band").as("band"), col("x.bk").as("bk"))
+      Dedup.bucketPairs(banded).distinct()
+        .join(hs.select(col("id").as("id_a"), col("nd").as("docs_a")),
+          "id_a")
+        .join(hs.select(col("id").as("id_b"), col("nd").as("docs_b")),
+          "id_b")
+        .withColumn("hamming",
+          Dedup.hamming64(col("id_a"), col("id_b")).cast("long"))
+        .filter(col("hamming") >= 1 && col("hamming") <= 2)
+        .select(col("id_a").as("phash_a"), col("id_b").as("phash_b"),
+          col("hamming"), col("docs_a"), col("docs_b"))
+    }),
+
     // The SAME image dedup over REAL COMPRESSED PNGs: each payload is
     // a genuine PNG (zlib-deflated IDAT, per-scanline filters cycling
     // through all five types) built map-side from the planted pixel
@@ -4076,6 +4116,43 @@ object PipelineQueries {
                count(*) AS n_same_hash FROM ph GROUP BY 1)
          SELECT ph.doc_id, ph.phash, g.canonical_doc, g.n_same_hash
          FROM ph JOIN g USING (phash)""",
+
+    // Same pixel-function dHash replay, then the same 19/19/18
+    // pigeonhole banding over distinct hashes, bucket pairing, and
+    // popcount verify (xor + bit_count, both engines' integer ops).
+    "mm_dedup_phash_near" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 16 + 4 AS INTEGER) AS h
+           FROM documents),
+         px AS (SELECT doc_id, y, x,
+             (doc_id + 7 * ((y * h) // 7) + 13 * ((x * w) // 9)) % 256
+               AS v
+           FROM d
+           CROSS JOIN unnest(range(0, 7)) AS ry(y)
+           CROSS JOIN unnest(range(0, 9)) AS rx(x)),
+         bits AS (SELECT a.doc_id,
+             CASE WHEN b.v > a.v
+                  THEN (1::BIGINT << (a.y * 8 + a.x)) ELSE 0 END AS bit
+           FROM px a JOIN px b
+             ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8),
+         ph AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+                FROM bits GROUP BY 1),
+         hs AS (SELECT phash, count(*) AS nd FROM ph GROUP BY 1),
+         bd AS (SELECT phash, t.b, (phash >> t.o) & t.m AS ck
+           FROM hs, (VALUES (0, 0, 524287::BIGINT),
+                            (1, 19, 524287::BIGINT),
+                            (2, 38, 262143::BIGINT)) AS t(b, o, m)),
+         pr AS (SELECT DISTINCT a.phash AS pa, b.phash AS pb
+           FROM bd a JOIN bd b
+             ON a.b = b.b AND a.ck = b.ck AND a.phash < b.phash)
+         SELECT p.pa AS phash_a, p.pb AS phash_b,
+           CAST(bit_count(xor(p.pa, p.pb)) AS BIGINT) AS hamming,
+           x.nd AS docs_a, y.nd AS docs_b
+         FROM pr p JOIN hs x ON p.pa = x.phash
+           JOIN hs y ON p.pb = y.phash
+         WHERE bit_count(xor(p.pa, p.pb)) BETWEEN 1 AND 2""",
 
     // PNG round-trip replay: the payload bytes differ (deflate), but
     // the DECODED pixels must equal the planted function — so the
