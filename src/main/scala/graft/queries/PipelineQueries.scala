@@ -1683,6 +1683,29 @@ object PipelineQueries {
         .select("doc_id", "phash", "canonical_doc", "n_same_hash")
     }),
 
+    // The metric CDC exists to produce — content-addressed STORAGE
+    // SAVINGS: per language, raw chunk chars vs distinct-chunk chars
+    // (what a dedupe store would hold), savings in exact integer
+    // micro-units. Two chunk-keyed aggregates over the same map-side
+    // cdc_chunks pass; nothing pairwise anywhere.
+    "dedup_cdc_savings" -> ((s, d) => {
+      val ch = Dedup.cdcChunks(
+        documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", carry = Seq("lang"))
+        .localCheckpoint(false) // feeds the raw and distinct aggregates
+      val tot = ch.groupBy("lang").agg(
+        countDistinct("id").as("n_docs"),
+        sum(length(col("chunk")).cast("long")).as("raw_chars"))
+      val uniq = ch.select(col("lang"), col("chunk")).distinct()
+        .groupBy("lang")
+        .agg(sum(length(col("chunk")).cast("long")).as("stored_chars"))
+      tot.join(uniq, "lang")
+        .select(col("lang"), col("n_docs"), col("raw_chars"),
+          col("stored_chars"),
+          expr("(raw_chars - stored_chars) * 1000000 DIV raw_chars")
+            .as("savings_micro"))
+    }),
+
     // Image NEAR-dup mining — the Hamming-radius companion to
     // mm_dedup_phash's exact-hash groups: distinct dHash values band
     // into 3 pigeonhole chunks (19+19+18 bits of the 56-bit hash —
@@ -4525,6 +4548,38 @@ object PipelineQueries {
            CAST(length(chunk) AS BIGINT) AS chunk_len,
            count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          FROM ck GROUP BY chunk HAVING count(*) > 1""",
+
+    // Same chunk chain with lang carried; raw vs within-lang
+    // DISTINCT chunk chars, all-positive integer division.
+    "dedup_cdc_savings" ->
+      s"""WITH ch AS (SELECT doc_id, lang, nt,
+             [c FOR c IN string_split(nt, '') IF c != ''] AS cs
+           FROM (SELECT doc_id, lang, $NormText AS nt FROM documents)),
+         cu AS (SELECT doc_id, lang, nt, len(cs) AS n,
+             [e FOR e IN range(7, len(cs))
+              IF list_reduce(list_prepend(0::BIGINT,
+                   [ascii(c)::BIGINT FOR c IN cs[e - 6 : e + 1]]),
+                 (a, x) -> (a * 257 + x) % 1000003) % 32 = 0] AS cuts
+           FROM ch),
+         bn AS (SELECT doc_id, lang, nt,
+             list_concat(list_concat([-1], cuts),
+               CASE WHEN len(cuts) > 0 AND cuts[-1] = n - 1
+                    THEN []::BIGINT[] ELSE [n - 1] END) AS bnds
+           FROM cu),
+         ck AS (SELECT doc_id, lang,
+             unnest([substr(nt, bnds[i] + 2, bnds[i + 1] - bnds[i])
+                     FOR i IN range(1, len(bnds))]) AS chunk
+           FROM bn),
+         tot AS (SELECT lang, count(DISTINCT doc_id) AS n_docs,
+             CAST(sum(length(chunk)) AS BIGINT) AS raw_chars
+           FROM ck GROUP BY 1),
+         un AS (SELECT lang,
+             CAST(sum(length(chunk)) AS BIGINT) AS stored_chars
+           FROM (SELECT DISTINCT lang, chunk FROM ck) GROUP BY 1)
+         SELECT t.lang, t.n_docs, t.raw_chars, un.stored_chars,
+           CAST((t.raw_chars - un.stored_chars) * 1000000
+                // t.raw_chars AS BIGINT) AS savings_micro
+         FROM tot t JOIN un ON t.lang = un.lang""",
 
     "dedup_spans_clean" ->
       s"""WITH tok AS (SELECT doc_id, unnest(ws) AS w,
