@@ -27,6 +27,12 @@ object Bench {
         .createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-query blocking unpersist below frees localCheckpoint
+    // blocks whose lineage is truncated by design — RDD.unpersist logs
+    // a WARN per block (hundreds per run, r11's tail was unreadable).
+    // Drop the rdd package to ERROR so a REAL warning stays visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed
     // loop. The flagship query warms the relational paths; the heavy
     // LSH/shingle/window machinery JITs separately and costs whichever
@@ -83,8 +89,22 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val calib = calibrate()
-    val calibIo = calibrateIo()
+    // Probes are INTERLEAVED through the run (before sweep 1, after
+    // every sweep) and summarized as median-of-k: r11's two-endpoint
+    // scheme measured CPU calib swinging 0.279-1.244 across same-SF
+    // runs, putting ±50% error bars on any cross-round normalization.
+    // The median of k probes spread across the run tracks the host
+    // speed the QUERIES actually saw; the max is kept as the spread
+    // indicator and the full probe lists go to bench_calib.jsonl.
+    val cpuProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    def probeHost(): Unit = { cpuProbes += calibrate(); ioProbes += calibrateIo() }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    probeHost()
     // NOTE (measured, round 5): do NOT System.gc() between queries to
     // release old localCheckpoint blocks — the full collection kicks
     // ContextCleaner into async removeBlocks/removeBroadcast storms
@@ -100,20 +120,26 @@ object Bench {
     // part of one sweep and the per-query MIN across sweeps dodges it.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val sweeps: Seq[Map[String, Double]] = (1 to passes).map { _ =>
-      names.map { case (name, fn) =>
+      val sweep = names.map { case (name, fn) =>
         // Drop the previous queries' localCheckpoint blocks (queries
         // never share state — Tables reads fresh plans every call), so
         // 100+ queries' worth of executor-storage blocks don't
         // accumulate against the heavy queries late in the alphabet.
-        // Targeted and async — unlike a full System.gc(), which
-        // measured 3x worse.
+        // BLOCKING: the async variant let block removal land INSIDE
+        // the next timed query — BENCH_SF1.md measured in-battery
+        // graph_pagerank at 8x its interleaved-sweep min from exactly
+        // this. The drain happens before t0, so it costs wall clock
+        // but never poisons a timer. (Still no System.gc(): the full
+        // collection's ContextCleaner storm measured 3x worse.)
         spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
+      probeHost() // interleaved host-speed sample after each sweep
+      sweep
     }
     val results = names.map { case (name, _) =>
       val times = sweeps.map(_(name))
@@ -134,10 +160,14 @@ object Bench {
     // The compact one-line summary must be the LAST stdout line.
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW",
       "target/bench_passes.json")
-    // second calibration AFTER the query loop: if calib2 >> calib the
-    // host got busy mid-run and the totals are inflated, not the code
-    val calib2 = calibrate()
-    val calibIo2 = calibrateIo()
+    // calib = MEDIAN of the k interleaved probes (the number to
+    // normalize cross-round totals by); calib2 = the MAX probe — if
+    // calib2 >> calib the host got busy during part of the run and
+    // per-query minima near that probe are suspect. Same for io.
+    val calib = median(cpuProbes.toSeq)
+    val calib2 = cpuProbes.max
+    val calibIo = median(ioProbes.toSeq)
+    val calibIo2 = ioProbes.max
     // Per-query minima AND raw passes both go to the side file: the
     // driver captures only a ~2kB stdout TAIL, and with 128 queries the
     // inline per-query map alone is ~3.3kB — BENCH_r03..r06 all came
@@ -158,7 +188,14 @@ object Bench {
     try {
       val hist = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "bench_calib.jsonl"))
-      java.nio.file.Files.writeString(hist, summary + "\n",
+      // full interleaved probe lists ride along in the history line
+      // (NOT the stdout summary — the driver's tail window is small),
+      // so the spread behind the median is auditable from git
+      val probes = s""","probes_cpu":${cpuProbes.map(p => f"$p%.3f")
+        .mkString("[", ",", "]")},"probes_io":${ioProbes
+        .map(p => f"$p%.3f").mkString("[", ",", "]")}}"""
+      java.nio.file.Files.writeString(hist,
+        summary.dropRight(1) + probes + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>

@@ -30,6 +30,10 @@ object Verify {
         Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the blocking unpersist below WARNs once per freed localCheckpoint
+    // block (lineage truncated by design); keep real warnings readable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -37,9 +41,10 @@ object Verify {
       // queries never share state: drop the previous ones'
       // localCheckpoint blocks so 90 queries' worth of executor
       // storage doesn't accumulate (same fix as Bench — measured 30%
-      // off the whole-run wall clock there)
+      // off the whole-run wall clock there). Blocking, like Bench:
+      // async removal lands inside the NEXT query's jobs.
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -50,10 +50,10 @@ object Dsir {
     * `buckets` rows regardless of corpus size.
     */
   def featureTable(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame =
+      buckets: Int, textCol: String = "text"): DataFrame =
     docs
       .select(isTarget.as("tgt"),
-        explode(Dedup.tokens(col("text"))).as("t"))
+        explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("tgt"),
         Sampling.hashBucket(col("t"), "dsir", buckets).as("b"))
       .groupBy("b")
@@ -61,26 +61,30 @@ object Dsir {
         sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
 
   /** Per-doc quantized log importance weight `(doc_id, w, tgt)` —
+    * the id/text columns are `idCol`/`textCol` (defaults match the
+    * testdata `documents` table; the output id column is always named
+    * `doc_id`) —
     * `tgt` marks docs of the target split (carried through the score
     * agg so selection needs no extra corpus-sized join). Docs with
     * no tokens (empty text) have no feature rows and drop out — a doc
     * scored against the split it was counted in always has every
     * token's bucket present, so nothing else can drop.
     */
-  def weights(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame = {
+  def weights(docs: DataFrame, isTarget: Column, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // Two consumers of the bounded feature table (totals fold +
     // broadcast) — checkpoint it so the corpus-sized tokenize/count
     // subtree is guaranteed to run once even if exchange reuse is
     // off or AQE re-plans (the contamination_check pattern); the
     // checkpointed table itself is <= `buckets` rows.
-    val ft = featureTable(docs, isTarget, buckets).localCheckpoint(false)
+    val ft = featureTable(docs, isTarget, buckets, textCol)
+      .localCheckpoint(false)
     // Corpus token totals from the bounded table — no second pass.
     val totals = ft.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val perTok = lit(buckets)
     docs
-      .select(col("doc_id"), isTarget.as("tgt"),
-        explode(Dedup.tokens(col("text"))).as("t"))
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("doc_id"), col("tgt"),
         Sampling.hashBucket(col("t"), "dsir", buckets).as("b"))
       .join(broadcast(ft), Seq("b"))
@@ -104,8 +108,9 @@ object Dsir {
     * heaps, never a global sort.
     */
   def selectTopK(docs: DataFrame, isTarget: Column, buckets: Int,
-      k: Int): DataFrame =
-    weights(docs, isTarget, buckets)
+      k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    weights(docs, isTarget, buckets, idCol, textCol)
       .filter(!col("tgt"))
       .orderBy(col("w").desc, col("doc_id"))
       .limit(k)

@@ -47,6 +47,18 @@ import org.apache.spark.sql.functions._
   */
 object KneserNey {
 
+  /** Required input schema for every entry point here: a `doc_id`
+    * column (any orderable type) and a STRING `text` column — the
+    * testdata `documents` shape. Fixed names, not parameters: the
+    * model tables and gate share these internally, so a clear
+    * fail-fast beats a silently-bound unrelated column.
+    */
+  private def requireDocs(df: DataFrame, where: String): Unit =
+    for (c <- Seq("doc_id", "text"))
+      require(df.columns.contains(c),
+        s"KneserNey.$where needs a `$c` column; got " +
+          df.columns.mkString("[", ", ", "]"))
+
   /** Word stream used by both LM scorers: lowercase letter runs. */
   private def toks(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
@@ -91,6 +103,7 @@ object KneserNey {
     * it), like any training step.
     */
   def trainModel(refDocs: DataFrame): Model = {
+    requireDocs(refDocs, "trainModel")
     val big = bigramRows(refDocs)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .localCheckpoint(false)
@@ -111,6 +124,7 @@ object KneserNey {
     *                else is scored.
     */
   def bigramScores(docs: DataFrame, refPred: Column): DataFrame = {
+    requireDocs(docs, "bigramScores")
     // bigram-type count table — four consumers (contexts,
     // continuations, type total, score join): checkpoint so the
     // reference corpus is tokenized once

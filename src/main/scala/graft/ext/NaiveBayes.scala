@@ -63,7 +63,8 @@ object NaiveBayes {
     * can score misses without a second table.
     */
   def trainWeights(docs: DataFrame, labelCol: String,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    requireText(docs, "trainWeights", Seq("text"))
     docs
       .select(col(labelCol).as("wl"),
         explode(Dedup.tokens(col("text"))).as("t"))
@@ -77,6 +78,18 @@ object NaiveBayes {
         (bitLen2(col("cnt") + 1) - bitLen2(col("tot") + buckets))
           .as("w"),
         (lit(1L) - bitLen2(col("tot") + buckets)).as("u"))
+  }
+
+  /** Required input schema (testdata `documents` shape): `doc_id` and
+    * a STRING `text` column — fixed names shared with the streaming
+    * gate, so a clear fail-fast beats binding an unrelated column.
+    */
+  private def requireText(df: DataFrame, where: String,
+      cols: Seq[String] = Seq("doc_id", "text")): Unit =
+    for (c <- cols if !df.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"NaiveBayes.$where needs a `$c` column; got " +
+          df.columns.mkString("[", ", ", "]"))
 
   /** Per-doc argmax prediction against a (broadcast) weight table.
     * Every trained class scores every token of every doc — hits via
@@ -91,6 +104,7 @@ object NaiveBayes {
     */
   def classify(docs: DataFrame, weights: DataFrame, labelCol: String,
       buckets: Int): DataFrame = {
+    requireText(docs, "classify")
     val tb = docs
       .select(col("doc_id"), col(labelCol).as("true_label"),
         explode(Dedup.tokens(col("text"))).as("t"))

@@ -110,7 +110,9 @@ object AsOfJoinNative {
     * right side shuffles ×salts — the usual replicate-the-small-side
     * tradeoff, right here because version tables are dwarfed by probe
     * streams. Requires |key| < Long.MaxValue / salts (the sub-key is
-    * key·salts + salt).
+    * key·salts + salt) — ENFORCED per row on both sides: an
+    * out-of-range key raises instead of silently aliasing another
+    * (key, salt) composite.
     */
   def asofSalted(left: DataFrame, leftKey: Column, leftTime: Column,
       right: DataFrame, rightKey: Column, rightTime: Column,
@@ -118,13 +120,34 @@ object AsOfJoinNative {
       direction: String = "backward",
       tolerance: Long = -1L): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
-    val saltedLeft = leftKey.cast("long") * salts +
-      pmod(xxhash64(leftTime), lit(salts.toLong))
+    val saltedLeft = guardedKey(leftKey.cast("long"), salts,
+      "asofSalted") * salts + pmod(xxhash64(leftTime), lit(salts.toLong))
     val replicated = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     asofJoin(left, saltedLeft, leftTime,
-      replicated, rightKey.cast("long") * salts + col("__salt"),
+      replicated,
+      guardedKey(rightKey.cast("long"), salts, "asofSalted") * salts +
+        col("__salt"),
       rightTime, rightPayload, direction, tolerance)
+  }
+
+  /** Composite-key overflow guard for the salted/sharded wrappers: the
+    * sub-key is key·mult + offset with offset in [-1, mult], so any
+    * |key| > (Long.MaxValue - mult) / mult can wrap and ALIAS another
+    * (key, offset) pair — a silent wrong JOIN, the worst failure mode.
+    * Checked per row inside the same codegen'd projection that builds
+    * the composite (no extra scan or job); a violating key raises a
+    * contextual error instead. Null keys pass through — the join
+    * wrappers already route them to the null-payload leg.
+    */
+  private def guardedKey(key: Column, mult: Int, op: String): Column = {
+    val lim = (Long.MaxValue - mult) / mult
+    when(key > lim || key < -lim,
+      raise_error(concat(
+        lit(s"$op: |key| exceeds $lim (factor $mult) — composite " +
+          "sub-key would overflow long and alias another key; got "),
+        key.cast("string"))))
+      .otherwise(key)
   }
 
   /** Key + TIME-RANGE co-partitioned as-of join — the mitigation for
@@ -157,7 +180,9 @@ object AsOfJoinNative {
     * a direction can never match (after the last probe for backward,
     * before the first for forward) are dropped; the unmatchable-side
     * out-of-range buckets collapse to one sentinel each.
-    * Requires |key| < Long.MaxValue / (shards + 1).
+    * Requires |key| < Long.MaxValue / (shards + 1) — ENFORCED per row
+    * on both sides (see [[guardedKey]]): an out-of-range key raises
+    * instead of silently aliasing another (key, bucket) composite.
     */
   def asofTimeSharded(left: DataFrame, leftKey: Column,
       leftTime: Column, right: DataFrame, rightKey: Column,
@@ -231,8 +256,12 @@ object AsOfJoinNative {
       .select(col("__sk") +: col("__sb") +: col("__st") +:
         named.map(col): _*)
     val shardedRight = localRight.unionByName(carries)
-    asofJoin(left, leftKey.cast("long") * shards + lb, leftTime,
-      shardedRight, col("__sk") * shards + col("__sb"), col("__st"),
+    asofJoin(left,
+      guardedKey(leftKey.cast("long"), shards, "asofTimeSharded") *
+        shards + lb, leftTime,
+      shardedRight,
+      guardedKey(col("__sk"), shards, "asofTimeSharded") * shards +
+        col("__sb"), col("__st"),
       rightPayload.map { case (n, _) => n -> col(n) },
       direction, tolerance)
   }

@@ -29,7 +29,15 @@ object KCore {
     *              the symmetric closure, self-loop-free and distinct,
     *              so grouping by src counts each incident edge once.
     * @return surviving vertices of the k-core after `rounds` peels:
-    *         (id, deg) with deg the vertex's degree INSIDE the core.
+    *         (id, deg) with deg the vertex's degree recomputed INSIDE
+    *         the returned survivor set — one final semi-join + count
+    *         after the last peel, so `deg` never counts a just-dropped
+    *         neighbor even when `rounds` stops short of the fixpoint
+    *         (membership is still defined by exactly `rounds` peels; a
+    *         survivor isolated by the final peel reports deg 0). At
+    *         the fixpoint the recomputation is the identity, so the
+    *         unrolled fixed-round oracle is unaffected (KCoreSpec pins
+    *         both: fixpoint identity and the pre-fixpoint recompute).
     */
   def core(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"kcore: k=$k rounds=$rounds")
@@ -43,6 +51,13 @@ object KCore {
         .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
       deg = active.groupBy("src").agg(count(lit(1)).as("deg"))
     }
-    deg.filter(col("deg") >= k).select(col("src").as("id"), col("deg"))
+    val members = deg.filter(col("deg") >= k)
+      .select(col("src").as("id")).localCheckpoint(false)
+    val inCore = e
+      .join(members.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(members.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    members.join(inCore, members("id") === inCore("src"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
   }
 }

@@ -33,6 +33,23 @@ class KCoreSpec extends SparkSpec {
     assert(early == Set(1L, 2L, 3L, 4L), early.toString)
   }
 
+  test("pre-fixpoint deg is recomputed INSIDE the survivor set — " +
+      "never counts a just-dropped neighbor (ADVICE r11)") {
+    // chain 1-2-3-4-5, k=2, 1 round: raw degrees keep {2,3,4}; the
+    // returned deg must be survivor-internal (1, 2, 1), not the raw
+    // pre-peel (2, 2, 2) the old code reported
+    val chain = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val got = KCore.core(chain, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), got.toString)
+    // a survivor isolated by the peel reports deg 0 (membership is
+    // still defined by exactly `rounds` peels)
+    val star = sym(Seq((10L, 1L), (10L, 2L)))
+    val iso = KCore.core(star, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso == Map(10L -> 0L), iso.toString)
+  }
+
   test("k above the max degree empties the graph; k=1 keeps every " +
       "non-isolated vertex with its full degree") {
     val g = sym(Seq((1L, 2L), (2L, 3L)))

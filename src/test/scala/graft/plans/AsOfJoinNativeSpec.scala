@@ -572,6 +572,43 @@ class AsOfJoinNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("composite-key overflow guard: a key beyond Long.MaxValue / " +
+      "factor raises a contextual error instead of silently aliasing " +
+      "another key (ADVICE r11), on either side; in-range keys pass") {
+    val s = spark
+    import s.implicits._
+    val big = Long.MaxValue / 4 // over the salts=8 limit
+    val badLeft = Seq((big, 10L, "a")).toDF("k", "t", "pid")
+    // right time INSIDE the probe range: asofTimeSharded drops
+    // out-of-range-bucket versions before the composite is built (an
+    // over-limit key there can never match the guarded left keys
+    // anyway, so the silent drop is sound — only rows that ENTER the
+    // merge must be guarded)
+    val badRight = Seq((big, 10L, 1.0)).toDF("k", "t", "v")
+    val ok = Seq((1L, 10L, "a")).toDF("k", "t", "pid")
+    val okR = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    def payload = Seq("rt" -> col("t"), "rv" -> col("v"))
+    for ((l, r) <- Seq((badLeft, okR), (ok, badRight))) {
+      val eS = intercept[Exception] {
+        AsOfJoinNative.asofSalted(l, col("k"), col("t"), r, col("k"),
+          col("t"), payload, salts = 8).collect()
+      }
+      assert(eS.getMessage != null &&
+        eS.getMessage.contains("overflow"), eS.getMessage)
+      val eT = intercept[Exception] {
+        AsOfJoinNative.asofTimeSharded(l, col("k"), col("t"), r,
+          col("k"), col("t"), payload, shards = 8).collect()
+      }
+      assert(eT.getMessage != null &&
+        eT.getMessage.contains("overflow"), eT.getMessage)
+    }
+    // in-range keys still join normally through both wrappers
+    assert(AsOfJoinNative.asofSalted(ok, col("k"), col("t"), okR,
+      col("k"), col("t"), payload, salts = 8).collect().length == 1)
+    assert(AsOfJoinNative.asofTimeSharded(ok, col("k"), col("t"), okR,
+      col("k"), col("t"), payload, shards = 8).collect().length == 1)
+  }
+
   test("exec metrics: numOutputRows == probe rows (left-outer " +
       "contract), matchedRows counts only real payload hits") {
     val s = spark
