@@ -40,22 +40,64 @@ object Engine {
     * @param ingestOrder expressions defining "spreadsheet row order"
     *                  for `self[]` addressing and order-preserving
     *                  sinks. Defaults to an ingest index stamped at
-    *                  scan time. Must be provided (e.g. a key column)
-    *                  when deterministic cross-engine row numbering is
+    *                  scan time (pre-join — a multi-match `_join:`
+    *                  duplicates the stamp, so pass an explicit order
+    *                  when deterministic numbering matters there).
+    *                  Must be provided (e.g. a key column) when
+    *                  deterministic cross-engine row numbering is
     *                  required.
+    * @param sheets    joinable sheets by name, for `_join:` rules
+    *                  (reference roadmap `README.md:122`): each join
+    *                  is an INNER equi-join on display-string
+    *                  equality, applied BEFORE filters/projections in
+    *                  rule order; the joined sheet's columns become
+    *                  `src[...]`-addressable, shadowing earlier
+    *                  columns on a name collision (displayString's
+    *                  last-wins convention). The join is declarative —
+    *                  Catalyst/AQE picks broadcast vs shuffle, so a
+    *                  small dimension sheet broadcasts for free.
     */
   def transform(source: DataFrame, mapRules: Seq[(String, String)],
-      ingestOrder: Seq[Column] = Nil): DataFrame = {
+      ingestOrder: Seq[Column] = Nil,
+      sheets: Map[String, DataFrame] = Map.empty): DataFrame = {
     val display = GraftFunctions.displayString(source)
     if (display.columns.isEmpty)
       throw Ast.DslError("Source has no header row.")
-    val rules = Parser.parse(mapRules, display.columns.toSeq)
+    val sheetDisplays =
+      sheets.map { case (n, df) => n -> GraftFunctions.displayString(df) }
+    val rules = Parser.parse(mapRules, display.columns.toSeq,
+      sheetDisplays.map { case (n, d) => n -> d.columns.toSeq })
 
     val needsIngestStamp = rules.usesSelf && ingestOrder.isEmpty
-    val ordered =
+    val stamped0 =
       if (needsIngestStamp)
         display.withColumn(IngestCol, monotonically_increasing_id())
       else display
+
+    // `_join:` rules, in rule order. The other side is renamed behind
+    // a per-join prefix (no ambiguous attributes), then the merged
+    // header layout is rebuilt: surviving source columns first, the
+    // joined sheet's columns after, collisions resolved last-wins.
+    val ordered = rules.joins.zipWithIndex.foldLeft(stamped0) {
+      case (cur, (j, i)) =>
+        val other = sheetDisplays(j.sheet)
+        val pre = s"__graft_j${i}_"
+        val renamed = other.columns.foldLeft(other)(
+          (d, c) => d.withColumnRenamed(c, pre + c))
+        val shadowed = other.columns.toSet
+        val stepped = cur.join(renamed,
+          cur(s"`${j.srcCol}`") === renamed(s"`$pre${j.otherCol}`"))
+        stepped.select(
+          cur.columns.toSeq.filterNot(shadowed).map(c => col(s"`$c`")) ++
+            other.columns.toSeq.map(c => col(s"`$pre$c`").as(c)): _*)
+    }
+
+    // `_type:` declarations: ONE map-side-combinable aggregate over
+    // the post-join, pre-filter frame, run eagerly here so a
+    // violating run aborts before any sink sees a row (the
+    // reference's fail-fast posture). Cost: one extra scan, only when
+    // `_type:` rules exist.
+    validateTypes(ordered, rules.types)
 
     val orderCols: Seq[Column] =
       if (ingestOrder.nonEmpty) ingestOrder else Seq(col(IngestCol))
@@ -115,6 +157,45 @@ object Engine {
     numbered.select(compiled.projections: _*)
   }
 
+  /** One aggregate evaluating every `_type:` rule at once: per rule, a
+    * violation count and one example offending cell (min — a
+    * deterministic pick for the message). The first violated rule (in
+    * Map-sheet order) aborts with the reference's contextual-error
+    * style. All checks run on the TRIMMED display string; blank cells
+    * pass everything except `nonempty` (see [[Ast.CellType]]).
+    */
+  private def validateTypes(df: DataFrame,
+      types: Seq[Ast.TypeRule]): Unit = {
+    if (types.isEmpty) return
+    // the whole-input "no cell violates" claim needs a bounded scan —
+    // undefined on an unbounded stream (like self[] numbering)
+    if (df.isStreaming)
+      throw Ast.DslError(
+        "_type: rules are not supported on streaming sources.")
+    val aggs = types.zipWithIndex.flatMap { case (tr, i) =>
+      val v = trim(col(s"`${tr.column}`"))
+      val ok = tr.tpe match {
+        case Ast.CellType.Numeric => v === "" ||
+          v.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+        case Ast.CellType.IntegerT => v === "" || v.rlike("^[+-]?[0-9]+$")
+        case Ast.CellType.DateIso => v === "" ||
+          (v.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$") &&
+            try_to_date(v, "yyyy-MM-dd").isNotNull)
+        case Ast.CellType.NonEmpty => v =!= ""
+      }
+      Seq(sum(when(!ok, 1L).otherwise(0L)).as(s"__n$i"),
+        min(when(!ok, col(s"`${tr.column}`"))).as(s"__v$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    types.zipWithIndex.foreach { case (tr, i) =>
+      val n = row.getLong(2 * i)
+      if (n > 0)
+        throw Ast.DslError(s"""Type violation in column """ +
+          s""""${tr.column}": $n value(s) are not ${tr.tpe.name} """ +
+          s"""(e.g. "${row.getString(2 * i + 1)}") (rule: "${tr.header}").""")
+    }
+  }
+
   /** Full three-sheet run over CSV "sheets" in a directory:
     * `<dir>/<config.source>.csv` + `<dir>/<config.map>.csv` →
     * overwrite `<dir>/<config.output>` (CSV, header) —
@@ -124,7 +205,19 @@ object Engine {
       config: EngineConfig = EngineConfig()): Long = {
     val source = readSheetCsv(spark, s"$dir/${config.source}.csv")
     val rules = sheetPairs(readSheetCsv(spark, s"$dir/${config.map}.csv"))
-    val out = transform(source, rules)
+    // `_join:X` rules name sibling sheets: read `<dir>/X.csv` for each
+    // (missing file → the reference-style contextual abort, not a
+    // Spark path error); Parser re-validates names and headers.
+    val sheets = rules.collect {
+      case (h, _) if h != null && h.trim.startsWith("_join:") =>
+        h.trim.stripPrefix("_join:").trim
+    }.distinct.filter(_.nonEmpty).map { name =>
+      if (!new java.io.File(s"$dir/$name.csv").isFile)
+        throw Ast.DslError(
+          s"""Sheet "$name" does not exist (rule: "_join:$name").""")
+      name -> readSheetCsv(spark, s"$dir/$name.csv")
+    }.toMap
+    val out = transform(source, rules, sheets = sheets)
     out.write.mode("overwrite").option("header", true)
       .option("escape", "\"").csv(s"$dir/${config.output}")
     out.count()

@@ -81,9 +81,55 @@ object Ast {
   final case class FormulaCol(header: String, parts: Vector[Part])
       extends OutputCol
 
+  /** `_join:Sheet` rule (reference roadmap "Multi-sheet joins",
+    * `/root/reference/README.md:122` — never implemented there; the
+    * semantics here are this engine's): instruction
+    * `src[Col] == other[Col]` equi-joins the named sheet (inner, on
+    * display-string equality) BEFORE filters and projections run.
+    * The joined sheet's columns become addressable as `src[...]` in
+    * every later rule; a name collision shadows the earlier column
+    * (the displayString last-wins convention). Join KEYS resolve
+    * sequentially — join i may reference the source and sheets joined
+    * by rules 1..i-1 only.
+    */
+  final case class JoinRule(header: String, sheet: String,
+      srcCol: String, otherCol: String)
+
+  /** Cell types a `_type:` rule can declare (reference roadmap "Type
+    * validation", `/root/reference/README.md:123` — never implemented
+    * there; semantics defined here). All checks run on the TRIMMED
+    * display string; a blank cell passes every type except `nonempty`
+    * (spreadsheet blanks are ubiquitous — emptiness is its own check).
+    */
+  sealed abstract class CellType(val name: String)
+  object CellType {
+    /** Full-string decimal number (unlike the filter operators'
+      * parseFloat PREFIX coercion: "123%" compares as 123 in a filter
+      * but is NOT `numeric`). */
+    case object Numeric extends CellType("numeric")
+    /** Optional sign + digits only. */
+    case object IntegerT extends CellType("integer")
+    /** ISO calendar date, yyyy-MM-dd, validity-checked. */
+    case object DateIso extends CellType("date")
+    /** At least one non-whitespace character. */
+    case object NonEmpty extends CellType("nonempty")
+    val all: Vector[CellType] = Vector(Numeric, IntegerT, DateIso, NonEmpty)
+    val byName: Map[String, CellType] = all.map(t => t.name -> t).toMap
+  }
+
+  /** `_type:Col` rule: instruction names a [[CellType]]; one
+    * validation pass over the post-join, pre-filter frame fail-fasts
+    * the run with a contextual error (violation count + an example
+    * value) when any cell breaks the declaration.
+    */
+  final case class TypeRule(header: String, column: String,
+      tpe: CellType)
+
   final case class RuleSet(
       filters: Vector[FilterRule],
-      outputs: Vector[OutputCol]) {
+      outputs: Vector[OutputCol],
+      joins: Vector[JoinRule] = Vector.empty,
+      types: Vector[TypeRule] = Vector.empty) {
     /** Self-references force per-row output addressing (a row-number
       * over ingest order). Pure filter+project rule sets skip it and
       * stay embarrassingly parallel — the 100 TB path.

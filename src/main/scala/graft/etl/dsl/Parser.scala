@@ -18,40 +18,93 @@ object Parser {
   private val SelfToken = new Regex("self\\[([^\\]]+)\\]")
   private val BadOp     = new Regex("[=><!]{3,}|[><]{2,}")
 
+  private val JoinInstr =
+    new Regex("^\\s*src\\[([^\\]]+)\\]\\s*==\\s*other\\[([^\\]]+)\\]\\s*$")
+
   /** @param rules   (col A, col B) pairs, Map-sheet order, header row
     *                already removed
     * @param sourceHeaders source column names for existence validation
+    * @param sheets  header lists of the joinable sheets, by sheet name
+    *                — `_join:` rules validate against these; non-join
+    *                rules validate against source + every joined
+    *                sheet's headers (joins are hoisted, like filters)
     */
-  def parse(rules: Seq[(String, String)], sourceHeaders: Seq[String]): RuleSet = {
-    val headers = sourceHeaders.toSet
+  def parse(rules: Seq[(String, String)], sourceHeaders: Seq[String],
+      sheets: Map[String, Seq[String]] = Map.empty): RuleSet = {
     val kept = rules
       .map { case (a, b) => (Option(a).getOrElse("").trim, Option(b).getOrElse("").trim) }
       .filter { case (a, _) => a.nonEmpty && !a.startsWith("//") }
 
+    // Pass 1 — `_join:` rules. Join KEYS resolve sequentially (join i
+    // sees the source plus sheets joined by rules 1..i-1), and each
+    // join extends the header space every OTHER rule kind validates
+    // against below.
+    val joins = Vector.newBuilder[JoinRule]
+    var curHeaders = sourceHeaders.toSet
+    kept.foreach { case (header, rawInstruction) =>
+      if (header.startsWith("_join:")) {
+        val sheet = header.stripPrefix("_join:").trim
+        if (sheet.isEmpty)
+          throw DslError(s"""Join rule "$header" names no sheet.""")
+        validateDelimiters(rawInstruction, header)
+        val m = JoinInstr.findFirstMatchIn(rawInstruction).getOrElse(
+          throw DslError(s"""Join rule "$header" must have the form """ +
+            "src[Col] == other[Col]."))
+        val (srcCol, otherCol) = (m.group(1), m.group(2))
+        val otherHeaders = sheets.getOrElse(sheet, throw DslError(
+          s"""Sheet "$sheet" does not exist (rule: "$header")."""))
+        if (!curHeaders.contains(srcCol))
+          throw DslError(s"""Column "$srcCol" does not exist in """ +
+            s"""source (rule: "$header").""")
+        if (!otherHeaders.contains(otherCol))
+          throw DslError(s"""Column "$otherCol" does not exist in """ +
+            s"""sheet "$sheet" (rule: "$header").""")
+        joins += JoinRule(header, sheet, srcCol, otherCol)
+        curHeaders ++= otherHeaders
+      }
+    }
+    val headers = curHeaders
+
     val filters = Vector.newBuilder[FilterRule]
     val outputs = Vector.newBuilder[OutputCol]
+    val types = Vector.newBuilder[TypeRule]
 
     kept.foreach { case (header, rawInstruction) =>
-      validateDelimiters(rawInstruction, header)
-      validateColumns(rawInstruction, header, headers)
+      if (!header.startsWith("_join:")) {
+        validateDelimiters(rawInstruction, header)
+        validateColumns(rawInstruction, header, headers)
 
-      if (header.startsWith("_filter:")) {
-        if (rawInstruction.startsWith("eval:")) {
-          val expr = rawInstruction.replaceFirst("eval:", "").trim
-          filters += EvalFilter(header, parsePredicate(expr, header))
-        } else filters += NoopFilter(header)
-      } else if (rawInstruction.startsWith("constant:")) {
-        outputs += ConstantCol(header,
-          splitParts(rawInstruction.replaceFirst("constant:", "").trim))
-      } else if (rawInstruction.startsWith("formula:")) {
-        outputs += FormulaCol(header,
-          splitParts(rawInstruction.replaceFirst("formula:", "").trim))
-      } else {
-        outputs += DirectCol(header, splitParts(rawInstruction))
+        if (header.startsWith("_filter:")) {
+          if (rawInstruction.startsWith("eval:")) {
+            val expr = rawInstruction.replaceFirst("eval:", "").trim
+            filters += EvalFilter(header, parsePredicate(expr, header))
+          } else filters += NoopFilter(header)
+        } else if (header.startsWith("_type:")) {
+          val colName = header.stripPrefix("_type:").trim
+          if (colName.isEmpty)
+            throw DslError(s"""Type rule "$header" names no column.""")
+          if (!headers.contains(colName))
+            throw DslError(s"""Column "$colName" does not exist in """ +
+              s"""source (rule: "$header").""")
+          val tpe = CellType.byName.getOrElse(
+            rawInstruction.trim.toLowerCase, throw DslError(
+              s"""Unknown type "$rawInstruction" in rule "$header" """ +
+                s"(valid: ${CellType.all.map(_.name).mkString(", ")})."))
+          types += TypeRule(header, colName, tpe)
+        } else if (rawInstruction.startsWith("constant:")) {
+          outputs += ConstantCol(header,
+            splitParts(rawInstruction.replaceFirst("constant:", "").trim))
+        } else if (rawInstruction.startsWith("formula:")) {
+          outputs += FormulaCol(header,
+            splitParts(rawInstruction.replaceFirst("formula:", "").trim))
+        } else {
+          outputs += DirectCol(header, splitParts(rawInstruction))
+        }
       }
     }
 
-    val rs = RuleSet(filters.result(), outputs.result())
+    val rs = RuleSet(filters.result(), outputs.result(),
+      joins.result(), types.result())
     if (rs.outputs.isEmpty)
       throw DslError("No valid output columns found in mapping rules.")
     rs

@@ -88,7 +88,66 @@ object EtlQueries {
       Engine.transform(nation(s, d), Seq(
         "_filter:note" -> "anything",
         "_filter:x" -> "eval: junk || src[n_name] == NATION_7 || a==b==c",
-        "Name" -> "src[n_name]")))
+        "Name" -> "src[n_name]"))),
+
+    // `_join:` multi-sheet equi-join (reference roadmap README:122):
+    // orders enriched from a Customer sheet; the joined columns are
+    // src[]-addressable downstream. Inner join on display-string
+    // equality == integer-key equality for integral keys.
+    "etl_join_lookup" -> ((s, d) =>
+      Engine.transform(orders(s, d), Seq(
+        "_join:Customer" -> "src[o_custkey] == other[c_custkey]",
+        "OrderKey" -> "src[o_orderkey]",
+        "CustName" -> "src[c_name]",
+        "Segment"  -> "src[c_mktsegment]"),
+        sheets = Map("Customer" -> customer(s, d)))),
+
+    // Chained joins with SEQUENTIAL key visibility: the Region join's
+    // src key (n_regionkey) exists only after the Nation join; a
+    // filter then references a joined column.
+    "etl_join_chain" -> ((s, d) =>
+      Engine.transform(customer(s, d), Seq(
+        "_join:Nation" -> "src[c_nationkey] == other[n_nationkey]",
+        "_join:Region" -> "src[n_regionkey] == other[r_regionkey]",
+        "_filter:seg" -> "eval: src[c_mktsegment] == BUILDING",
+        "Name"   -> "src[c_name]",
+        "Nation" -> "src[n_name]",
+        "Region" -> "src[r_name]"),
+        sheets = Map("Nation" -> nation(s, d),
+          "Region" -> region(s, d)))),
+
+    // Name-collision shadowing: the joined sheet also has `n_name`,
+    // so src[n_name] resolves to the JOINED (uppercased) value —
+    // displayString's last-wins convention across sheets.
+    "etl_join_shadow" -> ((s, d) => {
+      val lookup = nation(s, d).select(col("n_nationkey").as("id"),
+        upper(col("n_name")).as("n_name"))
+      Engine.transform(nation(s, d), Seq(
+        "_join:Names" -> "src[n_nationkey] == other[id]",
+        "Key"  -> "src[n_nationkey]",
+        "Name" -> "src[n_name]"),
+        sheets = Map("Names" -> lookup))
+    }),
+
+    // `_type:` declarations (reference roadmap README:123) that HOLD
+    // on the data: the run proceeds and the output is the plain
+    // filter+projection (violation paths are spec'd in EngineSpec —
+    // they abort before any sink write).
+    "etl_type_valid" -> ((s, d) => {
+      val src = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderstatus"))
+      Engine.transform(src, Seq(
+        "_type:o_orderkey"    -> "integer",
+        "_type:o_totalprice"  -> "numeric",
+        "_type:odate"         -> "date",
+        "_type:o_orderstatus" -> "nonempty",
+        "_filter:st" -> "eval: src[o_orderstatus] == F",
+        "Key"   -> "src[o_orderkey]",
+        "Total" -> "src[o_totalprice]",
+        "Date"  -> "src[odate]"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,6 +192,28 @@ object EtlQueries {
          FROM nation""",
 
     "etl_noop_malformed" ->
-      "SELECT n_name AS Name FROM nation WHERE n_name = 'NATION_7'"
+      "SELECT n_name AS Name FROM nation WHERE n_name = 'NATION_7'",
+
+    "etl_join_lookup" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS OrderKey,
+         c_name AS CustName, c_mktsegment AS Segment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+    "etl_join_chain" ->
+      """SELECT c_name AS Name, n_name AS Nation, r_name AS Region
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_mktsegment = 'BUILDING'""",
+
+    "etl_join_shadow" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS Key,
+         upper(n_name) AS Name FROM nation""",
+
+    "etl_type_valid" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS Key,
+         CAST(o_totalprice AS VARCHAR) AS Total,
+         strftime(o_orderdate, '%Y-%m-%d') AS Date
+         FROM orders WHERE o_orderstatus = 'F'"""
   )
 }

@@ -27,11 +27,17 @@ import graft.etl.dsl.{Ast, Parser}
 object StreamingOps {
 
   /** Reference RuleSet over an unbounded stream. Rejects `self[]`
-    * mappings (no global row order on a stream).
+    * mappings (no global row order on a stream) and `_type:` rules
+    * (the whole-input validation pass needs a bounded scan). `_join:`
+    * rules DO work — the `sheets` tables are static, so each join
+    * plans as Spark's stream-static join (the static side broadcasts
+    * or re-scans per micro-batch; no state store needed for inner
+    * equi-joins).
     */
   def transformStream(stream: DataFrame,
-      mapRules: Seq[(String, String)]): DataFrame =
-    Engine.transform(stream, mapRules)
+      mapRules: Seq[(String, String)],
+      sheets: Map[String, DataFrame] = Map.empty): DataFrame =
+    Engine.transform(stream, mapRules, sheets = sheets)
 
   /** Resolve (and sanity-check) the checkpoint dir for a
     * source→output stream under `<sheetsDir>/_checkpoint/`.

@@ -180,6 +180,83 @@ class EngineSpec extends SparkSpec {
     assert(rows.head == Row("1", "2.5", "true"))
   }
 
+  test("_join: inner join on display-string equality; joined columns " +
+      "project, filter, and shadow on name collision") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(("o1", "c1"), ("o2", "c2"), ("o3", "cX"))
+      .toDF("Order", "Cust")
+    val cust = Seq(("c1", "Ada", "A"), ("c2", "Bob", "B"))
+      .toDF("Id", "Cust", "Tier") // `Cust` collides with the source
+    val rows = Engine.transform(src, Seq(
+      "_join:Customers" -> "src[Cust] == other[Id]",
+      "_filter:t" -> "eval: src[Tier] != B",
+      "O" -> "src[Order]",
+      // post-join, src[Cust] is the JOINED sheet's column (last-wins)
+      "C" -> "src[Cust]"),
+      sheets = Map("Customers" -> cust)).collect()
+    // o3/cX has no match (inner join); o2 filtered by Tier != B
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("o1", "Ada")))
+  }
+
+  test("_join: display-string equality means typed keys join their " +
+      "string forms (int 1 == '1')") {
+    val s = spark
+    import s.implicits._
+    val src = Seq((1, "x"), (2, "y")).toDF("K", "V")
+    val other = Seq(("1", "one")).toDF("K2", "Word")
+    val rows = Engine.transform(src, Seq(
+      "_join:W" -> "src[K] == other[K2]",
+      "V" -> "src[V]", "W" -> "src[Word]"),
+      sheets = Map("W" -> other)).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "one")))
+  }
+
+  test("_type: violations abort eagerly at transform() with count + " +
+      "example + rule context; passing declarations are a no-op") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("1", "a"), ("x7", "b"), ("", "c"), ("2.5", ""))
+      .toDF("Num", "Tag")
+    // Num as numeric: "x7" violates (1 value); blank passes
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df, Seq("_type:Num" -> "numeric",
+        "N" -> "src[Num]"))
+    }
+    assert(e.message.contains("Num") && e.message.contains("1 value") &&
+      e.message.contains("x7") && e.message.contains("_type:Num"),
+      e.message)
+    // integer: "2.5" AND "x7" violate (2 values)
+    val e2 = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df, Seq("_type:Num" -> "integer",
+        "N" -> "src[Num]"))
+    }
+    assert(e2.message.contains("2 value"), e2.message)
+    // nonempty on Tag: the "" cell violates
+    intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df, Seq("_type:Tag" -> "nonempty",
+        "N" -> "src[Num]"))
+    }
+    // all-holding declarations: output = plain projection
+    val ok = Engine.transform(df.filter($"Num" =!= "x7"), Seq(
+      "_type:Num" -> "numeric", "N" -> "src[Num]")).collect()
+    assert(ok.map(_.getString(0)).sorted.toSeq == Seq("", "1", "2.5"))
+  }
+
+  test("_type: date validates shape AND calendar validity") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq("2023-02-30").toDF("D") // shape ok, invalid date
+    intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(bad, Seq("_type:D" -> "date", "N" -> "src[D]"))
+    }
+    val ok = Seq("2024-02-29", "").toDF("D") // leap day + blank pass
+    assert(Engine.transform(ok,
+      Seq("_type:D" -> "date", "N" -> "src[D]")).count() == 2)
+  }
+
   test("config parsing: defaults, unknown keys, case/trim") {
     val c = EngineConfig.fromKeyValues(Seq(
       (" SOURCE ", " S1 "), ("bogus", "x"), ("map", "")))

@@ -48,6 +48,75 @@ class ParserSpec extends AnyFunSuite {
     assert(e.message.contains("Nope") && e.message.contains("Bad"))
   }
 
+  test("_join: parses, validates sheet + both key columns, and keys " +
+      "resolve SEQUENTIALLY (later sheets' columns invisible to " +
+      "earlier join keys)") {
+    val sheets = Map("Orders" -> Seq("OrderId", "Total"),
+      "Items" -> Seq("ItemId", "OrderRef"))
+    val rs = Parser.parse(Seq(
+      "_join:Orders" -> "src[Name] == other[OrderId]",
+      // second join keys off a column the FIRST join introduced
+      "_join:Items" -> "src[OrderId] == other[ItemId]",
+      "N" -> "src[Name]", "T" -> "src[Total]", "R" -> "src[OrderRef]"
+    ), headers, sheets)
+    assert(rs.joins == Vector(
+      JoinRule("_join:Orders", "Orders", "Name", "OrderId"),
+      JoinRule("_join:Items", "Items", "OrderId", "ItemId")))
+    // unknown sheet
+    val e1 = intercept[DslError] { Parser.parse(Seq(
+      "_join:Nope" -> "src[Name] == other[X]", "N" -> "src[Name]"),
+      headers, sheets) }
+    assert(e1.message.contains("Nope") && e1.message.contains("Sheet"))
+    // malformed instruction (only src[..] == other[..] is a join)
+    val e2 = intercept[DslError] { Parser.parse(Seq(
+      "_join:Orders" -> "src[Name] >= other[OrderId]",
+      "N" -> "src[Name]"), headers, sheets) }
+    assert(e2.message.contains("src[Col] == other[Col]"))
+    // unknown column on the other sheet
+    val e3 = intercept[DslError] { Parser.parse(Seq(
+      "_join:Orders" -> "src[Name] == other[Missing]",
+      "N" -> "src[Name]"), headers, sheets) }
+    assert(e3.message.contains("Missing") &&
+      e3.message.contains("Orders"))
+    // a join key from a LATER sheet does not resolve
+    val e4 = intercept[DslError] { Parser.parse(Seq(
+      "_join:Orders" -> "src[ItemId] == other[OrderId]",
+      "_join:Items" -> "src[OrderId] == other[ItemId]",
+      "N" -> "src[Name]"), headers, sheets) }
+    assert(e4.message.contains("ItemId"))
+    // non-join rules MAY reference any joined sheet's columns (joins
+    // are hoisted) — already proven by rs above; and a joined column
+    // in a filter validates too
+    Parser.parse(Seq(
+      "_join:Orders" -> "src[Name] == other[OrderId]",
+      "_filter:t" -> "eval: src[Total] >= 5",
+      "N" -> "src[Name]"), headers, sheets)
+  }
+
+  test("_type: parses the four cell types, validates column and type " +
+      "names") {
+    val rs = Parser.parse(Seq(
+      "_type:Age" -> "numeric",
+      "_type:Name" -> " NONEMPTY ", // case/space-insensitive
+      "_type:Score" -> "integer",
+      "_type:City" -> "date",
+      "N" -> "src[Name]"), headers)
+    assert(rs.types.map(_.tpe) == Vector(CellType.Numeric,
+      CellType.NonEmpty, CellType.IntegerT, CellType.DateIso))
+    val e1 = intercept[DslError] { Parser.parse(Seq(
+      "_type:Age" -> "float", "N" -> "src[Name]"), headers) }
+    assert(e1.message.contains("float") && e1.message.contains("valid:"))
+    val e2 = intercept[DslError] { Parser.parse(Seq(
+      "_type:Ghost" -> "numeric", "N" -> "src[Name]"), headers) }
+    assert(e2.message.contains("Ghost"))
+    // a _type: on a JOINED column is legal (post-join validation)
+    Parser.parse(Seq(
+      "_join:Orders" -> "src[Name] == other[OrderId]",
+      "_type:Total" -> "numeric",
+      "N" -> "src[Name]"), headers,
+      Map("Orders" -> Seq("OrderId", "Total")))
+  }
+
   test("delimiter imbalance → error (both directions)") {
     intercept[DslError] { Parser.parse(Seq("Bad" -> "src[Name"), headers) }
     intercept[DslError] { Parser.parse(Seq("Bad" -> "src[Name]]"), headers) }

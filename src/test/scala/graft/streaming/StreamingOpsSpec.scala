@@ -33,6 +33,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSet == Set(("2", "stream")))
   }
 
+  test("_join: over a stream is a stream-static join; _type: rejects " +
+      "with a contextual error (bounded-scan validation)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val lookup = Seq(("click", "UI"), ("view", "UI2")).toDF("K", "Cat")
+    val in = MemoryStream[RawEvent]
+    val out = StreamingOps.transformStream(in.toDF(), Seq(
+      "_join:Kinds" -> "src[event_type] == other[K]",
+      "Id" -> "src[event_id]",
+      "Cat" -> "src[Cat]"), sheets = Map("Kinds" -> lookup))
+    val q = out.writeStream.format("memory").queryName("etl_js")
+      .outputMode("append").start()
+    in.addData(RawEvent(1, t(0), "click", 5.0),
+      RawEvent(2, t(1), "scroll", 1.0)) // scroll: no match, drops
+    q.processAllAvailable()
+    val rows = s.sql("SELECT Id, Cat FROM etl_js").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(rows.toSet == Set(("1", "UI")))
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      StreamingOps.transformStream(in.toDF(), Seq(
+        "_type:event_type" -> "nonempty", "Id" -> "src[event_id]"))
+    }
+    assert(e.message.contains("streaming"), e.message)
+  }
+
   test("file-source stream: RuleSet over a growing CSV directory") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("fstream")
