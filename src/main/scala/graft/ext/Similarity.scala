@@ -401,7 +401,7 @@ object Similarity {
     * argmax of 2·a_m·cent_c − |cent_c|², ties to the smallest centroid
     * id) are documented on the expression.
     */
-  private def pqBestCol(df: DataFrame, cents: Map[(Int, Int), Seq[Int]],
+  private[ext] def pqBestCol(df: DataFrame, cents: Map[(Int, Int), Seq[Int]],
       m: Int, nCentroids: Int, sub: Int): Column = {
     graft.functions.PqBestCodes.register(df.sparkSession)
     val flat = (0 until m).flatMap(sm =>
@@ -453,7 +453,7 @@ object Similarity {
     * Against a checkpointed table `a` is a plain attribute and the
     * generated code stays linear in m·nc·sub.
     */
-  private def pqTrainCore(df: DataFrame, idCol: String, vecCol: String,
+  private[ext] def pqTrainCore(df: DataFrame, idCol: String, vecCol: String,
       m: Int, nCentroids: Int, iters: Int)
       : (Double, DataFrame, Map[(Int, Int), Seq[Int]]) = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)

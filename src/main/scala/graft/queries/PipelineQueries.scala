@@ -581,6 +581,34 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // IVF-PQ with the PERSISTED lifecycle (ext/AnnIndex): the first
+    // invocation per corpus trains ONCE and writes the index tables
+    // (coarse cells + integer PQ codebooks + codes partitioned by
+    // cell); every later invocation — including bench passes 2..n,
+    // whose min is the reported number — LOADS and serves: a
+    // partition-pruned ADC scan of the probed cells plus the exact
+    // rescore, no training stage in the plan (pinned in AnnIndexSpec).
+    // Hash-identical to sim_ann_ivfpq, so it shares that oracle.
+    // Staleness: the INDEX_READY marker embeds the params and the
+    // corpus parquet's file-metadata fingerprint — regenerated
+    // testdata or changed geometry rebuilds, a warm index is a
+    // metadata check (no corpus scan) away from serving.
+    "sim_ann_ivfpq_persisted" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/$key"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      graft.ext.AnnIndex.ensureBuilt(embeddings(s, d), "vec_id",
+        "embedding", dir, nCells = 16, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      graft.ext.AnnIndex.search(embeddings(s, d), "vec_id",
+          "embedding", dir, q, probes = 2, k = 10, nCand = 80)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // IVF ANN — deterministic coarse cells (first 16 vectors), probe-2
     // search, exact scores within probed cells. Fully deterministic
     // (tie-breaks pinned) → SQL oracle below replicates cell
@@ -3030,6 +3058,10 @@ object PipelineQueries {
     // with the int8-norm denominator and the fixed-order pivot sum.
     "sim_pq" -> PqOracleSql,
     "sim_ann_ivfpq" -> pqOracleSqlGen(true),
+    // the persisted lifecycle is hash-identical to the retrain path
+    // by construction (AnnIndexSpec pins it), so it replays the SAME
+    // train-prune-scan-rescore oracle
+    "sim_ann_ivfpq_persisted" -> pqOracleSqlGen(true),
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)

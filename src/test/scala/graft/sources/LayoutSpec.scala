@@ -200,6 +200,91 @@ class AnnLayoutSpec extends SparkSpec {
   }
 }
 
+class AnnIndexSpec extends SparkSpec {
+  import graft.ext.{AnnIndex, Similarity}
+
+  private val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+
+  test("persisted IVF-PQ lifecycle: first ensureBuilt trains and " +
+      "commits, a warm index skips training, changed geometry or " +
+      "corpus fingerprint rebuilds; serve is HASH-IDENTICAL to the " +
+      "retrain path") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val dir = Files.createTempDirectory("annidx").toString
+    val fp = AnnIndex.parquetFingerprint(s, embPath)
+    assert(AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 32, nCentroids = 64, iters = 3,
+      fingerprint = fp), "cold dir must build")
+    assert(!AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 32, nCentroids = 64, iters = 3,
+      fingerprint = fp), "warm index must NOT retrain")
+    // a corpus-fingerprint change (regenerated testdata) rebuilds
+    assert(AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 32, nCentroids = 64, iters = 3,
+      fingerprint = "other-corpus"))
+    // restore the real fingerprint, then compare against retrain
+    AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 3, fingerprint = fp)
+    val served = AnnIndex.search(emb, "vec_id", "embedding", dir, qv,
+        probes = 2, k = 10, nCand = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val retrain = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv,
+        nCells = 16, probes = 2, m = 32, nCentroids = 64, k = 10,
+        nCand = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == retrain && served.nonEmpty,
+      s"served=$served retrain=$retrain")
+  }
+
+  test("serve plan has NO training stage: the codes scan is " +
+      "partition-pruned to the 2 probed cells, the corpus parquet is " +
+      "scanned exactly once (the rescore leg), and no PQ-encode " +
+      "expression appears") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val dir = Files.createTempDirectory("annidx2").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AnnIndex.search(emb, "vec_id", "embedding", dir, qv,
+        probes = 2, k = 10, nCand = 80)
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        })
+      val codeScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains(dir)))
+      assert(codeScans.nonEmpty, "codes scan missing from the plan")
+      assert(codeScans.map(_.selectedPartitions.partitionCount)
+        .forall(_ == 2),
+        s"probe-2 must prune to 2 partitions: " +
+          codeScans.map(_.selectedPartitions.partitionCount))
+      val corpusScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("embeddings.parquet")))
+      assert(corpusScans.size == 1,
+        s"exactly one corpus scan (rescore), got ${corpusScans.size}")
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("pq_best_codes") &&
+        !plan.contains("pqbestcodes"), "encode stage leaked into serve")
+      assert(df.collect().length == 10)
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("a markerless (uncommitted) index dir refuses to serve") {
+    val dir = Files.createTempDirectory("annidx3").toString
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.load(spark, dir)
+    }
+    assert(e.getMessage.contains("INDEX_READY"), e.getMessage)
+  }
+}
+
 class ZOrderSpec extends SparkSpec {
 
   test("zValue matches a bit-twiddling reference implementation") {
