@@ -537,6 +537,34 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("rev"))
     }),
 
+    // Parquet-NATIVE data skipping — the at-rest layer between
+    // partition pruning (source_partitioned) and z-order clustering
+    // (maint_zorder): the write path sorts by the probe key (key-
+    // ranged row groups → min/max stats skip) AND attaches a column
+    // bloom filter (point probes skip row groups even when stats or
+    // dictionaries can't — BloomSkipSpec proves 0-of-N row groups
+    // read for an absent key on a shuffled, dictionary-free file,
+    // with the bloom-off control reading all N). The selective IN
+    // probe reaches the scan as PushedFilters; the aggregate over the
+    // skipping read hash-equals the oracle over the original parquet.
+    "source_bloom_skip" -> ((s, d) => {
+      val tmp = s"$scratchDir/bloom_skip"
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .sort("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey",
+          "100000")
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").isin(1L, 7L, 997L, 4999L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+    }),
+
     "maint_zorder" -> ((s, d) =>
       orders(s, d)
         .select(col("o_orderkey"),
@@ -1626,6 +1654,15 @@ object RelationalQueries {
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS rev
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1""",
+
+    // layout-independent replay: the bloom-skipping round-trip must
+    // not change a single row
+    "source_bloom_skip" ->
+      """SELECT l_orderkey, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty
+         FROM lineitem WHERE l_orderkey IN (1, 7, 997, 4999)
          GROUP BY 1""",
 
     "maint_zorder" ->

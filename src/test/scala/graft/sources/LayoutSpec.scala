@@ -200,6 +200,87 @@ class AnnLayoutSpec extends SparkSpec {
   }
 }
 
+class BloomSkipSpec extends SparkSpec {
+
+  /** Row groups a point probe on `key == v` leaves readable in one
+    * parquet file, at the parquet-hadoop layer Spark's scan delegates
+    * to — with each skipping tier toggleable, so the test isolates
+    * WHICH tier did the skipping.
+    */
+  private def rowGroups(file: String, v: Long, bloom: Boolean,
+      stats: Boolean, dict: Boolean): Int = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val pred = FilterApi.eq(FilterApi.longColumn("k"),
+      java.lang.Long.valueOf(v))
+    val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+      .withRecordFilter(FilterCompat.get(pred))
+      .useBloomFilter(bloom).useStatsFilter(stats)
+      .useDictionaryFilter(dict)
+      .build()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
+    try r.getRowGroups.size finally r.close()
+  }
+
+  test("column bloom filters skip row groups where stats and " +
+      "dictionaries cannot: shuffled high-cardinality keys, absent-" +
+      "key probe reads 0 of N row groups with bloom ON, all N with " +
+      "bloom OFF") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("bloomskip").toString
+    // keys shuffled by xxhash so EVERY row group's [min, max] spans
+    // ~the whole domain (stats can't skip), dictionary disabled for
+    // the key column (dictionary filtering can't run), small pages →
+    // several row groups in one file
+    (0L until 200000L).map(i => i).toDF("seq")
+      .select((xxhash64(col("seq")) % 1000000000L).as("k"),
+        col("seq").as("v"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "200000")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val absent = 123L // xxhash64 range makes this key absent w.h.p.
+    assert(s.read.parquet(dir).filter(col("k") === absent).count() == 0,
+      "probe key must be absent for the skipping contrast")
+    val total = rowGroups(file, absent, bloom = false, stats = false,
+      dict = false)
+    assert(total >= 3, s"need several row groups to demo skipping: $total")
+    // stats alone cannot skip (shuffled keys), dictionary can't exist
+    val statsOnly = rowGroups(file, absent, bloom = false,
+      stats = true, dict = true)
+    assert(statsOnly == total,
+      s"stats/dict should NOT skip shuffled row groups: $statsOnly/$total")
+    // bloom skips every group for an absent key
+    val bloomOn = rowGroups(file, absent, bloom = true, stats = true,
+      dict = true)
+    assert(bloomOn == 0, s"bloom should skip all groups: $bloomOn/$total")
+    // a PRESENT key keeps its group readable (no false negatives)
+    val present = s.read.parquet(dir).select("k").head().getLong(0)
+    assert(rowGroups(file, present, bloom = true, stats = true,
+      dict = true) >= 1)
+  }
+
+  test("source_bloom_skip query: the IN probe reaches the scan as " +
+      "PushedFilters and the roundtrip read answers it") {
+    val df = graft.SparkEntry.queries("source_bloom_skip")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*l_orderkey".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+    assert(df.collect().length >= 1)
+  }
+}
+
 class AnnIndexSpec extends SparkSpec {
   import graft.ext.{AnnIndex, Similarity}
 
