@@ -87,6 +87,71 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Set("2", "3"))
   }
 
+  test("exactly-once parquet sink: a REPLAYED micro-batch (checkpoint " +
+      "restored to before the sink's commit record) is deduplicated " +
+      "by the sink's metadata log, progress continues afterwards, and " +
+      "orphan part-files (a crash between task write and sink commit) " +
+      "are invisible to readers") {
+    val s = spark
+    import java.nio.file.{Files => F, Path, Paths, StandardCopyOption}
+    def copyDir(from: Path, to: Path): Unit = {
+      val it = F.walk(from).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = to.resolve(from.relativize(p).toString)
+        if (F.isDirectory(p)) F.createDirectories(t)
+        else F.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteDir(d: Path): Unit = {
+      val it = F.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+      while (it.hasNext) F.delete(it.next())
+    }
+    val root = F.createTempDirectory("eonce")
+    val srcDir = F.createDirectory(root.resolve("src"))
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    def drop(name: String, rows: String): Unit =
+      F.write(srcDir.resolve(name), s"id\n$rows".getBytes)
+    def start() = s.readStream.schema(schema).option("header", true)
+      .csv(srcDir.toString)
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    drop("a.csv", "1\n2")
+    var q = start(); q.processAllAvailable(); q.stop()
+    // snapshot the checkpoint as of batch 0's commit
+    val snap = root.resolve("ckpt_snap")
+    copyDir(ckpt, snap)
+    drop("b.csv", "3\n4")
+    q = start(); q.processAllAvailable(); q.stop()
+    assert(s.read.parquet(sink).count() == 4)
+    // the crash window: the SINK committed batch 1 to _spark_metadata
+    // but the checkpoint's commit log "lost" it — restore the old
+    // checkpoint, so restart must re-plan the b.csv batch with the
+    // same batch id
+    deleteDir(ckpt); copyDir(snap, ckpt)
+    q = start(); q.processAllAvailable()
+    assert(s.read.parquet(sink).count() == 4,
+      "replayed batch must be deduplicated by the sink metadata log")
+    // and the stream still makes progress after the dedup
+    drop("c.csv", "5"); q.processAllAvailable(); q.stop()
+    assert(s.read.parquet(sink).count() == 5)
+    // orphan part-file: a task wrote data but the batch never
+    // committed — readers go through the metadata log, so the file
+    // is invisible (no double counting)
+    val part = new java.io.File(sink).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    F.copy(part, Paths.get(sink,
+      "part-99999-orphan.c000.snappy.parquet"))
+    assert(s.read.parquet(sink).count() == 5,
+      "orphan files outside the sink log must not be read")
+  }
+
   test("runMappingStream: Map-sheet rules, csv dir -> parquet sink " +
       "with checkpoint, across restarts") {
     val s = spark
