@@ -137,6 +137,71 @@ object AnnIndex {
     !fresh
   }
 
+  /** Incremental index maintenance: encode NEW vectors with the
+    * FROZEN quantizers (stored scale, codebooks, coarse centroids)
+    * and append their code rows to the partitioned codes table —
+    * no retraining, and existing partitions are untouched (parquet
+    * append adds files inside the affected cell directories).
+    * This is how production ANN serves a growing corpus between
+    * periodic full rebuilds: queries see old + new vectors
+    * immediately; quantizer drift is bounded by the rebuild cadence.
+    * Codes of vectors outside the trained scale simply exceed ±127 —
+    * integer columns, no clamping, same arithmetic both engines.
+    *
+    * The marker gains a `+append[fingerprint]` line per append, so a
+    * later `ensureBuilt` against any single-corpus fingerprint sees
+    * staleness and triggers the full rebuild — the rebuild cadence
+    * falls out of the same staleness check.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, fingerprint: String = ""): Unit = {
+    val spark = df.sparkSession
+    val (meta, coarse, cents) = load(spark, dir)
+    // materialized, like pqTrainCore's codes: pqBestCol over an
+    // un-materialized transform(...) projection re-inlines the array
+    // build per element_at and OOMs Janino (see Similarity)
+    val codes = Similarity.fullCodes(df, idCol, vecCol, meta.scale)
+      .localCheckpoint(false)
+    val cellDf = df.select(col(idCol).cast("long").as("id"),
+      Similarity.ivfCell(df, col(vecCol), coarse).as("cell"))
+    val aD = col("a").cast("array<double>")
+    codes
+      .select(col("id"),
+        Similarity.dot(df, aD, aD).cast("long").as("naa"),
+        Similarity.pqBestCol(codes, cents, meta.m, meta.nCentroids,
+          meta.sub).as("bc"))
+      .join(cellDf, "id")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    val markerPath = java.nio.file.Paths.get(dir, Marker)
+    java.nio.file.Files.writeString(markerPath,
+      java.nio.file.Files.readString(markerPath) +
+        s"\n+append[$fingerprint]")
+  }
+
+  /** Idempotent two-step lifecycle: a base build plus ONE append of
+    * `extra`, re-run from scratch only when params or the corpus
+    * fingerprint changed (the composed marker encodes both steps, so
+    * a repeat invocation with a warm index does nothing — no
+    * retraining AND no duplicate append). Returns true iff it built.
+    */
+  def ensureBuiltWithAppend(base: DataFrame, extra: DataFrame,
+      idCol: String, vecCol: String, dir: String, nCells: Int = 16,
+      m: Int = 8, nCentroids: Int = 16, iters: Int = 3,
+      fingerprint: String = ""): Boolean = {
+    val markerPath = java.nio.file.Paths.get(dir, Marker)
+    val want = markerText(nCells, m, nCentroids, fingerprint) +
+      s"\n+append[$fingerprint]"
+    val fresh = java.nio.file.Files.exists(markerPath) &&
+      java.nio.file.Files.readString(markerPath) == want
+    if (!fresh) {
+      build(base, idCol, vecCol, dir, nCells, m, nCentroids, iters,
+        fingerprint)
+      append(extra, idCol, vecCol, dir, fingerprint)
+    }
+    !fresh
+  }
+
   /** Bounded side tables of a committed index: meta row, coarse
     * centroids (by cell id), PQ codebooks (by (sm, c)).
     */

@@ -388,7 +388,7 @@ object Similarity {
     * round == DuckDB's ties-away round, so codes are integer-exact
     * cross-engine.
     */
-  private def fullCodes(df: DataFrame, idCol: String, vecCol: String,
+  private[ext] def fullCodes(df: DataFrame, idCol: String, vecCol: String,
       s: Double): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol).cast("array<double>"),

@@ -609,6 +609,33 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // The INCREMENTAL leg of the persisted lifecycle: build the index
+    // on the first 256 vectors, APPEND the rest encoded with FROZEN
+    // quantizers (stored scale, codebooks, coarse cells — no
+    // retraining, existing partitions untouched), then serve. The
+    // composed marker makes repeat invocations serve-only (no rebuild,
+    // no duplicate append). The oracle replays the same split: train
+    // CTEs restricted to vec_id < 256, encode + probe + rescore
+    // corpus-wide.
+    "sim_ann_ivfpq_append" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_append"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      graft.ext.AnnIndex.ensureBuiltWithAppend(
+        emb.filter(col("vec_id") < 256),
+        emb.filter(col("vec_id") >= 256), "vec_id", "embedding", dir,
+        nCells = 16, m = 32, nCentroids = 64, iters = 3,
+        fingerprint = fp)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      graft.ext.AnnIndex.search(emb, "vec_id", "embedding", dir, q,
+          probes = 2, k = 10, nCand = 80)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // IVF ANN — deterministic coarse cells (first 16 vectors), probe-2
     // search, exact scores within probed cells. Fully deterministic
     // (tie-breaks pinned) → SQL oracle below replicates cell
@@ -2659,9 +2686,14 @@ object PipelineQueries {
     * sim_ann_ivf cell-assignment/probing CTEs and restricts the ADC
     * scan (`enc`) to members of the query's 2 probed cells — PQ
     * TRAINING stays global on both engines, exactly like
-    * `Similarity.ivfPqTopK`.
+    * `Similarity.ivfPqTopK`. `trainPred` restricts the TRAINING
+    * corpus (int8 scale + Lloyd rounds; the coarse/init ids 0..63
+    * must satisfy it) while encoding and search stay corpus-wide —
+    * the replay of the AnnIndex build-then-append lifecycle, where
+    * appended vectors are encoded with FROZEN quantizers.
     */
-  private def pqOracleSqlGen(restrictIvf: Boolean): String = {
+  private def pqOracleSqlGen(restrictIvf: Boolean,
+      trainPred: String = "TRUE"): String = {
     val m = 32; val sub = 2; val nc = 64; val iters = 3
     val ivfCtes = if (!restrictIvf) "" else
       s"""icv AS (SELECT vec_id AS cid, v AS cv FROM v
@@ -2687,7 +2719,7 @@ object PipelineQueries {
                  i -> CAST(cd.a[i] * ck.cent[i] AS BIGINT))) -
              list_sum(list_transform(ck.cent,
                  x -> CAST(x * x AS BIGINT))) AS sc
-             FROM cd JOIN c${k - 1} ck USING (sm)),
+             FROM cdT cd JOIN c${k - 1} ck USING (sm)),
          b$k AS (SELECT vec_id, sm, a, c, row_number() OVER (
                  PARTITION BY vec_id, sm ORDER BY sc DESC, c) AS rn
                  FROM a$k),
@@ -2709,13 +2741,14 @@ object PipelineQueries {
     val chainQ = (0 until m).map(i => s"s$i").mkString(" + ")
     s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
         s0c AS (SELECT max(greatest(list_max(v), -list_min(v))) AS s
-                FROM v),
+                FROM v WHERE $trainPred),
         ms AS (SELECT unnest(range(0, $m)) AS sm),
         cd AS (SELECT vec_id, ms.sm,
                list_transform(
                  list_slice(v.v, ms.sm*$sub + 1, ms.sm*$sub + $sub),
                  x -> CAST(round(x * 127.0 / s0c.s) AS INTEGER)) AS a
                FROM v, ms, s0c),
+        cdT AS (SELECT * FROM cd WHERE $trainPred),
         c0 AS (SELECT sm, CAST(vec_id AS INTEGER) AS c, a AS cent
                FROM cd WHERE vec_id < $nc),
         $iterCtes,
@@ -3062,6 +3095,9 @@ object PipelineQueries {
     // by construction (AnnIndexSpec pins it), so it replays the SAME
     // train-prune-scan-rescore oracle
     "sim_ann_ivfpq_persisted" -> pqOracleSqlGen(true),
+    // build-on-first-256 + frozen-quantizer append: training CTEs see
+    // only vec_id < 256, encode/probe/rescore stay corpus-wide
+    "sim_ann_ivfpq_append" -> pqOracleSqlGen(true, "vec_id < 256"),
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)

@@ -357,6 +357,50 @@ class AnnIndexSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("append: new vectors are encoded with FROZEN quantizers and " +
+      "become searchable without touching existing code rows; the " +
+      "composed lifecycle is idempotent; exhaustive probing over the " +
+      "appended index recovers exact brute-force top-k") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val base = emb.filter(col("vec_id") < 256)
+    val extra = emb.filter(col("vec_id") >= 256)
+    val dirA = Files.createTempDirectory("annA").toString
+    val dirB = Files.createTempDirectory("annB").toString
+    // reference: build on base only (dirB); appended index in dirA
+    AnnIndex.build(base, "vec_id", "embedding", dirB, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    assert(AnnIndex.ensureBuiltWithAppend(base, extra, "vec_id",
+      "embedding", dirA, nCells = 16, m = 32, nCentroids = 64,
+      iters = 1, fingerprint = "fp1"), "cold dir must build+append")
+    assert(!AnnIndex.ensureBuiltWithAppend(base, extra, "vec_id",
+      "embedding", dirA, nCells = 16, m = 32, nCentroids = 64,
+      iters = 1, fingerprint = "fp1"),
+      "warm composed index must not rebuild or re-append")
+    val all = s.read.parquet(s"$dirA/codes")
+    val nBase = base.count(); val nExtra = extra.count()
+    assert(all.count() == nBase + nExtra && nExtra > 0)
+    // existing rows byte-identical to the base-only build
+    val baseRows = s.read.parquet(s"$dirB/codes")
+      .selectExpr("id", "naa", "bc", "cell")
+    val appendedOldRows = all.filter(col("id") < 256)
+      .selectExpr("id", "naa", "bc", "cell")
+    assert(appendedOldRows.exceptAll(baseRows).count() == 0 &&
+      baseRows.exceptAll(appendedOldRows).count() == 0,
+      "append must not alter existing code rows")
+    // exhaustive probes + full-corpus shortlist degrade the serve
+    // path to EXACT top-k: appended vectors must be fully visible
+    val qv = emb.filter(col("vec_id") === 300).select("embedding")
+      .head().getSeq[Float](0)
+    val served = AnnIndex.search(emb, "vec_id", "embedding", dirA, qv,
+        probes = 16, k = 10, nCand = 4096)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.topK(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == brute && served.head._1 == 300L,
+      s"served=$served brute=$brute")
+  }
+
   test("a markerless (uncommitted) index dir refuses to serve") {
     val dir = Files.createTempDirectory("annidx3").toString
     val e = intercept[IllegalArgumentException] {
