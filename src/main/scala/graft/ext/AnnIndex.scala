@@ -99,6 +99,16 @@ object AnnIndex {
     val markerPath = java.nio.file.Paths.get(dir, Marker)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.deleteIfExists(markerPath)
+    // a full rebuild retires any streaming segment: its rows were
+    // encoded with the PREVIOUS quantizers
+    val streamSeg = new java.io.File(s"$dir/codes_stream")
+    if (streamSeg.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(streamSeg)
+    }
     val cellDf = df.select(col(idCol).cast("long").as("id"),
       Similarity.ivfCell(df, col(vecCol), coarse).as("cell"))
     val aD = col("a").cast("array<double>")
@@ -157,26 +167,66 @@ object AnnIndex {
       dir: String, fingerprint: String = ""): Unit = {
     val spark = df.sparkSession
     val (meta, coarse, cents) = load(spark, dir)
-    // materialized, like pqTrainCore's codes: pqBestCol over an
-    // un-materialized transform(...) projection re-inlines the array
-    // build per element_at and OOMs Janino (see Similarity)
-    val codes = Similarity.fullCodes(df, idCol, vecCol, meta.scale)
-      .localCheckpoint(false)
-    val cellDf = df.select(col(idCol).cast("long").as("id"),
-      Similarity.ivfCell(df, col(vecCol), coarse).as("cell"))
-    val aD = col("a").cast("array<double>")
-    codes
-      .select(col("id"),
-        Similarity.dot(df, aD, aD).cast("long").as("naa"),
-        Similarity.pqBestCol(codes, cents, meta.m, meta.nCentroids,
-          meta.sub).as("bc"))
-      .join(cellDf, "id")
+    // one shared map-side encode with the streaming ingest (PqBestCodes
+    // takes the code array as ONE child, so the inlined transform(...)
+    // is evaluated once per row — not the per-element re-inline that
+    // OOM'd Janino in the element_at formulation, see Similarity)
+    encodeWith(df, idCol, vecCol, meta, coarse, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes")
     val markerPath = java.nio.file.Paths.get(dir, Marker)
     java.nio.file.Files.writeString(markerPath,
       java.nio.file.Files.readString(markerPath) +
         s"\n+append[$fingerprint]")
+  }
+
+  /** One encoded code row per input vector, using the FROZEN
+    * quantizers of the committed index at `dir` — shared by the batch
+    * [[append]] path and the streaming ingest, so the two can never
+    * drift. Pure map-side projection: the codebooks ride inside the
+    * PqBestCodes codegen reference, cell assignment is nCells dot
+    * products per row, no shuffle, no state.
+    */
+  private def encodeWith(df: DataFrame, idCol: String, vecCol: String,
+      meta: Meta, coarse: Seq[Seq[Float]],
+      cents: Map[(Int, Int), Seq[Int]]): DataFrame = {
+    val withA = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 127.0 / meta.scale).cast("int")).as("a"))
+    val aD = col("a").cast("array<double>")
+    withA.select(col("id"),
+      Similarity.dot(df, aD, aD).cast("long").as("naa"),
+      Similarity.pqBestCol(withA, cents, meta.m, meta.nCentroids,
+        meta.sub).as("bc"),
+      Similarity.ivfCell(df, col("__v"), coarse).as("cell"))
+  }
+
+  /** STREAMING index ingest — the online half of the lifecycle:
+    * arriving vectors are encoded map-side with the committed index's
+    * frozen quantizers and appended, exactly-once (the parquet sink's
+    * metadata log dedups replayed micro-batches — spec'd in
+    * StreamingOpsSpec), into a `codes_stream/` SEGMENT beside the base
+    * codes table. A separate segment because a FileStreamSink log in
+    * the base directory would hide the batch-written files from
+    * readers; [[search]] unions the segment in when present (both
+    * sides stay partition-pruned on `cell`). A full [[build]] retires
+    * the segment — its rows were encoded with the previous quantizers.
+    * No state store, no shuffle, no training on the hot path: this is
+    * the Vespa/Milvus "memory segment + base segment" shape on plain
+    * parquet.
+    */
+  def ingestStream(stream: DataFrame, idCol: String, vecCol: String,
+      dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (meta, coarse, cents) = load(stream.sparkSession, dir)
+    encodeWith(stream, idCol, vecCol, meta, coarse, cents)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/codes_stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
   }
 
   /** Idempotent two-step lifecycle: a base build plus ONE append of
@@ -252,8 +302,15 @@ object AnnIndex {
       .map { case (c, j) => (sdot(c), j) }
       .sortBy { case (d, j) => (-d, j) }.take(probes).map(_._2)
     // cell is the PARTITION column of codes/ — this filter prunes to
-    // `probes` directories before any row is read (pinned in spec)
-    val codes = spark.read.parquet(s"$dir/codes")
+    // `probes` directories before any row is read (pinned in spec).
+    // A streaming segment (ingestStream) unions in when present; the
+    // filter pushes through the union, so both sides stay pruned.
+    val base = spark.read.parquet(s"$dir/codes")
+    val segDir = new java.io.File(s"$dir/codes_stream")
+    val codes = (if (segDir.isDirectory)
+        base.unionByName(spark.read.parquet(s"$dir/codes_stream")
+          .select("id", "naa", "bc", "cell"))
+      else base)
       .filter(col("cell").isin(probeCells: _*))
     val qdotArr: Int => Column = sm =>
       array((0 until meta.nCentroids).map { c =>

