@@ -229,6 +229,35 @@ object AnnIndex {
       .start()
   }
 
+  /** Offline maintenance: fold the streaming segment's rows into the
+    * base codes table and retire the segment — the "seal the memory
+    * segment" step between ingest and the next full rebuild. Rows are
+    * MOVED verbatim (same quantizers encoded them, so no re-encode);
+    * reads through [[search]] are identical before and after, the
+    * segment's sink metadata log goes with it, and the next
+    * [[ingestStream]] needs a FRESH checkpoint (the old one's sink
+    * log was retired with the segment). Stop any running ingest
+    * stream first — compacting under a live writer would race its
+    * uncommitted files.
+    */
+  def compactSegment(spark: SparkSession, dir: String): Long = {
+    val segDir = new java.io.File(s"$dir/codes_stream")
+    if (!segDir.isDirectory) return 0L
+    val seg = spark.read.parquet(s"$dir/codes_stream")
+      .select("id", "naa", "bc", "cell")
+      // materialize BEFORE touching the segment dir; bounded by the
+      // segment (recent arrivals), not the corpus
+      .localCheckpoint(true)
+    val n = seg.count()
+    seg.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(segDir)
+    n
+  }
+
   /** Idempotent two-step lifecycle: a base build plus ONE append of
     * `extra`, re-run from scratch only when params or the corpus
     * fingerprint changed (the composed marker encodes both steps, so

@@ -449,7 +449,22 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served == brute && served.head._1 == 280L,
       s"served=$served brute=$brute")
-    // a full rebuild retires the stale-quantizer segment
+    // compaction folds the segment into the base table: same rows,
+    // same search results, segment gone
+    val beforeCompact = AnnIndex.search(corpus, "vec_id", "embedding",
+        dir, qv, probes = 16, k = 5, nCand = 4096)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val moved = AnnIndex.compactSegment(s, dir)
+    assert(moved == rows.length, s"moved $moved of ${rows.length}")
+    assert(!new java.io.File(s"$dir/codes_stream").exists)
+    assert(s.read.parquet(s"$dir/codes").count() == 256 + rows.length)
+    val afterCompact = AnnIndex.search(corpus, "vec_id", "embedding",
+        dir, qv, probes = 16, k = 5, nCand = 4096)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterCompact == beforeCompact,
+      "compaction must not change search results")
+    assert(AnnIndex.compactSegment(s, dir) == 0L, "idempotent when empty")
+    // a full rebuild retires any (new) stale-quantizer segment
     AnnIndex.build(base, "vec_id", "embedding", dir, nCells = 16,
       m = 32, nCentroids = 64, iters = 1)
     assert(!new java.io.File(s"$dir/codes_stream").exists,
