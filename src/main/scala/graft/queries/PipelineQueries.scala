@@ -1567,9 +1567,12 @@ object PipelineQueries {
     // undirected doc graph — the standard "dense cohesive subgraph"
     // pass (spam/link-farm detection, graph sparsification before
     // embedding). 8 peeling rounds, k=3, fixed-round semantics like
-    // graph_bfs/graph_label_prop so the oracle unrolls identically;
-    // KCoreSpec pins that the generator graph converges inside the
-    // budget.
+    // graph_bfs/graph_label_prop so the oracle unrolls identically —
+    // INCLUDING the final survivor-internal degree recompute (r12):
+    // the derived sf1.0 graph does NOT converge inside 8 rounds, so
+    // the recompute is live there and the oracle replays it (the
+    // sf0.001-0.1 graphs converge, where it is the identity —
+    // KCoreSpec pins both regimes).
     "graph_kcore" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"))
       val n = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -4179,8 +4182,15 @@ object PipelineQueries {
            WHERE src <> dst),
          d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
                 FROM e GROUP BY src),
-         $rounds
-         SELECT src AS doc_id, deg FROM d8 WHERE deg >= 3"""
+         $rounds,
+         m AS (SELECT src AS id FROM d8 WHERE deg >= 3),
+         dc AS (SELECT e.src, CAST(count(*) AS BIGINT) AS deg
+                FROM e JOIN m a ON e.src = a.id
+                       JOIN m b ON e.dst = b.id
+                GROUP BY e.src)
+         SELECT m.id AS doc_id,
+           CAST(COALESCE(dc.deg, 0) AS BIGINT) AS deg
+         FROM m LEFT JOIN dc ON m.id = dc.src"""
     },
 
     // chunk_idx = start // stride (same as posexplode's position);
