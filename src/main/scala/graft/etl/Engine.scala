@@ -30,6 +30,48 @@ object Engine {
   private val IngestCol = "__graft_ingest"
   private val RowPosCol = "__graft_rowpos"
 
+  /** Plugin registry for `_plugin:` rules (reference roadmap "Plugin
+    * transformation system", README.md:126). A plugin is a whole-sheet
+    * row transform over the all-string display frame; the instruction
+    * text is its argument. The engine re-applies the display-string
+    * view to the result and REQUIRES the column layout unchanged, so
+    * parse-time `src[]` validation stays sound. Built-ins:
+    *   - `dedupe`    — full-row DISTINCT (args ignored: a subset
+    *                   dedupe keeps an arbitrary survivor per key —
+    *                   non-deterministic, so not offered);
+    *   - `trim_cells`— trim every cell in every column;
+    *   - `upper`     — uppercase the column named by args.
+    */
+  private val pluginRegistry =
+    scala.collection.concurrent.TrieMap[String, (DataFrame, String) => DataFrame](
+      "dedupe" -> ((df, _) => df.distinct()),
+      "trim_cells" -> ((df, _) =>
+        df.select(df.columns.map(c => trim(col(s"`$c`")).as(c)).toSeq: _*)),
+      "upper" -> ((df, args) => {
+        val c = args.trim
+        if (!df.columns.contains(c))
+          throw Ast.DslError(
+            s"""Column "$c" does not exist in source (rule: "_plugin:upper").""")
+        df.withColumn(c, upper(col(s"`$c`")))
+      }))
+
+  /** Register (or replace) a plugin transform, JVM-wide. */
+  def registerPlugin(name: String,
+      fn: (DataFrame, String) => DataFrame): Unit =
+    pluginRegistry.put(name.trim, fn)
+
+  def registeredPlugins: Set[String] = pluginRegistry.keySet.toSet
+
+  private def applyPlugin(cur: DataFrame, p: Ast.PluginRule): DataFrame = {
+    val out = GraftFunctions.displayString(pluginRegistry(p.name)(cur, p.args))
+    if (out.columns.toSeq != cur.columns.toSeq)
+      throw Ast.DslError(s"""Plugin "${p.name}" must preserve the """ +
+        s"""sheet's columns (rule: "${p.header}"): """ +
+        s"${cur.columns.mkString("[", ", ", "]")} -> " +
+        s"${out.columns.mkString("[", ", ", "]")}.")
+    out
+  }
+
   /** Apply a Map-sheet rule list to a source table.
     *
     * @param source    any DataFrame; converted to the display-string
@@ -66,19 +108,14 @@ object Engine {
     val sheetDisplays =
       sheets.map { case (n, df) => n -> GraftFunctions.displayString(df) }
     val rules = Parser.parse(mapRules, display.columns.toSeq,
-      sheetDisplays.map { case (n, d) => n -> d.columns.toSeq })
-
-    val needsIngestStamp = rules.usesSelf && ingestOrder.isEmpty
-    val stamped0 =
-      if (needsIngestStamp)
-        display.withColumn(IngestCol, monotonically_increasing_id())
-      else display
+      sheetDisplays.map { case (n, d) => n -> d.columns.toSeq },
+      registeredPlugins)
 
     // `_join:` rules, in rule order. The other side is renamed behind
     // a per-join prefix (no ambiguous attributes), then the merged
     // header layout is rebuilt: surviving source columns first, the
     // joined sheet's columns after, collisions resolved last-wins.
-    val ordered = rules.joins.zipWithIndex.foldLeft(stamped0) {
+    val joined = rules.joins.zipWithIndex.foldLeft(display) {
       case (cur, (j, i)) =>
         val other = sheetDisplays(j.sheet)
         val pre = s"__graft_j${i}_"
@@ -92,12 +129,23 @@ object Engine {
             other.columns.toSeq.map(c => col(s"`$pre$c`").as(c)): _*)
     }
 
+    // `_plugin:` rules, in rule order, over the post-join sheet —
+    // before the stamp so a plugin never sees engine-internal columns
+    // (a full-row dedupe over a unique stamp would be a no-op).
+    val withPlugins = rules.plugins.foldLeft(joined)(applyPlugin)
+
     // `_type:` declarations: ONE map-side-combinable aggregate over
-    // the post-join, pre-filter frame, run eagerly here so a
-    // violating run aborts before any sink sees a row (the
+    // the post-join, post-plugin, pre-filter frame, run eagerly here
+    // so a violating run aborts before any sink sees a row (the
     // reference's fail-fast posture). Cost: one extra scan, only when
     // `_type:` rules exist.
-    validateTypes(ordered, rules.types)
+    validateTypes(withPlugins, rules.types)
+
+    val needsIngestStamp = rules.usesSelf && ingestOrder.isEmpty
+    val ordered =
+      if (needsIngestStamp)
+        withPlugins.withColumn(IngestCol, monotonically_increasing_id())
+      else withPlugins
 
     val orderCols: Seq[Column] =
       if (ingestOrder.nonEmpty) ingestOrder else Seq(col(IngestCol))

@@ -125,11 +125,25 @@ object Ast {
   final case class TypeRule(header: String, column: String,
       tpe: CellType)
 
+  /** `_plugin:name` rule (reference roadmap "Plugin transformation
+    * system", `/root/reference/README.md:126` — never implemented
+    * there; semantics defined here): the instruction text is passed
+    * verbatim as the plugin's argument. Plugins are whole-sheet row
+    * transforms registered on the engine ([[graft.etl.Engine
+    * .registerPlugin]]); they run AFTER `_join:` rules and BEFORE
+    * `_type:` checks and filters, in rule order, and MUST preserve
+    * the sheet's column layout (enforced at run time) so parse-time
+    * `src[]` validation stays sound.
+    */
+  final case class PluginRule(header: String, name: String,
+      args: String)
+
   final case class RuleSet(
       filters: Vector[FilterRule],
       outputs: Vector[OutputCol],
       joins: Vector[JoinRule] = Vector.empty,
-      types: Vector[TypeRule] = Vector.empty) {
+      types: Vector[TypeRule] = Vector.empty,
+      plugins: Vector[PluginRule] = Vector.empty) {
     /** Self-references force per-row output addressing (a row-number
       * over ingest order). Pure filter+project rule sets skip it and
       * stay embarrassingly parallel — the 100 TB path.

@@ -28,9 +28,12 @@ object Parser {
     *                — `_join:` rules validate against these; non-join
     *                rules validate against source + every joined
     *                sheet's headers (joins are hoisted, like filters)
+    * @param plugins names a `_plugin:` rule may reference (the
+    *                engine's registry keys)
     */
   def parse(rules: Seq[(String, String)], sourceHeaders: Seq[String],
-      sheets: Map[String, Seq[String]] = Map.empty): RuleSet = {
+      sheets: Map[String, Seq[String]] = Map.empty,
+      plugins: Set[String] = Set.empty): RuleSet = {
     val kept = rules
       .map { case (a, b) => (Option(a).getOrElse("").trim, Option(b).getOrElse("").trim) }
       .filter { case (a, _) => a.nonEmpty && !a.startsWith("//") }
@@ -68,13 +71,23 @@ object Parser {
     val filters = Vector.newBuilder[FilterRule]
     val outputs = Vector.newBuilder[OutputCol]
     val types = Vector.newBuilder[TypeRule]
+    val plugRules = Vector.newBuilder[PluginRule]
 
     kept.foreach { case (header, rawInstruction) =>
       if (!header.startsWith("_join:")) {
         validateDelimiters(rawInstruction, header)
         validateColumns(rawInstruction, header, headers)
 
-        if (header.startsWith("_filter:")) {
+        if (header.startsWith("_plugin:")) {
+          val name = header.stripPrefix("_plugin:").trim
+          if (name.isEmpty)
+            throw DslError(s"""Plugin rule "$header" names no plugin.""")
+          if (!plugins.contains(name))
+            throw DslError(s"""Plugin "$name" is not registered """ +
+              s"""(rule: "$header"; registered: """ +
+              s"${plugins.toSeq.sorted.mkString(", ")}).")
+          plugRules += PluginRule(header, name, rawInstruction)
+        } else if (header.startsWith("_filter:")) {
           if (rawInstruction.startsWith("eval:")) {
             val expr = rawInstruction.replaceFirst("eval:", "").trim
             filters += EvalFilter(header, parsePredicate(expr, header))
@@ -104,7 +117,7 @@ object Parser {
     }
 
     val rs = RuleSet(filters.result(), outputs.result(),
-      joins.result(), types.result())
+      joins.result(), types.result(), plugRules.result())
     if (rs.outputs.isEmpty)
       throw DslError("No valid output columns found in mapping rules.")
     rs

@@ -129,6 +129,22 @@ object EtlQueries {
         sheets = Map("Names" -> lookup))
     }),
 
+    // `_plugin:` transforms (reference roadmap README:126), chained
+    // in rule order on the pre-projection sheet: trim_cells erases
+    // the planted padding, then dedupe collapses to DISTINCT rows —
+    // whole-sheet row transforms a Map-sheet author can invoke
+    // without touching engine code (Engine.registerPlugin adds more).
+    "etl_plugin_chain" -> ((s, d) => {
+      val src = lineitem(s, d).select(
+        concat(lit("  "), col("l_returnflag")).as("Flag0"),
+        col("l_linestatus"))
+      Engine.transform(src, Seq(
+        "_plugin:trim_cells" -> "",
+        "_plugin:dedupe" -> "",
+        "Flag" -> "src[Flag0]",
+        "Stat" -> "src[l_linestatus]"))
+    }),
+
     // `_type:` declarations (reference roadmap README:123) that HOLD
     // on the data: the run proceeds and the output is the plain
     // filter+projection (violation paths are spec'd in EngineSpec —
@@ -209,6 +225,10 @@ object EtlQueries {
     "etl_join_shadow" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS Key,
          upper(n_name) AS Name FROM nation""",
+
+    "etl_plugin_chain" ->
+      """SELECT DISTINCT l_returnflag AS Flag, l_linestatus AS Stat
+         FROM lineitem""",
 
     "etl_type_valid" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS Key,

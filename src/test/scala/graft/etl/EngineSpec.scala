@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, concat, lit}
 import graft.SparkSpec
 
 /** Golden end-to-end semantics tests — the FIXTURES.md people/Map
@@ -255,6 +256,54 @@ class EngineSpec extends SparkSpec {
     val ok = Seq("2024-02-29", "").toDF("D") // leap day + blank pass
     assert(Engine.transform(ok,
       Seq("_type:D" -> "date", "N" -> "src[D]")).count() == 2)
+  }
+
+  test("_plugin: built-ins chain in rule order; custom registration " +
+      "works; a layout-breaking plugin aborts contextually; unknown " +
+      "plugin is a parse error listing the registry") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((" a ", "1"), ("a", "1"), ("b", "2")).toDF("K", "V")
+    // trim then dedupe: the padded duplicate collapses
+    val rows = Engine.transform(df, Seq(
+      "_plugin:trim_cells" -> "",
+      "_plugin:dedupe" -> "",
+      "K" -> "src[K]", "V" -> "src[V]")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "1"), ("b", "2")))
+    // order matters: dedupe BEFORE trim keeps all three
+    val rows2 = Engine.transform(df, Seq(
+      "_plugin:dedupe" -> "",
+      "_plugin:trim_cells" -> "",
+      "K" -> "src[K]")).count()
+    assert(rows2 == 3)
+    // custom plugin via the registry, with args
+    Engine.registerPlugin("suffix", (d, args) =>
+      d.withColumn("K", concat(col("K"), lit(args))))
+    val got = Engine.transform(df.limit(1), Seq(
+      "_plugin:suffix" -> "!", "K" -> "src[K]"))
+      .collect().head.getString(0)
+    assert(got.endsWith("!"), got)
+    // layout preservation enforced: a column-dropping plugin aborts
+    Engine.registerPlugin("bad", (d, _) => d.drop("V"))
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df, Seq("_plugin:bad" -> "", "K" -> "src[K]"))
+        .collect()
+    }
+    assert(e.message.contains("preserve") && e.message.contains("bad"),
+      e.message)
+    // unknown plugin: contextual parse error listing the registry
+    val e2 = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df, Seq("_plugin:nope" -> "", "K" -> "src[K]"))
+    }
+    assert(e2.message.contains("nope") &&
+      e2.message.contains("dedupe"), e2.message)
+    // upper's column arg is validated
+    val e3 = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df, Seq("_plugin:upper" -> "Ghost",
+        "K" -> "src[K]")).collect()
+    }
+    assert(e3.message.contains("Ghost"), e3.message)
   }
 
   test("config parsing: defaults, unknown keys, case/trim") {
