@@ -131,6 +131,17 @@ object Bench {
         // this. The drain happens before t0, so it costs wall clock
         // but never poisons a timer. (Still no System.gc(): the full
         // collection's ContextCleaner storm measured 3x worse.)
+        // FENCE first (VERDICT r12 #1): a straggler task from the
+        // just-timed query reporting SQLMetrics AFTER its blocks are
+        // freed logs "Failed to update accumulator" at ERROR. Cancel
+        // anything still active and wait for the scheduler to drain
+        // before unpersisting — the timer already stopped, so this
+        // costs wall clock only.
+        spark.sparkContext.cancelAllJobs()
+        val fence = System.nanoTime() + 5000000000L
+        while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
+            && System.nanoTime() < fence)
+          Thread.sleep(10)
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()

@@ -42,7 +42,13 @@ object Verify {
       // localCheckpoint blocks so 90 queries' worth of executor
       // storage doesn't accumulate (same fix as Bench — measured 30%
       // off the whole-run wall clock there). Blocking, like Bench:
-      // async removal lands inside the NEXT query's jobs.
+      // async removal lands inside the NEXT query's jobs. Fence
+      // stragglers first (same race as Bench — VERDICT r12 #1).
+      spark.sparkContext.cancelAllJobs()
+      val fence = System.nanoTime() + 5000000000L
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
+          && System.nanoTime() < fence)
+        Thread.sleep(10)
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -141,6 +141,16 @@ object Engine {
     // `_type:` rules exist.
     validateTypes(withPlugins, rules.types)
 
+    // self[] numbering rides the default ingest stamp, which is applied
+    // POST-join — a multi-match `_join:` duplicates it, silently making
+    // the A1 addresses non-deterministic (VERDICT r12 finding #3).
+    // Deterministic numbering across joins needs a caller-chosen key.
+    if (rules.usesSelf && rules.joins.nonEmpty && ingestOrder.isEmpty)
+      throw Ast.DslError("self[] together with _join: requires an " +
+        "explicit ingestOrder (a multi-match join duplicates the " +
+        "default ingest stamp, so row numbering would be " +
+        "non-deterministic).")
+
     val needsIngestStamp = rules.usesSelf && ingestOrder.isEmpty
     val ordered =
       if (needsIngestStamp)
@@ -236,7 +246,9 @@ object Engine {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     types.zipWithIndex.foreach { case (tr, i) =>
-      val n = row.getLong(2 * i)
+      // sum() over a zero-row input aggregates to null — an empty
+      // (header-only) sheet has no violating cells, so it passes
+      val n = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
       if (n > 0)
         throw Ast.DslError(s"""Type violation in column """ +
           s""""${tr.column}": $n value(s) are not ${tr.tpe.name} """ +
@@ -260,6 +272,12 @@ object Engine {
       case (h, _) if h != null && h.trim.startsWith("_join:") =>
         h.trim.stripPrefix("_join:").trim
     }.distinct.filter(_.nonEmpty).map { name =>
+      // the sheet name is interpolated into a filesystem path: a name
+      // like `../secrets` would read CSVs OUTSIDE the sheets directory
+      if (name.contains("/") || name.contains("\\") ||
+          name.contains(".."))
+        throw Ast.DslError(s"""Sheet name "$name" must not contain """ +
+          s"""path separators or ".." (rule: "_join:$name").""")
       if (!new java.io.File(s"$dir/$name.csv").isFile)
         throw Ast.DslError(
           s"""Sheet "$name" does not exist (rule: "_join:$name").""")

@@ -74,20 +74,23 @@ object Parser {
     val plugRules = Vector.newBuilder[PluginRule]
 
     kept.foreach { case (header, rawInstruction) =>
-      if (!header.startsWith("_join:")) {
+      if (header.startsWith("_plugin:")) {
+        // plugin args are OPAQUE text passed verbatim to the plugin —
+        // bracket balance / src[] existence rules don't apply to them
+        // (a custom plugin may legitimately take `[a,b]`-shaped args)
+        val name = header.stripPrefix("_plugin:").trim
+        if (name.isEmpty)
+          throw DslError(s"""Plugin rule "$header" names no plugin.""")
+        if (!plugins.contains(name))
+          throw DslError(s"""Plugin "$name" is not registered """ +
+            s"""(rule: "$header"; registered: """ +
+            s"${plugins.toSeq.sorted.mkString(", ")}).")
+        plugRules += PluginRule(header, name, rawInstruction)
+      } else if (!header.startsWith("_join:")) {
         validateDelimiters(rawInstruction, header)
         validateColumns(rawInstruction, header, headers)
 
-        if (header.startsWith("_plugin:")) {
-          val name = header.stripPrefix("_plugin:").trim
-          if (name.isEmpty)
-            throw DslError(s"""Plugin rule "$header" names no plugin.""")
-          if (!plugins.contains(name))
-            throw DslError(s"""Plugin "$name" is not registered """ +
-              s"""(rule: "$header"; registered: """ +
-              s"${plugins.toSeq.sorted.mkString(", ")}).")
-          plugRules += PluginRule(header, name, rawInstruction)
-        } else if (header.startsWith("_filter:")) {
+        if (header.startsWith("_filter:")) {
           if (rawInstruction.startsWith("eval:")) {
             val expr = rawInstruction.replaceFirst("eval:", "").trim
             filters += EvalFilter(header, parsePredicate(expr, header))

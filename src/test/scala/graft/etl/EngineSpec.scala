@@ -306,6 +306,50 @@ class EngineSpec extends SparkSpec {
     assert(e3.message.contains("Ghost"), e3.message)
   }
 
+  test("_type: on a ZERO-ROW input passes vacuously (sum over empty " +
+      "aggregates to null — must not NPE)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq(("x", "y")).toDF("Num", "Tag").filter(lit(false))
+    val out = Engine.transform(empty, Seq(
+      "_type:Num" -> "numeric", "_type:Tag" -> "nonempty",
+      "N" -> "src[Num]"))
+    assert(out.count() == 0)
+  }
+
+  test("self[] + _join: without an explicit ingestOrder fails fast " +
+      "(multi-match joins duplicate the default ingest stamp)") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(("1", "a")).toDF("K", "V")
+    val other = Seq(("1", "x")).toDF("K2", "W")
+    val rules = Seq(
+      "_join:Other" -> "src[K] == other[K2]",
+      "V" -> "src[V]",
+      "Addr" -> "formula:=self[V]")
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(src, rules, sheets = Map("Other" -> other))
+    }
+    assert(e.message.contains("ingestOrder"), e.message)
+    // with an explicit order it proceeds
+    assert(Engine.transform(src, rules,
+      ingestOrder = Seq(col("K").cast("long")),
+      sheets = Map("Other" -> other)).count() == 1)
+  }
+
+  test("_join: sheet names with path separators or .. are rejected " +
+      "before any file read") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-trav")
+    java.nio.file.Files.writeString(dir.resolve("Source.csv"), "K\n1\n")
+    java.nio.file.Files.writeString(dir.resolve("Map.csv"),
+      "out,instr\n_join:../evil,src[K] == other[K]\nK,src[K]\n")
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.runMapping(s, dir.toString)
+    }
+    assert(e.message.contains("path separators"), e.message)
+  }
+
   test("config parsing: defaults, unknown keys, case/trim") {
     val c = EngineConfig.fromKeyValues(Seq(
       (" SOURCE ", " S1 "), ("bogus", "x"), ("map", "")))

@@ -180,6 +180,19 @@ class ParserSpec extends AnyFunSuite {
     val rs = Parser.parse(Seq("C" -> "constant:  padded  "), headers)
     assert(rs.outputs.head.parts == Vector(LitPart("padded")))
   }
+
+  test("_plugin: args are opaque — brackets and src[]-looking text " +
+      "skip delimiter/column validation; plugin NAME still validated") {
+    val rs = Parser.parse(Seq(
+      "_plugin:p" -> "ranges=[1,5) and src[NotAColumn] [[",
+      "Name" -> "src[Name]"), headers, plugins = Set("p"))
+    assert(rs.plugins ==
+      Vector(PluginRule("_plugin:p", "p", "ranges=[1,5) and src[NotAColumn] [[")))
+    intercept[DslError] {
+      Parser.parse(Seq("_plugin:ghost" -> "", "N" -> "src[Name]"),
+        headers, plugins = Set("p"))
+    }
+  }
 }
 
 class ColumnLetterSpec extends AnyFunSuite {
