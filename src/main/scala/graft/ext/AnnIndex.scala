@@ -53,8 +53,57 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   private val Marker = "INDEX_READY"
-  /** Bump when the on-disk layout changes shape. */
-  private val FormatVersion = 1
+  /** Bump when the on-disk layout changes shape. v2: optional
+    * `deletes/` tombstone table beside the codes table.
+    */
+  private val FormatVersion = 2
+
+  // ── Hadoop-FS helpers ──────────────────────────────────────────────
+  // Every filesystem touch goes through the Hadoop FileSystem resolved
+  // from `dir`'s scheme, like parquetFingerprint always did — a
+  // java.nio marker on an HDFS/S3 index dir would land on LOCAL disk
+  // and silently disagree with the actual remote index state
+  // (ADVICE r12). Single-writer maintenance is assumed: build/append/
+  // delete/compact are offline index ops; concurrent SEARCHES are fine.
+
+  private def hfs(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hpath(parts: String*): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(parts.mkString("/"))
+
+  private def readMarker(spark: SparkSession, dir: String)
+      : Option[String] = {
+    val fs = hfs(spark, dir)
+    val p = hpath(dir, Marker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Write the marker via tmp + rename: a crashed write leaves either
+    * the previous marker or none — never a truncated one.
+    */
+  private def writeMarker(spark: SparkSession, dir: String,
+      text: String): Unit = {
+    val fs = hfs(spark, dir)
+    val tmp = hpath(dir, s".$Marker.tmp")
+    val dst = hpath(dir, Marker)
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not commit marker at $dst")
+  }
 
   final case class Meta(nCells: Int, m: Int, nCentroids: Int, sub: Int,
       scale: Double)
@@ -96,19 +145,14 @@ object AnnIndex {
       Similarity.pqTrainCore(df, idCol, vecCol, m, nCentroids, iters)
     // the marker is the commit record: remove it FIRST so a crash
     // mid-overwrite can never leave a stale marker over mixed tables
-    val markerPath = java.nio.file.Paths.get(dir, Marker)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.deleteIfExists(markerPath)
-    // a full rebuild retires any streaming segment: its rows were
-    // encoded with the PREVIOUS quantizers
-    val streamSeg = new java.io.File(s"$dir/codes_stream")
-    if (streamSeg.exists) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
-      rm(streamSeg)
-    }
+    val fs = hfs(spark, dir)
+    fs.mkdirs(hpath(dir))
+    fs.delete(hpath(dir, Marker), false)
+    // a full rebuild retires any streaming segment (its rows were
+    // encoded with the PREVIOUS quantizers) and folds tombstones away
+    // (the rebuilt corpus is the source of truth)
+    fs.delete(hpath(dir, "codes_stream"), true)
+    fs.delete(hpath(dir, "deletes"), true)
     val cellDf = df.select(col(idCol).cast("long").as("id"),
       Similarity.ivfCell(df, col(vecCol), coarse).as("cell"))
     val aD = col("a").cast("array<double>")
@@ -127,8 +171,7 @@ object AnnIndex {
     Seq((FormatVersion, nCells, m, nCentroids, sub, scale))
       .toDF("version", "n_cells", "m", "n_centroids", "sub", "scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    java.nio.file.Files.writeString(markerPath,
-      markerText(nCells, m, nCentroids, fingerprint))
+    writeMarker(spark, dir, markerText(nCells, m, nCentroids, fingerprint))
   }
 
   /** Build unless a committed index with the same params AND corpus
@@ -137,10 +180,8 @@ object AnnIndex {
   def ensureBuilt(df: DataFrame, idCol: String, vecCol: String,
       dir: String, nCells: Int = 16, m: Int = 8, nCentroids: Int = 16,
       iters: Int = 3, fingerprint: String = ""): Boolean = {
-    val markerPath = java.nio.file.Paths.get(dir, Marker)
     val want = markerText(nCells, m, nCentroids, fingerprint)
-    val fresh = java.nio.file.Files.exists(markerPath) &&
-      java.nio.file.Files.readString(markerPath) == want
+    val fresh = readMarker(df.sparkSession, dir).contains(want)
     if (!fresh)
       build(df, idCol, vecCol, dir, nCells, m, nCentroids, iters,
         fingerprint)
@@ -158,10 +199,13 @@ object AnnIndex {
     * Codes of vectors outside the trained scale simply exceed ±127 —
     * integer columns, no clamping, same arithmetic both engines.
     *
-    * The marker gains a `+append[fingerprint]` line per append, so a
-    * later `ensureBuilt` against any single-corpus fingerprint sees
-    * staleness and triggers the full rebuild — the rebuild cadence
-    * falls out of the same staleness check.
+    * The marker gains a `+append[fingerprint]` line per append (any
+    * NUMBER of appends compose), so a later `ensureBuilt` against any
+    * single-corpus fingerprint sees staleness and triggers the full
+    * rebuild — the rebuild cadence falls out of the same staleness
+    * check. The marker update is tmp+rename (a crashed append leaves
+    * the previous marker, never a truncated one); maintenance ops are
+    * single-writer — run one build/append/delete/compact at a time.
     */
   def append(df: DataFrame, idCol: String, vecCol: String,
       dir: String, fingerprint: String = ""): Unit = {
@@ -174,10 +218,34 @@ object AnnIndex {
     encodeWith(df, idCol, vecCol, meta, coarse, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes")
-    val markerPath = java.nio.file.Paths.get(dir, Marker)
-    java.nio.file.Files.writeString(markerPath,
-      java.nio.file.Files.readString(markerPath) +
-        s"\n+append[$fingerprint]")
+    val prev = readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(s"marker vanished at $dir"))
+    writeMarker(spark, dir, prev + s"\n+append[$fingerprint]")
+  }
+
+  /** Tombstone ids out of the index: queued in a skinny `deletes/`
+    * table that [[search]] anti-joins on the fly, physically folded in
+    * by [[compactSegment]] (rewrites the codes table without them) or
+    * by the next full [[build]]. The marker gains a `+delete[n]` line,
+    * so the `ensureBuilt*` single-corpus freshness checks correctly
+    * see a mutated index as stale. This is how a dedup pipeline that
+    * REMOVES documents maintains the index between rebuilds — an
+    * append-only lifecycle would serve ghosts.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val prev = readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed ANN index at $dir — nothing to delete from"))
+    val skinny = ids.select(ids.columns.head).toDF("id")
+      .select(col("id").cast("long").as("id"))
+    skinny.write.mode("append").parquet(s"$dir/deletes")
+    val n = skinny.count()
+    writeMarker(spark, dir, prev + s"\n+delete[$n]")
+  }
+
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(spark, dir, ids.toDF("id"))
   }
 
   /** One encoded code row per input vector, using the FROZEN
@@ -239,23 +307,57 @@ object AnnIndex {
     * log was retired with the segment). Stop any running ingest
     * stream first — compacting under a live writer would race its
     * uncommitted files.
+    *
+    * When tombstones ([[delete]]) are queued, compaction additionally
+    * REWRITES the codes table without the deleted ids and clears
+    * `deletes/` — the physical fold. That path costs a full
+    * codes-table rewrite (the codes are m bytes/vector — cheap
+    * relative to the corpus) staged through `codes_tmp` + rename,
+    * with the marker lifted during the swap so a crash mid-swap
+    * leaves an unreadable-by-construction index instead of a
+    * half-swapped one. Served results are identical before and after
+    * (search already anti-joined the queue).
+    *
+    * @return rows moved from the segment (0 when only tombstones
+    *         were folded)
     */
   def compactSegment(spark: SparkSession, dir: String): Long = {
-    val segDir = new java.io.File(s"$dir/codes_stream")
-    if (!segDir.isDirectory) return 0L
-    val seg = spark.read.parquet(s"$dir/codes_stream")
-      .select("id", "naa", "bc", "cell")
-      // materialize BEFORE touching the segment dir; bounded by the
-      // segment (recent arrivals), not the corpus
-      .localCheckpoint(true)
-    val n = seg.count()
-    seg.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
+    val fs = hfs(spark, dir)
+    val segPath = hpath(dir, "codes_stream")
+    val delPath = hpath(dir, "deletes")
+    val hasSeg = fs.exists(segPath)
+    val hasDel = fs.exists(delPath)
+    if (!hasSeg && !hasDel) return 0L
+    val segN = if (!hasSeg) 0L else {
+      val seg = spark.read.parquet(s"$dir/codes_stream")
+        .select("id", "naa", "bc", "cell")
+        // materialize BEFORE touching the segment dir; bounded by the
+        // segment (recent arrivals), not the corpus
+        .localCheckpoint(true)
+      val n = seg.count()
+      seg.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      fs.delete(segPath, true)
+      n
     }
-    rm(segDir)
-    n
+    if (hasDel) {
+      val marker = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed ANN index at $dir"))
+      val kept = spark.read.parquet(s"$dir/codes")
+        .join(spark.read.parquet(s"$dir/deletes"), Seq("id"),
+          "left_anti")
+      kept.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/codes_tmp")
+      // unreadable during the swap: marker off → load() refuses
+      fs.delete(hpath(dir, Marker), false)
+      fs.delete(hpath(dir, "codes"), true)
+      if (!fs.rename(hpath(dir, "codes_tmp"), hpath(dir, "codes")))
+        throw new java.io.IOException(
+          s"could not swap compacted codes table at $dir")
+      fs.delete(delPath, true)
+      writeMarker(spark, dir, marker)
+    }
+    segN
   }
 
   /** Idempotent two-step lifecycle: a base build plus ONE append of
@@ -268,11 +370,9 @@ object AnnIndex {
       idCol: String, vecCol: String, dir: String, nCells: Int = 16,
       m: Int = 8, nCentroids: Int = 16, iters: Int = 3,
       fingerprint: String = ""): Boolean = {
-    val markerPath = java.nio.file.Paths.get(dir, Marker)
     val want = markerText(nCells, m, nCentroids, fingerprint) +
       s"\n+append[$fingerprint]"
-    val fresh = java.nio.file.Files.exists(markerPath) &&
-      java.nio.file.Files.readString(markerPath) == want
+    val fresh = readMarker(base.sparkSession, dir).contains(want)
     if (!fresh) {
       build(base, idCol, vecCol, dir, nCells, m, nCentroids, iters,
         fingerprint)
@@ -286,8 +386,7 @@ object AnnIndex {
     */
   def load(spark: SparkSession, dir: String)
       : (Meta, Seq[Seq[Float]], Map[(Int, Int), Seq[Int]]) = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, Marker)),
+    require(hfs(spark, dir).exists(hpath(dir, Marker)),
       s"no committed ANN index at $dir (missing $Marker — " +
         "build() did not finish?)")
     val m = spark.read.parquet(s"$dir/meta")
@@ -334,13 +433,18 @@ object AnnIndex {
     // `probes` directories before any row is read (pinned in spec).
     // A streaming segment (ingestStream) unions in when present; the
     // filter pushes through the union, so both sides stay pruned.
+    // Queued tombstones (delete/) anti-join the pruned scan — skinny
+    // id list, AQE broadcasts it; compactSegment folds it physically.
+    val fs = hfs(spark, dir)
     val base = spark.read.parquet(s"$dir/codes")
-    val segDir = new java.io.File(s"$dir/codes_stream")
-    val codes = (if (segDir.isDirectory)
+    val unioned = (if (fs.exists(hpath(dir, "codes_stream")))
         base.unionByName(spark.read.parquet(s"$dir/codes_stream")
           .select("id", "naa", "bc", "cell"))
       else base)
       .filter(col("cell").isin(probeCells: _*))
+    val codes = if (!fs.exists(hpath(dir, "deletes"))) unioned
+      else unioned.join(spark.read.parquet(s"$dir/deletes"),
+        Seq("id"), "left_anti")
     val qdotArr: Int => Column = sm =>
       array((0 until meta.nCentroids).map { c =>
         val cent = cents((sm, c))

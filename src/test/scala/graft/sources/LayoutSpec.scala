@@ -478,6 +478,49 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("INDEX_READY"), e.getMessage)
   }
+
+  test("tombstones: delete() hides ids from search immediately, " +
+      "compactSegment physically drops them from the codes table and " +
+      "clears the queue, ensureBuilt sees the mutated index as stale, " +
+      "rebuild clears tombstones") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val dir = Files.createTempDirectory("annidx4").toString
+    val fp = AnnIndex.parquetFingerprint(s, embPath)
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1, fingerprint = fp)
+    val before = AnnIndex.search(emb, "vec_id", "embedding", dir, qv,
+        probes = 16, k = 5, nCand = 4096)
+      .collect().map(_.getLong(0)).toSeq
+    // delete the top hit: search must exclude it, the rest shift up
+    val victim = before.head
+    AnnIndex.delete(s, dir, Seq(victim))
+    val after = AnnIndex.search(emb, "vec_id", "embedding", dir, qv,
+        probes = 16, k = 5, nCand = 4096)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(victim), s"deleted id $victim still served")
+    assert(after.take(4) == before.drop(1).take(4),
+      s"survivors must keep their order: $after vs $before")
+    // the mutated index is STALE for the single-corpus freshness check
+    assert(AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 32, nCentroids = 64, iters = 1,
+      fingerprint = fp), "ensureBuilt must rebuild a deleted-from index")
+    // rebuild cleared the queue; delete again, then fold physically
+    AnnIndex.delete(s, dir, Seq(victim))
+    val total = s.read.parquet(s"$dir/codes").count()
+    AnnIndex.compactSegment(s, dir)
+    assert(s.read.parquet(s"$dir/codes").count() == total - 1,
+      "compaction must physically drop the tombstoned row")
+    assert(!new java.io.File(s"$dir/deletes").exists,
+      "compaction must clear the tombstone queue")
+    val afterCompact = AnnIndex.search(emb, "vec_id", "embedding",
+        dir, qv, probes = 16, k = 5, nCand = 4096)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCompact == after,
+      "served results identical before and after the physical fold")
+  }
 }
 
 class ZOrderSpec extends SparkSpec {
