@@ -52,9 +52,34 @@ object Ast {
     */
   final case class Predicate(disjuncts: Vector[Condition])
 
+  /** EXTENDED-mode (`eval2:`) boolean expression tree — the
+    * reference's "Advanced expression parser" roadmap idea
+    * (`/root/reference/README.md:121`; its grammar doc explicitly
+    * leaves AND / NOT / parentheses undefined,
+    * `docs/expression-language.md:169-183`, so these semantics are
+    * this engine's, OPT-IN per rule). Precedence `!` > `&&` > `||`,
+    * parentheses group. Leaves are the same comparisons as faithful
+    * mode with two differences: (1) validation is STRICT at parse
+    * time — an op-less or mis-arity condition is an error, not a
+    * silent AlwaysFalse; (2) a comparison that cannot evaluate
+    * numerically (parseFloat NaN) is two-valued FALSE, so `!` over it
+    * is TRUE (JS boolean semantics), never SQL null. `( ) !` and the
+    * connectors are RESERVED characters in extended mode (outside
+    * `src[]`/`self[]` brackets) — literal text needing them stays on
+    * faithful `eval:`.
+    */
+  sealed trait BoolExpr
+  final case class OrExpr(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  final case class AndExpr(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  final case class NotExpr(e: BoolExpr) extends BoolExpr
+  final case class LeafExpr(cond: Comparison) extends BoolExpr
+
   sealed trait FilterRule { def name: String }
   /** `_filter:` rule with `eval:` instruction. */
   final case class EvalFilter(name: String, predicate: Predicate)
+      extends FilterRule
+  /** `_filter:` rule with `eval2:` instruction ([[BoolExpr]]). */
+  final case class ExprFilter(name: String, expr: BoolExpr)
       extends FilterRule
   /** `_filter:` rule WITHOUT `eval:` — silently passes every row
     * (`main.gs:72`).

@@ -36,8 +36,10 @@ object Compiler {
   def compile(rules: RuleSet, sourceHeaders: Seq[String],
       rowNum: => Column): Compiled = {
     val headers = sourceHeaders.toSet
-    val filter = rules.filters.collect { case EvalFilter(_, p) => p }
-      .map(compilePredicate)
+    val filter = rules.filters.collect {
+        case EvalFilter(_, p) => compilePredicate(p)
+        case ExprFilter(_, e) => compileBoolExpr(e)
+      }
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
@@ -59,24 +61,39 @@ object Compiler {
 
   private def compilePredicate(p: Predicate): Column =
     p.disjuncts.map {
-      case AlwaysFalse => lit(false)
-      case Comparison(op, lhs, rhs) =>
-        // The reference trims each operand AFTER substitution
-        // (`safeEval` splits, then trims the spliced text), so cell
-        // values compare whitespace-trimmed. parseFloat is trim-
-        // insensitive; ==/!= are not — trim both uniformly.
-        val (l, r) = (trim(operand(lhs)), trim(operand(rhs)))
-        op match {
-          case CmpOp.Eq => l === r
-          case CmpOp.Ne => l =!= r
-          // parseFloat both sides; null (≙ NaN) propagates and the
-          // filter drops it — matching JS NaN-comparisons-are-false.
-          case CmpOp.Ge => parseFloatPrefix(l) >= parseFloatPrefix(r)
-          case CmpOp.Le => parseFloatPrefix(l) <= parseFloatPrefix(r)
-          case CmpOp.Gt => parseFloatPrefix(l) > parseFloatPrefix(r)
-          case CmpOp.Lt => parseFloatPrefix(l) < parseFloatPrefix(r)
-        }
+      case AlwaysFalse       => lit(false)
+      case c: Comparison     => compileComparison(c)
     }.reduceOption(_ || _).getOrElse(lit(false))
+
+  private def compileComparison(c: Comparison): Column = {
+    // The reference trims each operand AFTER substitution
+    // (`safeEval` splits, then trims the spliced text), so cell
+    // values compare whitespace-trimmed. parseFloat is trim-
+    // insensitive; ==/!= are not — trim both uniformly.
+    val (l, r) = (trim(operand(c.lhs)), trim(operand(c.rhs)))
+    c.op match {
+      case CmpOp.Eq => l === r
+      case CmpOp.Ne => l =!= r
+      // parseFloat both sides; null (≙ NaN) propagates and the
+      // filter drops it — matching JS NaN-comparisons-are-false.
+      case CmpOp.Ge => parseFloatPrefix(l) >= parseFloatPrefix(r)
+      case CmpOp.Le => parseFloatPrefix(l) <= parseFloatPrefix(r)
+      case CmpOp.Gt => parseFloatPrefix(l) > parseFloatPrefix(r)
+      case CmpOp.Lt => parseFloatPrefix(l) < parseFloatPrefix(r)
+    }
+  }
+
+  /** Extended-mode tree → Column. Leaves are forced two-valued
+    * (coalesce to false) so `!` over an unevaluable comparison is
+    * TRUE, like a JS `!(NaN > 5)` — SQL three-valued null under NOT
+    * would silently drop the row instead (see [[Ast.BoolExpr]]).
+    */
+  private def compileBoolExpr(e: BoolExpr): Column = e match {
+    case OrExpr(l, r)  => compileBoolExpr(l) || compileBoolExpr(r)
+    case AndExpr(l, r) => compileBoolExpr(l) && compileBoolExpr(r)
+    case NotExpr(x)    => !compileBoolExpr(x)
+    case LeafExpr(c)   => coalesce(compileComparison(c), lit(false))
+  }
 
   /** Filter operand template → string Column. Source columns arrive
     * from the display-string frame (never null there, but coalesce

@@ -91,7 +91,10 @@ object Parser {
         validateColumns(rawInstruction, header, headers)
 
         if (header.startsWith("_filter:")) {
-          if (rawInstruction.startsWith("eval:")) {
+          if (rawInstruction.startsWith("eval2:")) {
+            val expr = rawInstruction.replaceFirst("eval2:", "").trim
+            filters += ExprFilter(header, parseBoolExpr(expr, header))
+          } else if (rawInstruction.startsWith("eval:")) {
             val expr = rawInstruction.replaceFirst("eval:", "").trim
             filters += EvalFilter(header, parsePredicate(expr, header))
           } else filters += NoopFilter(header)
@@ -172,6 +175,99 @@ object Parser {
       }
     }
     Predicate(disjuncts.toVector)
+  }
+
+  /** EXTENDED filter expression (`eval2:`) → [[BoolExpr]] — the
+    * opt-in "Advanced expression parser" (see [[Ast.BoolExpr]] for
+    * the semantics contract). Recursive descent over a linear token
+    * scan; `[...]` spans are opaque (structural characters inside
+    * src/self brackets stay literal), `!=` is a comparison operator,
+    * not a negation. ALL validation is hoisted here, before any Spark
+    * job: unbalanced parentheses, dangling connectors, op-less or
+    * mis-arity conditions, and malformed operators are parse errors.
+    */
+  def parseBoolExpr(expr: String, ruleHeader: String): BoolExpr = {
+    sealed trait Tok
+    case object TOr extends Tok
+    case object TAnd extends Tok
+    case object TNot extends Tok
+    case object TOpen extends Tok
+    case object TClose extends Tok
+    final case class TText(s: String) extends Tok
+
+    def err(msg: String): Nothing =
+      throw DslError(s"""$msg in rule "$ruleHeader".""")
+
+    val toks = Vector.newBuilder[Tok]
+    val buf = new StringBuilder
+    def flush(): Unit =
+      if (buf.toString.trim.nonEmpty) { toks += TText(buf.toString); buf.clear() }
+      else buf.clear()
+    var i = 0
+    var depth = 0
+    while (i < expr.length) {
+      val c = expr.charAt(i)
+      val next = if (i + 1 < expr.length) expr.charAt(i + 1) else ' '
+      if (c == '[') { depth += 1; buf += c; i += 1 }
+      else if (c == ']') { depth -= 1; buf += c; i += 1 }
+      else if (depth > 0) { buf += c; i += 1 }
+      else if (c == '|' && next == '|') { flush(); toks += TOr; i += 2 }
+      else if (c == '&' && next == '&') { flush(); toks += TAnd; i += 2 }
+      else if (c == '(') { flush(); toks += TOpen; i += 1 }
+      else if (c == ')') { flush(); toks += TClose; i += 1 }
+      else if (c == '!' && next != '=') { flush(); toks += TNot; i += 1 }
+      else { buf += c; i += 1 }
+    }
+    flush()
+    val ts = toks.result()
+
+    var pos = 0
+    def peek: Option[Tok] = if (pos < ts.length) Some(ts(pos)) else None
+
+    def parseLeaf(raw: String): BoolExpr = {
+      val cond = raw.trim
+      BadOp.findFirstIn(cond).foreach { bad =>
+        err(s"""Invalid operator "$bad"""")
+      }
+      CmpOp.all.find(op => cond.contains(op.symbol)) match {
+        case None =>
+          err(s"""Condition "$cond" has no comparison operator""")
+        case Some(op) =>
+          val parts = splitLiteral(cond, op.symbol)
+            .map(p => stripQuotes(p.trim))
+          if (parts.length != 2)
+            err(s"""Condition "$cond" must have exactly one """ +
+              s""""${op.symbol}"""")
+          LeafExpr(
+            Comparison(op, splitSrcOnly(parts(0)), splitSrcOnly(parts(1))))
+      }
+    }
+    def parseFactor(): BoolExpr = peek match {
+      case Some(TNot) => pos += 1; NotExpr(parseFactor())
+      case Some(TOpen) =>
+        pos += 1
+        val e = parseOr()
+        peek match {
+          case Some(TClose) => pos += 1; e
+          case _            => err("""Missing ")"""")
+        }
+      case Some(TText(s)) => pos += 1; parseLeaf(s)
+      case Some(TClose)   => err("""Unexpected ")"""")
+      case _              => err("Expected a condition")
+    }
+    def parseAnd(): BoolExpr = {
+      var e = parseFactor()
+      while (peek.contains(TAnd)) { pos += 1; e = AndExpr(e, parseFactor()) }
+      e
+    }
+    def parseOr(): BoolExpr = {
+      var e = parseAnd()
+      while (peek.contains(TOr)) { pos += 1; e = OrExpr(e, parseAnd()) }
+      e
+    }
+    val out = parseOr()
+    if (pos != ts.length) err("Unexpected trailing input")
+    out
   }
 
   /** JS `String.split(sep)` on a literal separator (keeps empties). */

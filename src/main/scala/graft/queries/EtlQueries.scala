@@ -145,6 +145,46 @@ object EtlQueries {
         "Stat" -> "src[l_linestatus]"))
     }),
 
+    // EXTENDED expression mode (`eval2:` — the reference's "Advanced
+    // expression parser" roadmap idea, README:121): `&&` conjunction
+    // inside one rule, strict parse-time validation. Faithful `eval:`
+    // keeps its ||-only grammar untouched.
+    "etl_expr_and" -> ((s, d) =>
+      Engine.transform(customer(s, d), Seq(
+        "_filter:f" -> ("eval2: src[c_mktsegment] == BUILDING && " +
+          "src[c_acctbal] > 1000"),
+        "Name" -> "src[c_name]",
+        "Seg"  -> "src[c_mktsegment]",
+        "Bal"  -> "src[c_acctbal]"))),
+
+    // `!`-negation of a whole group: two-valued semantics (a leaf that
+    // can't evaluate is FALSE before negation — spec'd in EngineSpec).
+    "etl_expr_not" -> ((s, d) =>
+      Engine.transform(customer(s, d), Seq(
+        "_filter:f" -> ("eval2: !(src[c_mktsegment] == BUILDING || " +
+          "src[c_mktsegment] == MACHINERY)"),
+        "Name" -> "src[c_name]",
+        "Seg"  -> "src[c_mktsegment]"))),
+
+    // Precedence corner: && binds tighter than || — a || b && c is
+    // a || (b && c). Nation (bounded) keeps the corner readable.
+    "etl_expr_nested" -> ((s, d) =>
+      Engine.transform(nation(s, d), Seq(
+        "_filter:f" -> ("eval2: src[n_nationkey] < 5 || " +
+          "src[n_regionkey] == 2 && src[n_nationkey] > 10"),
+        "Key"    -> "src[n_nationkey]",
+        "Region" -> "src[n_regionkey]"))),
+
+    // Parentheses override precedence: (a || b) && c.
+    "etl_expr_parens" -> ((s, d) =>
+      Engine.transform(lineitem(s, d), Seq(
+        "_filter:f" -> ("eval2: (src[l_returnflag] == R || " +
+          "src[l_returnflag] == A) && src[l_quantity] >= 30"),
+        "OrderKey" -> "src[l_orderkey]",
+        "Line"     -> "src[l_linenumber]",
+        "Flag"     -> "src[l_returnflag]",
+        "Qty"      -> "src[l_quantity]"))),
+
     // `_type:` declarations (reference roadmap README:123) that HOLD
     // on the data: the run proceeds and the output is the plain
     // filter+projection (violation paths are spec'd in EngineSpec —
@@ -229,6 +269,33 @@ object EtlQueries {
     "etl_plugin_chain" ->
       """SELECT DISTINCT l_returnflag AS Flag, l_linestatus AS Stat
          FROM lineitem""",
+
+    "etl_expr_and" ->
+      """SELECT c_name AS Name, c_mktsegment AS Seg,
+         CAST(c_acctbal AS VARCHAR) AS Bal
+         FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""",
+
+    "etl_expr_not" ->
+      """SELECT c_name AS Name, c_mktsegment AS Seg
+         FROM customer
+         WHERE NOT (c_mktsegment = 'BUILDING'
+                    OR c_mktsegment = 'MACHINERY')""",
+
+    "etl_expr_nested" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS Key,
+         CAST(n_regionkey AS VARCHAR) AS Region
+         FROM nation
+         WHERE n_nationkey < 5
+            OR (n_regionkey = 2 AND n_nationkey > 10)""",
+
+    "etl_expr_parens" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS OrderKey,
+         CAST(l_linenumber AS VARCHAR) AS Line,
+         l_returnflag AS Flag, CAST(l_quantity AS VARCHAR) AS Qty
+         FROM lineitem
+         WHERE (l_returnflag = 'R' OR l_returnflag = 'A')
+           AND l_quantity >= 30""",
 
     "etl_type_valid" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS Key,

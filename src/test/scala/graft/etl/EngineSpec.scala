@@ -306,6 +306,36 @@ class EngineSpec extends SparkSpec {
     assert(e3.message.contains("Ghost"), e3.message)
   }
 
+  test("eval2: extended expressions end-to-end — && within a rule, " +
+      "AND across rules still applies, ! is two-valued over " +
+      "unevaluable comparisons (NaN leaf is false, so !leaf keeps " +
+      "the row)") {
+    // Ana 25 Cali | Bob 17 Lima | Cleo abc '' | Dan 30 Cali
+    val out = run(
+      "_filter:a" -> "eval2: src[Age] >= 18 && src[City] == Cali",
+      "Name" -> "src[Name]")
+    assert(out.map(_.getString(0)).sorted == Seq("Ana", "Dan"))
+    // mixed faithful + extended rules AND together
+    val out2 = run(
+      "_filter:a" -> "eval2: src[Age] >= 18 && src[City] == Cali",
+      "_filter:b" -> "eval: src[Age] <= 27",
+      "Name" -> "src[Name]")
+    assert(out2.map(_.getString(0)) == Seq("Ana"))
+    // ! over a NaN comparison: parseFloat('abc') is NaN, the leaf is
+    // FALSE (not null), so the negation keeps Cleo — JS semantics,
+    // where SQL three-valued NOT(null) would silently drop her
+    val out3 = run(
+      "_filter:n" -> "eval2: !(src[Age] > 5)",
+      "Name" -> "src[Name]")
+    assert(out3.map(_.getString(0)) == Seq("Cleo"))
+    // nested groups + negation compose
+    val out4 = run(
+      "_filter:g" -> ("eval2: !(src[City] == Lima || src[City] == ) " +
+        "&& (src[Age] < 28 || src[Score] == B)"),
+      "Name" -> "src[Name]")
+    assert(out4.map(_.getString(0)).sorted == Seq("Ana", "Dan"))
+  }
+
   test("_type: on a ZERO-ROW input passes vacuously (sum over empty " +
       "aggregates to null — must not NPE)") {
     val s = spark

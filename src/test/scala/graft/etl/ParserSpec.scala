@@ -181,6 +181,64 @@ class ParserSpec extends AnyFunSuite {
     assert(rs.outputs.head.parts == Vector(LitPart("padded")))
   }
 
+  test("eval2: extended grammar — precedence ! > && > ||, parens " +
+      "group, != stays a comparison operator") {
+    def parse(e: String) = Parser.parseBoolExpr(e, "_filter:x")
+    // a || b && c associates as a || (b && c)
+    val p = parse("src[Age] > 1 || src[Age] < 5 && src[City] == Cali")
+    assert(p match {
+      case OrExpr(LeafExpr(_), AndExpr(LeafExpr(_), LeafExpr(_))) => true
+      case _ => false
+    }, p)
+    // (a || b) && c overrides it
+    val q = parse("(src[Age] > 1 || src[Age] < 5) && src[City] == Cali")
+    assert(q match {
+      case AndExpr(OrExpr(LeafExpr(_), LeafExpr(_)), LeafExpr(_)) => true
+      case _ => false
+    }, q)
+    // ! binds tighter than && and != is NOT a negation
+    val r = parse("!(src[City] == Cali) && src[Name] != Bob")
+    assert(r match {
+      case AndExpr(NotExpr(LeafExpr(_)),
+        LeafExpr(Comparison(CmpOp.Ne, _, _))) => true
+      case _ => false
+    }, r)
+    // structural chars inside src[] brackets stay literal
+    val s = parse("src[Weird(col)!] == x")
+    assert(s match {
+      case LeafExpr(Comparison(CmpOp.Eq,
+        Vector(SrcPart("Weird(col)!")), _)) => true
+      case _ => false
+    }, s)
+  }
+
+  test("eval2: strict parse-time validation — unbalanced parens, " +
+      "dangling connectors, op-less / mis-arity / malformed leaves") {
+    def bad(e: String): String =
+      intercept[DslError](Parser.parseBoolExpr(e, "_filter:x")).message
+    assert(bad("(src[Age] > 1").contains("Missing \")\""))
+    assert(bad("src[Age] > 1)").contains("trailing"))
+    assert(bad("src[Age] > 1 &&").contains("Expected a condition"))
+    assert(bad("|| src[Age] > 1").contains("no comparison operator")
+      || bad("|| src[Age] > 1").contains("Expected a condition"))
+    assert(bad("src[Age]").contains("no comparison operator"))
+    assert(bad("a == b == c").contains("exactly one"))
+    assert(bad("src[Age] === 1").contains("Invalid operator"))
+    assert(bad("!src[Age]").contains("no comparison operator"))
+    assert(bad("()").contains("Unexpected \")\"")
+      || bad("()").contains("Expected a condition"))
+  }
+
+  test("faithful eval: is UNTOUCHED by the extended grammar — && in " +
+      "an eval: condition still splits to mis-arity AlwaysFalse") {
+    val rs = Parser.parse(Seq(
+      "_filter:f" -> "eval: src[Age] == 1 && src[City] == Cali",
+      "N" -> "src[Name]"), headers)
+    val EvalFilter(_, p) = rs.filters.head: @unchecked
+    // one disjunct; '==' found first; split on '==' gives 3 parts
+    assert(p.disjuncts == Vector(AlwaysFalse))
+  }
+
   test("_plugin: args are opaque — brackets and src[]-looking text " +
       "skip delimiter/column validation; plugin NAME still validated") {
     val rs = Parser.parse(Seq(
