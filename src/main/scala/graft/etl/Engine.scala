@@ -260,33 +260,81 @@ object Engine {
     * `<dir>/<config.source>.csv` + `<dir>/<config.map>.csv` →
     * overwrite `<dir>/<config.output>` (CSV, header) —
     * clear-then-write ≙ `mode("overwrite")` (`main.gs:124-129`).
+    *
+    * With `config.history` set, every invocation appends ONE record
+    * to the parquet table `<dir>/<config.history>` — the reference
+    * roadmap's "Execution history" + "Logging dashboard"
+    * (README.md:124-125): run id, start time, the three sheet names,
+    * an MD5 digest of the rule sheet (audit trail: WHICH rules
+    * produced an output), rows written (-1 on failure), duration,
+    * outcome, and the error message when the run aborted. Failed runs
+    * are recorded AND still rethrown — history observes the fail-fast
+    * contract, it never swallows it. One appended row per run keeps
+    * the table maintenance-free at any run count (compose with
+    * `sources/` compaction if millions of runs accrue).
     */
   def runMapping(spark: SparkSession, dir: String,
       config: EngineConfig = EngineConfig()): Long = {
+    val t0 = System.currentTimeMillis()
     val source = readSheetCsv(spark, s"$dir/${config.source}.csv")
     val rules = sheetPairs(readSheetCsv(spark, s"$dir/${config.map}.csv"))
-    // `_join:X` rules name sibling sheets: read `<dir>/X.csv` for each
-    // (missing file → the reference-style contextual abort, not a
-    // Spark path error); Parser re-validates names and headers.
-    val sheets = rules.collect {
-      case (h, _) if h != null && h.trim.startsWith("_join:") =>
-        h.trim.stripPrefix("_join:").trim
-    }.distinct.filter(_.nonEmpty).map { name =>
-      // the sheet name is interpolated into a filesystem path: a name
-      // like `../secrets` would read CSVs OUTSIDE the sheets directory
-      if (name.contains("/") || name.contains("\\") ||
-          name.contains(".."))
-        throw Ast.DslError(s"""Sheet name "$name" must not contain """ +
-          s"""path separators or ".." (rule: "_join:$name").""")
-      if (!new java.io.File(s"$dir/$name.csv").isFile)
-        throw Ast.DslError(
-          s"""Sheet "$name" does not exist (rule: "_join:$name").""")
-      name -> readSheetCsv(spark, s"$dir/$name.csv")
-    }.toMap
-    val out = transform(source, rules, sheets = sheets)
-    out.write.mode("overwrite").option("header", true)
-      .option("escape", "\"").csv(s"$dir/${config.output}")
-    out.count()
+    val digest = rulesDigest(rules)
+    def record(rowsOut: Long, status: String, error: String): Unit =
+      if (config.history.nonEmpty) {
+        import spark.implicits._
+        Seq((java.util.UUID.randomUUID.toString, t0, config.source,
+            config.map, config.output, digest, rowsOut,
+            System.currentTimeMillis() - t0, status, error))
+          .toDF("run_id", "ts_ms", "source_sheet", "map_sheet",
+            "output_sheet", "rules_digest", "rows_out", "duration_ms",
+            "status", "error")
+          .coalesce(1).write.mode("append")
+          .parquet(s"$dir/${config.history}")
+      }
+    try {
+      // `_join:X` rules name sibling sheets: read `<dir>/X.csv` for
+      // each (missing file → the reference-style contextual abort,
+      // not a Spark path error); Parser re-validates names + headers.
+      val sheets = rules.collect {
+        case (h, _) if h != null && h.trim.startsWith("_join:") =>
+          h.trim.stripPrefix("_join:").trim
+      }.distinct.filter(_.nonEmpty).map { name =>
+        // the sheet name is interpolated into a filesystem path: a
+        // name like `../secrets` would read OUTSIDE the sheets dir
+        if (name.contains("/") || name.contains("\\") ||
+            name.contains(".."))
+          throw Ast.DslError(s"""Sheet name "$name" must not """ +
+            s"""contain path separators or ".." (rule: "_join:$name").""")
+        if (!new java.io.File(s"$dir/$name.csv").isFile)
+          throw Ast.DslError(
+            s"""Sheet "$name" does not exist (rule: "_join:$name").""")
+        name -> readSheetCsv(spark, s"$dir/$name.csv")
+      }.toMap
+      val out = transform(source, rules, sheets = sheets)
+      out.write.mode("overwrite").option("header", true)
+        .option("escape", "\"").csv(s"$dir/${config.output}")
+      val n = out.count()
+      record(n, "ok", null)
+      n
+    } catch {
+      case e: Throwable =>
+        record(-1L, "error",
+          Option(e.getMessage).getOrElse(e.toString))
+        throw e
+    }
+  }
+
+  /** Canonical MD5 of a rule sheet's (colA, colB) pairs — the run
+    * history's "which rules ran" fingerprint. U+0001 joins the pair,
+    * U+0002 joins rows: unambiguous for any cell content.
+    */
+  def rulesDigest(rules: Seq[(String, String)]): String = {
+    val canon = rules.map { case (a, b) =>
+      Option(a).getOrElse("") + "\u0001" + Option(b).getOrElse("")
+    }.mkString("\u0002")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** All-string CSV read — the file text IS the display value

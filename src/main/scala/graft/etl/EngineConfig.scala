@@ -4,17 +4,35 @@ import graft.etl.dsl.Ast.DslError
 
 /** Dashboard config (`/root/reference/main.gs:144-165`): key/value
   * rows, lowercased/trimmed keys, only `source`/`map`/`output`
-  * accepted, defaults applied when the sheet or a key is absent, and
-  * all three names must be non-empty.
+  * (+ the roadmap `history`, below) accepted, defaults applied when
+  * the sheet or a key is absent, and all three names must be
+  * non-empty.
+  *
+  * @param history when non-empty, [[Engine.runMapping]] appends one
+  *                run record per invocation to the parquet table
+  *                `<dir>/<history>` — the reference roadmap's
+  *                "Execution history" / "Logging dashboard"
+  *                (`/root/reference/README.md:124-125`, never
+  *                implemented there; semantics defined here). Empty
+  *                (the default) disables recording.
   */
 final case class EngineConfig(
     source: String = "Source",
     map: String = "Map",
-    output: String = "Output") {
+    output: String = "Output",
+    history: String = "") {
   Seq("source" -> source, "map" -> map, "output" -> output).foreach {
     case (k, v) =>
       if (v == null || v.trim.isEmpty)
         throw DslError(s"""Config name "$k" must be non-empty.""")
+  }
+  // all four are interpolated into filesystem paths
+  Seq("source" -> source, "map" -> map, "output" -> output,
+      "history" -> history).foreach { case (k, v) =>
+    if (v != null &&
+        (v.contains("/") || v.contains("\\") || v.contains("..")))
+      throw DslError(s"""Config name "$k" must not contain path """ +
+        """separators or "..".""")
   }
 }
 
@@ -23,17 +41,18 @@ object EngineConfig {
     * keys ignored; later duplicates overwrite (`main.gs:150-156`).
     */
   def fromKeyValues(kvs: Seq[(String, String)]): EngineConfig = {
-    var (s, m, o) = ("Source", "Map", "Output")
+    var (s, m, o, h) = ("Source", "Map", "Output", "")
     kvs.foreach { case (k, v) =>
       val key = Option(k).getOrElse("").trim.toLowerCase
       val value = Option(v).getOrElse("").trim
       if (value.nonEmpty) key match {
-        case "source" => s = value
-        case "map"    => m = value
-        case "output" => o = value
-        case _        => ()
+        case "source"  => s = value
+        case "map"     => m = value
+        case "output"  => o = value
+        case "history" => h = value
+        case _         => ()
       }
     }
-    EngineConfig(s, m, o)
+    EngineConfig(s, m, o, h)
   }
 }

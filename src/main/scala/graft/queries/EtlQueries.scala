@@ -185,6 +185,38 @@ object EtlQueries {
         "Flag"     -> "src[l_returnflag]",
         "Qty"      -> "src[l_quantity]"))),
 
+    // Execution history + logging dashboard (reference roadmap
+    // README:124-125): two runMapping invocations against a fresh
+    // sheet dir — one ok, one aborted by a `_type:` violation — each
+    // append a run record to the `Runs` parquet table; the query
+    // projects the deterministic fields (sheet name, rule-sheet MD5
+    // digest, rows written, outcome). The failed run is RECORDED and
+    // still rethrown — history observes fail-fast, never swallows it.
+    "etl_run_history" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-runs")
+      val rows = nation(s, d)
+        .select(col("n_nationkey").cast("string"), col("n_name"),
+          col("n_regionkey").cast("string"))
+        .collect()
+        .map(r => s"${r.getString(0)},${r.getString(1)},${r.getString(2)}")
+      java.nio.file.Files.writeString(tmp.resolve("Source.csv"),
+        ("n_nationkey,n_name,n_regionkey" +: rows.toSeq)
+          .mkString("\n") + "\n")
+      java.nio.file.Files.writeString(tmp.resolve("Map1.csv"),
+        "out,instr\n_filter:r,eval: src[n_regionkey] == 2\n" +
+          "Name,src[n_name]\n")
+      java.nio.file.Files.writeString(tmp.resolve("Map2.csv"),
+        "out,instr\n_type:n_name,numeric\nName,src[n_name]\n")
+      Engine.runMapping(s, tmp.toString,
+        graft.etl.EngineConfig(map = "Map1", history = "Runs"))
+      try Engine.runMapping(s, tmp.toString,
+        graft.etl.EngineConfig(map = "Map2", history = "Runs"))
+      catch { case _: graft.etl.dsl.Ast.DslError => () }
+      s.read.parquet(s"$tmp/Runs")
+        .select(col("map_sheet"), col("rules_digest"), col("rows_out"),
+          col("status"), col("error").isNotNull.as("has_error"))
+    }),
+
     // `_type:` declarations (reference roadmap README:123) that HOLD
     // on the data: the run proceeds and the output is the plain
     // filter+projection (violation paths are spec'd in EngineSpec —
@@ -296,6 +328,23 @@ object EtlQueries {
          FROM lineitem
          WHERE (l_returnflag = 'R' OR l_returnflag = 'A')
            AND l_quantity >= 30""",
+
+    // the run records' deterministic fields, replayed: digests are
+    // md5 over the canonical rule encoding (U+0001 in-pair, U+0002
+    // between rows), the ok run's rows_out is the filter's count
+    "etl_run_history" ->
+      """SELECT 'Map1' AS map_sheet,
+           md5('_filter:r' || chr(1) || 'eval: src[n_regionkey] == 2'
+               || chr(2) || 'Name' || chr(1) || 'src[n_name]')
+             AS rules_digest,
+           (SELECT count(*) FROM nation WHERE n_regionkey = 2)
+             AS rows_out,
+           'ok' AS status, FALSE AS has_error
+         UNION ALL
+         SELECT 'Map2',
+           md5('_type:n_name' || chr(1) || 'numeric'
+               || chr(2) || 'Name' || chr(1) || 'src[n_name]'),
+           CAST(-1 AS BIGINT), 'error', TRUE""",
 
     "etl_type_valid" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS Key,

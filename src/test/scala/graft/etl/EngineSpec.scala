@@ -385,5 +385,52 @@ class EngineSpec extends SparkSpec {
       (" SOURCE ", " S1 "), ("bogus", "x"), ("map", "")))
     assert(c == EngineConfig("S1", "Map", "Output"))
     intercept[graft.etl.dsl.Ast.DslError] { EngineConfig("", "m", "o") }
+    // history key accepted; path-shaped names rejected everywhere
+    assert(EngineConfig.fromKeyValues(Seq(("history", "Runs")))
+      .history == "Runs")
+    intercept[graft.etl.dsl.Ast.DslError] {
+      EngineConfig(history = "../runs")
+    }
+    intercept[graft.etl.dsl.Ast.DslError] { EngineConfig(map = "a/b") }
+  }
+
+  test("run history: ok and FAILED runs both recorded (failure still " +
+      "rethrown), digest tracks the rule sheet, disabled by default") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist")
+    java.nio.file.Files.writeString(dir.resolve("Source.csv"),
+      "K,V\n1,a\n2,b\n")
+    java.nio.file.Files.writeString(dir.resolve("Map.csv"),
+      "out,instr\n_filter:k,eval: src[K] == 1\nVal,src[V]\n")
+    java.nio.file.Files.writeString(dir.resolve("MapBad.csv"),
+      "out,instr\n_type:V,numeric\nVal,src[V]\n")
+    // default config: no history table materializes
+    Engine.runMapping(s, dir.toString)
+    assert(!new java.io.File(s"$dir/Runs").exists)
+    // ok run recorded
+    val n = Engine.runMapping(s, dir.toString,
+      EngineConfig(history = "Runs"))
+    assert(n == 1)
+    // failed run recorded AND rethrown
+    intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.runMapping(s, dir.toString,
+        EngineConfig(map = "MapBad", history = "Runs"))
+    }
+    val runs = s.read.parquet(s"$dir/Runs")
+      .orderBy("ts_ms", "status")
+      .select("map_sheet", "rules_digest", "rows_out", "status",
+        "error")
+      .collect()
+    assert(runs.length == 2)
+    val ok = runs.find(_.getString(3) == "ok").get
+    val bad = runs.find(_.getString(3) == "error").get
+    assert(ok.getString(0) == "Map" && ok.getLong(2) == 1 &&
+      ok.isNullAt(4))
+    assert(bad.getString(0) == "MapBad" && bad.getLong(2) == -1 &&
+      bad.getString(4).contains("Type violation"), bad.toString)
+    // the digest is a function of the rule sheet
+    assert(ok.getString(1) != bad.getString(1))
+    assert(ok.getString(1) == Engine.rulesDigest(Seq(
+      "_filter:k" -> "eval: src[K] == 1", "Val" -> "src[V]")))
   }
 }
