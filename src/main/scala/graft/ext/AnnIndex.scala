@@ -471,4 +471,105 @@ object AnnIndex {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** BATCH serve: answer a TABLE of queries in ONE pass over the
+    * index — per-query results HASH-IDENTICAL to [[search]] (pinned
+    * in AnnIndexSpec). [[search]] plans per query; production serving
+    * answers its whole query batch with one partition-pruned codes
+    * scan and one corpus rescore scan, whatever the batch size.
+    *
+    * Shape: the query batch is driver-materialized (it IS the serve
+    * batch — bounded by contract; shard huge query tables into
+    * batches). Probe cells and the per-(query, subspace) codebook dot
+    * tables are computed with EXACTLY the per-query driver arithmetic
+    * — same fold order, bit-identical doubles — and shipped as one
+    * broadcast probe table of |Q|·probes rows. Driver-materializing
+    * the batch is also what makes STATIC partition pruning possible:
+    * the union of probed cells (≤ nCells values, whatever |Q|) goes
+    * into the scan filter before any row is read. ADC scoring is the
+    * pruned codes scan broadcast-joined to the probe table; per-query
+    * shortlists and final top-k are qid-partitioned windows (two
+    * bounded exchanges keyed by qid). Tombstones and the streaming
+    * segment compose exactly like [[search]].
+    *
+    * @return (qid, idCol, score) — top-k per query, rank order
+    */
+  def searchBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      probes: Int = 2, k: Int = 10, nCand: Int = 80): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (meta, coarse, cents) = load(spark, dir)
+    val qrows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .toSeq
+    require(qrows.nonEmpty, "empty query batch")
+    qrows.foreach { case (qid, q) =>
+      require(q.length == meta.m * meta.sub,
+        s"query $qid dim ${q.length} != index dim ${meta.m * meta.sub}")
+    }
+    // per query: probe cells + the m×nCentroids qdot table, via the
+    // SAME driver folds as search() — bit-identical by construction
+    val probeRows = qrows.flatMap { case (qid, q) =>
+      val qd = q.map(_.toDouble)
+      def sdot(c: Seq[Float]): Double =
+        qd.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2.toDouble)
+      val probeCells = coarse.zipWithIndex
+        .map { case (c, j) => (sdot(c), j) }
+        .sortBy { case (d, j) => (-d, j) }.take(probes).map(_._2)
+      val qdots: Seq[Seq[Double]] = (0 until meta.m).map { sm =>
+        (0 until meta.nCentroids).map { c =>
+          val cent = cents((sm, c))
+          val qm = qd.slice(sm * meta.sub, (sm + 1) * meta.sub)
+          qm.zip(cent).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+        }
+      }
+      probeCells.map(cell => (qid, cell, qdots))
+    }
+    val probeDf = probeRows.toDF("__qid", "cell", "__qd")
+    val allCells = probeRows.map(_._2).distinct
+    // ONE pruned codes scan for the whole batch (union of probed
+    // cells, ≤ nCells partitions); segment + tombstones as in search
+    val fs = hfs(spark, dir)
+    val base = spark.read.parquet(s"$dir/codes")
+    val unioned = (if (fs.exists(hpath(dir, "codes_stream")))
+        base.unionByName(spark.read.parquet(s"$dir/codes_stream")
+          .select("id", "naa", "bc", "cell"))
+      else base)
+      .filter(col("cell").isin(allCells: _*))
+    val codes = if (!fs.exists(hpath(dir, "deletes"))) unioned
+      else unioned.join(spark.read.parquet(s"$dir/deletes"),
+        Seq("id"), "left_anti")
+    val qsum = (0 until meta.m).map(sm =>
+      element_at(element_at(col("__qd"), sm + 1),
+        element_at(col("bc"), sm + 1) + 1))
+      .reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("__qid")
+      .orderBy(desc("score"), col(idCol))
+    val cand = codes
+      .join(broadcast(probeDf), "cell")
+      .select(col("__qid"), col("id").as(idCol),
+        when(col("naa") === 0L, lit(0.0))
+          .otherwise(qsum / sqrt(col("naa").cast("double")))
+          .as("score"))
+      .withColumn("__rn", row_number().over(byQ))
+      .filter(col("__rn") <= nCand)
+      .select(col("__qid"), col(idCol))
+    val qvDf = qrows.map { case (qid, q) => (qid, q.map(_.toDouble)) }
+      .toDF("__qid", "__qv")
+    val rescoreByQ = Window.partitionBy("__qid")
+      .orderBy(desc("score"), col(idCol))
+    corpus.join(broadcast(cand), idCol)
+      .join(broadcast(qvDf), "__qid")
+      .select(col("__qid"), col(idCol),
+        (Similarity.dot(corpus, col(vecCol), col("__qv")) /
+          (Similarity.l2norm(corpus, col(vecCol)) *
+            Similarity.l2norm(corpus, col("__qv")))).as("score"))
+      .withColumn("__rn", row_number().over(rescoreByQ))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), col(idCol), col("score"))
+  }
 }

@@ -609,6 +609,31 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // BATCH serve against the SAME persisted index: a 10-query table
+    // answered in one pass — one partition-pruned codes scan for the
+    // union of probed cells, one corpus rescore scan, per-query
+    // windows (AnnIndexSpec pins the plan and row-identity to 10
+    // per-query search() calls). This is the production serve shape:
+    // per-query results at batch amortization. The oracle generalizes
+    // the train-prune-scan-rescore replay to qid-keyed CTEs.
+    "sim_ann_ivfpq_batch" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/$key"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      graft.ext.AnnIndex.ensureBuilt(embeddings(s, d), "vec_id",
+        "embedding", dir, nCells = 16, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      val queries = embeddings(s, d)
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+      graft.ext.AnnIndex.searchBatch(embeddings(s, d), "vec_id",
+          "embedding", dir, queries, "vec_id", "embedding",
+          probes = 2, k = 10, nCand = 80)
+        .select(col("qid"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // The INCREMENTAL leg of the persisted lifecycle: build the index
     // on the first 256 vectors, APPEND the rest encoded with FROZEN
     // quantizers (stored scale, codebooks, coarse cells — no
@@ -2791,6 +2816,118 @@ object PipelineQueries {
         SELECT vec_id, round(cs, 6) AS score FROM ex
         ORDER BY cs DESC, vec_id LIMIT 10"""
   }
+  /** Batch-serve oracle: `pqOracleSqlGen(restrictIvf = true)` with
+    * the single `vec_id = 0` query CTEs generalized to a qid-keyed
+    * BATCH (`batchPred` selects the query vectors) — probe pick,
+    * ADC pivot, shortlist, and rescore all partition by qid. The
+    * training CTEs are byte-identical to the single-query generator's
+    * (corpus-wide, trainPred TRUE); mirrors `AnnIndex.searchBatch`.
+    */
+  private def pqBatchOracleSql(batchPred: String): String = {
+    val m = 32; val sub = 2; val nc = 64; val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""a$k AS (SELECT cd.vec_id, cd.sm, cd.a, ck.c,
+             2 * list_sum(list_transform(range(1, ${sub + 1}),
+                 i -> CAST(cd.a[i] * ck.cent[i] AS BIGINT))) -
+             list_sum(list_transform(ck.cent,
+                 x -> CAST(x * x AS BIGINT))) AS sc
+             FROM cdT cd JOIN c${k - 1} ck USING (sm)),
+         b$k AS (SELECT vec_id, sm, a, c, row_number() OVER (
+                 PARTITION BY vec_id, sm ORDER BY sc DESC, c) AS rn
+                 FROM a$k),
+         m$k AS (SELECT sm, c, d, CAST(floor(
+                 CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER)
+                   AS mv
+                 FROM (SELECT b.sm, b.c, r.d, b.a[r.d + 1] AS x
+                       FROM b$k b
+                       CROSS JOIN unnest(range(0, $sub)) AS r(d)
+                       WHERE b.rn = 1) GROUP BY sm, c, d),
+         n$k AS (SELECT sm, c, list(mv ORDER BY d) AS cent
+                 FROM m$k GROUP BY sm, c),
+         c$k AS (SELECT p.sm, p.c, coalesce(n.cent, p.cent) AS cent
+                 FROM c${k - 1} p LEFT JOIN n$k n
+                 ON p.sm = n.sm AND p.c = n.c)"""
+    }.mkString(",\n")
+    val pivQ = (0 until m).map(i =>
+      s"sum(CASE WHEN sm = $i THEN qdot END) AS s$i").mkString(",\n")
+    val chainQ = (0 until m).map(i => s"s$i").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+        s0c AS (SELECT max(greatest(list_max(v), -list_min(v))) AS s
+                FROM v),
+        ms AS (SELECT unnest(range(0, $m)) AS sm),
+        cd AS (SELECT vec_id, ms.sm,
+               list_transform(
+                 list_slice(v.v, ms.sm*$sub + 1, ms.sm*$sub + $sub),
+                 x -> CAST(round(x * 127.0 / s0c.s) AS INTEGER)) AS a
+               FROM v, ms, s0c),
+        cdT AS (SELECT * FROM cd),
+        c0 AS (SELECT sm, CAST(vec_id AS INTEGER) AS c, a AS cent
+               FROM cd WHERE vec_id < $nc),
+        $iterCtes,
+        icv AS (SELECT vec_id AS cid, v AS cv FROM v
+                WHERE vec_id < 16),
+        iq AS (SELECT vec_id AS qid, v AS qv FROM v
+               WHERE $batchPred),
+        idp AS (SELECT a.vec_id, icv.cid,
+                ${dotSql("a.v", "icv.cv")} AS dp
+                FROM v a CROSS JOIN icv),
+        icell AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dp DESC, cid) AS rn FROM idp) WHERE rn = 1),
+        iqc AS (SELECT qid, cid FROM (
+            SELECT iq.qid, icv.cid, row_number() OVER (
+              PARTITION BY iq.qid
+              ORDER BY ${dotSql("iq.qv", "icv.cv")} DESC, icv.cid)
+              AS rn
+            FROM icv CROSS JOIN iq) WHERE rn <= 2),
+        mem AS (SELECT iqc.qid, icell.vec_id
+                FROM icell JOIN iqc USING (cid)),
+        qr AS (SELECT iq.qid, ms.sm,
+               list_slice(iq.qv, ms.sm*$sub + 1, ms.sm*$sub + $sub)
+                 AS qm
+               FROM iq, ms),
+        cb AS (SELECT qr.qid, ci.sm, ci.c, ci.cent,
+               list_sum(list_transform(range(1, ${sub + 1}),
+                 i -> qr.qm[i] * CAST(ci.cent[i] AS DOUBLE))) AS qdot,
+               list_sum(list_transform(ci.cent,
+                 x -> CAST(x * x AS BIGINT))) AS sq
+               FROM c$iters ci JOIN qr USING (sm)),
+        enc AS (SELECT cb.qid, cd.vec_id, cb.sm, cb.c, cb.qdot,
+                list_sum(list_transform(cd.a,
+                  x -> CAST(x * x AS BIGINT))) AS naa,
+                2 * list_sum(list_transform(range(1, ${sub + 1}),
+                  i -> CAST(cd.a[i] * cb.cent[i] AS BIGINT))) - cb.sq
+                  AS sc
+                FROM cd JOIN cb ON cd.sm = cb.sm
+                JOIN mem ON mem.vec_id = cd.vec_id
+                        AND mem.qid = cb.qid),
+        best AS (SELECT qid, vec_id, sm, qdot, naa, row_number() OVER (
+                 PARTITION BY qid, vec_id, sm ORDER BY sc DESC, c)
+                   AS rn
+                 FROM enc),
+        piv AS (SELECT qid, vec_id,
+                $pivQ,
+                sum(naa) AS nsum
+                FROM best WHERE rn = 1 GROUP BY qid, vec_id),
+        scq AS (SELECT qid, vec_id, CASE WHEN nsum = 0 THEN 0.0
+                ELSE ($chainQ) / sqrt(CAST(nsum AS DOUBLE)) END
+                  AS score
+                FROM piv),
+        cand AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, vec_id) AS rn FROM scq)
+            WHERE rn <= 80),
+        ex AS (SELECT cand.qid, s.vec_id,
+               ${dotSql("s.v", "iq.qv")} /
+                 (${normSql("s.v")} * ${normSql("iq.qv")}) AS cs
+               FROM v s JOIN cand ON s.vec_id = cand.vec_id
+               JOIN iq ON iq.qid = cand.qid)
+        SELECT qid, vec_id, round(cs, 6) AS score FROM (
+          SELECT qid, vec_id, cs, row_number() OVER (PARTITION BY qid
+            ORDER BY cs DESC, vec_id) AS rn FROM ex)
+        WHERE rn <= 10"""
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
   private def normSql(v: String) =
@@ -3101,6 +3238,9 @@ object PipelineQueries {
     // build-on-first-256 + frozen-quantizer append: training CTEs see
     // only vec_id < 256, encode/probe/rescore stay corpus-wide
     "sim_ann_ivfpq_append" -> pqOracleSqlGen(true, "vec_id < 256"),
+    // batch serve: the same replay, qid-keyed over the 10-query batch
+    "sim_ann_ivfpq_batch" ->
+      pqBatchOracleSql("vec_id % 50 = 0 AND vec_id < 500"),
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
     // -list_min of the exactly-widened doubles), code = round(127*x/s)

@@ -479,6 +479,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("INDEX_READY"), e.getMessage)
   }
 
+  test("batch serve: searchBatch over 10 query vectors is ROW-" +
+      "IDENTICAL to 10 per-query search() calls, with ONE codes scan " +
+      "and ONE corpus rescore scan in the pinned plan") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annidx5").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val batch = AnnIndex.searchBatch(emb, "vec_id", "embedding", dir,
+      queries, "vec_id", "embedding", probes = 2, k = 10, nCand = 80)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    assert(qids.length == 10 && got.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0)
+      val single = AnnIndex.search(emb, "vec_id", "embedding", dir,
+          qv, probes = 2, k = 10, nCand = 80)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) == single, s"qid=$qid: ${got(qid)} vs $single")
+    }
+    // pinned plan: one codes scan (pruned to the union of probed
+    // cells) + one corpus scan (rescore) + the driver-side batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AnnIndex.searchBatch(emb, "vec_id", "embedding", dir,
+        queries, "vec_id", "embedding", probes = 2, k = 10, nCand = 80)
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        })
+      val codeScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains(dir)))
+      assert(codeScans.size == 1,
+        s"ONE codes scan for the whole batch, got ${codeScans.size}")
+      val corpusScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("embeddings.parquet")))
+      assert(corpusScans.size == 1,
+        s"ONE corpus rescore scan, got ${corpusScans.size}")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tombstones: delete() hides ids from search immediately, " +
       "compactSegment physically drops them from the codes table and " +
       "clears the queue, ensureBuilt sees the mutated index as stale, " +
