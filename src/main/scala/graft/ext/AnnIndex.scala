@@ -409,6 +409,90 @@ object AnnIndex {
     (meta, coarse, cents)
   }
 
+  /** The logical codes table every serve path reads: base codes, the
+    * streaming segment unioned in when present, queued tombstones
+    * anti-joined away. A `cell` filter composed on top pushes through
+    * the union into both pruned scans.
+    */
+  private def codesTable(spark: SparkSession, dir: String): DataFrame = {
+    val fs = hfs(spark, dir)
+    val base = spark.read.parquet(s"$dir/codes")
+    val unioned = if (fs.exists(hpath(dir, "codes_stream")))
+        base.unionByName(spark.read.parquet(s"$dir/codes_stream")
+          .select("id", "naa", "bc", "cell"))
+      else base
+    if (!fs.exists(hpath(dir, "deletes"))) unioned
+    else unioned.join(spark.read.parquet(s"$dir/deletes"),
+      Seq("id"), "left_anti")
+  }
+
+  /** ANN-assisted near-duplicate pairs — the 100 TB route for the
+    * low-threshold `dedup_embed` regime, where sign-LSH banding
+    * cannot prune (at cosine ≥ 0.45 the banding S-curve passes almost
+    * everything, so `cosinePairsLsh` degenerates toward all-pairs —
+    * measured linear-ish in BENCH_SF1.md). Here candidate generation
+    * is CONFINED to the persisted index's coarse cells instead:
+    *
+    *   - the HOME side comes straight from the at-rest codes table
+    *     ((id, cell), no vector math, tombstones/segment composed);
+    *   - the PROBE side assigns each corpus vector to its top-
+    *     `probes` cells with one map-side projection (the same dot
+    *     ranking as the index quantizer, ties to the smaller cell);
+    *   - candidates are probe↔home co-occurrences within a cell —
+    *     work is Σ_cell |probers| · |members|, bounded by cell sizes
+    *     (production scales nCells with the corpus, keeping cells
+    *     capacity-bounded — the SemDeDup posture);
+    *   - exact cosine verifies candidates only.
+    *
+    * Approximate BY DESIGN: a true pair straddling cells that never
+    * probe each other is missed; recall against brute force is
+    * measured in AnnIndexSpec. Deterministic → exact SQL oracle.
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold
+    */
+  def cosinePairsIndexed(corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String, threshold: Double,
+      probes: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val (meta, coarse, cents) = load(spark, dir)
+    // top-`probes` cells, map-side: rank (dot DESC, cell ASC) via an
+    // ascending struct sort on (-dot, cell)
+    val sorted = array_sort(array(coarse.zipWithIndex.map {
+      case (c, j) =>
+        val cl = array(c.map(x => lit(x.toDouble)): _*)
+        struct((-Similarity.dot(corpus, col("v"), cl)).as("d"),
+          lit(j).as("c"))
+    }: _*))
+    val pcells = transform(slice(sorted, 1, probes), s => s("c"))
+    // tombstones are authoritative on BOTH sides: the home side via
+    // codesTable, the probe/verify side here (the corpus argument may
+    // be a snapshot that still contains deleted ids)
+    val nAll = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        Similarity.l2norm(corpus, col(vecCol)).as("nrm"))
+      .withColumn("pcells", pcells)
+    val n = (if (!hfs(spark, dir).exists(hpath(dir, "deletes"))) nAll
+      else nAll.join(spark.read.parquet(s"$dir/deletes"),
+        Seq("id"), "left_anti"))
+      .localCheckpoint(false)
+    val probe = n.select(col("id"), explode(col("pcells")).as("cell"))
+    val home = codesTable(spark, dir).select(col("id"), col("cell"))
+    val cand = probe.join(home.withColumnRenamed("id", "id2"), "cell")
+      .filter(col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"),
+        greatest(col("id"), col("id2")).as("id_b"))
+      .distinct()
+    cand
+      .join(n.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(n.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(corpus, col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Serve a top-k query from the persisted index: probed-cell
     * partition-pruned ADC scan + exact rescore. Hash-identical to
     * `Similarity.ivfPqTopK(df, ..., nCells, probes, m, nCentroids,
@@ -435,16 +519,8 @@ object AnnIndex {
     // filter pushes through the union, so both sides stay pruned.
     // Queued tombstones (delete/) anti-join the pruned scan — skinny
     // id list, AQE broadcasts it; compactSegment folds it physically.
-    val fs = hfs(spark, dir)
-    val base = spark.read.parquet(s"$dir/codes")
-    val unioned = (if (fs.exists(hpath(dir, "codes_stream")))
-        base.unionByName(spark.read.parquet(s"$dir/codes_stream")
-          .select("id", "naa", "bc", "cell"))
-      else base)
+    val codes = codesTable(spark, dir)
       .filter(col("cell").isin(probeCells: _*))
-    val codes = if (!fs.exists(hpath(dir, "deletes"))) unioned
-      else unioned.join(spark.read.parquet(s"$dir/deletes"),
-        Seq("id"), "left_anti")
     val qdotArr: Int => Column = sm =>
       array((0 until meta.nCentroids).map { c =>
         val cent = cents((sm, c))
@@ -532,16 +608,8 @@ object AnnIndex {
     val allCells = probeRows.map(_._2).distinct
     // ONE pruned codes scan for the whole batch (union of probed
     // cells, ≤ nCells partitions); segment + tombstones as in search
-    val fs = hfs(spark, dir)
-    val base = spark.read.parquet(s"$dir/codes")
-    val unioned = (if (fs.exists(hpath(dir, "codes_stream")))
-        base.unionByName(spark.read.parquet(s"$dir/codes_stream")
-          .select("id", "naa", "bc", "cell"))
-      else base)
+    val codes = codesTable(spark, dir)
       .filter(col("cell").isin(allCells: _*))
-    val codes = if (!fs.exists(hpath(dir, "deletes"))) unioned
-      else unioned.join(spark.read.parquet(s"$dir/deletes"),
-        Seq("id"), "left_anti")
     val qsum = (0 until meta.m).map(sm =>
       element_at(element_at(col("__qd"), sm + 1),
         element_at(col("bc"), sm + 1) + 1))

@@ -321,6 +321,37 @@ object PipelineQueries {
           CosineThreshold, EmbedBands, EmbedRowsPerBand)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // The 100 TB route for dedup_embed's low-threshold tail: at
+    // cosine >= 0.45 sign-LSH banding can't prune (BENCH_SF1 measured
+    // cosinePairsLsh ~linear toward all-pairs there), so candidates
+    // come from a PERSISTED index instead — home assignments read
+    // from the at-rest codes table, probe-4 cell assignment as one
+    // map-side projection, pair work bounded per cell, exact cosine
+    // verify on candidates only. The index is built with CAPACITY-
+    // BOUNDED cells (nCells = max(16, N/125), the production posture:
+    // cell size stays ~constant as the corpus grows, so candidate
+    // work is probes·cellSize·N = LINEAR in N, where fixed nCells
+    // would be quadratic). Approximate by design (cross-cell pairs
+    // that never probe each other are missed — recall vs brute force
+    // measured in AnnIndexSpec); deterministic, so the oracle replays
+    // it exactly, including the nCells scaling rule.
+    "dedup_embed_ann" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
+          "embedding", dir, CosineThreshold, probes = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     // prune near-identical members WITHIN each cluster — the
     // cluster-then-prune shape that makes semantic dedup tractable at
@@ -3126,6 +3157,37 @@ object PipelineQueries {
                    FROM bands a JOIN bands b
                    ON a.band = b.band AND a.bk = b.bk
                       AND a.vec_id < b.vec_id),
+          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v)
+          SELECT id_a, id_b, round(cs, 6) AS cos FROM (
+            SELECT id_a, id_b,
+              ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+            FROM cand JOIN n a ON cand.id_a = a.vec_id
+                      JOIN n b ON cand.id_b = b.vec_id)
+          WHERE cs >= $CosineThreshold""",
+
+    // ANN-assisted replay: home = argmax cell (the index build's
+    // quantizer over the first max(16, N/125) vectors — the
+    // capacity-bounded scaling rule), probe = top-4 cells (ties to
+    // the smaller cid), candidates are probe-home co-occurrences,
+    // exact cosine verify
+    "dedup_embed_ann" ->
+      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          icv AS (SELECT vec_id AS cid, v AS cv FROM v
+                  WHERE vec_id < (SELECT greatest(16, count(*) // 125)
+                                  FROM embeddings)),
+          dd AS (SELECT a.vec_id, icv.cid,
+                 ${dotSql("a.v", "icv.cv")} AS dp
+                 FROM v a CROSS JOIN icv),
+          rk AS (SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+                 FROM dd),
+          home AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+          probe AS (SELECT vec_id, cid FROM rk WHERE rn <= 4),
+          cand AS (SELECT DISTINCT
+                     least(p.vec_id, h.vec_id) AS id_a,
+                     greatest(p.vec_id, h.vec_id) AS id_b
+                   FROM probe p JOIN home h
+                   ON p.cid = h.cid AND p.vec_id <> h.vec_id),
           n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v)
           SELECT id_a, id_b, round(cs, 6) AS cos FROM (
             SELECT id_a, id_b,

@@ -524,6 +524,41 @@ class AnnIndexSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("cosinePairsIndexed: probe-confined near-dup pairs are a " +
+      "SUBSET of brute-force truth (exact verify = perfect precision) " +
+      "with measured recall >= 0.7 at probes=4; composes tombstones") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annidx6").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    val pairs = AnnIndex.cosinePairsIndexed(emb, "vec_id", "embedding",
+        dir, 0.45, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth: every pair at cosine >= threshold
+    val n = emb.select(col("vec_id"), col("embedding").as("v"),
+      Similarity.l2norm(emb, col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(Similarity.dot(emb, col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.45)
+      .select("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(brute), "exact verify admits no false pairs")
+    val recall = pairs.size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall (${pairs.size}/${brute.size})")
+    // a tombstoned id drops out of the pair stream immediately
+    val victim = pairs.head._1
+    AnnIndex.delete(s, dir, Seq(victim))
+    val after = AnnIndex.cosinePairsIndexed(emb, "vec_id", "embedding",
+        dir, 0.45, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.forall(p => p._1 != victim && p._2 != victim))
+  }
+
   test("tombstones: delete() hides ids from search immediately, " +
       "compactSegment physically drops them from the codes table and " +
       "clears the queue, ensureBuilt sees the mutated index as stale, " +
