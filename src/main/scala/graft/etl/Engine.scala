@@ -60,10 +60,45 @@ object Engine {
       fn: (DataFrame, String) => DataFrame): Unit =
     pluginRegistry.put(name.trim, fn)
 
+  /** SESSION-scoped plugin registration: visible only to mappings
+    * whose source DataFrame belongs to `spark` (including name
+    * overrides of the JVM-wide built-ins). Embedded multi-tenant use
+    * registers per session and cannot cross-talk — two sessions'
+    * same-named plugins stay isolated (spec'd). Weakly keyed: a
+    * closed session's plugins are GC-reclaimed.
+    */
+  def registerPlugin(spark: SparkSession, name: String,
+      fn: (DataFrame, String) => DataFrame): Unit =
+    sessionPlugins.synchronized {
+      sessionPlugins.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+        .put(name.trim, fn); ()
+    }
+
+  private val sessionPlugins = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (DataFrame, String) => DataFrame]]()
+
+  /** The resolved registry a given session sees: JVM-wide built-ins
+    * overlaid by its session-scoped registrations (overlay wins).
+    */
+  private def pluginsFor(spark: SparkSession)
+      : Map[String, (DataFrame, String) => DataFrame] = {
+    val overlay = sessionPlugins.synchronized {
+      Option(sessionPlugins.get(spark)).map(_.toMap).getOrElse(
+        Map.empty[String, (DataFrame, String) => DataFrame])
+    }
+    pluginRegistry.toMap ++ overlay
+  }
+
   def registeredPlugins: Set[String] = pluginRegistry.keySet.toSet
 
-  private def applyPlugin(cur: DataFrame, p: Ast.PluginRule): DataFrame = {
-    val out = GraftFunctions.displayString(pluginRegistry(p.name)(cur, p.args))
+  def registeredPlugins(spark: SparkSession): Set[String] =
+    pluginsFor(spark).keySet
+
+  private def applyPlugin(
+      plugins: Map[String, (DataFrame, String) => DataFrame])(
+      cur: DataFrame, p: Ast.PluginRule): DataFrame = {
+    val out = GraftFunctions.displayString(plugins(p.name)(cur, p.args))
     if (out.columns.toSeq != cur.columns.toSeq)
       throw Ast.DslError(s"""Plugin "${p.name}" must preserve the """ +
         s"""sheet's columns (rule: "${p.header}"): """ +
@@ -107,9 +142,10 @@ object Engine {
       throw Ast.DslError("Source has no header row.")
     val sheetDisplays =
       sheets.map { case (n, df) => n -> GraftFunctions.displayString(df) }
+    val plugins = pluginsFor(source.sparkSession)
     val rules = Parser.parse(mapRules, display.columns.toSeq,
       sheetDisplays.map { case (n, d) => n -> d.columns.toSeq },
-      registeredPlugins)
+      plugins.keySet)
 
     // `_join:` rules, in rule order. The other side is renamed behind
     // a per-join prefix (no ambiguous attributes), then the merged
@@ -132,7 +168,7 @@ object Engine {
     // `_plugin:` rules, in rule order, over the post-join sheet —
     // before the stamp so a plugin never sees engine-internal columns
     // (a full-row dedupe over a unique stamp would be a no-op).
-    val withPlugins = rules.plugins.foldLeft(joined)(applyPlugin)
+    val withPlugins = rules.plugins.foldLeft(joined)(applyPlugin(plugins))
 
     // `_type:` declarations: ONE map-side-combinable aggregate over
     // the post-join, post-plugin, pre-filter frame, run eagerly here

@@ -380,6 +380,42 @@ class EngineSpec extends SparkSpec {
     assert(e.message.contains("path separators"), e.message)
   }
 
+  test("session-scoped plugins: two sessions' same-named plugins are " +
+      "ISOLATED; a session overlay overrides a JVM-wide built-in for " +
+      "that session only") {
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    def df(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq(("a", "1")).toDF("K", "V")
+    }
+    Engine.registerPlugin(s1, "mine",
+      (d, _) => d.withColumn("K", concat(col("K"), lit("-s1"))))
+    // visible in s1
+    assert(Engine.transform(df(s1), Seq("_plugin:mine" -> "",
+      "K" -> "src[K]")).collect().head.getString(0) == "a-s1")
+    // NOT visible in s2: parse error listing only s2's registry
+    val e = intercept[graft.etl.dsl.Ast.DslError] {
+      Engine.transform(df(s2), Seq("_plugin:mine" -> "",
+        "K" -> "src[K]"))
+    }
+    assert(e.message.contains("mine"), e.message)
+    // s2 can define its own 'mine' with different behavior
+    Engine.registerPlugin(s2, "mine",
+      (d, _) => d.withColumn("K", concat(col("K"), lit("-s2"))))
+    assert(Engine.transform(df(s2), Seq("_plugin:mine" -> "",
+      "K" -> "src[K]")).collect().head.getString(0) == "a-s2")
+    assert(Engine.transform(df(s1), Seq("_plugin:mine" -> "",
+      "K" -> "src[K]")).collect().head.getString(0) == "a-s1")
+    // a session overlay shadows the JVM-wide built-in per session
+    Engine.registerPlugin(s1, "upper",
+      (d, _) => d.withColumn("K", lit("shadowed")))
+    assert(Engine.transform(df(s1), Seq("_plugin:upper" -> "K",
+      "K" -> "src[K]")).collect().head.getString(0) == "shadowed")
+    assert(Engine.transform(df(s2), Seq("_plugin:upper" -> "K",
+      "K" -> "src[K]")).collect().head.getString(0) == "A")
+  }
+
   test("config parsing: defaults, unknown keys, case/trim") {
     val c = EngineConfig.fromKeyValues(Seq(
       (" SOURCE ", " S1 "), ("bogus", "x"), ("map", "")))
