@@ -34,7 +34,20 @@ object Verify {
     // block (lineage truncated by design); keep real warnings readable
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // late/cancelled task completions reporting SQLMetrics against
+    // GC'd accumulators are metrics-display-only (see Bench for the
+    // r13 root-cause note); real failures surface as query exceptions
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.AccumulatorContext",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
+    // `prev` pins the previous query's SQLMetrics accumulators until
+    // the passive fence drains — same straggler race as Bench
+    // (VERDICT r12 #1; cancellation makes it worse, see Bench).
+    var prev: org.apache.spark.sql.DataFrame = null
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -42,17 +55,22 @@ object Verify {
       // localCheckpoint blocks so 90 queries' worth of executor
       // storage doesn't accumulate (same fix as Bench — measured 30%
       // off the whole-run wall clock there). Blocking, like Bench:
-      // async removal lands inside the NEXT query's jobs. Fence
-      // stragglers first (same race as Bench — VERDICT r12 #1).
+      // async removal lands inside the NEXT query's jobs. Straggler
+      // fence first: cancel abandoned work, drain, release pins.
       spark.sparkContext.cancelAllJobs()
       val fence = System.nanoTime() + 5000000000L
       while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
           && System.nanoTime() < fence)
         Thread.sleep(10)
+      prev = null
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        prev = df
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
