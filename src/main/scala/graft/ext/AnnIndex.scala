@@ -430,29 +430,41 @@ object AnnIndex {
     * low-threshold `dedup_embed` regime, where sign-LSH banding
     * cannot prune (at cosine ≥ 0.45 the banding S-curve passes almost
     * everything, so `cosinePairsLsh` degenerates toward all-pairs —
-    * measured linear-ish in BENCH_SF1.md). Here candidate generation
+    * measured 25× at 10× data in BENCH_SF1.md). Candidate generation
     * is CONFINED to the persisted index's coarse cells instead:
     *
-    *   - the HOME side comes straight from the at-rest codes table
-    *     ((id, cell), no vector math, tombstones/segment composed);
-    *   - the PROBE side assigns each corpus vector to its top-
-    *     `probes` cells with one map-side projection (the same dot
-    *     ranking as the index quantizer, ties to the smaller cell);
-    *   - candidates are probe↔home co-occurrences within a cell —
-    *     work is Σ_cell |probers| · |members|, bounded by cell sizes
-    *     (production scales nCells with the corpus, keeping cells
-    *     capacity-bounded — the SemDeDup posture);
+    *   - the index contributes its TRAINED quantizer (bounded coarse
+    *     side table), its staleness lifecycle, and its tombstones;
+    *   - each corpus vector is assigned to its top-`probes` cells
+    *     with one map-side projection (the same dot ranking as the
+    *     index quantizer, ties to the smaller cell);
+    *   - candidates are PROBE↔PROBE co-occurrences within a cell
+    *     (multi-probe on BOTH sides: a pair straddling a cell
+    *     boundary is caught when both merely REACH the cell between
+    *     them — probe×home missed those, measured 0.33 recall at
+    *     sf1.0 vs 0.52 for probe×probe at the same probes=4);
+    *   - work is Σ_cell |probers_c|² ≈ probes²·cellSize·N — LINEAR
+    *     in N at fixed probes when cells are capacity-bounded
+    *     (production scales nCells with the corpus — the SemDeDup
+    *     posture; the dedup_embed_ann query builds with
+    *     nCells = max(16, N/125));
     *   - exact cosine verifies candidates only.
     *
-    * Approximate BY DESIGN: a true pair straddling cells that never
-    * probe each other is missed; recall against brute force is
-    * measured in AnnIndexSpec. Deterministic → exact SQL oracle.
+    * Approximate BY DESIGN: a true pair whose two sides never probe a
+    * common cell is missed. `probes` is the recall/work knob —
+    * measured at sf1.0 against brute force (tools/PairRecall):
+    * p=4 → 0.52 recall / 11 s, p=6 → 0.75 / 25 s, p=8 → 0.89 / 33 s
+    * (BEATING the sign-LSH leg's 0.87 / 52 s on both axes), p=12 →
+    * 0.98 / 148 s; precision is always 1.0 (exact verify). The
+    * oracle-checked query pins p=4 (keeps the SQL replay tractable);
+    * production picks p per its recall target and audits with
+    * PairRecall. Deterministic → exact SQL oracle.
     *
     * @return (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold
     */
   def cosinePairsIndexed(corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, threshold: Double,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     val (meta, coarse, cents) = load(spark, dir)
     // top-`probes` cells, map-side: rank (dot DESC, cell ASC) via an
@@ -476,11 +488,10 @@ object AnnIndex {
         Seq("id"), "left_anti"))
       .localCheckpoint(false)
     val probe = n.select(col("id"), explode(col("pcells")).as("cell"))
-    val home = codesTable(spark, dir).select(col("id"), col("cell"))
-    val cand = probe.join(home.withColumnRenamed("id", "id2"), "cell")
-      .filter(col("id") =!= col("id2"))
-      .select(least(col("id"), col("id2")).as("id_a"),
-        greatest(col("id"), col("id2")).as("id_b"))
+    val cand = probe
+      .join(probe.select(col("id").as("id2"), col("cell")), "cell")
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
       .distinct()
     cand
       .join(n.select(col("id").as("id_a"), col("v").as("va"),

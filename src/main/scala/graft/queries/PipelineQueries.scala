@@ -3165,11 +3165,11 @@ object PipelineQueries {
                       JOIN n b ON cand.id_b = b.vec_id)
           WHERE cs >= $CosineThreshold""",
 
-    // ANN-assisted replay: home = argmax cell (the index build's
-    // quantizer over the first max(16, N/125) vectors — the
-    // capacity-bounded scaling rule), probe = top-4 cells (ties to
-    // the smaller cid), candidates are probe-home co-occurrences,
-    // exact cosine verify
+    // ANN-assisted replay: the index quantizer over the first
+    // max(16, N/125) vectors (the capacity-bounded scaling rule),
+    // probe = top-4 cells per vector (ties to the smaller cid),
+    // candidates are probe-probe co-occurrences (multi-probe BOTH
+    // sides), exact cosine verify
     "dedup_embed_ann" ->
       s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
           icv AS (SELECT vec_id AS cid, v AS cv FROM v
@@ -3181,13 +3181,10 @@ object PipelineQueries {
           rk AS (SELECT vec_id, cid, row_number() OVER (
                  PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
                  FROM dd),
-          home AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
           probe AS (SELECT vec_id, cid FROM rk WHERE rn <= 4),
-          cand AS (SELECT DISTINCT
-                     least(p.vec_id, h.vec_id) AS id_a,
-                     greatest(p.vec_id, h.vec_id) AS id_b
-                   FROM probe p JOIN home h
-                   ON p.cid = h.cid AND p.vec_id <> h.vec_id),
+          cand AS (SELECT DISTINCT p.vec_id AS id_a, q.vec_id AS id_b
+                   FROM probe p JOIN probe q
+                   ON p.cid = q.cid AND p.vec_id < q.vec_id),
           n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v)
           SELECT id_a, id_b, round(cs, 6) AS cos FROM (
             SELECT id_a, id_b,
