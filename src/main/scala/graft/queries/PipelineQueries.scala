@@ -323,18 +323,19 @@ object PipelineQueries {
 
     // The 100 TB route for dedup_embed's low-threshold tail: at
     // cosine >= 0.45 sign-LSH banding can't prune (BENCH_SF1 measured
-    // cosinePairsLsh ~linear toward all-pairs there), so candidates
-    // come from a PERSISTED index instead — home assignments read
-    // from the at-rest codes table, probe-4 cell assignment as one
-    // map-side projection, pair work bounded per cell, exact cosine
-    // verify on candidates only. The index is built with CAPACITY-
-    // BOUNDED cells (nCells = max(16, N/125), the production posture:
-    // cell size stays ~constant as the corpus grows, so candidate
-    // work is probes·cellSize·N = LINEAR in N, where fixed nCells
-    // would be quadratic). Approximate by design (cross-cell pairs
-    // that never probe each other are missed — recall vs brute force
-    // measured in AnnIndexSpec); deterministic, so the oracle replays
-    // it exactly, including the nCells scaling rule.
+    // the LSH leg 25x at 10x data), so candidates are confined to the
+    // PERSISTED index's coarse cells instead — probe-4 cell
+    // assignment as one map-side projection under the index's trained
+    // quantizer, candidates = probe-probe co-occurrences, exact
+    // cosine verify on candidates only. The index is built with
+    // CAPACITY-BOUNDED cells (nCells = max(16, N/125), the production
+    // posture: cell size stays ~constant as the corpus grows, so
+    // candidate work is probes^2·cellSize·N = LINEAR in N — measured
+    // ~10x at 10x data vs the LSH leg's 25x). Approximate by design
+    // (pairs whose sides never probe a shared cell are missed —
+    // recall vs brute force measured in AnnIndexSpec and BENCH_SF1,
+    // with the probes knob curve); deterministic, so the oracle
+    // replays it exactly, including the nCells scaling rule.
     "dedup_embed_ann" -> ((s, d) => {
       val key = new java.io.File(d).getCanonicalPath
         .replaceAll("[^A-Za-z0-9.]+", "_")
