@@ -583,6 +583,12 @@ class AnnIndexSpec extends SparkSpec {
     assert(!after.contains(victim), s"deleted id $victim still served")
     assert(after.take(4) == before.drop(1).take(4),
       s"survivors must keep their order: $after vs $before")
+    // batch serve reads the same logical codes table → same exclusion
+    val afterBatch = AnnIndex.searchBatch(emb, "vec_id", "embedding",
+        dir, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        probes = 16, k = 5, nCand = 4096)
+      .collect().map(_.getLong(1)).toSeq
+    assert(afterBatch == after, s"$afterBatch vs $after")
     // the mutated index is STALE for the single-corpus freshness check
     assert(AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
       nCells = 16, m = 32, nCentroids = 64, iters = 1,
