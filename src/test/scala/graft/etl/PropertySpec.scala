@@ -139,4 +139,77 @@ class PropertySpec extends SparkSpec {
         s"for condition '$cond': spark=$actual ref=$expected")
     }
   }
+
+  // ---- differential eval2 (extended mode) ----
+
+  /** One comparison leaf under the extended contract: the same
+    * single-condition semantics as refEval, forced two-valued (a NaN
+    * relation is FALSE — so `!` over it is TRUE, never SQL null).
+    */
+  private def refLeaf(cond: String): Boolean = refEval(cond)
+
+  private sealed trait BT
+  private case class BL(cond: String) extends BT
+  private case class BAnd(l: BT, r: BT) extends BT
+  private case class BOr(l: BT, r: BT) extends BT
+  private case class BNot(e: BT) extends BT
+
+  /** Render a tree to eval2 text with the MINIMAL parens the grammar
+    * needs (|| child under && gets parens; non-leaf under ! gets
+    * parens; associativity needs none — re-parsing may re-associate
+    * but evaluates identically), so the differential also exercises
+    * precedence-driven parsing, not just fully-parenthesized trees.
+    */
+  private def renderB(t: BT): String = t match {
+    case BL(c) => c
+    case BNot(BL(c)) => s"!$c"
+    case BNot(e) => s"!(${renderB(e)})"
+    case BAnd(l, r) =>
+      def part(x: BT) = x match {
+        case BOr(_, _) => s"(${renderB(x)})"
+        case _         => renderB(x)
+      }
+      s"${part(l)} && ${part(r)}"
+    case BOr(l, r) => s"${renderB(l)} || ${renderB(r)}"
+  }
+
+  private def evalB(t: BT, v: String): Boolean = t match {
+    case BL(c)      => refLeaf(c.replace("src[v]", v))
+    case BNot(e)    => !evalB(e, v)
+    case BAnd(l, r) => evalB(l, v) && evalB(r, v)
+    case BOr(l, r)  => evalB(l, v) || evalB(r, v)
+  }
+
+  private val leafGen: Gen[BT] = for {
+    op <- Gen.oneOf(ops)
+    lit <- Gen.oneOf(literals)
+    srcLeft <- Gen.oneOf(true, false)
+  } yield BL(if (srcLeft) s"src[v] $op $lit" else s"$lit $op src[v]")
+
+  private def treeGen(depth: Int): Gen[BT] =
+    if (depth <= 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      2 -> (for { l <- treeGen(depth - 1); r <- treeGen(depth - 1) }
+        yield BAnd(l, r)),
+      2 -> (for { l <- treeGen(depth - 1); r <- treeGen(depth - 1) }
+        yield BOr(l, r)),
+      2 -> treeGen(depth - 1).map(BNot(_)))
+
+  test("compiled eval2 expression tree matches the reference " +
+      "two-valued boolean semantics on randomized &&/||/!/paren " +
+      "trees (precedence-minimal rendering)") {
+    val s = spark
+    import s.implicits._
+    val df = values.toDF("v")
+    samples(treeGen(3), 60).foreach { tree =>
+      val text = renderB(tree)
+      val expected = values.filter(v => evalB(tree, v)).sorted
+      val actual = Engine.transform(df,
+          Seq("_filter:t" -> s"eval2: $text", "Out" -> "src[v]"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(actual == expected,
+        s"for expression '$text': spark=$actual ref=$expected")
+    }
+  }
 }
