@@ -64,29 +64,61 @@ object Engine {
     * whose source DataFrame belongs to `spark` (including name
     * overrides of the JVM-wide built-ins). Embedded multi-tenant use
     * registers per session and cannot cross-talk — two sessions'
-    * same-named plugins stay isolated (spec'd). Weakly keyed: a
-    * closed session's plugins are GC-reclaimed.
+    * same-named plugins stay isolated (spec'd). Keyed by the session's
+    * UUID, NOT weakly by the session object: plugin closures routinely
+    * capture the session (directly or via a captured DataFrame), and
+    * that value→key strong reference would silently defeat a weak key.
+    * Long-lived multi-tenant hosts call [[clearPlugins]] when they
+    * retire a session; a leaked entry is a small map, never a pinned
+    * SparkSession.
     */
   def registerPlugin(spark: SparkSession, name: String,
-      fn: (DataFrame, String) => DataFrame): Unit =
-    sessionPlugins.synchronized {
-      sessionPlugins.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty)
-        .put(name.trim, fn); ()
-    }
+      fn: (DataFrame, String) => DataFrame): Unit = {
+    sessionPlugins
+      .getOrElseUpdate(sessionKey(spark),
+        scala.collection.concurrent.TrieMap.empty)
+      .put(name.trim, fn); ()
+  }
 
-  private val sessionPlugins = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, (DataFrame, String) => DataFrame]]()
+  /** Drop every session-scoped plugin of `spark` — call when a
+    * multi-tenant host retires the session.
+    */
+  def clearPlugins(spark: SparkSession): Unit =
+    sessionKeyIfAny(spark).foreach(sessionPlugins.remove)
+
+  /** A stable per-session identity, carried in the session's OWN
+    * runtime conf (RuntimeConfig is session-scoped, so two sessions
+    * can never read each other's key; a cloned session copies the
+    * conf and thus SHARES its parent's overlay — documented). Created
+    * lazily on first registration; sessions that never register read
+    * no overlay and are never written to.
+    */
+  private val SessionKeyConf = "graft.plugins.sessionKey"
+
+  private def sessionKeyIfAny(spark: SparkSession): Option[String] =
+    Option(spark.conf.get(SessionKeyConf, "")).filter(_.nonEmpty)
+
+  private def sessionKey(spark: SparkSession): String = synchronized {
+    sessionKeyIfAny(spark).getOrElse {
+      val k = java.util.UUID.randomUUID.toString
+      spark.conf.set(SessionKeyConf, k)
+      k
+    }
+  }
+
+  private val sessionPlugins = scala.collection.concurrent.TrieMap
+    .empty[String,
+      scala.collection.concurrent.TrieMap[String, (DataFrame, String) => DataFrame]]
 
   /** The resolved registry a given session sees: JVM-wide built-ins
     * overlaid by its session-scoped registrations (overlay wins).
     */
   private def pluginsFor(spark: SparkSession)
       : Map[String, (DataFrame, String) => DataFrame] = {
-    val overlay = sessionPlugins.synchronized {
-      Option(sessionPlugins.get(spark)).map(_.toMap).getOrElse(
-        Map.empty[String, (DataFrame, String) => DataFrame])
-    }
+    val overlay = sessionKeyIfAny(spark)
+      .flatMap(sessionPlugins.get)
+      .map(_.toMap)
+      .getOrElse(Map.empty[String, (DataFrame, String) => DataFrame])
     pluginRegistry.toMap ++ overlay
   }
 
@@ -347,9 +379,15 @@ object Engine {
         name -> readSheetCsv(spark, s"$dir/$name.csv")
       }.toMap
       val out = transform(source, rules, sheets = sheets)
-      out.write.mode("overwrite").option("header", true)
+      // the row count rides an observe() metric on the WRITE job — one
+      // action executes the filter+project pipeline once (a second
+      // count() action would re-run the whole scan at 100 TB; pinned
+      // to one execution in EngineSpec via a QueryExecutionListener)
+      val rowsObs = new org.apache.spark.sql.Observation()
+      out.observe(rowsObs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").option("header", true)
         .option("escape", "\"").csv(s"$dir/${config.output}")
-      val n = out.count()
+      val n = rowsObs.get.apply("rows").asInstanceOf[Long]
       record(n, "ok", null)
       n
     } catch {

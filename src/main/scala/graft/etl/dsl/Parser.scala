@@ -207,7 +207,7 @@ object Parser {
     var depth = 0
     while (i < expr.length) {
       val c = expr.charAt(i)
-      val next = if (i + 1 < expr.length) expr.charAt(i + 1) else ' '
+      val next = if (i + 1 < expr.length) expr.charAt(i + 1) else '\u0000'
       if (c == '[') { depth += 1; buf += c; i += 1 }
       else if (c == ']') { depth -= 1; buf += c; i += 1 }
       else if (depth > 0) { buf += c; i += 1 }

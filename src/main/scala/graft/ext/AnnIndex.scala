@@ -53,6 +53,7 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   private val Marker = "INDEX_READY"
+  private val Lease = ".MAINT_LEASE"
   /** Bump when the on-disk layout changes shape. v2: optional
     * `deletes/` tombstone table beside the codes table.
     */
@@ -63,8 +64,10 @@ object AnnIndex {
   // from `dir`'s scheme, like parquetFingerprint always did — a
   // java.nio marker on an HDFS/S3 index dir would land on LOCAL disk
   // and silently disagree with the actual remote index state
-  // (ADVICE r12). Single-writer maintenance is assumed: build/append/
-  // delete/compact are offline index ops; concurrent SEARCHES are fine.
+  // (ADVICE r12). Single-writer maintenance is ENFORCED by an
+  // exclusive lease file (see withLease): a second concurrent
+  // build/append/delete/compact aborts loudly. Concurrent SEARCHES
+  // never take the lease and are always fine.
 
   private def hfs(spark: SparkSession, dir: String)
       : org.apache.hadoop.fs.FileSystem =
@@ -87,6 +90,36 @@ object AnnIndex {
         Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     }
+  }
+
+  /** Single-writer guard for index MAINTENANCE (build/append/delete/
+    * compact): an exclusive lease file created atomically
+    * (`FileSystem.create(overwrite = false)` — one winner per path on
+    * HDFS/local; S3A needs a stronger store for true atomicity, like
+    * every filesystem-rename commit protocol). A second concurrent
+    * writer fails the create and ABORTS LOUDLY instead of interleaving
+    * half-written segments under the other writer's marker. Fails
+    * CLOSED on a crash: the dead writer's lease blocks maintenance
+    * (searches are unaffected — they never take the lease) until an
+    * operator verifies no job is running and removes
+    * `<dir>/.MAINT_LEASE`; the failure mode is a refused rebuild,
+    * never a corrupted index.
+    */
+  private def withLease[T](spark: SparkSession, dir: String)
+      (body: => T): T = {
+    val fs = hfs(spark, dir)
+    fs.mkdirs(hpath(dir))
+    val p = hpath(dir, Lease)
+    val acquired =
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"ANN index maintenance lease held at $p — another " +
+          "build/append/delete/compact is running (or crashed: verify " +
+          "and remove the lease file)")
+    try body
+    finally { fs.delete(p, false); () }
   }
 
   /** Write the marker via tmp + rename: a crashed write leaves either
@@ -134,7 +167,15 @@ object AnnIndex {
     */
   def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
       nCells: Int = 16, m: Int = 8, nCentroids: Int = 16,
-      iters: Int = 3, fingerprint: String = ""): Unit = {
+      iters: Int = 3, fingerprint: String = ""): Unit =
+    withLease(df.sparkSession, dir) {
+      doBuild(df, idCol, vecCol, dir, nCells, m, nCentroids, iters,
+        fingerprint)
+    }
+
+  private def doBuild(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int, m: Int, nCentroids: Int,
+      iters: Int, fingerprint: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val coarse = Similarity.ivfCentroids(df, idCol, vecCol, nCells)
@@ -208,7 +249,13 @@ object AnnIndex {
     * single-writer — run one build/append/delete/compact at a time.
     */
   def append(df: DataFrame, idCol: String, vecCol: String,
-      dir: String, fingerprint: String = ""): Unit = {
+      dir: String, fingerprint: String = ""): Unit =
+    withLease(df.sparkSession, dir) {
+      doAppend(df, idCol, vecCol, dir, fingerprint)
+    }
+
+  private def doAppend(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, fingerprint: String): Unit = {
     val spark = df.sparkSession
     val (meta, coarse, cents) = load(spark, dir)
     // one shared map-side encode with the streaming ingest (PqBestCodes
@@ -232,15 +279,28 @@ object AnnIndex {
     * REMOVES documents maintains the index between rebuilds — an
     * append-only lifecycle would serve ghosts.
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    withLease(spark, dir) { doDelete(spark, dir, ids) }
+
+  private def doDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
     val prev = readMarker(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no committed ANN index at $dir — nothing to delete from"))
+    // materialize the ids ONCE: a non-deterministic source (a sampled
+    // frame, a limit without order) re-executed for the count could
+    // record a marker count that differs from the written rows
     val skinny = ids.select(ids.columns.head).toDF("id")
       .select(col("id").cast("long").as("id"))
-    skinny.write.mode("append").parquet(s"$dir/deletes")
+      .localCheckpoint(true)
     val n = skinny.count()
+    // marker FIRST: a crash between the two steps leaves a marker that
+    // no longer matches any pristine-corpus fingerprint, so ensureBuilt
+    // forces a (spurious but safe) rebuild — the reverse order would
+    // leave a mutated index under a fresh-looking marker, silently
+    // serving with rows missing
     writeMarker(spark, dir, prev + s"\n+delete[$n]")
+    skinny.write.mode("append").parquet(s"$dir/deletes")
   }
 
   def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
@@ -321,7 +381,10 @@ object AnnIndex {
     * @return rows moved from the segment (0 when only tombstones
     *         were folded)
     */
-  def compactSegment(spark: SparkSession, dir: String): Long = {
+  def compactSegment(spark: SparkSession, dir: String): Long =
+    withLease(spark, dir) { doCompactSegment(spark, dir) }
+
+  private def doCompactSegment(spark: SparkSession, dir: String): Long = {
     val fs = hfs(spark, dir)
     val segPath = hpath(dir, "codes_stream")
     val delPath = hpath(dir, "deletes")
@@ -460,34 +523,93 @@ object AnnIndex {
     * production picks p per its recall target and audits with
     * PairRecall. Deterministic → exact SQL oracle.
     *
+    * Cell ASSIGNMENT scales with a TWO-LEVEL coarse quantizer
+    * (`superProbes` > 0): with the production rule nCells ∝ N, flat
+    * assignment evaluates nCells dot products per row — O(N) per row,
+    * quadratic total, and an nCells-wide codegen expression. The
+    * hierarchy is built over the SAME trained centroid list: the
+    * first ceil(sqrt(nCells)) centroids double as super-cells, every
+    * centroid is assigned to its max-dot super (ties to the smaller
+    * super id, driver-side — bounded), and a row ranks only the
+    * CHILDREN of its top-`superProbes` supers (top-`probes` of that
+    * union by dot DESC, cell ASC). Per-row work drops to
+    * superProbes·√nCells dots = O(√N); the plan stays narrow at any
+    * nCells (the child table is broadcast DATA, not literal code —
+    * no Janino-width ceiling), at the cost of one skinny id-keyed
+    * exchange for the per-row top-`probes` rank. `superProbes` is a
+    * second recall knob of the same approximate-by-design kind as
+    * `probes` (a top cell whose super was not probed is missed);
+    * superProbes = 0 keeps the exact flat ranking, and
+    * superProbes ≥ nSuper is EXACTLY the flat ranking by construction
+    * (the union of all supers' children is all cells). AnnIndexSpec
+    * pins hierarchical == flat pairs at the battery operating point
+    * and that candidates stay confined to the chosen supers' children.
+    *
     * @return (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold
     */
   def cosinePairsIndexed(corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, threshold: Double,
-      probes: Int = 4): DataFrame = {
+      probes: Int = 4, superProbes: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val (meta, coarse, cents) = load(spark, dir)
-    // top-`probes` cells, map-side: rank (dot DESC, cell ASC) via an
-    // ascending struct sort on (-dot, cell)
-    val sorted = array_sort(array(coarse.zipWithIndex.map {
-      case (c, j) =>
-        val cl = array(c.map(x => lit(x.toDouble)): _*)
-        struct((-Similarity.dot(corpus, col("v"), cl)).as("d"),
-          lit(j).as("c"))
-    }: _*))
-    val pcells = transform(slice(sorted, 1, probes), s => s("c"))
     // tombstones are authoritative on BOTH sides: the home side via
     // codesTable, the probe/verify side here (the corpus argument may
     // be a snapshot that still contains deleted ids)
     val nAll = corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"),
         Similarity.l2norm(corpus, col(vecCol)).as("nrm"))
-      .withColumn("pcells", pcells)
     val n = (if (!hfs(spark, dir).exists(hpath(dir, "deletes"))) nAll
       else nAll.join(spark.read.parquet(s"$dir/deletes"),
         Seq("id"), "left_anti"))
       .localCheckpoint(false)
-    val probe = n.select(col("id"), explode(col("pcells")).as("cell"))
+    val probe =
+      if (superProbes <= 0) {
+        // flat top-`probes` cells, map-side: rank (dot DESC, cell ASC)
+        // via an ascending struct sort on (-dot, cell)
+        val sorted = array_sort(array(coarse.zipWithIndex.map {
+          case (c, j) =>
+            val cl = array(c.map(x => lit(x.toDouble)): _*)
+            struct((-Similarity.dot(corpus, col("v"), cl)).as("d"),
+              lit(j).as("c"))
+        }: _*))
+        val pcells = transform(slice(sorted, 1, probes), s => s("c"))
+        n.select(col("id"), explode(pcells).as("cell"))
+      } else {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val nSuper = math.ceil(math.sqrt(coarse.size.toDouble)).toInt
+        val supers = coarse.take(nSuper)
+        // the same left fold as the SQL replay and the search() driver
+        // arithmetic — bit-identical cross-engine doubles
+        def sdot(a: Seq[Float], b: Seq[Float]): Double =
+          a.zip(b).foldLeft(0.0)((acc, p) =>
+            acc + p._1.toDouble * p._2.toDouble)
+        // child -> super: max-dot super per centroid, ties to the
+        // smaller super id; driver-side over the bounded centroid list
+        val childDf = coarse.zipWithIndex.map { case (cv, c) =>
+          val sup = supers.zipWithIndex
+            .map { case (sv, s) => (sdot(cv, sv), s) }
+            .sortBy { case (d, s) => (-d, s) }.head._2
+          (sup, c, cv.map(_.toDouble))
+        }.toDF("__sup", "cell", "__cv")
+        // top-`superProbes` supers per row: a √nCells-wide struct sort
+        val ssorted = array_sort(array(supers.zipWithIndex.map {
+          case (sv, s) =>
+            val sl = array(sv.map(x => lit(x.toDouble)): _*)
+            struct((-Similarity.dot(corpus, col("v"), sl)).as("d"),
+              lit(s).as("s"))
+        }: _*))
+        val psup = transform(slice(ssorted, 1, superProbes), x => x("s"))
+        val byId = Window.partitionBy("id")
+          .orderBy(desc("__d"), col("cell"))
+        n.select(col("id"), col("v"), explode(psup).as("__sup"))
+          .join(broadcast(childDf), "__sup")
+          .select(col("id"), col("cell"),
+            Similarity.dot(corpus, col("v"), col("__cv")).as("__d"))
+          .withColumn("__rn", row_number().over(byId))
+          .filter(col("__rn") <= probes)
+          .select(col("id"), col("cell"))
+      }
     val cand = probe
       .join(probe.select(col("id").as("id2"), col("cell")), "cell")
       .filter(col("id") < col("id2"))
@@ -593,6 +715,14 @@ object AnnIndex {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .toSeq
     require(qrows.nonEmpty, "empty query batch")
+    // two rows sharing a qid would merge their candidates under one
+    // window partition — a silently-wrong single result set instead of
+    // two; the batch is already driver-materialized, so the check is free
+    locally {
+      val dups = qrows.groupBy(_._1).filter(_._2.length > 1).keys
+      require(dups.isEmpty,
+        s"duplicate qids in query batch: ${dups.toSeq.sorted.take(5).mkString(", ")}")
+    }
     qrows.foreach { case (qid, q) =>
       require(q.length == meta.m * meta.sub,
         s"query $qid dim ${q.length} != index dim ${meta.m * meta.sub}")
@@ -648,6 +778,110 @@ object AnnIndex {
           (Similarity.l2norm(corpus, col(vecCol)) *
             Similarity.l2norm(corpus, col("__qv")))).as("score"))
       .withColumn("__rn", row_number().over(rescoreByQ))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("qid"), col(idCol), col("score"))
+  }
+
+  /** DISTRIBUTED batch serve — [[searchBatch]] without the
+    * driver-materialized query table, for UNBOUNDED query tables
+    * ("join every document to its neighbors"). The query frame stays
+    * a distributed scan end to end (pinned in AnnIndexSpec: the
+    * executed plan reads the queries source, no collect):
+    *
+    *   - probe cells per query: the bounded coarse table (nCells
+    *     rows) is BROADCAST and cross-joined to the queries; a
+    *     qid-keyed window keeps the top-`probes` cells by
+    *     (dot DESC, cell ASC) — the same rank [[search]] computes on
+    *     the driver, now as a plan;
+    *   - the codes scan is semi-joined on the DISTINCT probed-cell
+    *     set (≤ nCells values, whatever |Q|) — dynamic pruning of the
+    *     cell-partitioned table replaces [[searchBatch]]'s static
+    *     IN-list;
+    *   - ADC scoring re-derives each (query, subspace) codebook dot
+    *     ON THE FLY from the raw query vector and the LITERAL codebook
+    *     (sub multiplies per term instead of a table lookup — the
+    *     codebooks are index geometry, bounded, so they inline as
+    *     codegen literals at any |Q|), with the same left folds and
+    *     the same m-term sum order as [[searchBatch]]'s broadcast qdot
+    *     table — results are row-identical (pinned);
+    *   - shortlist and top-k are qid-partitioned windows, and every
+    *     join carries only (qid, qvec) — dim doubles — through the
+    *     fanout.
+    *
+    * Duplicate qids fail IN-PLAN (raise_error under a qid-count
+    * window) — same contract as [[searchBatch]]'s driver check.
+    * Trade-offs vs [[searchBatch]]: the probe rank costs one
+    * |Q|·nCells cross product (broadcast, map-side) plus a qid
+    * exchange, and the codes⋈probes join is planned by AQE (a small
+    * batch broadcasts; a corpus-sized one shuffles on `cell`, whose
+    * ≤ nCells distinct values skew — shard such batches or salt the
+    * join). Use [[searchBatch]] when the batch is bounded and the
+    * bit-exact static-pruning contract matters.
+    */
+  def searchBatchDist(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      probes: Int = 2, k: Int = 10, nCand: Int = 80): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (meta, coarse, cents) = load(spark, dir)
+    val dim = meta.m * meta.sub
+    val dupW = Window.partitionBy("__qid")
+    val q0 = queries
+      .select(col(qidCol).cast("long").as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .select(col("__qid"),
+        when(count(lit(1)).over(dupW) > 1,
+          raise_error(concat(lit("duplicate qid in query batch: "),
+            col("__qid").cast("string"))))
+          .otherwise(
+            when(size(col("__qv")) =!= dim,
+              raise_error(concat(lit(s"query dim != index dim $dim: "),
+                col("__qid").cast("string"))))
+              .otherwise(col("__qv"))).as("__qv"))
+    val coarseDf = coarse.zipWithIndex
+      .map { case (v, j) => (j, v.map(_.toDouble)) }
+      .toDF("cell", "__cv")
+    val byQd = Window.partitionBy("__qid")
+      .orderBy(desc("__d"), col("cell"))
+    val probeQ = q0.crossJoin(broadcast(coarseDf))
+      .select(col("__qid"), col("__qv"), col("cell"),
+        Similarity.dot(corpus, col("__qv"), col("__cv")).as("__d"))
+      .withColumn("__rn", row_number().over(byQd))
+      .filter(col("__rn") <= probes)
+      .select(col("__qid"), col("__qv"), col("cell"))
+    // dynamic pruning: the ≤ nCells distinct probed cells semi-join
+    // the partition column of the codes scan
+    val codes = codesTable(spark, dir)
+      .join(probeQ.select("cell").distinct(), Seq("cell"), "left_semi")
+    // ADC on the fly: qdot(sm, bc[sm]) = dot(qm_sm, cent(sm, bc[sm]))
+    // with cent as a literal nCentroids x sub array per subspace —
+    // fold order and the m-term sum order match searchBatch exactly
+    val qsum = (0 until meta.m).map { sm =>
+      val centLit = array((0 until meta.nCentroids).map { c =>
+        array(cents((sm, c)).map(x => lit(x.toDouble)): _*)
+      }: _*)
+      Similarity.dot(corpus,
+        slice(col("__qv"), sm * meta.sub + 1, meta.sub),
+        element_at(centLit, element_at(col("bc"), sm + 1) + 1))
+    }.reduce(_ + _)
+    val byQ = Window.partitionBy("__qid")
+      .orderBy(desc("score"), col(idCol))
+    val cand = codes
+      .join(probeQ, "cell")
+      .select(col("__qid"), col("__qv"), col("id").as(idCol),
+        when(col("naa") === 0L, lit(0.0))
+          .otherwise(qsum / sqrt(col("naa").cast("double")))
+          .as("score"))
+      .withColumn("__rn", row_number().over(byQ))
+      .filter(col("__rn") <= nCand)
+      .select(col("__qid"), col("__qv"), col(idCol))
+    corpus.join(cand, idCol)
+      .select(col("__qid"), col(idCol),
+        (Similarity.dot(corpus, col(vecCol), col("__qv")) /
+          (Similarity.l2norm(corpus, col(vecCol)) *
+            Similarity.l2norm(corpus, col("__qv")))).as("score"))
+      .withColumn("__rn", row_number().over(byQ))
       .filter(col("__rn") <= k)
       .select(col("__qid").as("qid"), col(idCol), col("score"))
   }

@@ -336,6 +336,16 @@ object PipelineQueries {
     // recall vs brute force measured in AnnIndexSpec and BENCH_SF1,
     // with the probes knob curve); deterministic, so the oracle
     // replays it exactly, including the nCells scaling rule.
+    // Cell ASSIGNMENT is the TWO-LEVEL coarse quantizer (r14): the
+    // first ceil(sqrt(nCells)) trained centroids double as
+    // super-cells; a row ranks only the children of its top-3 supers
+    // — O(sqrt(N)) dots per row instead of the flat O(nCells)=O(N)
+    // under the production nCells ∝ N rule, and the plan stays narrow
+    // at any nCells (broadcast child table, not literal code).
+    // superProbes is a second recall knob; at this operating point the
+    // hierarchical pairs equal the flat ranking's on every tested SF
+    // (pinned in AnnIndexSpec), and the oracle replays the hierarchy
+    // exactly at any SF.
     "dedup_embed_ann" -> ((s, d) => {
       val key = new java.io.File(d).getCanonicalPath
         .replaceAll("[^A-Za-z0-9.]+", "_")
@@ -348,7 +358,32 @@ object PipelineQueries {
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
       graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
-          "embedding", dir, CosineThreshold, probes = 4)
+          "embedding", dir, CosineThreshold, probes = 4,
+          superProbes = 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // The HEADLINE operating point: probes=8 is where the indexed
+    // route beats the sign-LSH leg on BOTH axes (recall 0.89 vs 0.87,
+    // measured at sf1.0 with tools/PairRecall; wall-clock 33 s vs
+    // 52 s) — oracle-checked here so the configuration production
+    // would actually run is itself hash-verified, with the same
+    // two-level assignment (superProbes=3).
+    "dedup_embed_ann_p8" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
+          "embedding", dir, CosineThreshold, probes = 8,
+          superProbes = 3)
         .select(col("id_a"), col("id_b"),
           round(col("cos"), 6).as("cos"))
     }),
@@ -660,6 +695,34 @@ object PipelineQueries {
       val queries = embeddings(s, d)
         .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
       graft.ext.AnnIndex.searchBatch(embeddings(s, d), "vec_id",
+          "embedding", dir, queries, "vec_id", "embedding",
+          probes = 2, k = 10, nCand = 80)
+        .select(col("qid"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // DISTRIBUTED batch serve (r14): the same batch answered with the
+    // query table kept as a distributed scan end to end — probe cells
+    // from a broadcast coarse cross-join + qid window, dynamic
+    // cell-set semi-join pruning of the codes scan, ADC re-derived on
+    // the fly from the raw query vector and the literal codebooks
+    // (same folds, same m-term sum order → row-identical to
+    // searchBatch, pinned in AnnIndexSpec along with the
+    // no-driver-materialization plan shape). This is the route for
+    // UNBOUNDED query tables; searchBatch stays the bit-exact bounded
+    // serve contract. Same oracle replay as sim_ann_ivfpq_batch.
+    "sim_ann_ivfpq_batch_dist" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/$key"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      graft.ext.AnnIndex.ensureBuilt(embeddings(s, d), "vec_id",
+        "embedding", dir, nCells = 16, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      val queries = embeddings(s, d)
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+      graft.ext.AnnIndex.searchBatchDist(embeddings(s, d), "vec_id",
           "embedding", dir, queries, "vec_id", "embedding",
           probes = 2, k = 10, nCand = 80)
         .select(col("qid"), col("vec_id"),
@@ -2733,6 +2796,68 @@ object PipelineQueries {
 
   private val VecD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+  /** Generated dedup_embed_ann oracle: replays
+    * `AnnIndex.cosinePairsIndexed` — the capacity-bounded first-
+    * max(16, N/125) quantizer, probe assignment, probe×probe
+    * candidates, exact cosine verify. With `superProbes` > 0 the
+    * probe CTEs replay the TWO-LEVEL assignment exactly: supers are
+    * the first ceil(sqrt(nCells)) centroids, each centroid joins its
+    * max-dot super (ties to the smaller super id), each row ranks
+    * only the children of its top-`superProbes` supers. sqrt/ceil at
+    * these integer points are IEEE-exact cross-engine; every dot is
+    * the pinned left fold.
+    */
+  private def embedAnnOracleSql(probes: Int, superProbes: Int): String = {
+    val probeCtes =
+      if (superProbes <= 0)
+        s"""dd AS (SELECT a.vec_id, icv.cid,
+                 ${dotSql("a.v", "icv.cv")} AS dp
+                 FROM v a CROSS JOIN icv),
+          probe AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+                 FROM dd) WHERE rn <= $probes)"""
+      else
+        s"""sup AS (SELECT cid AS sid, cv AS sv FROM icv
+                  WHERE cid < (SELECT CAST(ceil(sqrt(nc)) AS BIGINT)
+                               FROM ncl)),
+          csup AS (SELECT cid, cv, sid FROM (
+                 SELECT icv.cid, icv.cv, sup.sid, row_number() OVER (
+                   PARTITION BY icv.cid
+                   ORDER BY ${dotSql("icv.cv", "sup.sv")} DESC, sup.sid)
+                   AS rn
+                 FROM icv CROSS JOIN sup) WHERE rn = 1),
+          rsup AS (SELECT vec_id, sid FROM (
+                 SELECT a.vec_id, sup.sid, row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ${dotSql("a.v", "sup.sv")} DESC, sup.sid)
+                   AS rn
+                 FROM v a CROSS JOIN sup) WHERE rn <= $superProbes),
+          probe AS (SELECT vec_id, cid FROM (
+                 SELECT r.vec_id, cs.cid, row_number() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY ${dotSql("a.v", "cs.cv")} DESC, cs.cid)
+                   AS rn
+                 FROM rsup r JOIN csup cs USING (sid)
+                   JOIN v a ON a.vec_id = r.vec_id) WHERE rn <= $probes)"""
+    s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
+          ncl AS (SELECT greatest(16, count(*) // 125) AS nc
+                  FROM embeddings),
+          icv AS (SELECT vec_id AS cid, v AS cv FROM v
+                  WHERE vec_id < (SELECT nc FROM ncl)),
+          $probeCtes,
+          cand AS (SELECT DISTINCT p.vec_id AS id_a, q.vec_id AS id_b
+                   FROM probe p JOIN probe q
+                   ON p.cid = q.cid AND p.vec_id < q.vec_id),
+          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v)
+          SELECT id_a, id_b, round(cs, 6) AS cos FROM (
+            SELECT id_a, id_b,
+              ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+            FROM cand JOIN n a ON cand.id_a = a.vec_id
+                      JOIN n b ON cand.id_b = b.vec_id)
+          WHERE cs >= $CosineThreshold"""
+  }
+
   /** Generated sim_pq oracle: replays `Similarity.pqTrainedCodebooks`
     * (global int8 scale, subvector codes, `PqIters` unrolled integer
     * Lloyd rounds) and the cosine-shaped ADC + exact rescore. Every
@@ -3168,31 +3293,13 @@ object PipelineQueries {
 
     // ANN-assisted replay: the index quantizer over the first
     // max(16, N/125) vectors (the capacity-bounded scaling rule),
-    // probe = top-4 cells per vector (ties to the smaller cid),
+    // TWO-LEVEL probe assignment (top-superProbes supers by dot, then
+    // top-probes of their children; every tie to the smaller id),
     // candidates are probe-probe co-occurrences (multi-probe BOTH
     // sides), exact cosine verify
-    "dedup_embed_ann" ->
-      s"""WITH v AS (SELECT vec_id, $VecD AS v FROM embeddings),
-          icv AS (SELECT vec_id AS cid, v AS cv FROM v
-                  WHERE vec_id < (SELECT greatest(16, count(*) // 125)
-                                  FROM embeddings)),
-          dd AS (SELECT a.vec_id, icv.cid,
-                 ${dotSql("a.v", "icv.cv")} AS dp
-                 FROM v a CROSS JOIN icv),
-          rk AS (SELECT vec_id, cid, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
-                 FROM dd),
-          probe AS (SELECT vec_id, cid FROM rk WHERE rn <= 4),
-          cand AS (SELECT DISTINCT p.vec_id AS id_a, q.vec_id AS id_b
-                   FROM probe p JOIN probe q
-                   ON p.cid = q.cid AND p.vec_id < q.vec_id),
-          n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM v)
-          SELECT id_a, id_b, round(cs, 6) AS cos FROM (
-            SELECT id_a, id_b,
-              ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
-            FROM cand JOIN n a ON cand.id_a = a.vec_id
-                      JOIN n b ON cand.id_b = b.vec_id)
-          WHERE cs >= $CosineThreshold""",
+    "dedup_embed_ann" -> embedAnnOracleSql(probes = 4, superProbes = 3),
+    "dedup_embed_ann_p8" ->
+      embedAnnOracleSql(probes = 8, superProbes = 3),
 
     // SemDeDup mirror: cell assignment is the sim_ann_ivf quantizer
     // verbatim (argmax dot, row_number ties to the smaller cell);
@@ -3300,6 +3407,11 @@ object PipelineQueries {
     "sim_ann_ivfpq_append" -> pqOracleSqlGen(true, "vec_id < 256"),
     // batch serve: the same replay, qid-keyed over the 10-query batch
     "sim_ann_ivfpq_batch" ->
+      pqBatchOracleSql("vec_id % 50 = 0 AND vec_id < 500"),
+    // the distributed batch serve is row-identical to searchBatch by
+    // construction (same folds, same windows — pinned in
+    // AnnIndexSpec), so it replays the same qid-keyed oracle
+    "sim_ann_ivfpq_batch_dist" ->
       pqBatchOracleSql("vec_id % 50 = 0 AND vec_id < 500"),
 
     // Mirrors QuantizeI8: scale = max |x| (greatest over list_max and
