@@ -562,54 +562,7 @@ object AnnIndex {
       else nAll.join(spark.read.parquet(s"$dir/deletes"),
         Seq("id"), "left_anti"))
       .localCheckpoint(false)
-    val probe =
-      if (superProbes <= 0) {
-        // flat top-`probes` cells, map-side: rank (dot DESC, cell ASC)
-        // via an ascending struct sort on (-dot, cell)
-        val sorted = array_sort(array(coarse.zipWithIndex.map {
-          case (c, j) =>
-            val cl = array(c.map(x => lit(x.toDouble)): _*)
-            struct((-Similarity.dot(corpus, col("v"), cl)).as("d"),
-              lit(j).as("c"))
-        }: _*))
-        val pcells = transform(slice(sorted, 1, probes), s => s("c"))
-        n.select(col("id"), explode(pcells).as("cell"))
-      } else {
-        import spark.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val nSuper = math.ceil(math.sqrt(coarse.size.toDouble)).toInt
-        val supers = coarse.take(nSuper)
-        // the same left fold as the SQL replay and the search() driver
-        // arithmetic — bit-identical cross-engine doubles
-        def sdot(a: Seq[Float], b: Seq[Float]): Double =
-          a.zip(b).foldLeft(0.0)((acc, p) =>
-            acc + p._1.toDouble * p._2.toDouble)
-        // child -> super: max-dot super per centroid, ties to the
-        // smaller super id; driver-side over the bounded centroid list
-        val childDf = coarse.zipWithIndex.map { case (cv, c) =>
-          val sup = supers.zipWithIndex
-            .map { case (sv, s) => (sdot(cv, sv), s) }
-            .sortBy { case (d, s) => (-d, s) }.head._2
-          (sup, c, cv.map(_.toDouble))
-        }.toDF("__sup", "cell", "__cv")
-        // top-`superProbes` supers per row: a √nCells-wide struct sort
-        val ssorted = array_sort(array(supers.zipWithIndex.map {
-          case (sv, s) =>
-            val sl = array(sv.map(x => lit(x.toDouble)): _*)
-            struct((-Similarity.dot(corpus, col("v"), sl)).as("d"),
-              lit(s).as("s"))
-        }: _*))
-        val psup = transform(slice(ssorted, 1, superProbes), x => x("s"))
-        val byId = Window.partitionBy("id")
-          .orderBy(desc("__d"), col("cell"))
-        n.select(col("id"), col("v"), explode(psup).as("__sup"))
-          .join(broadcast(childDf), "__sup")
-          .select(col("id"), col("cell"),
-            Similarity.dot(corpus, col("v"), col("__cv")).as("__d"))
-          .withColumn("__rn", row_number().over(byId))
-          .filter(col("__rn") <= probes)
-          .select(col("id"), col("cell"))
-      }
+    val probe = probeCells(n, coarse, probes, superProbes)
     val cand = probe
       .join(probe.select(col("id").as("id2"), col("cell")), "cell")
       .filter(col("id") < col("id2"))
@@ -625,6 +578,70 @@ object AnnIndex {
           (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** The (id, cell) probe assignment of [[cosinePairsIndexed]] over a
+    * frame with columns (id, v): flat top-`probes` ranking when
+    * `superProbes` <= 0, the two-level hierarchy otherwise.
+    * Package-visible so AnnIndexSpec can pin confinement (hierarchical
+    * probes never leave the chosen supers' children) and the
+    * flat == hierarchical equality at the battery operating point.
+    */
+  private[graft] def probeCells(n: DataFrame, coarse: Seq[Seq[Float]],
+      probes: Int, superProbes: Int): DataFrame = {
+    val spark = n.sparkSession
+    if (superProbes <= 0) {
+      // flat top-`probes` cells, map-side: rank (dot DESC, cell ASC)
+      // via an ascending struct sort on (-dot, cell)
+      val sorted = array_sort(array(coarse.zipWithIndex.map {
+        case (c, j) =>
+          val cl = array(c.map(x => lit(x.toDouble)): _*)
+          struct((-Similarity.dot(n, col("v"), cl)).as("d"),
+            lit(j).as("c"))
+      }: _*))
+      val pcells = transform(slice(sorted, 1, probes), s => s("c"))
+      n.select(col("id"), explode(pcells).as("cell"))
+    } else {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val supers = coarse.take(superCount(coarse.size))
+      // child -> super: max-dot super per centroid, ties to the
+      // smaller super id; driver-side over the bounded centroid list
+      // (the same left fold as the SQL replay — bit-identical doubles)
+      def sdot(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).foldLeft(0.0)((acc, p) =>
+          acc + p._1.toDouble * p._2.toDouble)
+      val childDf = coarse.zipWithIndex.map { case (cv, c) =>
+        val sup = supers.zipWithIndex
+          .map { case (sv, s) => (sdot(cv, sv), s) }
+          .sortBy { case (d, s) => (-d, s) }.head._2
+        (sup, c, cv.map(_.toDouble))
+      }.toDF("__sup", "cell", "__cv")
+      // top-`superProbes` supers per row: a √nCells-wide struct sort
+      val ssorted = array_sort(array(supers.zipWithIndex.map {
+        case (sv, s) =>
+          val sl = array(sv.map(x => lit(x.toDouble)): _*)
+          struct((-Similarity.dot(n, col("v"), sl)).as("d"),
+            lit(s).as("s"))
+      }: _*))
+      val psup = transform(slice(ssorted, 1, superProbes), x => x("s"))
+      val byId = Window.partitionBy("id")
+        .orderBy(desc("__d"), col("cell"))
+      n.select(col("id"), col("v"), explode(psup).as("__sup"))
+        .join(broadcast(childDf), "__sup")
+        .select(col("id"), col("cell"),
+          Similarity.dot(n, col("v"), col("__cv")).as("__d"))
+        .withColumn("__rn", row_number().over(byId))
+        .filter(col("__rn") <= probes)
+        .select(col("id"), col("cell"))
+    }
+  }
+
+  /** Super-cell count of the two-level hierarchy: ceil(sqrt(nCells))
+    * — IEEE-exact cross-engine at integer points, matching the SQL
+    * replay's `CAST(ceil(sqrt(nc)) AS BIGINT)`.
+    */
+  private[graft] def superCount(nCells: Int): Int =
+    math.ceil(math.sqrt(nCells.toDouble)).toInt
 
   /** Serve a top-k query from the persisted index: probed-cell
     * partition-pruned ADC scan + exact rescore. Hash-identical to

@@ -416,6 +416,58 @@ class EngineSpec extends SparkSpec {
       "K" -> "src[K]")).collect().head.getString(0) == "A")
   }
 
+  test("runMapping executes the output pipeline ONCE: the row count " +
+      "rides an observe() metric on the write job, not a second " +
+      "count() action (at 100 TB the old shape ran the scan twice)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-onejob")
+    java.nio.file.Files.writeString(dir.resolve("Source.csv"),
+      "K,V\n1,a\n2,b\n3,c\n")
+    java.nio.file.Files.writeString(dir.resolve("Map.csv"),
+      "out,instr\n_filter:k,eval: src[K] >= 2\nVal,src[V]\n")
+    val srcScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        // "FileScan csv" is the real pipeline scan; the header probe
+        // reads the first line as "FileScan text" and doesn't count
+        val p = qe.executedPlan.toString
+        if (p.contains("Source.csv") && p.contains("FileScan csv")) {
+          srcScans.incrementAndGet()
+          seen.add(funcName + ": " +
+            p.linesIterator.take(3).mkString(" | "))
+        }
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val n = Engine.runMapping(s, dir.toString,
+        EngineConfig(history = "Runs"))
+      assert(n == 2, s"observe metric must report the written rows, got $n")
+      // the listener bus is async: wait for the write execution to
+      // land, then a grace window in which a second (buggy) count
+      // execution would also land
+      val deadline = System.currentTimeMillis() + 10000
+      while (srcScans.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      assert(srcScans.get() == 1,
+        s"the source pipeline executed ${srcScans.get()} times, want 1: " +
+          seen.toArray.mkString("\n"))
+    } finally s.listenerManager.unregister(listener)
+    // the history record carries the observed count
+    val run = s.read.parquet(s"$dir/Runs")
+      .select("rows_out", "status").collect()
+    assert(run.length == 1 && run.head.getLong(0) == 2 &&
+      run.head.getString(1) == "ok")
+  }
+
   test("config parsing: defaults, unknown keys, case/trim") {
     val c = EngineConfig.fromKeyValues(Seq(
       (" SOURCE ", " S1 "), ("bogus", "x"), ("map", "")))

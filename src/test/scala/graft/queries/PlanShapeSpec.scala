@@ -85,6 +85,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("eval2: filters on a parquet source run MAP-SIDE directly over " +
+      "the scan (one stage, no exchange below the filter) — and the " +
+      "DOCUMENTED divergence: display-string semantics (coalesce/" +
+      "cast/trim around every leaf) are not source predicates, so " +
+      "PushedFilters stays empty BY DESIGN in both eval modes") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("e2push").toString
+    import s.implicits._
+    (1 to 100).map(i => (i.toLong, s"n$i", i % 7))
+      .toDF("id", "name", "grp").write.mode("overwrite").parquet(dir)
+    val src = s.read.parquet(dir)
+    val out = graft.etl.Engine.transform(src, Seq(
+      "_filter:x" -> "eval2: src[grp] >= 3 && !(src[name] == n10)",
+      "Id" -> "src[id]"))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the filter must not force any exchange or extra stage: scan →
+    // filter → project, all inside whole-stage codegen
+    assert(!p.contains("Exchange"), "stateless filter shuffled:\n" + p)
+    // formatted mode marks whole-stage codegen with "[codegen id : N]"
+    assert("\\(\\d+\\) Filter \\[codegen id : \\d+\\]".r
+        .findFirstIn(p).isDefined,
+      "eval2 compile fell out of codegen:\n" + p)
+    // divergence pin: the trimmed/coalesced display-string leaves are
+    // not translatable to parquet predicates — if this ever changes
+    // (e.g. a leaf-rewrite to source filters), update SURVEY §7.5
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(pushed.forall(_.trim.isEmpty),
+      s"unexpected pushdown appeared (update the divergence doc): $pushed")
+    // grp∈{3..6} appears 14 times each in 1..98 → 56 rows; n10 (grp 3)
+    // is negated away → 55
+    assert(out.count() == 55)
+  }
+
   test("q1_agg: shipdate predicate reaches the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

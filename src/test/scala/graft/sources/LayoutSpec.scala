@@ -607,6 +607,172 @@ class AnnIndexSpec extends SparkSpec {
     assert(afterCompact == after,
       "served results identical before and after the physical fold")
   }
+
+  test("two-level cell assignment: hierarchical probes are CONFINED " +
+      "to the chosen supers' children and match an independent " +
+      "driver evaluation; superProbes >= nSuper equals the flat " +
+      "ranking exactly; pairs at the battery operating point " +
+      "(p=4/sp=3) equal the flat assignment's") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annidx7").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    val (_, coarse, _) = AnnIndex.load(s, dir)
+    val n = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v"))
+    def probesOf(p: Int, sp: Int): Map[Long, Set[Int]] =
+      AnnIndex.probeCells(n, coarse, p, sp).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // independent driver evaluation of the hierarchy (same folds)
+    def sdot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) =>
+        acc + p._1.toDouble * p._2.toDouble)
+    val nSuper = AnnIndex.superCount(coarse.size)
+    assert(nSuper == 4, s"ceil(sqrt(16)) = 4, got $nSuper")
+    val supers = coarse.take(nSuper)
+    val childrenOf: Map[Int, Set[Int]] = coarse.zipWithIndex
+      .map { case (cv, c) =>
+        c -> supers.zipWithIndex.map { case (sv, ss) => (sdot(cv, sv), ss) }
+          .sortBy { case (d, ss) => (-d, ss) }.head._2
+      }.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val got = probesOf(4, 3)
+    rows.foreach { case (id, vec) =>
+      val topSup = supers.zipWithIndex
+        .map { case (sv, ss) => (sdot(vec, sv), ss) }
+        .sortBy { case (d, ss) => (-d, ss) }.take(3).map(_._2)
+      val allowed = topSup.flatMap(ss =>
+        childrenOf.getOrElse(ss, Set.empty)).toSet
+      val expected = allowed.toSeq
+        .map(c => (sdot(vec, coarse(c)), c))
+        .sortBy { case (d, c) => (-d, c) }.take(4).map(_._2).toSet
+      assert(got(id).subsetOf(allowed),
+        s"id=$id probed outside its supers: ${got(id)} vs $allowed")
+      assert(got(id) == expected, s"id=$id: ${got(id)} vs $expected")
+    }
+    // probing every super IS the flat ranking, by construction
+    assert(probesOf(4, nSuper) == probesOf(4, 0))
+    // battery operating point: the final PAIRS match flat assignment
+    def pairs(sp: Int) = AnnIndex.cosinePairsIndexed(emb, "vec_id",
+        "embedding", dir, 0.45, probes = 4, superProbes = sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(3) == pairs(0),
+      "hierarchical p=4/sp=3 must keep the flat assignment's pairs")
+  }
+
+  test("distributed batch serve: searchBatchDist is ROW-IDENTICAL to " +
+      "searchBatch, keeps the query table a SCAN (no driver " +
+      "materialization — pinned in the plan), and rejects duplicate " +
+      "qids in-plan") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annidx8").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    // queries come from their OWN parquet table so the plan pin can
+    // name its path unambiguously
+    val qDir = Files.createTempDirectory("annq").toString
+    emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").write.mode("overwrite")
+      .parquet(qDir)
+    val qdf = s.read.parquet(qDir)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val dist = AnnIndex.searchBatchDist(emb, "vec_id", "embedding",
+      dir, qdf, "vec_id", "embedding", probes = 2, k = 10, nCand = 80)
+    val batch = AnnIndex.searchBatch(emb, "vec_id", "embedding", dir,
+      qdf, "vec_id", "embedding", probes = 2, k = 10, nCand = 80)
+    assert(norm(dist) == norm(batch) && norm(dist).size == 100)
+    // plan pin: the queries parquet appears as a real scan — the
+    // query table was never collect()ed to the driver
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AnnIndex.searchBatchDist(emb, "vec_id", "embedding",
+        dir, qdf, "vec_id", "embedding", probes = 2, k = 10, nCand = 80)
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        })
+      assert(scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains(qDir))),
+        "queries table must stay a distributed scan")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    // duplicate qids are a silent-merge hazard: the in-plan guard
+    // fails the job instead
+    val dup = qdf.unionAll(qdf.limit(1))
+    val e = intercept[Exception] {
+      AnnIndex.searchBatchDist(emb, "vec_id", "embedding", dir, dup,
+        "vec_id", "embedding", probes = 2, k = 10, nCand = 80).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate qid")), msgs(e).toString)
+  }
+
+  test("maintenance lease: a held lease makes every maintenance op " +
+      "abort loudly (one winner + one clean abort) and leaves the " +
+      "index unchanged; searches keep serving; release unblocks") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annidx9").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 256), "vec_id",
+      "embedding", dir, nCells = 16, m = 32, nCentroids = 64, iters = 1)
+    // a successful op releases its lease
+    val lease = new java.io.File(dir, ".MAINT_LEASE")
+    assert(!lease.exists, "lease must be released after build")
+    val extra = emb.filter(col("vec_id") >= 256)
+    val codesBefore = s.read.parquet(s"$dir/codes").count()
+    // writer A holds the lease (mid-append); B, C, D must abort
+    assert(lease.createNewFile())
+    Seq(
+      () => AnnIndex.append(extra, "vec_id", "embedding", dir),
+      () => AnnIndex.delete(s, dir, Seq(0L)),
+      () => { AnnIndex.compactSegment(s, dir); () },
+      () => AnnIndex.build(emb, "vec_id", "embedding", dir,
+        nCells = 16, m = 32, nCentroids = 64, iters = 1)
+    ).foreach { op =>
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("lease"), e.getMessage)
+    }
+    assert(s.read.parquet(s"$dir/codes").count() == codesBefore,
+      "a refused writer must not touch the index")
+    // searches never take the lease
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    assert(AnnIndex.search(emb, "vec_id", "embedding", dir, qv,
+      probes = 16, k = 5, nCand = 4096).count() == 5)
+    // release → the append wins cleanly
+    assert(lease.delete())
+    AnnIndex.append(extra, "vec_id", "embedding", dir)
+    assert(s.read.parquet(s"$dir/codes").count() > codesBefore)
+    assert(!lease.exists, "winner must release the lease")
+  }
+
+  test("delete records EXACTLY the written tombstone rows in the " +
+      "marker (ids frame materialized once, marker committed BEFORE " +
+      "the append so a crash forces a rebuild instead of ghosts)") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annidx10").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    // a re-execution-unstable ids frame: unseeded sample + limit
+    val ids = emb.select(col("vec_id")).sample(0.3).limit(50)
+    AnnIndex.delete(s, dir, ids)
+    val written = s.read.parquet(s"$dir/deletes").count()
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "INDEX_READY")), "UTF-8")
+    val recorded = "\\+delete\\[(\\d+)\\]".r
+      .findFirstMatchIn(marker).map(_.group(1).toLong)
+    assert(recorded.contains(written),
+      s"marker says $recorded, deletes/ holds $written rows")
+  }
 }
 
 class ZOrderSpec extends SparkSpec {

@@ -33,6 +33,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSet == Set(("2", "stream")))
   }
 
+  test("eval2: extended filters stream for free (stateless) — stream " +
+      "output equals the batch transform on the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val rules = Seq(
+      ("_filter:x", "eval2: !(src[event_type] == click) && " +
+        "(src[value] >= 10 || src[event_type] == ping)"),
+      ("Id", "src[event_id]"),
+      ("Kind", "src[event_type]"))
+    val rows = Seq(
+      RawEvent(1, t(0), "click", 50.0), // negated: dropped
+      RawEvent(2, t(1), "view", 15.0),  // value >= 10: kept
+      RawEvent(3, t(2), "ping", 1.0),   // ping disjunct: kept
+      RawEvent(4, t(3), "view", 2.0),   // neither: dropped
+      RawEvent(5, t(4), "scan", 1.0))   // NaN-ish numeric leaf paths
+    val in = MemoryStream[RawEvent]
+    val q = StreamingOps.transformStream(in.toDF(), rules)
+      .writeStream.format("memory").queryName("eval2_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = s.sql("SELECT Id, Kind FROM eval2_stream")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    val batch = graft.etl.Engine.transform(rows.toDF(), rules)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch && batch == Set(("2", "view"), ("3", "ping")),
+      s"stream=$streamed batch=$batch")
+  }
+
   test("_join: over a stream is a stream-static join; _type: rejects " +
       "with a contextual error (bounded-scan validation)") {
     val s = spark
