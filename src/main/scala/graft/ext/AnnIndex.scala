@@ -523,27 +523,35 @@ object AnnIndex {
     * production picks p per its recall target and audits with
     * PairRecall. Deterministic → exact SQL oracle.
     *
-    * Cell ASSIGNMENT scales with a TWO-LEVEL coarse quantizer
+    * Cell ASSIGNMENT optionally runs a TWO-LEVEL coarse quantizer
     * (`superProbes` > 0): with the production rule nCells ∝ N, flat
     * assignment evaluates nCells dot products per row — O(N) per row,
-    * quadratic total, and an nCells-wide codegen expression. The
-    * hierarchy is built over the SAME trained centroid list: the
-    * first ceil(sqrt(nCells)) centroids double as super-cells, every
-    * centroid is assigned to its max-dot super (ties to the smaller
-    * super id, driver-side — bounded), and a row ranks only the
-    * CHILDREN of its top-`superProbes` supers (top-`probes` of that
-    * union by dot DESC, cell ASC). Per-row work drops to
-    * superProbes·√nCells dots = O(√N); the plan stays narrow at any
-    * nCells (the child table is broadcast DATA, not literal code —
-    * no Janino-width ceiling), at the cost of one skinny id-keyed
-    * exchange for the per-row top-`probes` rank. `superProbes` is a
-    * second recall knob of the same approximate-by-design kind as
-    * `probes` (a top cell whose super was not probed is missed);
-    * superProbes = 0 keeps the exact flat ranking, and
-    * superProbes ≥ nSuper is EXACTLY the flat ranking by construction
-    * (the union of all supers' children is all cells). AnnIndexSpec
-    * pins hierarchical == flat pairs at the battery operating point
-    * and that candidates stay confined to the chosen supers' children.
+    * quadratic total, and an nCells-wide codegen expression (Janino
+    * caps that in the thousands of cells). The hierarchy is built
+    * over the SAME trained centroid list: the first ceil(sqrt(nCells))
+    * centroids double as super-cells, every centroid is assigned to
+    * its max-dot super (ties to the smaller super id, driver-side —
+    * bounded), and a row ranks only the CHILDREN of its
+    * top-`superProbes` supers (top-`probes` of that union by dot
+    * DESC, cell ASC). Per-row work drops to superProbes·√nCells dots
+    * = O(√N); the plan stays narrow at any nCells (the child table is
+    * broadcast DATA, not literal code), at the cost of one skinny
+    * id-keyed exchange for the per-row top-`probes` rank.
+    *
+    * `superProbes` is a second recall knob of the same approximate-
+    * by-design kind as `probes` (a top cell whose super was not
+    * probed is missed); superProbes = 0 keeps the exact flat ranking,
+    * and superProbes ≥ nSuper is EXACTLY the flat ranking by
+    * construction (the union of all supers' children is all cells).
+    * MEASURED at sf1.0 (nCells=160, tools/PairRecall r14): p8 recall
+    * 0.765@sp3 / 0.808@sp4 / 0.839@sp6 / 0.862@sp8 vs flat 0.887,
+    * with the hierarchy's fixed stage costs still exceeding 160
+    * map-side dots — so below ~10³ cells flat wins on BOTH axes and
+    * the default stays 0; the hierarchy is the nCells ≫ 10³ route
+    * where the flat projection is both O(nCells)/row and
+    * uncompilable. AnnIndexSpec pins confinement (candidates never
+    * leave the chosen supers' children), sp ≥ nSuper == flat, and
+    * hierarchical == flat pairs at p=4/sp=3 on the spec corpus.
     *
     * @return (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold
     */
@@ -562,7 +570,12 @@ object AnnIndex {
       else nAll.join(spark.read.parquet(s"$dir/deletes"),
         Seq("id"), "left_anti"))
       .localCheckpoint(false)
-    val probe = probeCells(n, coarse, probes, superProbes)
+    // the probe frame feeds a self-join (two consumers): the flat
+    // assignment recomputes cheaply from the checkpointed n, but the
+    // hierarchical one would redo its join + window — materialize it
+    val probe0 = probeCells(n, coarse, probes, superProbes)
+    val probe =
+      if (superProbes <= 0) probe0 else probe0.localCheckpoint(false)
     val cand = probe
       .join(probe.select(col("id").as("id2"), col("cell")), "cell")
       .filter(col("id") < col("id2"))

@@ -336,16 +336,6 @@ object PipelineQueries {
     // recall vs brute force measured in AnnIndexSpec and BENCH_SF1,
     // with the probes knob curve); deterministic, so the oracle
     // replays it exactly, including the nCells scaling rule.
-    // Cell ASSIGNMENT is the TWO-LEVEL coarse quantizer (r14): the
-    // first ceil(sqrt(nCells)) trained centroids double as
-    // super-cells; a row ranks only the children of its top-3 supers
-    // — O(sqrt(N)) dots per row instead of the flat O(nCells)=O(N)
-    // under the production nCells ∝ N rule, and the plan stays narrow
-    // at any nCells (broadcast child table, not literal code).
-    // superProbes is a second recall knob; at this operating point the
-    // hierarchical pairs equal the flat ranking's on every tested SF
-    // (pinned in AnnIndexSpec), and the oracle replays the hierarchy
-    // exactly at any SF.
     "dedup_embed_ann" -> ((s, d) => {
       val key = new java.io.File(d).getCanonicalPath
         .replaceAll("[^A-Za-z0-9.]+", "_")
@@ -358,18 +348,16 @@ object PipelineQueries {
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
       graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
-          "embedding", dir, CosineThreshold, probes = 4,
-          superProbes = 3)
+          "embedding", dir, CosineThreshold, probes = 4)
         .select(col("id_a"), col("id_b"),
           round(col("cos"), 6).as("cos"))
     }),
 
     // The HEADLINE operating point: probes=8 is where the indexed
-    // route beats the sign-LSH leg on BOTH axes (recall 0.89 vs 0.87,
-    // measured at sf1.0 with tools/PairRecall; wall-clock 33 s vs
-    // 52 s) — oracle-checked here so the configuration production
-    // would actually run is itself hash-verified, with the same
-    // two-level assignment (superProbes=3).
+    // route beats the sign-LSH leg on BOTH axes (recall 0.887 vs
+    // 0.868, wall-clock 34 s vs 52 s — re-measured r14 at sf1.0 with
+    // tools/PairRecall) — oracle-checked here so the configuration
+    // production would actually run is itself hash-verified.
     "dedup_embed_ann_p8" -> ((s, d) => {
       val key = new java.io.File(d).getCanonicalPath
         .replaceAll("[^A-Za-z0-9.]+", "_")
@@ -382,7 +370,38 @@ object PipelineQueries {
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
       graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
-          "embedding", dir, CosineThreshold, probes = 8,
+          "embedding", dir, CosineThreshold, probes = 8)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // TWO-LEVEL cell assignment (r14), as its own oracle-verified
+    // query: the first ceil(sqrt(nCells)) trained centroids double as
+    // super-cells and a row ranks only the CHILDREN of its top-3
+    // supers — O(superProbes·sqrt(nCells)) dots per row and a plan
+    // that stays narrow at ANY nCells (broadcast child table, not an
+    // nCells-wide codegen expression — the flat projection hits
+    // Janino limits in the thousands of cells). MEASURED at sf1.0
+    // (nCells=160, tools/PairRecall r14): the hierarchy costs recall
+    // at equal probes (p8: 0.765@sp3 … 0.862@sp8 vs flat 0.887) and
+    // its constant factors only amortize at much larger nCells, so
+    // the HEADLINE queries above keep the flat ranking and this query
+    // pins the at-scale route's correctness (assignment confinement +
+    // sp>=nSuper==flat also spec'd in AnnIndexSpec). The oracle
+    // replays the hierarchy exactly at any SF.
+    "dedup_embed_ann_2level" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
+          "embedding", dir, CosineThreshold, probes = 4,
           superProbes = 3)
         .select(col("id_a"), col("id_b"),
           round(col("cos"), 6).as("cos"))
@@ -3293,13 +3312,15 @@ object PipelineQueries {
 
     // ANN-assisted replay: the index quantizer over the first
     // max(16, N/125) vectors (the capacity-bounded scaling rule),
-    // TWO-LEVEL probe assignment (top-superProbes supers by dot, then
-    // top-probes of their children; every tie to the smaller id),
-    // candidates are probe-probe co-occurrences (multi-probe BOTH
-    // sides), exact cosine verify
-    "dedup_embed_ann" -> embedAnnOracleSql(probes = 4, superProbes = 3),
+    // probe assignment (flat rank, or the two-level supers-then-
+    // children hierarchy for the _2level leg; every tie to the
+    // smaller id), candidates are probe-probe co-occurrences
+    // (multi-probe BOTH sides), exact cosine verify
+    "dedup_embed_ann" -> embedAnnOracleSql(probes = 4, superProbes = 0),
     "dedup_embed_ann_p8" ->
-      embedAnnOracleSql(probes = 8, superProbes = 3),
+      embedAnnOracleSql(probes = 8, superProbes = 0),
+    "dedup_embed_ann_2level" ->
+      embedAnnOracleSql(probes = 4, superProbes = 3),
 
     // SemDeDup mirror: cell assignment is the sim_ann_ivf quantizer
     // verbatim (argmax dot, row_number ties to the smaller cell);

@@ -508,6 +508,23 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("rev"))
     }),
 
+    // XLSX source/sink ROUNDTRIP — the custom Excel format becomes
+    // first-class: nation is exported through the DISTRIBUTED sharded
+    // sink (one workbook per partition, task-attempt commit protocol,
+    // no driver collect) and read back through the StAX reader; the
+    // read-back must hash-equal the oracle's display-string view of
+    // the original parquet — write fidelity (XML escaping, dense cell
+    // grid, per-part header rows) is exactly what the equality
+    // proves. Scale model: xlsx caps at ~1M rows per workbook by
+    // format, so a big export shards by partition and a big import
+    // parallelizes by file (one task per workbook).
+    "source_xlsx_roundtrip" -> ((s, d) => {
+      val tmp = s"$scratchDir/xlsx_roundtrip"
+      graft.sources.Xlsx.writeSharded(
+        nation(s, d).repartition(3), tmp)
+      graft.sources.Xlsx.read(s, s"$tmp/*.xlsx")
+    }),
+
     // Bucketed-layout write + CO-LOCATED join read-back: both sides
     // land bucketed by the join key into the same bucket count, so
     // the sort-merge join needs NO shuffle exchange on either side —
@@ -1646,6 +1663,14 @@ object RelationalQueries {
              AS qty
          FROM lineitem WHERE l_quantity > 5.0
          GROUP BY 1""",
+
+    // format-independent replay: the xlsx export/import must surface
+    // the engine's display-string view of the original rows verbatim
+    "source_xlsx_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS VARCHAR) AS n_regionkey
+         FROM nation""",
 
     // layout-independent replay: the bucketed round-trip must not
     // change a single row

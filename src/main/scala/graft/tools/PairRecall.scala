@@ -55,6 +55,20 @@ object PairRecall {
         f"recall=${hit.toDouble / math.max(1, brute.size)}%.3f " +
         f"time=$secs%.1f s")
     }
+    // two-level assignment sweep (superProbes > 0): recall cost of the
+    // O(sqrt(N))-per-row hierarchical quantizer vs the flat ranking at
+    // the same probes — how much super-probing buys back the recall
+    for ((p, sp) <- Seq((4, 3), (8, 3), (8, 4), (8, 6), (8, 8))) {
+      val t0 = System.nanoTime()
+      val got = pairs(graft.ext.AnnIndex.cosinePairsIndexed(emb,
+        "vec_id", "embedding", dir, threshold, probes = p,
+        superProbes = sp))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val hit = (got & brute).size
+      println(f"[recall] ann probes=$p superProbes=$sp got=${got.size} " +
+        f"recall=${hit.toDouble / math.max(1, brute.size)}%.3f " +
+        f"time=$secs%.1f s")
+    }
     spark.stop()
   }
 }

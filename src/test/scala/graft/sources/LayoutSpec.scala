@@ -22,6 +22,34 @@ class CompactionSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("run-history retention: one-file-per-run appends compact to a " +
+      "single file with identical query results — the documented " +
+      "maintenance op for a history table accruing millions of runs") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-histcomp")
+    java.nio.file.Files.writeString(dir.resolve("Source.csv"),
+      "K,V\n1,a\n2,b\n")
+    java.nio.file.Files.writeString(dir.resolve("Map.csv"),
+      "out,instr\nVal,src[V]\n")
+    (1 to 5).foreach { _ =>
+      graft.etl.Engine.runMapping(s, dir.toString,
+        graft.etl.EngineConfig(history = "Runs"))
+    }
+    val histDir = s"$dir/Runs"
+    val partsBefore = new java.io.File(histDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partsBefore == 5, s"one appended file per run: $partsBefore")
+    val before = s.read.parquet(histDir)
+    val out = s"$dir/RunsCompacted"
+    val rep = Compaction.compact(s, histDir, out)
+    assert(rep.filesIn == 5 && rep.filesOut == 1, rep.toString)
+    val after = s.read.parquet(out)
+    assert(after.count() == 5 &&
+      before.exceptAll(after).count() == 0 &&
+      after.exceptAll(before).count() == 0,
+      "compaction must not change a single run record")
+  }
+
   test("compact sees nested partitionBy layouts (recursive listing)") {
     val s = spark
     import s.implicits._
@@ -611,8 +639,8 @@ class AnnIndexSpec extends SparkSpec {
   test("two-level cell assignment: hierarchical probes are CONFINED " +
       "to the chosen supers' children and match an independent " +
       "driver evaluation; superProbes >= nSuper equals the flat " +
-      "ranking exactly; pairs at the battery operating point " +
-      "(p=4/sp=3) equal the flat assignment's") {
+      "ranking exactly; pairs at the _2level query's operating point " +
+      "(p=4/sp=3) equal the flat assignment's on this corpus") {
     val s = spark
     val emb = s.read.parquet(embPath)
     val dir = Files.createTempDirectory("annidx7").toString
@@ -660,7 +688,8 @@ class AnnIndexSpec extends SparkSpec {
         "embedding", dir, 0.45, probes = 4, superProbes = sp)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(3) == pairs(0),
-      "hierarchical p=4/sp=3 must keep the flat assignment's pairs")
+      "hierarchical p=4/sp=3 must keep the flat assignment's pairs " +
+        "on this corpus")
   }
 
   test("distributed batch serve: searchBatchDist is ROW-IDENTICAL to " +
