@@ -70,73 +70,22 @@ object AnnIndex {
   // never take the lease and are always fine.
 
   private def hfs(spark: SparkSession, dir: String)
-      : org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      : org.apache.hadoop.fs.FileSystem = IndexFs.hfs(spark, dir)
 
   private def hpath(parts: String*): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(parts.mkString("/"))
+    IndexFs.hpath(parts: _*)
 
   private def readMarker(spark: SparkSession, dir: String)
-      : Option[String] = {
-    val fs = hfs(spark, dir)
-    val p = hpath(dir, Marker)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
-  }
+      : Option[String] = IndexFs.readMarker(spark, dir, Marker)
 
-  /** Single-writer guard for index MAINTENANCE (build/append/delete/
-    * compact): an exclusive lease file created atomically
-    * (`FileSystem.create(overwrite = false)` — one winner per path on
-    * HDFS/local; S3A needs a stronger store for true atomicity, like
-    * every filesystem-rename commit protocol). A second concurrent
-    * writer fails the create and ABORTS LOUDLY instead of interleaving
-    * half-written segments under the other writer's marker. Fails
-    * CLOSED on a crash: the dead writer's lease blocks maintenance
-    * (searches are unaffected — they never take the lease) until an
-    * operator verifies no job is running and removes
-    * `<dir>/.MAINT_LEASE`; the failure mode is a refused rebuild,
-    * never a corrupted index.
-    */
+  /** Single-writer maintenance guard — see [[IndexFs.withLease]]. */
   private def withLease[T](spark: SparkSession, dir: String)
-      (body: => T): T = {
-    val fs = hfs(spark, dir)
-    fs.mkdirs(hpath(dir))
-    val p = hpath(dir, Lease)
-    val acquired =
-      try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!acquired)
-      throw new IllegalStateException(
-        s"ANN index maintenance lease held at $p — another " +
-          "build/append/delete/compact is running (or crashed: verify " +
-          "and remove the lease file)")
-    try body
-    finally { fs.delete(p, false); () }
-  }
+      (body: => T): T =
+    IndexFs.withLease(spark, dir, Lease, "ANN index")(body)
 
-  /** Write the marker via tmp + rename: a crashed write leaves either
-    * the previous marker or none — never a truncated one.
-    */
+  /** Marker commit via tmp + rename — see [[IndexFs.writeMarker]]. */
   private def writeMarker(spark: SparkSession, dir: String,
-      text: String): Unit = {
-    val fs = hfs(spark, dir)
-    val tmp = hpath(dir, s".$Marker.tmp")
-    val dst = hpath(dir, Marker)
-    val out = fs.create(tmp, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"could not commit marker at $dst")
-  }
+      text: String): Unit = IndexFs.writeMarker(spark, dir, Marker, text)
 
   final case class Meta(nCells: Int, m: Int, nCentroids: Int, sub: Int,
       scale: Double)

@@ -252,6 +252,85 @@ object PipelineQueries {
         documents(s, d), "doc_id", "text",
         NumHashes, Bands, JaccardThreshold)),
 
+    // The PERSISTED near-dup lifecycle (ext/MinHashIndex): the first
+    // invocation per corpus signs every document ONCE and commits the
+    // skinny signature table (32 longs/doc); every later invocation —
+    // including bench passes 2..n — loads and probes: the incoming
+    // batch (every 20th doc) is signed, band-joined against the
+    // at-rest signatures, and scored by MinHash AGREEMENT (the
+    // unbiased Jaccard estimator; exact binary fractions at n=32, so
+    // the oracle replay is hash-exact). No corpus text is read at
+    // probe time — this is dedup_incremental's answer without
+    // dedup_incremental's corpus re-shingle. A batch doc matches
+    // itself at est 1.0 (the index covers the full corpus) — planted
+    // truth at every SF.
+    "dedup_minhash_index" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/minhash_index/$key"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/documents.parquet")
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, NumHashes, Bands, fp)
+      graft.ext.MinHashIndex.probe(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", dir, JaccardThreshold)
+    }),
+
+    // The INCREMENTAL leg: build the signature table over two thirds
+    // of the corpus, APPEND the rest (the hash family is
+    // content-deterministic, so appended signatures are bit-identical
+    // to a full rebuild's — proven by sharing dedup_minhash_index's
+    // oracle verbatim), then probe. The composed marker makes repeat
+    // invocations serve-only.
+    "dedup_minhash_index_append" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/minhash_index/${key}_append"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/documents.parquet")
+      val docs = documents(s, d)
+      graft.ext.MinHashIndex.ensureBuiltWithAppend(
+        docs.filter(col("doc_id") % 3 =!= 2),
+        docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", dir, NumHashes, Bands, fp)
+      graft.ext.MinHashIndex.probe(
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", dir, JaccardThreshold)
+    }),
+
+    // Ingest-gate verdicts from the index: estimate-gated candidates
+    // (gate opened to 0.5 so estimator variance doesn't drop
+    // borderline true pairs) EXACT-verified against re-read text of
+    // the candidate docs only, self-matches excluded, folded to one
+    // row per incoming doc — LEFT join from the batch universe, so
+    // docs with no near-dup (or too short to shingle) still report
+    // near_dup=false. This is the per-document admit/reject signal an
+    // ingest pipeline acts on.
+    "dedup_minhash_index_flags" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/minhash_index/$key"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/documents.parquet")
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, NumHashes, Bands, fp)
+      val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
+      val pairs = graft.ext.MinHashIndex.probeVerified(
+          incoming, documents(s, d), "doc_id", "text", dir,
+          threshold = JaccardThreshold, estThreshold = 0.5)
+        .filter(col("id_a") =!= col("id_b"))
+      incoming.select(col("doc_id"))
+        .join(pairs.groupBy(col("id_a").as("doc_id"))
+            .agg(count(lit(1)).as("n_matches"),
+              max(col("jaccard")).as("best_jaccard")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_matches").isNotNull.as("near_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+    }),
+
     // Bloom-filter front door of incremental ingest: "seen this exact
     // (token-set-canonical) document before?" answered with ONE
     // map-side probe per batch row against a fixed-size bitmap — no
@@ -2707,6 +2786,48 @@ object PipelineQueries {
   private def minhashOracle: String =
     minhashOracleFrom(Word3Ctes, JaccardThreshold)
 
+  /** Estimate-scored probe replay for the PERSISTED MinHash index
+    * (mirrors MinHashIndex.probe): candidates from the same band
+    * CTEs, scored by signature-component agreement / numHashes — an
+    * exact binary fraction at numHashes=32, so hash-exact
+    * cross-engine.
+    */
+  private val MinhashAgreeSql =
+    s"""CAST(len(list_filter(range(1, ${NumHashes + 1}),
+       i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $NumHashes"""
+
+  private def minhashIndexOracle: String =
+    s"""WITH ${lshCandCtes(Word3Ctes, pairCond = "a.doc_id % 20 = 0")}
+       SELECT id_a, id_b, $MinhashAgreeSql AS est_jaccard
+       FROM cand JOIN sg sa ON cand.id_a = sa.doc_id
+                 JOIN sg sb ON cand.id_b = sb.doc_id
+       WHERE est_jaccard >= $JaccardThreshold"""
+
+  /** Per-incoming-doc gate replay (mirrors probeVerified + the flags
+    * fold): estimate gate at 0.5, exact verify at the final bar,
+    * self-matches out, LEFT join from the batch universe.
+    */
+  private def minhashIndexFlagsOracle: String =
+    s"""WITH ${lshCandCtes(Word3Ctes, pairCond = "a.doc_id % 20 = 0")},
+       est AS (SELECT id_a, id_b
+               FROM cand JOIN sg sa ON cand.id_a = sa.doc_id
+                         JOIN sg sb ON cand.id_b = sb.doc_id
+               WHERE $MinhashAgreeSql >= 0.5 AND id_a <> id_b),
+       ver AS (SELECT id_a, id_b,
+                 CAST(len(list_intersect(va.ts, vb.ts)) AS DOUBLE) /
+                   len(list_distinct(va.ts || vb.ts)) AS jaccard
+               FROM est JOIN sh2 va ON est.id_a = va.doc_id
+                        JOIN sh2 vb ON est.id_b = vb.doc_id
+               WHERE jaccard >= $JaccardThreshold),
+       agg AS (SELECT id_a AS doc_id, count(*) AS n_matches,
+                 max(jaccard) AS best_jaccard
+               FROM ver GROUP BY id_a)
+       SELECT d.doc_id, agg.doc_id IS NOT NULL AS near_dup,
+         COALESCE(n_matches, 0) AS n_matches,
+         COALESCE(best_jaccard, 0.0) AS best_jaccard
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       WHERE d.doc_id % 20 = 0"""
+
   /** Bigram-LM scoring CTEs ending in `scored(doc_id, known, p)` —
     * the DuckDB mirror of `lmBigramScores` (shared by text_lm_score
     * and pipeline_ccnet_buckets).
@@ -3240,6 +3361,13 @@ object PipelineQueries {
     // id_a < id_b — mirrors minhashJoinPairs' ordered=false).
     "dedup_incremental" -> minhashOracleFrom(Word3Ctes,
       JaccardThreshold, pairCond = "a.doc_id % 20 = 0"),
+
+    "dedup_minhash_index" -> minhashIndexOracle,
+    // the append path must be invisible to results: a build+append
+    // index replays as a one-shot full build — sharing the oracle
+    // verbatim IS the frozen-params equivalence check
+    "dedup_minhash_index_append" -> minhashIndexOracle,
+    "dedup_minhash_index_flags" -> minhashIndexFlagsOracle,
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),

@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MinHashIndexSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("minhash_index_spec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  // planted structure: 1<->2 near-dup (one word changed in 12),
+  // 3 unrelated, 4 == 5 exact dup, 6 too short to shingle
+  private def corpus(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the cat sleeps on the warm mat"
+    Seq(
+      (1L, base),
+      (2L, base.replace("warm", "cold")),
+      (3L, "completely different subject matter entirely here " +
+        "nothing shared with anything else in this corpus at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (6L, "too short")
+    ).toDF("doc_id", "text")
+  }
+
+  /** Independent driver-side replay of probe(): signatures straight
+    * from Dedup.minhashSignatures (differentially pinned vs the oracle
+    * elsewhere), banding + agreement re-derived with plain Scala —
+    * no bucketJoinPairs, no Column arithmetic.
+    */
+  private def driverProbe(incoming: DataFrame, index: DataFrame,
+      numHashes: Int, bands: Int,
+      threshold: Double): Set[(Long, Long, Double)] = {
+    def sigsOf(df: DataFrame): Map[Long, Seq[Long]] =
+      Dedup.minhashSignatures(
+          Dedup.shingleRows(df, "doc_id", "text"), numHashes)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to numHashes).map(r.getLong))
+        .toMap
+    val rpb = numHashes / bands
+    def bandKeys(sig: Seq[Long]): Seq[(Int, String)] =
+      (0 until bands).map(j =>
+        j -> (0 until rpb).map(r => sig(j * rpb + r)).mkString("|"))
+    val a = sigsOf(incoming)
+    val b = sigsOf(index)
+    (for {
+      (ia, sa) <- a.toSeq; (ib, sb) <- b.toSeq
+      if bandKeys(sa).toSet.intersect(bandKeys(sb).toSet).nonEmpty
+      est = sa.zip(sb).count { case (x, y) => x == y }.toDouble /
+        numHashes
+      if est >= threshold
+    } yield (ia, ib, est)).toSet
+  }
+
+  test("probe == independent driver-side band+agreement replay, " +
+      "including self-matches at est 1.0; short docs absent") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir,
+      numHashes = 32, bands = 8)
+    val incoming = docs.filter(col("doc_id").isin(1L, 4L, 6L))
+    val got = MinHashIndex.probe(incoming, "doc_id", "text", dir, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = driverProbe(incoming, docs, 32, 8, 0.5)
+    assert(got == want, s"got $got, want $want")
+    // planted truth survives the generic check
+    assert(got.contains((1L, 1L, 1.0)) && got.contains((4L, 4L, 1.0)))
+    assert(got.contains((4L, 5L, 1.0))) // exact dup pair
+    assert(got.exists { case (a, b, e) => a == 1L && b == 2L && e < 1.0 })
+    assert(!got.exists(t => t._1 == 6L || t._2 == 6L)) // unshingleable
+    assert(!got.exists(t => t._2 == 3L)) // unrelated never candidates
+  }
+
+  test("append is invisible to probe: build(all) == " +
+      "build(part)+append(rest), bit-identical rows") {
+    val docs = corpus()
+    val full = tmpDir(); val inc = tmpDir()
+    MinHashIndex.build(docs, "doc_id", "text", full)
+    MinHashIndex.build(docs.filter(col("doc_id") <= 3), "doc_id",
+      "text", inc)
+    MinHashIndex.append(docs.filter(col("doc_id") > 3), "doc_id",
+      "text", inc)
+    val incoming = docs.filter(col("doc_id").isin(1L, 4L))
+    def rows(dir: String) =
+      MinHashIndex.probe(incoming, "doc_id", "text", dir, 0.4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(full) == rows(inc))
+  }
+
+  test("marker is committed LAST and load refuses its absence; " +
+      "ensureBuilt rebuilds exactly on fingerprint change") {
+    val dir = tmpDir()
+    val docs = corpus()
+    assert(MinHashIndex.ensureBuilt(docs, "doc_id", "text", dir,
+      fingerprint = "v1")) // first call builds
+    assert(!MinHashIndex.ensureBuilt(docs, "doc_id", "text", dir,
+      fingerprint = "v1")) // warm: marker matches, no rebuild
+    assert(MinHashIndex.ensureBuilt(docs, "doc_id", "text", dir,
+      fingerprint = "v2")) // corpus changed: rebuild
+    // a mutated index (append line) is stale for any pristine check
+    MinHashIndex.append(docs.limit(0), "doc_id", "text", dir, "v2")
+    assert(MinHashIndex.ensureBuilt(docs, "doc_id", "text", dir,
+      fingerprint = "v2"))
+    // markerless dir refuses to serve
+    new java.io.File(dir, "INDEX_READY").delete()
+    intercept[IllegalStateException] {
+      MinHashIndex.probe(docs, "doc_id", "text", dir, 0.5).collect()
+    }
+  }
+
+  test("maintenance is single-writer: a held lease aborts build and " +
+      "append loudly; release restores service") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val lease = new java.io.File(dir, ".MAINT_LEASE")
+    assert(lease.createNewFile())
+    intercept[IllegalStateException] {
+      MinHashIndex.build(docs, "doc_id", "text", dir)
+    }
+    intercept[IllegalStateException] {
+      MinHashIndex.append(docs, "doc_id", "text", dir)
+    }
+    // probes never take the lease
+    assert(MinHashIndex.probe(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", dir, 0.5).count() > 0)
+    assert(lease.delete())
+    MinHashIndex.build(docs, "doc_id", "text", dir) // serves again
+  }
+
+  test("probeVerified == minhashJoinPairs' exact pairs when the " +
+      "estimate gate is opened below the banding floor") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val incoming = docs.filter(col("doc_id").isin(1L, 4L, 6L))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)
+    val got = MinHashIndex.probeVerified(incoming, docs, "doc_id",
+        "text", dir, threshold = 0.6, estThreshold = 0.0)
+      .collect().map(key).toSet
+    val want = Dedup.minhashJoinPairs(incoming, docs, "doc_id",
+        "text", 32, 8, threshold = 0.6)
+      .collect().map(key).toSet
+    assert(got == want, s"got $got, want $want")
+  }
+}
