@@ -99,6 +99,10 @@ object MinHashIndex {
       val spark = corpus.sparkSession
       signatures(corpus, idCol, textCol, numHashes)
         .write.mode("overwrite").parquet(s"$dir/sigs")
+      // a rebuild retires any queued tombstones: they referred to the
+      // previous index's contents (the AnnIndex build discipline)
+      IndexFs.hfs(spark, dir)
+        .delete(IndexFs.hpath(dir, "deletes"), true)
       IndexFs.writeMarker(spark, dir, Marker,
         markerText(numHashes, bands, fingerprint))
     }
@@ -165,15 +169,98 @@ object MinHashIndex {
     (m.group(2).toInt, m.group(3).toInt)
   }
 
-  /** The committed signature table and its params. Refuses a
-    * markerless dir — a killed build is unreadable by construction.
+  /** The committed signature table (queued tombstones anti-joined
+    * away) and its params. Refuses a markerless dir — a killed build
+    * is unreadable by construction.
     */
   def load(spark: SparkSession, dir: String): (Int, Int, DataFrame) = {
     val marker = readMarker(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no committed MinHash index at $dir"))
     val (numHashes, bands) = paramsOf(marker, dir)
-    (numHashes, bands, spark.read.parquet(s"$dir/sigs"))
+    val base = spark.read.parquet(s"$dir/sigs")
+    val sigs =
+      if (!IndexFs.hfs(spark, dir)
+          .exists(IndexFs.hpath(dir, "deletes"))) base
+      else base.join(spark.read.parquet(s"$dir/deletes"), Seq("id"),
+        "left_anti")
+    (numHashes, bands, sigs)
+  }
+
+  /** Tombstone ids out of the index: queued in a skinny `deletes/`
+    * table that every probe path anti-joins on the fly, physically
+    * folded in by [[compact]] or the next full [[build]]. Marker
+    * FIRST (a crash between the two steps forces a spurious-but-safe
+    * rebuild, never a fresh-looking index silently serving removed
+    * docs), ids localCheckpointed so the recorded count always equals
+    * the written rows — the AnnIndex.delete discipline.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    withLease(spark, dir) {
+      val prev = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed MinHash index at $dir — nothing to delete " +
+            "from"))
+      val skinny = ids.select(ids.columns.head).toDF("id")
+        .select(col("id").cast("long").as("id"))
+        .localCheckpoint(true)
+      val n = skinny.count()
+      IndexFs.writeMarker(spark, dir, Marker, prev + s"\n+delete[$n]")
+      skinny.write.mode("append").parquet(s"$dir/deletes")
+    }
+
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(spark, dir, ids.toDF("id"))
+  }
+
+  /** Offline maintenance: rewrite the signature table without queued
+    * tombstones and with healthy file sizes (every [[append]] adds
+    * files; a long-lived ingest index accumulates small files), then
+    * clear `deletes/`. Result-invisible: probes are identical before
+    * and after (they already anti-joined the queue). Staged through
+    * `sigs_tmp` + rename with the marker LIFTED during the swap — a
+    * crash mid-swap leaves an unreadable-by-construction index, never
+    * a half-swapped one.
+    *
+    * @return signature rows kept
+    */
+  def compact(spark: SparkSession, dir: String): Long =
+    withLease(spark, dir) {
+      val fs = IndexFs.hfs(spark, dir)
+      val marker = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed MinHash index at $dir"))
+      val delPath = IndexFs.hpath(dir, "deletes")
+      val hasDel = fs.exists(delPath)
+      val base = spark.read.parquet(s"$dir/sigs")
+      val kept = if (!hasDel) base
+        else base.join(spark.read.parquet(s"$dir/deletes"),
+          Seq("id"), "left_anti")
+      kept.write.mode("overwrite").parquet(s"$dir/sigs_tmp")
+      fs.delete(IndexFs.hpath(dir, Marker), false)
+      fs.delete(IndexFs.hpath(dir, "sigs"), true)
+      if (!fs.rename(IndexFs.hpath(dir, "sigs_tmp"),
+          IndexFs.hpath(dir, "sigs")))
+        throw new java.io.IOException(
+          s"could not swap compacted sigs table at $dir")
+      if (hasDel) fs.delete(delPath, true)
+      IndexFs.writeMarker(spark, dir, Marker, marker)
+      spark.read.parquet(s"$dir/sigs").count()
+    }
+
+  /** The committed index's occupied LSH buckets as the skinny
+    * (band, bk) DISTINCT table `StreamingOps.nearDupGate` probes —
+    * row-identical to `StreamingOps.corpusBandBuckets(corpus)` (same
+    * hash family) but derived from the at-rest signatures: a
+    * numHashes-longs-per-doc scan, no corpus text pass, so the
+    * streaming ingest gate refreshes whenever the index does.
+    */
+  def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val (numHashes, bands, sigs) = load(spark, dir)
+    sigs.select(posexplode(Dedup.bandKeys(bands, numHashes / bands))
+        .as(Seq("band", "bk")))
+      .distinct()
   }
 
   /** All (batch doc, indexed doc) pairs whose ESTIMATED Jaccard —

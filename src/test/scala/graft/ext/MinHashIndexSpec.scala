@@ -138,6 +138,88 @@ class MinHashIndexSpec extends SparkSpec {
     MinHashIndex.build(docs, "doc_id", "text", dir) // serves again
   }
 
+  test("bandBuckets == corpusBandBuckets: the streaming nearDupGate's " +
+      "at-rest index is served from the committed signatures") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val fromIndex = MinHashIndex.bandBuckets(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val fromText = graft.streaming.StreamingOps
+      .corpusBandBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(fromIndex == fromText && fromIndex.nonEmpty)
+  }
+
+  test("probe reads NO corpus text: with an in-memory batch the only " +
+      "file scan in the plan is the index's sigs table") {
+    val dir = tmpDir()
+    MinHashIndex.build(corpus(), "doc_id", "text", dir)
+    val s = spark
+    import s.implicits._
+    val batch = Seq((100L, "alpha beta gamma delta epsilon zeta " +
+      "eta theta iota")).toDF("doc_id", "text")
+    val probe = MinHashIndex.probe(batch, "doc_id", "text", dir, 0.5)
+    val scans = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("sigs"), scans)
+    assert(!scans.contains("documents"), scans)
+    // and it still finds the exact dup of docs 4/5 in the index
+    val got = probe.collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((4L, 1.0), (5L, 1.0)), got.toSeq)
+  }
+
+  test("delete tombstones serve immediately (probe anti-joins the " +
+      "queue), marker-FIRST so the mutated index reads stale") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir, fingerprint = "v1")
+    val batch = docs.filter(col("doc_id") === 4)
+    def matches() = MinHashIndex.probe(batch, "doc_id", "text", dir,
+      0.5).collect().map(_.getLong(1)).toSet
+    assert(matches() == Set(4L, 5L))
+    MinHashIndex.delete(spark, dir, Seq(5L))
+    assert(matches() == Set(4L)) // ghost gone without a rebuild
+    val marker = scala.io.Source
+      .fromFile(new java.io.File(dir, "INDEX_READY"))
+    val text = try marker.mkString finally marker.close()
+    assert(text.endsWith("+delete[1]"), text)
+    // mutated index is stale for the pristine-corpus check → rebuild
+    assert(MinHashIndex.ensureBuilt(docs, "doc_id", "text", dir,
+      fingerprint = "v1"))
+    assert(matches() == Set(4L, 5L)) // rebuild resurrects the corpus
+  }
+
+  test("compact folds tombstones + append files: probes identical " +
+      "before and after, deletes/ cleared, marker text preserved") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs.filter(col("doc_id") <= 3), "doc_id",
+      "text", dir)
+    MinHashIndex.append(docs.filter(col("doc_id") === 4), "doc_id",
+      "text", dir)
+    MinHashIndex.append(docs.filter(col("doc_id") >= 5), "doc_id",
+      "text", dir)
+    MinHashIndex.delete(spark, dir, Seq(2L))
+    val batch = docs.filter(col("doc_id").isin(1L, 4L))
+    def rows() = MinHashIndex.probe(batch, "doc_id", "text", dir, 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def markerText() = {
+      val src = scala.io.Source
+        .fromFile(new java.io.File(dir, "INDEX_READY"))
+      try src.mkString finally src.close()
+    }
+    val markerBefore = markerText()
+    val before = rows()
+    assert(!before.exists(_._2 == 2L))
+    val kept = MinHashIndex.compact(spark, dir)
+    assert(kept == 4L) // docs 1,3,4,5 (6 unshingleable, 2 folded out)
+    assert(rows() == before)
+    assert(!new java.io.File(dir, "deletes").exists())
+    assert(markerText() == markerBefore)
+  }
+
   test("probeVerified == minhashJoinPairs' exact pairs when the " +
       "estimate gate is opened below the banding floor") {
     val dir = tmpDir()
