@@ -231,6 +231,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-row (h1, h2) hash-pair struct array of a text's DISTINCT
+    * word-3-gram shingles — the MAP-SIDE form of `shingleRows` + md5
+    * for STREAMS (per-doc lead windows are unsupported there):
+    * shingles by zip-shift, one md5 per shingle materialized once.
+    * Interpreted HOFs are banned on batch hot paths (see the design
+    * rules below) — this is per-doc bounded work where the relational
+    * alternative does not exist. Bit-compatible with the row form
+    * (StreamingOpsSpec pins the gate verdicts; MinHashIndexSpec pins
+    * full signature equality through `minhashComponent`).
+    */
+  def shingleHashesCol(text: Column): Column = {
+    val tk = tokens(text)
+    val n = greatest(size(tk) - 2, lit(0))
+    val sh = array_distinct(zip_with(
+      zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(tk, lit(3), n), (ab, c) => concat_ws(" ", ab, c)))
+    transform(sh, s => {
+      val hx = md5(s)
+      struct(conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
+    })
+  }
+
+  /** Component i of the MinHash signature over a [[shingleHashesCol]]
+    * array — array_min of the same Kirsch–Mitzenmacher values
+    * `minhashSignatures` MINs relationally.
+    */
+  def minhashComponent(hs: Column, i: Int): Column =
+    array_min(transform(hs, h =>
+      pmod(h.getField("h1") + lit(i.toLong) * h.getField("h2"),
+        lit(MinhashPrime))))
+
   /** MinHash+LSH near-duplicate pair mining over ANY (id, shingle)
     * relation (word 3-grams, char n-grams, ...).
     *

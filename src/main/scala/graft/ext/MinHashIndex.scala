@@ -99,10 +99,13 @@ object MinHashIndex {
       val spark = corpus.sparkSession
       signatures(corpus, idCol, textCol, numHashes)
         .write.mode("overwrite").parquet(s"$dir/sigs")
-      // a rebuild retires any queued tombstones: they referred to the
-      // previous index's contents (the AnnIndex build discipline)
+      // a rebuild retires queued tombstones AND the streaming segment:
+      // both referred to the previous index's contents (the AnnIndex
+      // build discipline)
       IndexFs.hfs(spark, dir)
         .delete(IndexFs.hpath(dir, "deletes"), true)
+      IndexFs.hfs(spark, dir)
+        .delete(IndexFs.hpath(dir, "sigs_stream"), true)
       IndexFs.writeMarker(spark, dir, Marker,
         markerText(numHashes, bands, fingerprint))
     }
@@ -178,13 +181,54 @@ object MinHashIndex {
       throw new IllegalStateException(
         s"no committed MinHash index at $dir"))
     val (numHashes, bands) = paramsOf(marker, dir)
+    val fs = IndexFs.hfs(spark, dir)
     val base = spark.read.parquet(s"$dir/sigs")
+    val unioned =
+      if (!fs.exists(IndexFs.hpath(dir, "sigs_stream"))) base
+      else base.unionByName(
+        spark.read.parquet(s"$dir/sigs_stream").select(base.columns
+          .map(col).toIndexedSeq: _*))
     val sigs =
-      if (!IndexFs.hfs(spark, dir)
-          .exists(IndexFs.hpath(dir, "deletes"))) base
-      else base.join(spark.read.parquet(s"$dir/deletes"), Seq("id"),
+      if (!fs.exists(IndexFs.hpath(dir, "deletes"))) unioned
+      else unioned.join(spark.read.parquet(s"$dir/deletes"), Seq("id"),
         "left_anti")
     (numHashes, bands, sigs)
+  }
+
+  /** STREAMING index ingest — the online half of the lifecycle:
+    * arriving documents are signed MAP-SIDE with the committed
+    * index's hash family (`Dedup.shingleHashesCol` +
+    * `minhashComponent` — the same expressions `nearDupGate` probes
+    * with, bit-compatible with the batch `minhashSignatures`, pinned
+    * in MinHashIndexSpec) and appended, exactly-once (the parquet
+    * sink's metadata log dedups replayed micro-batches), into a
+    * `sigs_stream/` SEGMENT beside the base table. A separate segment
+    * because a FileStreamSink log in `sigs/` would hide the
+    * batch-written files from readers; [[load]] unions the segment in
+    * when present and [[compact]] folds + retires it. Docs too short
+    * to shingle emit nothing — exactly the batch absence rule. No
+    * state store, no shuffle: this is the AnnIndex.ingestStream shape
+    * for text.
+    */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+      dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val marker = readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed MinHash index at $dir — build first"))
+    val (numHashes, _) = paramsOf(marker, dir)
+    stream
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.shingleHashesCol(col(textCol)).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("id") +: (0 until numHashes).map(i =>
+        Dedup.minhashComponent(col("__hs"), i).as(s"m$i")): _*)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/sigs_stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
   }
 
   /** Tombstone ids out of the index: queued in a skinny `deletes/`
@@ -215,13 +259,15 @@ object MinHashIndex {
   }
 
   /** Offline maintenance: rewrite the signature table without queued
-    * tombstones and with healthy file sizes (every [[append]] adds
-    * files; a long-lived ingest index accumulates small files), then
-    * clear `deletes/`. Result-invisible: probes are identical before
-    * and after (they already anti-joined the queue). Staged through
-    * `sigs_tmp` + rename with the marker LIFTED during the swap — a
-    * crash mid-swap leaves an unreadable-by-construction index, never
-    * a half-swapped one.
+    * tombstones, with the streaming segment folded in (stop any
+    * running [[ingestStream]] first; the next ingest needs a FRESH
+    * checkpoint — its sink log is retired with the segment), and with
+    * healthy file sizes (every [[append]] adds files; a long-lived
+    * ingest index accumulates small files). Result-invisible: probes
+    * are identical before and after (they already unioned the segment
+    * and anti-joined the queue). Staged through `sigs_tmp` + rename
+    * with the marker LIFTED during the swap — a crash mid-swap leaves
+    * an unreadable-by-construction index, never a half-swapped one.
     *
     * @return signature rows kept
     */
@@ -232,10 +278,15 @@ object MinHashIndex {
         throw new IllegalStateException(
           s"no committed MinHash index at $dir"))
       val delPath = IndexFs.hpath(dir, "deletes")
+      val segPath = IndexFs.hpath(dir, "sigs_stream")
       val hasDel = fs.exists(delPath)
+      val hasSeg = fs.exists(segPath)
       val base = spark.read.parquet(s"$dir/sigs")
-      val kept = if (!hasDel) base
-        else base.join(spark.read.parquet(s"$dir/deletes"),
+      val unioned = if (!hasSeg) base
+        else base.unionByName(spark.read.parquet(s"$dir/sigs_stream")
+          .select(base.columns.map(col).toIndexedSeq: _*))
+      val kept = if (!hasDel) unioned
+        else unioned.join(spark.read.parquet(s"$dir/deletes"),
           Seq("id"), "left_anti")
       kept.write.mode("overwrite").parquet(s"$dir/sigs_tmp")
       fs.delete(IndexFs.hpath(dir, Marker), false)
@@ -244,6 +295,7 @@ object MinHashIndex {
           IndexFs.hpath(dir, "sigs")))
         throw new java.io.IOException(
           s"could not swap compacted sigs table at $dir")
+      if (hasSeg) fs.delete(segPath, true)
       if (hasDel) fs.delete(delPath, true)
       IndexFs.writeMarker(spark, dir, Marker, marker)
       spark.read.parquet(s"$dir/sigs").count()

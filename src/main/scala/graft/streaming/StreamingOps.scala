@@ -325,20 +325,12 @@ object StreamingOps {
     val rows = numHashes / bands
     require(rows * bands == numHashes,
       s"numHashes $numHashes must divide into $bands bands")
-    val tk = graft.ext.Dedup.tokens(col(textCol))
-    val n = greatest(size(tk) - 2, lit(0))
-    val sh = array_distinct(zip_with(
-      zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
-        (a, b) => concat_ws(" ", a, b)),
-      slice(tk, lit(3), n), (ab, c) => concat_ws(" ", ab, c)))
-    val hs = transform(sh, s => {
-      val hx = md5(s)
-      struct(conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
-    })
-    val mi = (i: Int) => array_min(transform(col("__hs"), h =>
-      pmod(h.getField("h1") + lit(i.toLong) * h.getField("h2"),
-        lit(graft.ext.Dedup.MinhashPrime))))
+    // shared map-side signature family (Dedup.shingleHashesCol /
+    // minhashComponent) — also the MinHashIndex streaming-ingest
+    // encode, so gate and index can never drift
+    val hs = graft.ext.Dedup.shingleHashesCol(col(textCol))
+    val mi = (i: Int) =>
+      graft.ext.Dedup.minhashComponent(col("__hs"), i)
     val bks = array((0 until bands).map { j =>
       concat_ws("|", (0 until rows).map(r => mi(j * rows + r)): _*)
     }: _*)

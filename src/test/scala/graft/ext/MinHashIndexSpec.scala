@@ -220,6 +220,50 @@ class MinHashIndexSpec extends SparkSpec {
     assert(markerText() == markerBefore)
   }
 
+  test("streaming ingest: docs arriving on a stream are signed " +
+      "map-side into sigs_stream — rows IDENTICAL to the batch append " +
+      "signatures; probe unions the segment; compact folds + retires " +
+      "it; rebuild retires it") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val docs = corpus()
+    val dir = tmpDir(); val dirRef = tmpDir()
+    val base = docs.filter(col("doc_id") <= 3)
+    val extra = docs.filter(col("doc_id") > 3) // 4,5 sign; 6 too short
+    MinHashIndex.build(base, "doc_id", "text", dir)
+    MinHashIndex.build(base, "doc_id", "text", dirRef)
+    MinHashIndex.append(extra, "doc_id", "text", dirRef)
+    val rows = extra.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = MinHashIndex.ingestStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      java.nio.file.Files.createTempDirectory("mhck").toString)
+    val (b1, b2) = rows.splitAt(1)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val seg = s.read.parquet(s"$dir/sigs_stream")
+    val ref = s.read.parquet(s"$dirRef/sigs").filter(col("id") > 3)
+    assert(seg.count() == 2) // doc 6 emits nothing (batch absence rule)
+    assert(seg.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(seg).count() == 0,
+      "stream encode must equal the batch append encode row for row")
+    val batch = docs.filter(col("doc_id") === 4)
+    def matches() = MinHashIndex.probe(batch, "doc_id", "text", dir,
+      0.5).collect().map(_.getLong(1)).toSet
+    assert(matches() == Set(4L, 5L)) // probe unions the segment
+    val kept = MinHashIndex.compact(s, dir)
+    assert(kept == 5L, s"kept $kept") // docs 1..5 folded
+    assert(!new java.io.File(s"$dir/sigs_stream").exists)
+    assert(matches() == Set(4L, 5L)) // fold is result-invisible
+    MinHashIndex.build(base, "doc_id", "text", dir)
+    assert(!new java.io.File(s"$dir/sigs_stream").exists,
+      "rebuild must retire any streaming segment")
+  }
+
   test("probeVerified == minhashJoinPairs' exact pairs when the " +
       "estimate gate is opened below the banding floor") {
     val dir = tmpDir()
