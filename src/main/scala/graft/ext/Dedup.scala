@@ -248,11 +248,34 @@ object Dedup {
       zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
         (a, b) => concat_ws(" ", a, b)),
       slice(tk, lit(3), n), (ab, c) => concat_ws(" ", ab, c)))
-    transform(sh, s => {
+    gramHashStructs(sh)
+  }
+
+  /** One (h1, h2) md5 hash-pair struct per gram — the element form of
+    * `minhashSignatures`' hash columns, shared by the map-side word
+    * and char shingle encodes.
+    */
+  private def gramHashStructs(grams: Column): Column =
+    transform(grams, s => {
       val hx = md5(s)
       struct(conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
         conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
     })
+
+  /** Per-row (h1, h2) hash-pair struct array of a text's DISTINCT
+    * char n-gram shingles — the MAP-SIDE form of `charGramRows` + md5
+    * for streams. The `when` guard mirrors `charGramRows`' length
+    * filter (and keeps the sequence ascending); too-short docs yield
+    * an empty array.
+    */
+  def charGramHashesCol(text: Column, n: Int = 5): Column = {
+    val nt = TextAnalysis.normalized(text)
+    val grams = when(length(nt) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(nt) - (n - 1)),
+        p => nt.substr(p, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    gramHashStructs(grams)
   }
 
   /** Component i of the MinHash signature over a [[shingleHashesCol]]

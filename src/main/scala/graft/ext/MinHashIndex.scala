@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * mirroring the `AnnIndex` lifecycle (same marker/lease/fingerprint
   * discipline, shared `IndexFs` primitives):
   *
-  *   - `build` computes word-3-gram MinHash signatures
-  *     (`Dedup.shingleRows` + `Dedup.minhashSignatures` — md5 double
-  *     hashing, deterministic cross-engine) for the whole corpus and
+  *   - `build` computes MinHash signatures over word 3-gram shingles
+  *     (`Dedup.shingleRows`, the prose default) or char 5-grams
+  *     (`Dedup.charGramRows`, the code/short-text unit — `grams`
+  *     param, recorded in the marker) with `Dedup.minhashSignatures`
+  *     — md5 double hashing, deterministic cross-engine — for the
+  *     whole corpus and
   *     writes ONE skinny table under `dir`:
   *       `sigs/` (id LONG, m0..m{n-1} LONG) — numHashes longs/doc,
   *     then commits an `INDEX_READY` marker (format version, params,
@@ -71,33 +74,52 @@ object MinHashIndex {
   private def readMarker(spark: SparkSession, dir: String)
       : Option[String] = IndexFs.readMarker(spark, dir, Marker)
 
-  private def markerText(numHashes: Int, bands: Int,
+  /** Index geometry, recorded in the marker. `grams` selects the
+    * shingle unit: "word3" (word 3-grams — `Dedup.shingleRows`, the
+    * prose-dedup default) or "char5" (char 5-grams —
+    * `Dedup.charGramRows`, the code/short-text unit `dedup_ngram`
+    * mines with).
+    */
+  final case class Meta(numHashes: Int, bands: Int, grams: String)
+
+  private val GramsUnits = Set("word3", "char5")
+
+  private def markerText(numHashes: Int, bands: Int, grams: String,
       fingerprint: String): String =
     s"format=$FormatVersion numHashes=$numHashes bands=$bands " +
-      s"corpus[$fingerprint]"
+      s"grams=$grams corpus[$fingerprint]"
 
   /** Signature frame (id, m0..m{n-1}) of `df` — the shared encode of
-    * build, append and the probe's batch side. Documents with fewer
-    * than 3 tokens produce no shingles and are ABSENT (they cannot
-    * near-dup under word-3-gram Jaccard); mirrors the oracle's
+    * build, append and the probe's batch side. Documents too short to
+    * shingle (under 3 tokens / 5 normalized chars) are ABSENT (they
+    * cannot near-dup under set Jaccard); mirrors the oracle's
     * `WHERE len(ts) > 0`.
     */
   private def signatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int): DataFrame =
-    Dedup.minhashSignatures(
-      Dedup.shingleRows(df, idCol, textCol), numHashes)
+      meta: Meta): DataFrame =
+    Dedup.minhashSignatures(shingles(df, idCol, textCol, meta),
+      meta.numHashes)
+
+  private def shingles(df: DataFrame, idCol: String, textCol: String,
+      meta: Meta): DataFrame = meta.grams match {
+    case "word3" => Dedup.shingleRows(df, idCol, textCol)
+    case "char5" => Dedup.charGramRows(df, idCol, textCol, n = 5)
+    case other => throw new IllegalArgumentException(
+      s"unknown shingle unit '$other' (expected ${GramsUnits.mkString("/")})")
+  }
 
   /** Sign the corpus and commit the index at `dir` (overwrites any
     * previous index there). Single-writer; marker LAST.
     */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       dir: String, numHashes: Int = 32, bands: Int = 8,
-      fingerprint: String = ""): Unit =
+      fingerprint: String = "", grams: String = "word3"): Unit =
     withLease(corpus.sparkSession, dir) {
       require(numHashes % bands == 0,
         s"bands=$bands must divide numHashes=$numHashes")
+      require(GramsUnits(grams), s"unknown shingle unit '$grams'")
       val spark = corpus.sparkSession
-      signatures(corpus, idCol, textCol, numHashes)
+      signatures(corpus, idCol, textCol, Meta(numHashes, bands, grams))
         .write.mode("overwrite").parquet(s"$dir/sigs")
       // a rebuild retires queued tombstones AND the streaming segment:
       // both referred to the previous index's contents (the AnnIndex
@@ -107,7 +129,7 @@ object MinHashIndex {
       IndexFs.hfs(spark, dir)
         .delete(IndexFs.hpath(dir, "sigs_stream"), true)
       IndexFs.writeMarker(spark, dir, Marker,
-        markerText(numHashes, bands, fingerprint))
+        markerText(numHashes, bands, grams, fingerprint))
     }
 
   /** Rebuild iff the marker is missing or its params/corpus
@@ -116,19 +138,20 @@ object MinHashIndex {
     */
   def ensureBuilt(corpus: DataFrame, idCol: String, textCol: String,
       dir: String, numHashes: Int = 32, bands: Int = 8,
-      fingerprint: String = ""): Boolean = {
-    val want = markerText(numHashes, bands, fingerprint)
+      fingerprint: String = "", grams: String = "word3"): Boolean = {
+    val want = markerText(numHashes, bands, grams, fingerprint)
     val fresh = readMarker(corpus.sparkSession, dir).contains(want)
     if (!fresh)
-      build(corpus, idCol, textCol, dir, numHashes, bands, fingerprint)
+      build(corpus, idCol, textCol, dir, numHashes, bands, fingerprint,
+        grams)
     !fresh
   }
 
   /** Sign ONLY `df` with the committed index's (content-deterministic)
-    * hash family and parquet-append the rows; the marker gains a
-    * `+append[fingerprint]` line so `ensureBuilt` against any
-    * single-corpus fingerprint sees staleness. Callers own id
-    * disjointness (appending an already-indexed id serves duplicate
+    * hash family and shingle unit and parquet-append the rows; the
+    * marker gains a `+append[fingerprint]` line so `ensureBuilt`
+    * against any single-corpus fingerprint sees staleness. Callers own
+    * id disjointness (appending an already-indexed id serves duplicate
     * signature rows, which probe would surface as duplicate pairs).
     */
   def append(df: DataFrame, idCol: String, textCol: String,
@@ -138,8 +161,7 @@ object MinHashIndex {
       val prev = readMarker(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no committed MinHash index at $dir — build first"))
-      val (numHashes, _) = paramsOf(prev, dir)
-      signatures(df, idCol, textCol, numHashes)
+      signatures(df, idCol, textCol, paramsOf(prev, dir))
         .write.mode("append").parquet(s"$dir/sigs")
       IndexFs.writeMarker(spark, dir, Marker,
         prev + s"\n+append[$fingerprint]")
@@ -150,37 +172,40 @@ object MinHashIndex {
     */
   def ensureBuiltWithAppend(base: DataFrame, extra: DataFrame,
       idCol: String, textCol: String, dir: String, numHashes: Int = 32,
-      bands: Int = 8, fingerprint: String = ""): Boolean = {
-    val want = markerText(numHashes, bands, fingerprint) +
+      bands: Int = 8, fingerprint: String = "",
+      grams: String = "word3"): Boolean = {
+    val want = markerText(numHashes, bands, grams, fingerprint) +
       s"\n+append[$fingerprint]"
     val fresh = readMarker(base.sparkSession, dir).contains(want)
     if (!fresh) {
-      build(base, idCol, textCol, dir, numHashes, bands, fingerprint)
+      build(base, idCol, textCol, dir, numHashes, bands, fingerprint,
+        grams)
       append(extra, idCol, textCol, dir, fingerprint)
     }
     !fresh
   }
 
-  private def paramsOf(marker: String, dir: String): (Int, Int) = {
-    val m = raw"format=(\d+) numHashes=(\d+) bands=(\d+) ".r
-      .findFirstMatchIn(marker).getOrElse(
-        throw new IllegalStateException(
-          s"unreadable MinHash index marker at $dir"))
+  private def paramsOf(marker: String, dir: String): Meta = {
+    val m =
+      raw"format=(\d+) numHashes=(\d+) bands=(\d+) grams=(\S+) ".r
+        .findFirstMatchIn(marker).getOrElse(
+          throw new IllegalStateException(
+            s"unreadable MinHash index marker at $dir"))
     require(m.group(1).toInt == FormatVersion,
       s"MinHash index at $dir has format ${m.group(1)}, " +
         s"this build reads $FormatVersion")
-    (m.group(2).toInt, m.group(3).toInt)
+    Meta(m.group(2).toInt, m.group(3).toInt, m.group(4))
   }
 
   /** The committed signature table (queued tombstones anti-joined
     * away) and its params. Refuses a markerless dir — a killed build
     * is unreadable by construction.
     */
-  def load(spark: SparkSession, dir: String): (Int, Int, DataFrame) = {
+  def load(spark: SparkSession, dir: String): (Meta, DataFrame) = {
     val marker = readMarker(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no committed MinHash index at $dir"))
-    val (numHashes, bands) = paramsOf(marker, dir)
+    val meta = paramsOf(marker, dir)
     val fs = IndexFs.hfs(spark, dir)
     val base = spark.read.parquet(s"$dir/sigs")
     val unioned =
@@ -192,15 +217,16 @@ object MinHashIndex {
       if (!fs.exists(IndexFs.hpath(dir, "deletes"))) unioned
       else unioned.join(spark.read.parquet(s"$dir/deletes"), Seq("id"),
         "left_anti")
-    (numHashes, bands, sigs)
+    (meta, sigs)
   }
 
   /** STREAMING index ingest — the online half of the lifecycle:
     * arriving documents are signed MAP-SIDE with the committed
-    * index's hash family (`Dedup.shingleHashesCol` +
-    * `minhashComponent` — the same expressions `nearDupGate` probes
-    * with, bit-compatible with the batch `minhashSignatures`, pinned
-    * in MinHashIndexSpec) and appended, exactly-once (the parquet
+    * index's hash family and shingle unit (`Dedup.shingleHashesCol` /
+    * `charGramHashesCol` + `minhashComponent` — the word form is the
+    * same expression `nearDupGate` probes with; both bit-compatible
+    * with the batch `minhashSignatures`, pinned in MinHashIndexSpec)
+    * and appended, exactly-once (the parquet
     * sink's metadata log dedups replayed micro-batches), into a
     * `sigs_stream/` SEGMENT beside the base table. A separate segment
     * because a FileStreamSink log in `sigs/` would hide the
@@ -217,12 +243,17 @@ object MinHashIndex {
     val marker = readMarker(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no committed MinHash index at $dir — build first"))
-    val (numHashes, _) = paramsOf(marker, dir)
+    val meta = paramsOf(marker, dir)
+    val hs = meta.grams match {
+      case "word3" => Dedup.shingleHashesCol(col(textCol))
+      case "char5" => Dedup.charGramHashesCol(col(textCol), n = 5)
+      case other => throw new IllegalStateException(
+        s"index at $dir has unknown shingle unit '$other'")
+    }
     stream
-      .select(col(idCol).cast("long").as("id"),
-        Dedup.shingleHashesCol(col(textCol)).as("__hs"))
+      .select(col(idCol).cast("long").as("id"), hs.as("__hs"))
       .filter(size(col("__hs")) > 0)
-      .select(col("id") +: (0 until numHashes).map(i =>
+      .select(col("id") +: (0 until meta.numHashes).map(i =>
         Dedup.minhashComponent(col("__hs"), i).as(s"m$i")): _*)
       .writeStream.format("parquet")
       .option("path", s"$dir/sigs_stream")
@@ -309,8 +340,9 @@ object MinHashIndex {
     * streaming ingest gate refreshes whenever the index does.
     */
   def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val (numHashes, bands, sigs) = load(spark, dir)
-    sigs.select(posexplode(Dedup.bandKeys(bands, numHashes / bands))
+    val (meta, sigs) = load(spark, dir)
+    sigs.select(posexplode(
+        Dedup.bandKeys(meta.bands, meta.numHashes / meta.bands))
         .as(Seq("band", "bk")))
       .distinct()
   }
@@ -324,16 +356,16 @@ object MinHashIndex {
   def probe(incoming: DataFrame, idCol: String, textCol: String,
       dir: String, threshold: Double, hotCap: Int = 4096,
       salts: Int = 16): DataFrame = {
-    val (numHashes, bands, sigs) =
-      load(incoming.sparkSession, dir)
-    val rowsPerBand = numHashes / bands
+    val (meta, sigs) = load(incoming.sparkSession, dir)
+    val numHashes = meta.numHashes
+    val rowsPerBand = numHashes / meta.bands
     // the batch signature frame feeds a band leg and the agreement
     // join; checkpoint so the batch text is shingled once
-    val sigNew = signatures(incoming, idCol, textCol, numHashes)
+    val sigNew = signatures(incoming, idCol, textCol, meta)
       .localCheckpoint(false)
     def banded(sig: DataFrame, as: String) =
       sig.select(col("id").as(as),
-        posexplode(Dedup.bandKeys(bands, rowsPerBand))
+        posexplode(Dedup.bandKeys(meta.bands, rowsPerBand))
           .as(Seq("band", "bk")))
     val cand = Dedup.bucketJoinPairs(banded(sigNew, "id_a"),
         banded(sigs, "id_b"), hotCap, salts, ordered = false)
@@ -362,14 +394,18 @@ object MinHashIndex {
       idCol: String, textCol: String, dir: String, threshold: Double,
       estThreshold: Double, hotCap: Int = 4096,
       salts: Int = 16): DataFrame = {
+    val spark = incoming.sparkSession
+    val meta = paramsOf(readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed MinHash index at $dir")), dir)
     val cand = probe(incoming, idCol, textCol, dir, estThreshold,
       hotCap, salts).select("id_a", "id_b").localCheckpoint(false)
-    val shNew = Dedup.shingleRows(
+    val shNew = shingles(
       incoming.join(cand.select(col("id_a").as(idCol)).distinct(),
-        Seq(idCol), "left_semi"), idCol, textCol)
-    val shCor = Dedup.shingleRows(
+        Seq(idCol), "left_semi"), idCol, textCol, meta)
+    val shCor = shingles(
       corpus.join(cand.select(col("id_b").as(idCol)).distinct(),
-        Seq(idCol), "left_semi"), idCol, textCol)
+        Seq(idCol), "left_semi"), idCol, textCol, meta)
     val inter = cand
       .join(shNew.select(col("id").as("id_a"), col("shingle")), "id_a")
       .join(shCor.select(col("id").as("id_b"), col("shingle")),

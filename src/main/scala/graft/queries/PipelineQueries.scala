@@ -331,6 +331,27 @@ object PipelineQueries {
           coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
     }),
 
+    // Char-5-gram flavor of the persisted index — dedup_ngram's
+    // shingle unit (robust to word re-segmentation; the usual unit
+    // for code/short-text dedup) at dedup_ngram's 64×8 geometry,
+    // served from the same sign-once lifecycle: the marker records
+    // grams=char5 and probe/append/ingest pick the unit up from it.
+    // Estimate threshold 0.7 (45/64 is the first admitted step —
+    // exact binary fractions, hash-exact replay).
+    "dedup_ngram_index" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/minhash_index/${key}_ngram"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/documents.parquet")
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, numHashes = 64, bands = 8, fingerprint = fp,
+        grams = "char5")
+      graft.ext.MinHashIndex.probe(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", dir, 0.7)
+    }),
+
     // Bloom-filter front door of incremental ingest: "seen this exact
     // (token-set-canonical) document before?" answered with ONE
     // map-side probe per batch row against a fixed-size bitmap — no
@@ -2789,19 +2810,26 @@ object PipelineQueries {
   /** Estimate-scored probe replay for the PERSISTED MinHash index
     * (mirrors MinHashIndex.probe): candidates from the same band
     * CTEs, scored by signature-component agreement / numHashes — an
-    * exact binary fraction at numHashes=32, so hash-exact
-    * cross-engine.
+    * exact binary fraction at power-of-two numHashes, so hash-exact
+    * cross-engine. Parameterized over the shingle unit (word3/char5
+    * via the shared CTE scaffolds) and geometry.
     */
-  private val MinhashAgreeSql =
-    s"""CAST(len(list_filter(range(1, ${NumHashes + 1}),
-       i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $NumHashes"""
+  private def minhashAgreeSql(numHashes: Int): String =
+    s"""CAST(len(list_filter(range(1, ${numHashes + 1}),
+       i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes"""
 
-  private def minhashIndexOracle: String =
-    s"""WITH ${lshCandCtes(Word3Ctes, pairCond = "a.doc_id % 20 = 0")}
-       SELECT id_a, id_b, $MinhashAgreeSql AS est_jaccard
+  private def minhashIndexOracleFrom(shingleCtes: String,
+      threshold: Double, numHashes: Int = NumHashes,
+      nBands: Int = Bands): String =
+    s"""WITH ${lshCandCtes(shingleCtes, numHashes, nBands,
+        "a.doc_id % 20 = 0")}
+       SELECT id_a, id_b, ${minhashAgreeSql(numHashes)} AS est_jaccard
        FROM cand JOIN sg sa ON cand.id_a = sa.doc_id
                  JOIN sg sb ON cand.id_b = sb.doc_id
-       WHERE est_jaccard >= $JaccardThreshold"""
+       WHERE est_jaccard >= $threshold"""
+
+  private def minhashIndexOracle: String =
+    minhashIndexOracleFrom(Word3Ctes, JaccardThreshold)
 
   /** Per-incoming-doc gate replay (mirrors probeVerified + the flags
     * fold): estimate gate at 0.5, exact verify at the final bar,
@@ -2812,7 +2840,8 @@ object PipelineQueries {
        est AS (SELECT id_a, id_b
                FROM cand JOIN sg sa ON cand.id_a = sa.doc_id
                          JOIN sg sb ON cand.id_b = sb.doc_id
-               WHERE $MinhashAgreeSql >= 0.5 AND id_a <> id_b),
+               WHERE ${minhashAgreeSql(NumHashes)} >= 0.5
+                 AND id_a <> id_b),
        ver AS (SELECT id_a, id_b,
                  CAST(len(list_intersect(va.ts, vb.ts)) AS DOUBLE) /
                    len(list_distinct(va.ts || vb.ts)) AS jaccard
@@ -3368,6 +3397,8 @@ object PipelineQueries {
     // verbatim IS the frozen-params equivalence check
     "dedup_minhash_index_append" -> minhashIndexOracle,
     "dedup_minhash_index_flags" -> minhashIndexFlagsOracle,
+    "dedup_ngram_index" -> minhashIndexOracleFrom(Char5Ctes, 0.7,
+      numHashes = 64, nBands = 8),
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),

@@ -264,6 +264,77 @@ class MinHashIndexSpec extends SparkSpec {
       "rebuild must retire any streaming segment")
   }
 
+  test("char5 unit: probe == independent driver replay over " +
+      "charGramRows signatures; probeVerified scores exact char-gram " +
+      "Jaccard; word3 and char5 indexes coexist") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir, numHashes = 64,
+      bands = 8, grams = "char5")
+    val incoming = docs.filter(col("doc_id").isin(1L, 4L))
+    val got = MinHashIndex.probe(incoming, "doc_id", "text", dir, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent replay: signatures from charGramRows, banding +
+    // agreement in plain Scala
+    def sigsOf(df: DataFrame): Map[Long, Seq[Long]] =
+      Dedup.minhashSignatures(
+          Dedup.charGramRows(df, "doc_id", "text", 5), 64)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to 64).map(r.getLong)).toMap
+    val a = sigsOf(incoming); val b = sigsOf(docs)
+    def bandKeys(sig: Seq[Long]): Set[(Int, String)] =
+      (0 until 8).map(j =>
+        j -> (0 until 8).map(r => sig(j * 8 + r)).mkString("|")).toSet
+    val want = (for {
+      (ia, sa) <- a.toSeq; (ib, sb) <- b.toSeq
+      if bandKeys(sa).intersect(bandKeys(sb)).nonEmpty
+      est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 64
+      if est >= 0.5
+    } yield (ia, ib, est)).toSet
+    assert(got == want, s"got $got, want $want")
+    assert(got.contains((4L, 5L, 1.0))) // exact dup under any unit
+    // exact verify runs over CHAR grams (doc 1 vs 2 differ by one
+    // word: char-5 jaccard is high but below 1)
+    val ver = MinHashIndex.probeVerified(incoming, docs, "doc_id",
+        "text", dir, threshold = 0.5, estThreshold = 0.0)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect()
+    assert(ver.length == 1 && ver.head.getDouble(2) > 0.5 &&
+      ver.head.getDouble(2) < 1.0, ver.toSeq)
+    // a word3 index at another dir is independent (param isolation)
+    val dirW = tmpDir()
+    MinHashIndex.build(docs, "doc_id", "text", dirW)
+    assert(MinHashIndex.load(spark, dirW)._1.grams == "word3" &&
+      MinHashIndex.load(spark, dir)._1.grams == "char5")
+  }
+
+  test("char5 streaming ingest encode == batch char signatures " +
+      "row for row") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val docs = corpus()
+    val dir = tmpDir()
+    MinHashIndex.build(docs.filter(col("doc_id") <= 3), "doc_id",
+      "text", dir, numHashes = 64, bands = 8, grams = "char5")
+    val extra = docs.filter(col("doc_id") > 3)
+    val rows = extra.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = MinHashIndex.ingestStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      java.nio.file.Files.createTempDirectory("mhck5").toString)
+    in.addData(rows.toSeq); q.processAllAvailable(); q.stop()
+    val seg = s.read.parquet(s"$dir/sigs_stream")
+    val ref = Dedup.minhashSignatures(
+      Dedup.charGramRows(extra, "doc_id", "text", 5), 64)
+    assert(seg.count() == ref.count() &&
+      seg.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(seg).count() == 0)
+  }
+
   test("probeVerified == minhashJoinPairs' exact pairs when the " +
       "estimate gate is opened below the banding floor") {
     val dir = tmpDir()
