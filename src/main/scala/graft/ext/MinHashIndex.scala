@@ -101,11 +101,20 @@ object MinHashIndex {
       meta.numHashes)
 
   private def shingles(df: DataFrame, idCol: String, textCol: String,
-      meta: Meta): DataFrame = meta.grams match {
-    case "word3" => Dedup.shingleRows(df, idCol, textCol)
-    case "char5" => Dedup.charGramRows(df, idCol, textCol, n = 5)
-    case other => throw new IllegalArgumentException(
-      s"unknown shingle unit '$other' (expected ${GramsUnits.mkString("/")})")
+      meta: Meta): DataFrame = {
+    // normalize the id to LONG at the boundary, like AnnIndex's
+    // encode: the streaming ingest and the tombstone anti-join are
+    // long-typed, and a string-id corpus would otherwise widen
+    // through unionByName and null out the delete comparison
+    val norm = df.select(col(idCol).cast("long").as(idCol),
+      col(textCol))
+    meta.grams match {
+      case "word3" => Dedup.shingleRows(norm, idCol, textCol)
+      case "char5" => Dedup.charGramRows(norm, idCol, textCol, n = 5)
+      case other => throw new IllegalArgumentException(
+        s"unknown shingle unit '$other' " +
+          s"(expected ${GramsUnits.mkString("/")})")
+    }
   }
 
   /** Sign the corpus and commit the index at `dir` (overwrites any
@@ -119,11 +128,17 @@ object MinHashIndex {
         s"bands=$bands must divide numHashes=$numHashes")
       require(GramsUnits(grams), s"unknown shingle unit '$grams'")
       val spark = corpus.sparkSession
+      // lift the marker FIRST (the AnnIndex doBuild discipline): the
+      // rebuild overwrites sigs/ over a corpus-scan-long window, and a
+      // crash mid-overwrite — or a concurrent probe, which never takes
+      // the lease — must see "no committed index", never the previous
+      // geometry's marker over mixed tables
+      IndexFs.hfs(spark, dir)
+        .delete(IndexFs.hpath(dir, Marker), false)
       signatures(corpus, idCol, textCol, Meta(numHashes, bands, grams))
         .write.mode("overwrite").parquet(s"$dir/sigs")
       // a rebuild retires queued tombstones AND the streaming segment:
-      // both referred to the previous index's contents (the AnnIndex
-      // build discipline)
+      // both referred to the previous index's contents
       IndexFs.hfs(spark, dir)
         .delete(IndexFs.hpath(dir, "deletes"), true)
       IndexFs.hfs(spark, dir)
@@ -312,13 +327,10 @@ object MinHashIndex {
       val segPath = IndexFs.hpath(dir, "sigs_stream")
       val hasDel = fs.exists(delPath)
       val hasSeg = fs.exists(segPath)
-      val base = spark.read.parquet(s"$dir/sigs")
-      val unioned = if (!hasSeg) base
-        else base.unionByName(spark.read.parquet(s"$dir/sigs_stream")
-          .select(base.columns.map(col).toIndexedSeq: _*))
-      val kept = if (!hasDel) unioned
-        else unioned.join(spark.read.parquet(s"$dir/deletes"),
-          Seq("id"), "left_anti")
+      // the folded frame IS what probes read — reuse load()'s
+      // segment-union + tombstone-anti-join so the "result-invisible"
+      // guarantee can't drift from the serve path
+      val kept = load(spark, dir)._2
       kept.write.mode("overwrite").parquet(s"$dir/sigs_tmp")
       fs.delete(IndexFs.hpath(dir, Marker), false)
       fs.delete(IndexFs.hpath(dir, "sigs"), true)

@@ -252,6 +252,10 @@ object PipelineQueries {
         documents(s, d), "doc_id", "text",
         NumHashes, Bands, JaccardThreshold)),
 
+    // (shared preamble of the four persisted-minhash-index queries:
+    // canonical per-SF-dir key + documents fingerprint — defined
+    // below the query map, near the oracle helpers)
+
     // The PERSISTED near-dup lifecycle (ext/MinHashIndex): the first
     // invocation per corpus signs every document ONCE and commits the
     // skinny signature table (32 longs/doc); every later invocation —
@@ -265,11 +269,7 @@ object PipelineQueries {
     // itself at est 1.0 (the index covers the full corpus) — planted
     // truth at every SF.
     "dedup_minhash_index" -> ((s, d) => {
-      val key = new java.io.File(d).getCanonicalPath
-        .replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"target/minhash_index/$key"
-      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
-        s"$d/documents.parquet")
+      val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
         "text", dir, NumHashes, Bands, fp)
       graft.ext.MinHashIndex.probe(
@@ -284,11 +284,7 @@ object PipelineQueries {
     // oracle verbatim), then probe. The composed marker makes repeat
     // invocations serve-only.
     "dedup_minhash_index_append" -> ((s, d) => {
-      val key = new java.io.File(d).getCanonicalPath
-        .replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"target/minhash_index/${key}_append"
-      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
-        s"$d/documents.parquet")
+      val (dir, fp) = minhashIndexDir(s, d, "_append")
       val docs = documents(s, d)
       graft.ext.MinHashIndex.ensureBuiltWithAppend(
         docs.filter(col("doc_id") % 3 =!= 2),
@@ -308,11 +304,7 @@ object PipelineQueries {
     // near_dup=false. This is the per-document admit/reject signal an
     // ingest pipeline acts on.
     "dedup_minhash_index_flags" -> ((s, d) => {
-      val key = new java.io.File(d).getCanonicalPath
-        .replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"target/minhash_index/$key"
-      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
-        s"$d/documents.parquet")
+      val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
         "text", dir, NumHashes, Bands, fp)
       val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
@@ -339,11 +331,7 @@ object PipelineQueries {
     // Estimate threshold 0.7 (45/64 is the first admitted step —
     // exact binary fractions, hash-exact replay).
     "dedup_ngram_index" -> ((s, d) => {
-      val key = new java.io.File(d).getCanonicalPath
-        .replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"target/minhash_index/${key}_ngram"
-      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
-        s"$d/documents.parquet")
+      val (dir, fp) = minhashIndexDir(s, d, "_ngram")
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
         "text", dir, numHashes = 64, bands = 8, fingerprint = fp,
         grams = "char5")
@@ -2806,6 +2794,21 @@ object PipelineQueries {
 
   private def minhashOracle: String =
     minhashOracleFrom(Word3Ctes, JaccardThreshold)
+
+  /** Canonical per-SF-dir index path + documents fingerprint — ONE
+    * home for the key-sanitizing regex and the fingerprint source,
+    * shared by the four persisted-minhash-index queries (a missed
+    * edit in per-query copies would silently split them onto
+    * different index dirs).
+    */
+  private def minhashIndexDir(s: SparkSession, d: String,
+      suffix: String = ""): (String, String) = {
+    val key = new java.io.File(d).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9.]+", "_")
+    (s"target/minhash_index/$key$suffix",
+      graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/documents.parquet"))
+  }
 
   /** Estimate-scored probe replay for the PERSISTED MinHash index
     * (mirrors MinHashIndex.probe): candidates from the same band

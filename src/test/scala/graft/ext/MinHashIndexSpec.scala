@@ -264,6 +264,41 @@ class MinHashIndexSpec extends SparkSpec {
       "rebuild must retire any streaming segment")
   }
 
+  test("a FAILED rebuild leaves the index unreadable — never the " +
+      "previous marker over mixed tables — and releases the lease") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val poison = docs.withColumn("text",
+      when(col("doc_id") === 4, raise_error(lit("boom")))
+        .otherwise(col("text")))
+    intercept[Exception] {
+      MinHashIndex.build(poison, "doc_id", "text", dir)
+    }
+    // the old marker was lifted before the overwrite started
+    intercept[IllegalStateException] {
+      MinHashIndex.probe(docs, "doc_id", "text", dir, 0.5).collect()
+    }
+    // lease released by the finally: a fresh build restores service
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    assert(MinHashIndex.probe(docs.filter(col("doc_id") === 4),
+      "doc_id", "text", dir, 0.5).count() > 0)
+  }
+
+  test("id type normalized to long at the boundary: a numeric-string" +
+      "-id corpus probes and deletes consistently") {
+    val dir = tmpDir()
+    val docs = corpus().select(
+      col("doc_id").cast("string").as("doc_id"), col("text"))
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val batch = docs.filter(col("doc_id") === "4")
+    def m() = MinHashIndex.probe(batch, "doc_id", "text", dir, 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(m() == Set(4L, 5L))
+    MinHashIndex.delete(spark, dir, Seq(5L))
+    assert(m() == Set(4L)) // long tombstone matches the stored id
+  }
+
   test("char5 unit: probe == independent driver replay over " +
       "charGramRows signatures; probeVerified scores exact char-gram " +
       "Jaccard; word3 and char5 indexes coexist") {
