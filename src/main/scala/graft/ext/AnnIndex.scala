@@ -296,15 +296,42 @@ object AnnIndex {
   def ingestStream(stream: DataFrame, idCol: String, vecCol: String,
       dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val (meta, coarse, cents) = load(stream.sparkSession, dir)
-    encodeWith(stream, idCol, vecCol, meta, coarse, cents)
-      .writeStream.format("parquet")
-      .option("path", s"$dir/codes_stream")
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("cell")
-      .outputMode("append")
-      .start()
+    // The ingest is a WRITER, so it participates in the single-writer
+    // protocol: it holds the maintenance lease for the query's whole
+    // lifetime — a concurrent build/compact fail-fasts instead of
+    // deleting the segment under the live sink — and stamps a
+    // `+ingest` marker line up front so ensureBuilt freshness checks
+    // see the mutation (at START: an empty ingest merely looks stale —
+    // spurious-but-safe rebuild). The lease releases within ~1 s of
+    // the query terminating; a crashed driver leaves it for
+    // [[breakLease]].
+    val spark = stream.sparkSession
+    val (meta, coarse, cents) = load(spark, dir)
+    IndexFs.withStreamLease(spark, dir, Lease, "ANN index") {
+      val prev = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(s"marker vanished at $dir"))
+      writeMarker(spark, dir, prev + "\n+ingest")
+      encodeWith(stream, idCol, vecCol, meta, coarse, cents)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/codes_stream")
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("cell")
+        .outputMode("append")
+        .start()
+    }
   }
+
+  /** Force-break a CRASHED writer's orphaned maintenance lease — see
+    * [[IndexFs.breakLease]] (refuses while the holder's heartbeat is
+    * live; re-reads the committed marker under the post-break state
+    * as the fencing step).
+    *
+    * @return the marker committed at `dir` after the break; None means
+    *         the crashed writer died pre-commit — rebuild before use
+    */
+  def breakLease(spark: SparkSession, dir: String,
+      staleMillis: Long = IndexFs.DefaultStaleMillis): Option[String] =
+    IndexFs.breakLease(spark, dir, Lease, Marker, staleMillis)
 
   /** Offline maintenance: fold the streaming segment's rows into the
     * base codes table and retire the segment — the "seal the memory

@@ -100,13 +100,27 @@ object MinHashIndex {
     Dedup.minhashSignatures(shingles(df, idCol, textCol, meta),
       meta.numHashes)
 
+  /** The id boundary cast, failing FAST on ids the cast nulls out
+    * (non-numeric strings, or nulls in the source): a silent null
+    * here would collapse every such doc into ONE null-id signature
+    * row (the groupBy in `minhashSignatures` unions their shingles —
+    * a garbage signature emitting null-id matches), so the contract
+    * is numeric, non-null ids, enforced in-plan (ADVICE r14).
+    */
+  private def idLong(c: Column): Column =
+    when(c.try_cast("long").isNull,
+      raise_error(concat(
+        lit("MinHash index ids must be numeric and non-null; got: "),
+        coalesce(c.cast("string"), lit("null")))).cast("long"))
+      .otherwise(c.try_cast("long"))
+
   private def shingles(df: DataFrame, idCol: String, textCol: String,
       meta: Meta): DataFrame = {
     // normalize the id to LONG at the boundary, like AnnIndex's
     // encode: the streaming ingest and the tombstone anti-join are
     // long-typed, and a string-id corpus would otherwise widen
     // through unionByName and null out the delete comparison
-    val norm = df.select(col(idCol).cast("long").as(idCol),
+    val norm = df.select(idLong(col(idCol)).as(idCol),
       col(textCol))
     meta.grams match {
       case "word3" => Dedup.shingleRows(norm, idCol, textCol)
@@ -250,6 +264,17 @@ object MinHashIndex {
     * to shingle emit nothing — exactly the batch absence rule. No
     * state store, no shuffle: this is the AnnIndex.ingestStream shape
     * for text.
+    *
+    * The ingest is a WRITER, so it participates in the single-writer
+    * protocol (ADVICE r14): it holds the maintenance lease for the
+    * query's whole lifetime — a concurrent build/compact fail-fasts
+    * instead of deleting the segment under the live sink — and stamps
+    * a `+ingest` marker line up front so `ensureBuilt` freshness
+    * checks see the mutation (stamped at START: if the stream ingests
+    * nothing the index merely looks stale — a spurious-but-safe
+    * rebuild, never a fresh-looking mutated index). The lease is
+    * released within ~1 s of the query terminating (stop it, then run
+    * compact); a crashed driver leaves it for [[breakLease]].
     */
   def ingestStream(stream: DataFrame, idCol: String, textCol: String,
       dir: String, checkpoint: String)
@@ -265,17 +290,32 @@ object MinHashIndex {
       case other => throw new IllegalStateException(
         s"index at $dir has unknown shingle unit '$other'")
     }
-    stream
-      .select(col(idCol).cast("long").as("id"), hs.as("__hs"))
-      .filter(size(col("__hs")) > 0)
-      .select(col("id") +: (0 until meta.numHashes).map(i =>
-        Dedup.minhashComponent(col("__hs"), i).as(s"m$i")): _*)
-      .writeStream.format("parquet")
-      .option("path", s"$dir/sigs_stream")
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
+    IndexFs.withStreamLease(spark, dir, Lease, "MinHash index") {
+      IndexFs.writeMarker(spark, dir, Marker, marker + "\n+ingest")
+      stream
+        .select(idLong(col(idCol)).as("id"), hs.as("__hs"))
+        .filter(size(col("__hs")) > 0)
+        .select(col("id") +: (0 until meta.numHashes).map(i =>
+          Dedup.minhashComponent(col("__hs"), i).as(s"m$i")): _*)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/sigs_stream")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    }
   }
+
+  /** Force-break a CRASHED writer's orphaned maintenance lease — see
+    * [[IndexFs.breakLease]] (refuses while the holder's heartbeat is
+    * live; re-reads the committed marker under the post-break state
+    * as the fencing step).
+    *
+    * @return the marker committed at `dir` after the break; None means
+    *         the crashed writer died pre-commit — rebuild before use
+    */
+  def breakLease(spark: SparkSession, dir: String,
+      staleMillis: Long = IndexFs.DefaultStaleMillis): Option[String] =
+    IndexFs.breakLease(spark, dir, Lease, Marker, staleMillis)
 
   /** Tombstone ids out of the index: queued in a skinny `deletes/`
     * table that every probe path anti-joins on the fly, physically
@@ -292,7 +332,7 @@ object MinHashIndex {
           s"no committed MinHash index at $dir — nothing to delete " +
             "from"))
       val skinny = ids.select(ids.columns.head).toDF("id")
-        .select(col("id").cast("long").as("id"))
+        .select(idLong(col("id")).as("id"))
         .localCheckpoint(true)
       val n = skinny.count()
       IndexFs.writeMarker(spark, dir, Marker, prev + s"\n+delete[$n]")

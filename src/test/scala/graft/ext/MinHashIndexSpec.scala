@@ -245,6 +245,7 @@ class MinHashIndexSpec extends SparkSpec {
     in.addData(b1.toSeq); q.processAllAvailable()
     in.addData(b2.toSeq); q.processAllAvailable()
     q.stop()
+    awaitLeaseRelease(dir)
     val seg = s.read.parquet(s"$dir/sigs_stream")
     val ref = s.read.parquet(s"$dirRef/sigs").filter(col("id") > 3)
     assert(seg.count() == 2) // doc 6 emits nothing (batch absence rule)
@@ -362,12 +363,119 @@ class MinHashIndexSpec extends SparkSpec {
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
       java.nio.file.Files.createTempDirectory("mhck5").toString)
     in.addData(rows.toSeq); q.processAllAvailable(); q.stop()
+    awaitLeaseRelease(dir)
     val seg = s.read.parquet(s"$dir/sigs_stream")
     val ref = Dedup.minhashSignatures(
       Dedup.charGramRows(extra, "doc_id", "text", 5), 64)
     assert(seg.count() == ref.count() &&
       seg.exceptAll(ref).count() == 0 &&
       ref.exceptAll(seg).count() == 0)
+  }
+
+  test("breakLease: a crashed writer's stale lease is broken and the " +
+      "index serves identically after; a live (recently heartbeated) " +
+      "lease is NOT breakable; transient acquire failures are not " +
+      "misreported as lease-held") {
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val before = MinHashIndex.probe(
+        docs.filter(col("doc_id") === 4), "doc_id", "text", dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a LIVE lease (fresh mtime — the heartbeat keeps it fresh on a
+    // real holder) refuses the break
+    val lease = new java.io.File(dir, ".MAINT_LEASE")
+    assert(lease.createNewFile())
+    val e = intercept[IllegalStateException] {
+      MinHashIndex.breakLease(spark, dir)
+    }
+    assert(e.getMessage.contains("ALIVE"), e.getMessage)
+    assert(lease.exists, "refused break must not delete the lease")
+    // a CRASHED writer: heartbeat mtime far in the past → breakable;
+    // the break returns the committed marker (fencing re-read)
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - 10 * 60 * 1000))
+    val marker = MinHashIndex.breakLease(spark, dir)
+    assert(!lease.exists, "stale lease must be deleted by the break")
+    assert(marker.exists(_.startsWith("format=")), marker.toString)
+    // post-break: maintenance re-acquires normally, serving unchanged
+    val after = MinHashIndex.probe(
+        docs.filter(col("doc_id") === 4), "doc_id", "text", dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before && after.nonEmpty)
+    MinHashIndex.append(docs.limit(0), "doc_id", "text", dir)
+  }
+
+  test("ingestStream is a WRITER: it holds the lease for the query's " +
+      "lifetime (concurrent build fail-fasts), stamps +ingest into " +
+      "the marker so freshness checks see the mutation, and releases " +
+      "on termination") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = tmpDir()
+    val docs = corpus()
+    MinHashIndex.build(docs.filter(col("doc_id") <= 3), "doc_id",
+      "text", dir, fingerprint = "v1")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = MinHashIndex.ingestStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      java.nio.file.Files.createTempDirectory("mhlease").toString)
+    try {
+      // the running ingest holds the lease: a concurrent rebuild (the
+      // op that would delete sigs_stream under the live sink) aborts
+      val e = intercept[IllegalStateException] {
+        MinHashIndex.build(docs, "doc_id", "text", dir)
+      }
+      assert(e.getMessage.contains("lease"), e.getMessage)
+      // a second concurrent ingest is refused too (single writer)
+      val e2 = intercept[IllegalStateException] {
+        MinHashIndex.ingestStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+          java.nio.file.Files.createTempDirectory("mhlease2").toString)
+      }
+      assert(e2.getMessage.contains("lease"), e2.getMessage)
+      // the marker now records the mutation: the pristine-fingerprint
+      // freshness check sees the ingest (stamped at start — an empty
+      // segment reads as stale, the safe direction)
+      assert(!IndexFs.readMarker(s, dir, "INDEX_READY")
+        .contains("format=1 numHashes=32 bands=8 grams=word3 " +
+          "corpus[v1]"))
+    } finally { q.stop() }
+    awaitLeaseRelease(dir)
+    // terminated → the lease is gone and ensureBuilt's rebuild runs
+    assert(MinHashIndex.ensureBuilt(docs, "doc_id", "text", dir,
+      fingerprint = "v1"))
+  }
+
+  test("ids that null under the long cast FAIL FAST at every boundary" +
+      " (build, probe batch, delete) instead of collapsing into one " +
+      "garbage null-id signature") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val bad = Seq(("not-a-number", "alpha beta gamma delta epsilon"),
+        ("17", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      MinHashIndex.build(bad, "doc_id", "text", dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("numeric and non-null")),
+      msgs(e).mkString("\n"))
+    MinHashIndex.build(corpus(), "doc_id", "text", dir)
+    val e2 = intercept[Exception] {
+      MinHashIndex.probe(bad, "doc_id", "text", dir, 0.5).collect()
+    }
+    assert(msgs(e2).exists(_.contains("numeric and non-null")))
+    val e3 = intercept[Exception] {
+      MinHashIndex.delete(s, dir,
+        Seq(("x", 1)).toDF("doc_id", "junk").select("doc_id"))
+    }
+    assert(msgs(e3).exists(_.contains("numeric and non-null")))
   }
 
   test("probeVerified == minhashJoinPairs' exact pairs when the " +

@@ -459,6 +459,7 @@ class AnnIndexSpec extends SparkSpec {
     in.addData(b1.toSeq); q.processAllAvailable()
     in.addData(b2.toSeq); q.processAllAvailable()
     q.stop()
+    awaitLeaseRelease(dir)
     val seg = s.read.parquet(s"$dir/codes_stream")
       .selectExpr("id", "naa", "bc", "cell")
     val ref = s.read.parquet(s"$dirRef/codes")
