@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomContains
+
+/** Persisted exact-dup Bloom gate — build the bitmap ONCE, probe
+  * forever.
+  *
+  * `Bloom.gate` re-scans the corpus and re-folds the bitmap on every
+  * invocation — linear-in-corpus work to answer a batch-sized
+  * question. The bitmap is a few MB at any corpus size (m is a
+  * cardinality-budget constant) and only changes when the corpus
+  * does, so it gets the same at-rest lifecycle as the other index
+  * families (shared `IndexFs` primitives: marker-last commit,
+  * exclusive heartbeat lease, `breakLease` recovery):
+  *
+  *   - `build` folds the corpus's k bit positions into the m-bit
+  *     bitmap (`Bloom.buildBitmap` — one corpus pass) and commits TWO
+  *     tables under `dir`: `bitmap/` (one row, m/8 bytes binary) and
+  *     `keys/` (the DISTINCT canonical md5 keys — one skinny string
+  *     per unique document, the exact-verify side the gate's
+  *     `exact_dup` ground-truth flag needs). Marker (format, k,
+  *     mBits, corpus fingerprint) LAST.
+  *   - `gate` answers an incoming batch from the INDEX ALONE: the
+  *     bitmap row is read driver-side (bounded by design) and probed
+  *     map-side via the codegen'd `bloom_contains`; `exact_dup` joins
+  *     the stored key table. Output bit-identical to
+  *     `Bloom.gate(batch, corpus, ...)` over the corpus the index was
+  *     built from — no corpus scan anywhere at probe time.
+  *   - `append` ORs a new batch's bits into the bitmap (driver-side
+  *     OR of two bounded bitmaps) and appends its keys; the marker
+  *     gains `+append[fingerprint]`. DELETION is impossible on a
+  *     plain Bloom filter (bits are shared) — removing documents
+  *     means a rebuild; `ensureBuilt` against the post-delete corpus
+  *     fingerprint triggers exactly that.
+  *
+  * 100 TB posture: build is one map-side position pass + a
+  * (#partitions × m/8)-byte tree-reduce; the gate is a broadcast
+  * bitmap probe + a key semi-join against a table of one md5 per
+  * unique doc. Reference anchor: the reference dedups exact rows via
+  * display-string filters (`main.gs:240-249`); this is the
+  * crawl-front-door scale path the driver mandate adds.
+  */
+object BloomIndex {
+
+  private val Marker = "INDEX_READY"
+  private val Lease = ".MAINT_LEASE"
+  private val FormatVersion = 1
+
+  private def withLease[T](spark: SparkSession, dir: String)
+      (body: => T): T =
+    IndexFs.withLease(spark, dir, Lease, "Bloom index")(body)
+
+  private def readMarker(spark: SparkSession, dir: String)
+      : Option[String] = IndexFs.readMarker(spark, dir, Marker)
+
+  final case class Meta(k: Int, mBits: Int)
+
+  private def markerText(k: Int, mBits: Int,
+      fingerprint: String): String =
+    s"format=$FormatVersion k=$k mBits=$mBits corpus[$fingerprint]"
+
+  private def paramsOf(marker: String, dir: String): Meta = {
+    val m = raw"format=(\d+) k=(\d+) mBits=(\d+) ".r
+      .findFirstMatchIn(marker).getOrElse(
+        throw new IllegalStateException(
+          s"unreadable Bloom index marker at $dir"))
+    require(m.group(1).toInt == FormatVersion,
+      s"Bloom index at $dir has format ${m.group(1)}, " +
+        s"this build reads $FormatVersion")
+    Meta(m.group(2).toInt, m.group(3).toInt)
+  }
+
+  /** Fold the corpus into the committed bitmap + key table at `dir`
+    * (overwrites any previous index there). Single-writer; marker
+    * LAST — a killed build leaves no readable index.
+    */
+  def build(corpus: DataFrame, idCol: String, keyExpr: Column,
+      dir: String, k: Int, mBits: Int, fingerprint: String = ""): Unit =
+    withLease(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      IndexFs.hfs(spark, dir).delete(IndexFs.hpath(dir, Marker), false)
+      val keyed = Bloom.keyed(corpus, idCol, keyExpr)
+        .localCheckpoint(false) // feeds the position pass AND keys/
+      val bitmap = Bloom.buildBitmap(
+        Bloom.positions(keyed, k, mBits), mBits)
+      Seq(Tuple1(bitmap)).toDF("bits")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bitmap")
+      keyed.select(col("key")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/keys")
+      IndexFs.writeMarker(spark, dir, Marker,
+        markerText(k, mBits, fingerprint))
+    }
+
+  /** Rebuild iff the marker is missing or its params/corpus
+    * fingerprint changed — a metadata check, never a corpus scan.
+    * @return true iff a rebuild ran.
+    */
+  def ensureBuilt(corpus: DataFrame, idCol: String, keyExpr: Column,
+      dir: String, k: Int, mBits: Int,
+      fingerprint: String = ""): Boolean = {
+    val want = markerText(k, mBits, fingerprint)
+    val fresh = readMarker(corpus.sparkSession, dir).contains(want)
+    if (!fresh) build(corpus, idCol, keyExpr, dir, k, mBits, fingerprint)
+    !fresh
+  }
+
+  /** OR a new batch's bits into the committed bitmap and append its
+    * keys — the incremental ingest path (a Bloom filter composes
+    * under union by construction; the OR of the two bitmaps IS the
+    * bitmap of the unioned corpus, so append == rebuild bit for bit).
+    * The marker gains `+append[fingerprint]` so single-corpus
+    * freshness checks see the mutation.
+    */
+  def append(df: DataFrame, idCol: String, keyExpr: Column,
+      dir: String, fingerprint: String = ""): Unit =
+    withLease(df.sparkSession, dir) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val prev = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed Bloom index at $dir — build first"))
+      val meta = paramsOf(prev, dir)
+      val keyed = Bloom.keyed(df, idCol, keyExpr)
+        .localCheckpoint(false)
+      val add = Bloom.buildBitmap(
+        Bloom.positions(keyed, meta.k, meta.mBits), meta.mBits)
+      val bits = loadBitmap(spark, dir)
+      var i = 0
+      while (i < bits.length) {
+        bits(i) = (bits(i) | add(i)).toByte; i += 1
+      }
+      // marker FIRST (the delete discipline): a crash mid-swap leaves
+      // a stale-looking index that forces a spurious-but-safe rebuild,
+      // never a fresh-looking one missing the batch's bits
+      IndexFs.writeMarker(spark, dir, Marker,
+        prev + s"\n+append[$fingerprint]")
+      Seq(Tuple1(bits)).toDF("bits")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bitmap")
+      keyed.select(col("key")).distinct()
+        .join(spark.read.parquet(s"$dir/keys"), Seq("key"), "left_anti")
+        .write.mode("append").parquet(s"$dir/keys")
+    }
+
+  private def loadBitmap(spark: SparkSession, dir: String)
+      : Array[Byte] =
+    spark.read.parquet(s"$dir/bitmap").head().getAs[Array[Byte]](0)
+
+  /** Gate an incoming batch against the COMMITTED index: (idCol,
+    * bloom_hit, exact_dup) — bit-identical to `Bloom.gate` over the
+    * corpus the index was built from (same probe arithmetic, same
+    * key-join ground truth), with no corpus scan anywhere in the
+    * plan: the bitmap is a bounded driver read, the key table is one
+    * md5 per unique indexed doc.
+    */
+  def gate(batch: DataFrame, idCol: String, keyExpr: Column,
+      dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val marker = readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed Bloom index at $dir"))
+    val meta = paramsOf(marker, dir)
+    val bitmap = loadBitmap(spark, dir)
+    val kb = Bloom.keyed(batch, idCol, keyExpr)
+    kb.withColumn("bloom_hit", BloomContains.bloom_contains(
+        bitmap, col("h1"), col("h2"), meta.k, meta.mBits))
+      .join(spark.read.parquet(s"$dir/keys")
+        .withColumn("__in_corpus", lit(true)), Seq("key"), "left")
+      .select(col("id").as(idCol), col("bloom_hit"),
+        coalesce(col("__in_corpus"), lit(false)).as("exact_dup"))
+  }
+
+  /** Force-break a CRASHED writer's orphaned maintenance lease — see
+    * [[IndexFs.breakLease]].
+    */
+  def breakLease(spark: SparkSession, dir: String,
+      staleMillis: Long = IndexFs.DefaultStaleMillis): Option[String] =
+    IndexFs.breakLease(spark, dir, Lease, Marker, staleMillis)
+}

@@ -435,6 +435,110 @@ object MinHashIndex {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** CORPUS-WIDE candidate near-dup pairs from the index ALONE —
+    * the sign-once answer to `Dedup.minhashPairs`/`ngramPairs`' mining
+    * legs, which re-tokenize/re-shingle/re-sign the whole corpus every
+    * run: here the candidate generation is a band SELF-JOIN over the
+    * at-rest signature table (numHashes longs/doc — ~0.03% of the
+    * corpus bytes) through the same hot-bucket-salted
+    * `Dedup.bucketPairs` scaffold, so the candidate set is IDENTICAL
+    * to the mining legs' (same hash family → same signatures → same
+    * band buckets), with zero text work. Pairs are scored by MinHash
+    * agreement (exact binary fractions at power-of-two numHashes).
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b,
+    *         est_jaccard >= threshold
+    */
+  def pairs(spark: SparkSession, dir: String, threshold: Double,
+      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
+    val (meta, sigs, cand) = bandedCandidates(spark, dir, hotCap, salts)
+    val numHashes = meta.numHashes
+    val a = sigs.select(col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sigs.select(col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Shared candidate generation of the corpus-wide pair paths: the
+    * at-rest signature table (materialized once — it feeds band legs
+    * and agreement joins), and the distinct (id_a < id_b) band-bucket
+    * co-occurrences through the hot-bucket-salted self-join.
+    */
+  private def bandedCandidates(spark: SparkSession, dir: String,
+      hotCap: Int, salts: Int): (Meta, DataFrame, DataFrame) = {
+    val (meta, sigs0) = load(spark, dir)
+    val sigs = sigs0.localCheckpoint(false)
+    val banded = sigs.select(col("id"),
+      posexplode(
+        Dedup.bandKeys(meta.bands, meta.numHashes / meta.bands))
+        .as(Seq("band", "bk")))
+    (meta, sigs, Dedup.bucketPairs(banded, hotCap, salts).distinct())
+  }
+
+  /** [[pairs]]' candidates EXACT-verified — the index-served
+    * equivalent of the corpus-mining legs (`Dedup.minhashPairs` /
+    * `ngramPairs` at the same geometry and threshold), with the
+    * corpus-side text read ONLY for candidate documents (one semi-join
+    * on the candidate id set bounds the re-shingle to candidates —
+    * linear in true-pair volume, not corpus size). With
+    * `estThreshold` <= 0 no estimate gate is applied, so the pair set
+    * EQUALS the mining leg's by construction: identical banded
+    * candidates, identical exact-Jaccard bar. A positive
+    * `estThreshold` prunes the verify leg at the cost of estimator-
+    * variance recall (σ ≈ 0.09 at n=32).
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b — exact
+    */
+  def pairsVerified(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, threshold: Double, estThreshold: Double = 0.0,
+      hotCap: Int = 4096, salts: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    // no estimate gate → the banded candidates go straight to verify
+    // (skipping the agreement joins), which is what makes the result
+    // EQUAL to the mining leg rather than approximately so
+    val (meta, cand0) =
+      if (estThreshold > 0) {
+        val m = paramsOf(readMarker(spark, dir).getOrElse(
+          throw new IllegalStateException(
+            s"no committed MinHash index at $dir")), dir)
+        (m, pairs(spark, dir, estThreshold, hotCap, salts))
+      } else {
+        val (m, _, c) = bandedCandidates(spark, dir, hotCap, salts)
+        (m, c)
+      }
+    val cand = cand0.select("id_a", "id_b").localCheckpoint(false)
+    // ONE candidate-bounded shingle relation serves both pair sides
+    // and the set sizes (both sides come from the same corpus)
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sh = shingles(
+      corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol,
+      meta).localCheckpoint(false)
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(cnt.select(col("id").as("id_a"), col("n").as("na")),
+        "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("n").as("nb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** `probe`, then EXACT-verify the survivors: re-read text for the
     * candidate documents only (two semi-join-bounded shingle passes —
     * batch-bounded work, never a corpus re-shingle) and keep pairs at

@@ -340,6 +340,79 @@ object PipelineQueries {
         "doc_id", "text", dir, 0.7)
     }),
 
+    // INDEX-SERVED corpus-wide pair mining (round 15): dedup_minhash
+    // re-shingles and re-signs the whole corpus every run to mine the
+    // same pairs; this leg band-self-joins the AT-REST signature
+    // table (32 longs/doc — no corpus text in the candidate pass) and
+    // exact-verifies candidates against re-read text of the CANDIDATE
+    // docs only. No estimate gate (estThreshold=0), so the pair set
+    // EQUALS the mining leg's by construction — the oracle is
+    // dedup_minhash's verbatim.
+    "dedup_minhash_index_pairs" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d)
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, NumHashes, Bands, fp)
+      graft.ext.MinHashIndex.pairsVerified(documents(s, d), "doc_id",
+        "text", dir, JaccardThreshold)
+    }),
+
+    // Char-5-gram flavor of index-served pair mining — answers
+    // dedup_ngram (the battery's most expensive dedup leg: the cost
+    // is the corpus-wide char-gram explode/distinct/sign) from the
+    // committed 64×8 signatures; shares dedup_ngram's oracle.
+    "dedup_ngram_index_pairs" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d, "_ngram")
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, numHashes = 64, bands = 8, fingerprint = fp,
+        grams = "char5")
+      graft.ext.MinHashIndex.pairsVerified(documents(s, d), "doc_id",
+        "text", dir, 0.7)
+    }),
+
+    // Char-5-gram flavor of the per-doc ingest verdicts (round 15 —
+    // the word3 leg is dedup_minhash_index_flags): estimate-gated at
+    // 0.5 (64 hashes → σ≈0.06, so the gate clears borderline true
+    // pairs), exact-verified on candidate re-reads only, folded LEFT
+    // from the batch universe so no-match docs still report
+    // near_dup=false.
+    "dedup_ngram_index_flags" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d, "_ngram")
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, numHashes = 64, bands = 8, fingerprint = fp,
+        grams = "char5")
+      val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
+      val pairs = graft.ext.MinHashIndex.probeVerified(
+          incoming, documents(s, d), "doc_id", "text", dir,
+          threshold = 0.7, estThreshold = 0.5)
+        .filter(col("id_a") =!= col("id_b"))
+      incoming.select(col("doc_id"))
+        .join(pairs.groupBy(col("id_a").as("doc_id"))
+            .agg(count(lit(1)).as("n_matches"),
+              max(col("jaccard")).as("best_jaccard")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_matches").isNotNull.as("near_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+    }),
+
+    // PERSISTED bloom gate (round 15): dedup_bloom re-folds the
+    // bitmap from a corpus scan every run; this leg serves the SAME
+    // verdicts (bit-identical — shared oracle) from the committed
+    // bitmap + key table, with no corpus scan in the probe plan.
+    "dedup_bloom_index" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d, "_bloom")
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      graft.ext.BloomIndex.ensureBuilt(
+        documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        "doc_id", tsKey, dir, k = BloomK, mBits = BloomBits,
+        fingerprint = fp)
+      graft.ext.BloomIndex.gate(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", tsKey, dir)
+    }),
+
     // Bloom-filter front door of incremental ingest: "seen this exact
     // (token-set-canonical) document before?" answered with ONE
     // map-side probe per batch row against a fixed-size bitmap — no
@@ -2834,23 +2907,59 @@ object PipelineQueries {
   private def minhashIndexOracle: String =
     minhashIndexOracleFrom(Word3Ctes, JaccardThreshold)
 
-  /** Per-incoming-doc gate replay (mirrors probeVerified + the flags
-    * fold): estimate gate at 0.5, exact verify at the final bar,
-    * self-matches out, LEFT join from the batch universe.
+  /** Bloom gate replay shared by dedup_bloom (corpus-scan leg) and
+    * dedup_bloom_index (persisted-bitmap leg — bit-identical by
+    * construction): a batch doc's bloom_hit is true iff ALL k of its
+    * double-hashed bit positions appear in the corpus's distinct
+    * position set — exactly the bitmap's semantics, false positives
+    * included; bool_and over a left join = the all-bits-set test.
     */
-  private def minhashIndexFlagsOracle: String =
-    s"""WITH ${lshCandCtes(Word3Ctes, pairCond = "a.doc_id % 20 = 0")},
+  private def bloomGateOracle: String =
+    s"""WITH keyed AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct($Toks)),
+                       ' ')) AS key
+            FROM documents),
+          hx AS (SELECT doc_id, key,
+                   ('0x' || substr(key, 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(key, 9, 8))::BIGINT AS h2 FROM keyed),
+          cpos AS (SELECT DISTINCT (h1 + i * h2) % $BloomBits AS pos
+                   FROM hx, (SELECT unnest(range(0, $BloomK)) AS i) ii
+                   WHERE doc_id % 20 <> 0),
+          bpos AS (SELECT doc_id, (h1 + i * h2) % $BloomBits AS pos
+                   FROM hx, (SELECT unnest(range(0, $BloomK)) AS i) ii
+                   WHERE doc_id % 20 = 0),
+          hit AS (SELECT b.doc_id, bool_and(c.pos IS NOT NULL) AS bloom_hit
+                  FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
+                  GROUP BY b.doc_id)
+          SELECT h.doc_id, t.bloom_hit,
+                 h.key IN (SELECT key FROM hx WHERE doc_id % 20 <> 0)
+                   AS exact_dup
+          FROM hx h JOIN hit t ON h.doc_id = t.doc_id
+          WHERE h.doc_id % 20 = 0"""
+
+  /** Per-incoming-doc gate replay (mirrors probeVerified + the flags
+    * fold): estimate gate at `estThreshold`, exact verify at the
+    * final bar, self-matches out, LEFT join from the batch universe.
+    * Parameterized over the shingle unit and geometry (word3 32×8 /
+    * char5 64×8 legs).
+    */
+  private def minhashIndexFlagsOracleFrom(shingleCtes: String,
+      numHashes: Int, nBands: Int, estThreshold: Double,
+      threshold: Double): String =
+    s"""WITH ${lshCandCtes(shingleCtes, numHashes, nBands,
+        "a.doc_id % 20 = 0")},
        est AS (SELECT id_a, id_b
                FROM cand JOIN sg sa ON cand.id_a = sa.doc_id
                          JOIN sg sb ON cand.id_b = sb.doc_id
-               WHERE ${minhashAgreeSql(NumHashes)} >= 0.5
+               WHERE ${minhashAgreeSql(numHashes)} >= $estThreshold
                  AND id_a <> id_b),
        ver AS (SELECT id_a, id_b,
                  CAST(len(list_intersect(va.ts, vb.ts)) AS DOUBLE) /
                    len(list_distinct(va.ts || vb.ts)) AS jaccard
                FROM est JOIN sh2 va ON est.id_a = va.doc_id
                         JOIN sh2 vb ON est.id_b = vb.doc_id
-               WHERE jaccard >= $JaccardThreshold),
+               WHERE jaccard >= $threshold),
        agg AS (SELECT id_a AS doc_id, count(*) AS n_matches,
                  max(jaccard) AS best_jaccard
                FROM ver GROUP BY id_a)
@@ -2859,6 +2968,10 @@ object PipelineQueries {
          COALESCE(best_jaccard, 0.0) AS best_jaccard
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        WHERE d.doc_id % 20 = 0"""
+
+  private def minhashIndexFlagsOracle: String =
+    minhashIndexFlagsOracleFrom(Word3Ctes, NumHashes, Bands, 0.5,
+      JaccardThreshold)
 
   /** Bigram-LM scoring CTEs ending in `scored(doc_id, known, p)` —
     * the DuckDB mirror of `lmBigramScores` (shared by text_lm_score
@@ -3364,29 +3477,10 @@ object PipelineQueries {
     // its double-hashed bit positions appear in the corpus's distinct
     // position set — exactly the bitmap's semantics, false positives
     // included. bool_and over a left join = the all-bits-set test.
-    "dedup_bloom" ->
-      s"""WITH keyed AS (
-            SELECT doc_id,
-                   md5(array_to_string(list_sort(list_distinct($Toks)),
-                       ' ')) AS key
-            FROM documents),
-          hx AS (SELECT doc_id, key,
-                   ('0x' || substr(key, 1, 8))::BIGINT AS h1,
-                   ('0x' || substr(key, 9, 8))::BIGINT AS h2 FROM keyed),
-          cpos AS (SELECT DISTINCT (h1 + i * h2) % $BloomBits AS pos
-                   FROM hx, (SELECT unnest(range(0, $BloomK)) AS i) ii
-                   WHERE doc_id % 20 <> 0),
-          bpos AS (SELECT doc_id, (h1 + i * h2) % $BloomBits AS pos
-                   FROM hx, (SELECT unnest(range(0, $BloomK)) AS i) ii
-                   WHERE doc_id % 20 = 0),
-          hit AS (SELECT b.doc_id, bool_and(c.pos IS NOT NULL) AS bloom_hit
-                  FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
-                  GROUP BY b.doc_id)
-          SELECT h.doc_id, t.bloom_hit,
-                 h.key IN (SELECT key FROM hx WHERE doc_id % 20 <> 0)
-                   AS exact_dup
-          FROM hx h JOIN hit t ON h.doc_id = t.doc_id
-          WHERE h.doc_id % 20 = 0""",
+    "dedup_bloom" -> bloomGateOracle,
+    // the persisted gate serves bit-identical verdicts from the
+    // committed bitmap — sharing the oracle verbatim IS the check
+    "dedup_bloom_index" -> bloomGateOracle,
 
     // Two-sided variant: the incoming batch (doc_id % 20 = 0) vs the
     // full corpus; every (batch, corpus) band co-occurrence kept (no
@@ -3401,6 +3495,14 @@ object PipelineQueries {
     "dedup_minhash_index_append" -> minhashIndexOracle,
     "dedup_minhash_index_flags" -> minhashIndexFlagsOracle,
     "dedup_ngram_index" -> minhashIndexOracleFrom(Char5Ctes, 0.7,
+      numHashes = 64, nBands = 8),
+    "dedup_ngram_index_flags" -> minhashIndexFlagsOracleFrom(
+      Char5Ctes, 64, 8, 0.5, 0.7),
+    // index-served pair mining must EQUAL the corpus-mining legs:
+    // sharing dedup_minhash's / dedup_ngram's oracles verbatim IS the
+    // equality check
+    "dedup_minhash_index_pairs" -> minhashOracle,
+    "dedup_ngram_index_pairs" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,

@@ -372,6 +372,55 @@ class MinHashIndexSpec extends SparkSpec {
       ref.exceptAll(seg).count() == 0)
   }
 
+  test("pairsVerified == the corpus-mining legs (word3 AND char5): " +
+      "identical banded candidates from the at-rest signatures, " +
+      "identical exact-Jaccard bar — pair sets equal including " +
+      "jaccard values") {
+    val docs = corpus()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)
+    val dirW = tmpDir()
+    MinHashIndex.build(docs, "doc_id", "text", dirW)
+    val gotW = MinHashIndex.pairsVerified(docs, "doc_id", "text",
+      dirW, 0.6).collect().map(key).toSet
+    val wantW = Dedup.minhashPairs(docs, "doc_id", "text", 32, 8, 0.6)
+      .collect().map(key).toSet
+    assert(gotW == wantW && gotW.nonEmpty, s"word3: $gotW vs $wantW")
+    val dirC = tmpDir()
+    MinHashIndex.build(docs, "doc_id", "text", dirC, numHashes = 64,
+      bands = 8, grams = "char5")
+    val gotC = MinHashIndex.pairsVerified(docs, "doc_id", "text",
+      dirC, 0.7).collect().map(key).toSet
+    val wantC = Dedup.ngramPairs(docs, "doc_id", "text", n = 5,
+      numHashes = 64, bands = 8, threshold = 0.7)
+      .collect().map(key).toSet
+    assert(gotC == wantC && gotC.nonEmpty, s"char5: $gotC vs $wantC")
+  }
+
+  test("pairs: agreement-scored pairs from the index alone match a " +
+      "driver-side replay (banding + component agreement over " +
+      "independently computed signatures); no corpus text in the plan") {
+    val docs = corpus()
+    val dir = tmpDir()
+    MinHashIndex.build(docs, "doc_id", "text", dir)
+    val got = MinHashIndex.pairs(spark, dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    // driverProbe is two-sided; fold to ordered pairs for the self case
+    val want = driverProbe(docs, docs, 32, 8, 0.5)
+      .collect { case (a, b, est) if a < b =>
+        (a, b, math.rint(est * 1e9) / 1e9) }
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // index-only by construction (pairs takes only (spark, dir)); the
+    // sigs table is localCheckpointed, so leaves are RDD scans — pin
+    // that NO file scan (hence no corpus read) appears in the plan
+    val scans = MinHashIndex.pairs(spark, dir, 0.5)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.forall(_.contains("sigs")), scans.mkString("\n"))
+  }
+
   test("breakLease: a crashed writer's stale lease is broken and the " +
       "index serves identically after; a live (recently heartbeated) " +
       "lease is NOT breakable; transient acquire failures are not " +
