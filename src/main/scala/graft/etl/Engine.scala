@@ -337,10 +337,68 @@ object Engine {
     * produced an output), rows written (-1 on failure), duration,
     * outcome, and the error message when the run aborted. Failed runs
     * are recorded AND still rethrown — history observes the fail-fast
-    * contract, it never swallows it. One appended row per run keeps
-    * the table maintenance-free at any run count (compose with
-    * `sources/` compaction if millions of runs accrue).
+    * contract, it never swallows it. Each run appends ONE file, so
+    * file count tracks run count; the GROWTH GUARD
+    * (`config.historyCompactEvery` / Dashboard
+    * `history_compact_every`) compacts the table in place after
+    * recording whenever it holds that many files — the
+    * millions-of-runs operating procedure, exercised in
+    * CompactionSpec. The swap is two renames with crash recovery on
+    * the next run (a `__compact_old` leftover is restored before
+    * recording); with the guard off (default 0), compose with
+    * `sources.Compaction` manually.
     */
+  /** Crash recovery for the in-place history compaction swap: a run
+    * that died between the two renames leaves the data under
+    * `__compact_old` and no live table — restore it before touching
+    * the history again. (A leftover `__compact_tmp` is just a stale
+    * duplicate-to-be and is removed.)
+    */
+  private def recoverHistorySwap(histPath: String): Unit = {
+    val hist = new java.io.File(histPath)
+    val old = new java.io.File(histPath + "__compact_old")
+    val tmp = new java.io.File(histPath + "__compact_tmp")
+    if (!hist.isDirectory && old.isDirectory) {
+      if (!old.renameTo(hist))
+        throw new java.io.IOException(
+          s"could not restore run history at $histPath from " +
+            s"interrupted compaction")
+    }
+    if (tmp.isDirectory) deleteRecursively(tmp)
+    if (hist.isDirectory && old.isDirectory) deleteRecursively(old)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** The run-history growth guard: when the table holds >= `every`
+    * parquet files (one per recorded run), rewrite it into
+    * size-targeted files via `sources.Compaction` and swap in place —
+    * record-identical before and after (the Compaction contract,
+    * CompactionSpec), bounded file count at any run cadence.
+    */
+  private def maybeCompactHistory(spark: SparkSession,
+      histPath: String, every: Int): Unit = {
+    if (every <= 0) return
+    val hist = new java.io.File(histPath)
+    if (!hist.isDirectory) return
+    val nFiles = Option(hist.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    if (nFiles < every) return
+    val tmp = histPath + "__compact_tmp"
+    val old = histPath + "__compact_old"
+    graft.sources.Compaction.compact(spark, histPath, tmp)
+    if (!hist.renameTo(new java.io.File(old)))
+      throw new java.io.IOException(
+        s"could not stage run-history compaction swap at $histPath")
+    if (!new java.io.File(tmp).renameTo(hist))
+      throw new java.io.IOException(
+        s"could not commit run-history compaction swap at $histPath")
+    deleteRecursively(new java.io.File(old))
+  }
+
   def runMapping(spark: SparkSession, dir: String,
       config: EngineConfig = EngineConfig()): Long = {
     val t0 = System.currentTimeMillis()
@@ -350,6 +408,7 @@ object Engine {
     def record(rowsOut: Long, status: String, error: String): Unit =
       if (config.history.nonEmpty) {
         import spark.implicits._
+        recoverHistorySwap(s"$dir/${config.history}")
         Seq((java.util.UUID.randomUUID.toString, t0, config.source,
             config.map, config.output, digest, rowsOut,
             System.currentTimeMillis() - t0, status, error))
@@ -358,6 +417,8 @@ object Engine {
             "status", "error")
           .coalesce(1).write.mode("append")
           .parquet(s"$dir/${config.history}")
+        maybeCompactHistory(spark, s"$dir/${config.history}",
+          config.historyCompactEvery)
       }
     try {
       // `_join:X` rules name sibling sheets: read `<dir>/X.csv` for

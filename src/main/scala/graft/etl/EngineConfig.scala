@@ -15,12 +15,22 @@ import graft.etl.dsl.Ast.DslError
   *                (`/root/reference/README.md:124-125`, never
   *                implemented there; semantics defined here). Empty
   *                (the default) disables recording.
+  * @param historyCompactEvery the run-history growth guard: when > 0
+  *                and the history table holds at least this many
+  *                parquet files, [[Engine.runMapping]] compacts it in
+  *                place after recording (each run appends ONE file, so
+  *                file count ≈ runs since the last compact; the
+  *                millions-of-runs case stays bounded at ~this many
+  *                files). 0 (the default) leaves compaction to the
+  *                operator via `sources.Compaction`. Dashboard key:
+  *                `history_compact_every`.
   */
 final case class EngineConfig(
     source: String = "Source",
     map: String = "Map",
     output: String = "Output",
-    history: String = "") {
+    history: String = "",
+    historyCompactEvery: Int = 0) {
   Seq("source" -> source, "map" -> map, "output" -> output).foreach {
     case (k, v) =>
       if (v == null || v.trim.isEmpty)
@@ -42,6 +52,7 @@ object EngineConfig {
     */
   def fromKeyValues(kvs: Seq[(String, String)]): EngineConfig = {
     var (s, m, o, h) = ("Source", "Map", "Output", "")
+    var hce = 0
     kvs.foreach { case (k, v) =>
       val key = Option(k).getOrElse("").trim.toLowerCase
       val value = Option(v).getOrElse("").trim
@@ -50,9 +61,15 @@ object EngineConfig {
         case "map"     => m = value
         case "output"  => o = value
         case "history" => h = value
+        case "history_compact_every" =>
+          hce = try value.toInt catch {
+            case _: NumberFormatException => throw DslError(
+              s"""Config "history_compact_every" must be an """ +
+                s"""integer; got "$value".""")
+          }
         case _         => ()
       }
     }
-    EngineConfig(s, m, o, h)
+    EngineConfig(s, m, o, h, hce)
   }
 }

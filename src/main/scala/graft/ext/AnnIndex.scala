@@ -55,9 +55,13 @@ object AnnIndex {
   private val Marker = "INDEX_READY"
   private val Lease = ".MAINT_LEASE"
   /** Bump when the on-disk layout changes shape. v2: optional
-    * `deletes/` tombstone table beside the codes table.
+    * `deletes/` tombstone table beside the codes table. v3: `hier`
+    * column in meta/ — the coarse-assignment hierarchy recorded at
+    * build time so build/append/streaming-ingest assign cells
+    * IDENTICALLY (0 = flat ranking, >0 = two-level with that many
+    * super-probes).
     */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   // ── Hadoop-FS helpers ──────────────────────────────────────────────
   // Every filesystem touch goes through the Hadoop FileSystem resolved
@@ -88,7 +92,7 @@ object AnnIndex {
       text: String): Unit = IndexFs.writeMarker(spark, dir, Marker, text)
 
   final case class Meta(nCells: Int, m: Int, nCentroids: Int, sub: Int,
-      scale: Double)
+      scale: Double, hier: Int)
 
   /** Hadoop-FS metadata fingerprint of a table path: file count +
     * total bytes + max mtime. Cheap (no Spark job, no data read) and
@@ -107,24 +111,24 @@ object AnnIndex {
   }
 
   private def markerText(nCells: Int, m: Int, nCentroids: Int,
-      fingerprint: String): String =
+      hier: Int, fingerprint: String): String =
     s"format=$FormatVersion nCells=$nCells m=$m nCentroids=$nCentroids " +
-      s"corpus[$fingerprint]"
+      s"hier=$hier corpus[$fingerprint]"
 
   /** Train quantizers, encode the corpus, write the index tables, and
     * commit the marker. Overwrites any previous index at `dir`.
     */
   def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
       nCells: Int = 16, m: Int = 8, nCentroids: Int = 16,
-      iters: Int = 3, fingerprint: String = ""): Unit =
+      iters: Int = 3, fingerprint: String = "", hier: Int = 0): Unit =
     withLease(df.sparkSession, dir) {
       doBuild(df, idCol, vecCol, dir, nCells, m, nCentroids, iters,
-        fingerprint)
+        fingerprint, hier)
     }
 
   private def doBuild(df: DataFrame, idCol: String, vecCol: String,
       dir: String, nCells: Int, m: Int, nCentroids: Int,
-      iters: Int, fingerprint: String): Unit = {
+      iters: Int, fingerprint: String, hier: Int): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val coarse = Similarity.ivfCentroids(df, idCol, vecCol, nCells)
@@ -144,7 +148,7 @@ object AnnIndex {
     fs.delete(hpath(dir, "codes_stream"), true)
     fs.delete(hpath(dir, "deletes"), true)
     val cellDf = df.select(col(idCol).cast("long").as("id"),
-      Similarity.ivfCell(df, col(vecCol), coarse).as("cell"))
+      cellCol(df, col(vecCol), coarse, hier).as("cell"))
     val aD = col("a").cast("array<double>")
     codes
       .select(col("id"),
@@ -158,10 +162,12 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     coarse.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
-    Seq((FormatVersion, nCells, m, nCentroids, sub, scale))
-      .toDF("version", "n_cells", "m", "n_centroids", "sub", "scale")
+    Seq((FormatVersion, nCells, m, nCentroids, sub, scale, hier))
+      .toDF("version", "n_cells", "m", "n_centroids", "sub", "scale",
+        "hier")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    writeMarker(spark, dir, markerText(nCells, m, nCentroids, fingerprint))
+    writeMarker(spark, dir,
+      markerText(nCells, m, nCentroids, hier, fingerprint))
   }
 
   /** Build unless a committed index with the same params AND corpus
@@ -169,12 +175,13 @@ object AnnIndex {
     */
   def ensureBuilt(df: DataFrame, idCol: String, vecCol: String,
       dir: String, nCells: Int = 16, m: Int = 8, nCentroids: Int = 16,
-      iters: Int = 3, fingerprint: String = ""): Boolean = {
-    val want = markerText(nCells, m, nCentroids, fingerprint)
+      iters: Int = 3, fingerprint: String = "",
+      hier: Int = 0): Boolean = {
+    val want = markerText(nCells, m, nCentroids, hier, fingerprint)
     val fresh = readMarker(df.sparkSession, dir).contains(want)
     if (!fresh)
       build(df, idCol, vecCol, dir, nCells, m, nCentroids, iters,
-        fingerprint)
+        fingerprint, hier)
     !fresh
   }
 
@@ -276,7 +283,77 @@ object AnnIndex {
       Similarity.dot(df, aD, aD).cast("long").as("naa"),
       Similarity.pqBestCol(withA, cents, meta.m, meta.nCentroids,
         meta.sub).as("bc"),
-      Similarity.ivfCell(df, col("__v"), coarse).as("cell"))
+      cellCol(df, col("__v"), coarse, meta.hier).as("cell"))
+  }
+
+  /** Cell assignment shared by BUILD, batch APPEND and STREAMING
+    * ingest — all three read the hierarchy choice from the same place
+    * (the build param, persisted in meta/ as `hier`), so an appended
+    * or streamed vector's cell is bit-identical to what a full
+    * rebuild would assign (pinned in AnnIndexSpec). `hier` <= 0 is
+    * the flat top-1 ranking (`Similarity.ivfCell` — nCells codegen'd
+    * dots per row); `hier` > 0 ranks only the children of the row's
+    * top-`hier` super-cells ([[hierCellCol]]) — the O(hier·√nCells)
+    * route for the nCells ∝ N regime where the flat projection is
+    * both O(nCells)/row and Janino-uncompilable (r14 addendum).
+    */
+  private def cellCol(df: DataFrame, vec: Column,
+      coarse: Seq[Seq[Float]], hier: Int): Column =
+    if (hier <= 0) Similarity.ivfCell(df, vec, coarse)
+    else hierCellCol(df, vec, coarse, hier)
+
+  /** MAP-SIDE two-level cell assignment (top-1 of the chosen supers'
+    * children): the super ranking is the same codegen'd √nCells-wide
+    * struct sort as [[probeCells]]'s hierarchical path, and the child
+    * ranking runs over the chosen supers' children as literal DATA
+    * (array-of-arrays of (cell, centroid) structs indexed by super)
+    * through higher-order functions — interpreted, but over
+    * hier·√nCells elements per row, and with NO shuffle and NO
+    * per-cell codegen width, which is what the streaming ingest path
+    * requires (a per-id rank window is unsupported on streams and the
+    * flat projection stops compiling in the thousands of cells).
+    * Same dot arithmetic ([[graft.functions.DotDouble]], strict left
+    * fold) and the same (dot DESC, cell ASC) tie-break as every other
+    * assignment path.
+    */
+  private[graft] def hierCellCol(df: DataFrame, vec: Column,
+      coarse: Seq[Seq[Float]], sp: Int): Column = {
+    val nSuper = superCount(coarse.size)
+    val supers = coarse.take(nSuper)
+    def sdot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) =>
+        acc + p._1.toDouble * p._2.toDouble)
+    // child -> super: max-dot super per centroid, ties to the smaller
+    // super id — EXACTLY probeCells' driver-side rule, so a probe-side
+    // hierarchy and an encode-side hierarchy agree on the tree
+    val childrenBySuper: Map[Int, Seq[Int]] =
+      coarse.zipWithIndex.map { case (cv, c) =>
+        val sup = supers.zipWithIndex
+          .map { case (sv, s) => (sdot(cv, sv), s) }
+          .sortBy { case (d, s) => (-d, s) }.head._2
+        (sup, c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ssorted = array_sort(array(supers.zipWithIndex.map {
+      case (sv, s) =>
+        val sl = array(sv.map(x => lit(x.toDouble)): _*)
+        struct((-Similarity.dot(df, vec, sl)).as("d"), lit(s).as("s"))
+    }: _*))
+    val chosen = transform(slice(ssorted, 1, sp), x => x("s"))
+    val childType = "array<struct<c:int,cv:array<double>>>"
+    val childrenLit = array((0 until nSuper).map { s =>
+      val kids = childrenBySuper.getOrElse(s, Nil)
+      if (kids.isEmpty) array().cast(childType)
+      else array(kids.map { c =>
+        struct(lit(c).as("c"),
+          array(coarse(c).map(x => lit(x.toDouble)): _*).as("cv"))
+      }: _*).cast(childType)
+    }: _*)
+    val cands = flatten(transform(chosen,
+      s => element_at(childrenLit, s + 1)))
+    val best = array_min(transform(cands, ch =>
+      struct((-Similarity.dot(df, vec, ch("cv"))).as("d"),
+        ch("c").as("c"))))
+    best("c").cast("int")
   }
 
   /** STREAMING index ingest — the online half of the lifecycle:
@@ -408,13 +485,13 @@ object AnnIndex {
   def ensureBuiltWithAppend(base: DataFrame, extra: DataFrame,
       idCol: String, vecCol: String, dir: String, nCells: Int = 16,
       m: Int = 8, nCentroids: Int = 16, iters: Int = 3,
-      fingerprint: String = ""): Boolean = {
-    val want = markerText(nCells, m, nCentroids, fingerprint) +
+      fingerprint: String = "", hier: Int = 0): Boolean = {
+    val want = markerText(nCells, m, nCentroids, hier, fingerprint) +
       s"\n+append[$fingerprint]"
     val fresh = readMarker(base.sparkSession, dir).contains(want)
     if (!fresh) {
       build(base, idCol, vecCol, dir, nCells, m, nCentroids, iters,
-        fingerprint)
+        fingerprint, hier)
       append(extra, idCol, vecCol, dir, fingerprint)
     }
     !fresh
@@ -429,12 +506,13 @@ object AnnIndex {
       s"no committed ANN index at $dir (missing $Marker — " +
         "build() did not finish?)")
     val m = spark.read.parquet(s"$dir/meta")
-      .select("version", "n_cells", "m", "n_centroids", "sub", "scale")
+      .select("version", "n_cells", "m", "n_centroids", "sub", "scale",
+        "hier")
       .head()
     require(m.getInt(0) == FormatVersion,
       s"ANN index format ${m.getInt(0)} != supported $FormatVersion")
     val meta = Meta(m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4),
-      m.getDouble(5))
+      m.getDouble(5), m.getInt(6))
     val coarseRows = spark.read.parquet(s"$dir/coarse").collect()
     val coarse = coarseRows.map(r => r.getInt(0) -> r.getSeq[Float](1))
       .sortBy(_._1).map(_._2.toSeq).toSeq
@@ -820,13 +898,21 @@ object AnnIndex {
     * |Q|·nCells cross product (broadcast, map-side) plus a qid
     * exchange, and the codes⋈probes join is planned by AQE (a small
     * batch broadcasts; a corpus-sized one shuffles on `cell`, whose
-    * ≤ nCells distinct values skew — shard such batches or salt the
-    * join). Use [[searchBatch]] when the batch is bounded and the
+    * ≤ nCells distinct values SKEW). For that corpus-sized case pass
+    * `salts` > 0: the codes side keeps a deterministic per-row salt
+    * (`xxhash64(id) mod salts`) and the probe side is replicated
+    * across all salts — the join key becomes (cell, salt), each
+    * (code, probe) pair still matches at EXACTLY one salt (results
+    * row-identical, pinned in spec), and a hot cell's work spreads
+    * over `salts` tasks instead of one — the `join_skew_salted` /
+    * `bucketJoinPairs` fan-out. Cost: the skinny probe rows ship
+    * `salts`× . Use [[searchBatch]] when the batch is bounded and the
     * bit-exact static-pruning contract matters.
     */
   def searchBatchDist(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, queries: DataFrame, qidCol: String, qvecCol: String,
-      probes: Int = 2, k: Int = 10, nCand: Int = 80): DataFrame = {
+      probes: Int = 2, k: Int = 10, nCand: Int = 80,
+      salts: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -873,8 +959,16 @@ object AnnIndex {
     }.reduce(_ + _)
     val byQ = Window.partitionBy("__qid")
       .orderBy(desc("score"), col(idCol))
-    val cand = codes
-      .join(probeQ, "cell")
+    // salted fan-out for corpus-sized batches: ≤ nCells distinct join
+    // keys skew; (cell, salt) spreads each cell over `salts` tasks
+    val joined =
+      if (salts <= 0) codes.join(probeQ, "cell")
+      else codes
+        .withColumn("__salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+        .join(probeQ.withColumn("__salt",
+          explode(sequence(lit(0L), lit(salts.toLong - 1)))),
+          Seq("cell", "__salt"))
+    val cand = joined
       .select(col("__qid"), col("__qv"), col("id").as(idCol),
         when(col("naa") === 0L, lit(0.0))
           .otherwise(qsum / sqrt(col("naa").cast("double")))

@@ -50,6 +50,40 @@ class CompactionSpec extends SparkSpec {
       "compaction must not change a single run record")
   }
 
+  test("run-history growth guard (r15): history_compact_every=N " +
+      "compacts the table in place once N one-file runs accrue — " +
+      "file count stays bounded at any run cadence, records " +
+      "identical; an interrupted swap is recovered on the next run") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-histgrd")
+    java.nio.file.Files.writeString(dir.resolve("Source.csv"),
+      "K,V\n1,a\n2,b\n")
+    java.nio.file.Files.writeString(dir.resolve("Map.csv"),
+      "out,instr\nVal,src[V]\n")
+    // the Dashboard key parses
+    val cfg = graft.etl.EngineConfig.fromKeyValues(Seq(
+      "history" -> "Runs", "history_compact_every" -> "3"))
+    assert(cfg.historyCompactEvery == 3)
+    (1 to 7).foreach { _ =>
+      graft.etl.Engine.runMapping(s, dir.toString, cfg)
+    }
+    val histDir = new java.io.File(s"$dir/Runs")
+    def nFiles() = histDir.listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // 7 appends with compaction at every 3rd file: never grows past
+    // the threshold (compact folds to 1 file; tiny table)
+    assert(nFiles() <= 3, s"guard must bound file count: ${nFiles()}")
+    assert(s.read.parquet(histDir.getPath).count() == 7,
+      "compaction must not lose a run record")
+    // interrupted swap: the table vanished mid-compaction, data under
+    // __compact_old — the next run restores it and records on top
+    assert(histDir.renameTo(new java.io.File(s"$dir/Runs__compact_old")))
+    graft.etl.Engine.runMapping(s, dir.toString, cfg)
+    assert(s.read.parquet(histDir.getPath).count() == 8,
+      "recovery must restore the staged history before recording")
+    assert(!new java.io.File(s"$dir/Runs__compact_old").isDirectory)
+  }
+
   test("compact sees nested partitionBy layouts (recursive listing)") {
     val s = spark
     import s.implicits._
@@ -782,6 +816,105 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.append(extra, "vec_id", "embedding", dir)
     assert(s.read.parquet(s"$dir/codes").count() > codesBefore)
     assert(!lease.exists, "winner must release the lease")
+  }
+
+  test("hierarchical ENCODE path (r15): a hier>0 index records the " +
+      "hierarchy in meta/, build+append is BIT-IDENTICAL to a full " +
+      "rebuild under the same marker (append/ingest assign with the " +
+      "same two-level rule), flat and hierarchical markers are " +
+      "distinct, and exhaustive search over a hier index == brute " +
+      "force") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dirFull = Files.createTempDirectory("annhier2").toString
+    // hier=2 (nCells=16 -> 4 supers), trained once on the full corpus
+    AnnIndex.build(emb, "vec_id", "embedding", dirFull, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1, hier = 2)
+    // append the SAME vectors re-keyed: the frozen-quantizer append
+    // must assign each one exactly the codes/cell the build pass gave
+    // its identical twin — the bit-identity that proves build and
+    // append share one (hierarchical) assignment path
+    AnnIndex.append(
+      emb.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", dirFull)
+    val codes = s.read.parquet(s"$dirFull/codes")
+      .selectExpr("id", "naa", "bc", "cell")
+    val builtRows = codes.filter(col("id") < 100000L)
+    val appended = codes.filter(col("id") >= 100000L)
+      .select((col("id") - 100000L).as("id"), col("naa"), col("bc"),
+        col("cell"))
+    assert(builtRows.count() == appended.count() &&
+      builtRows.exceptAll(appended).count() == 0 &&
+      appended.exceptAll(builtRows).count() == 0,
+      "append under a hierarchical marker must encode bit-identically " +
+        "to the build pass")
+    // encode-side top-1 == probe-side hierarchy at probes=1 with the
+    // same superProbes: the two paths share one tree (build/append/
+    // ingest/probe assign identically)
+    val coarse = s.read.parquet(s"$dirFull/coarse").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    val n = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val probeSide = AnnIndex.probeCells(n, coarse, probes = 1,
+        superProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val encodeSide = builtRows.select("id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(probeSide == encodeSide,
+      s"probe/encode hierarchy disagree on ${
+        (probeSide diff encodeSide).take(5)}")
+    // the hierarchy genuinely changes assignment vs flat (otherwise
+    // this spec proves nothing): SOME cell differs
+    val dirFlat = Files.createTempDirectory("annhier3").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dirFlat, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    val flat = s.read.parquet(s"$dirFlat/codes")
+      .selectExpr("id", "cell")
+    assert(builtRows.select("id", "cell").exceptAll(flat).count() > 0,
+      "hier=2 assignment should differ from flat somewhere on this " +
+        "corpus")
+    // marker records the hierarchy: a flat ensureBuilt over the hier
+    // index is stale (and vice versa)
+    assert(AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dirFull,
+      nCells = 16, m = 32, nCentroids = 64, iters = 1,
+      hier = 0) === true)
+    // exhaustive probing finds everything whatever the assignment
+    AnnIndex.build(emb, "vec_id", "embedding", dirFull, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1, hier = 2)
+    val qv = emb.filter(col("vec_id") === 42).select("embedding")
+      .head().getSeq[Float](0)
+    val served = AnnIndex.search(emb, "vec_id", "embedding", dirFull,
+        qv, probes = 16, k = 5, nCand = 4096)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.topK(emb, "vec_id", "embedding", qv, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == brute, s"served=$served brute=$brute")
+  }
+
+  test("searchBatchDist salted fan-out (r15): salts>0 joins codes to " +
+      "probes on (cell, salt) — plan carries the salt key — with " +
+      "results ROW-IDENTICAL to the unsalted path") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val dir = Files.createTempDirectory("annsalt").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    // a hot-cell batch: every query near vec 0 probes similar cells
+    val qdf = emb.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+    def run(salts: Int) = AnnIndex.searchBatchDist(emb, "vec_id",
+      "embedding", dir, qdf, "vec_id", "embedding", probes = 2,
+      k = 5, nCand = 40, salts = salts)
+    val unsalted = run(0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = run(8)
+    assert(salted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == unsalted && unsalted.nonEmpty)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salted plan must join on the " +
+      s"salt key; got:\n${plan.take(2000)}")
   }
 
   test("delete records EXACTLY the written tombstone rows in the " +
