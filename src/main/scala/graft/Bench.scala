@@ -55,6 +55,17 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.AccumulatorContext",
       org.apache.logging.log4j.Level.ERROR)
+    // BENCH_r14's tail carried a stitched AnalysisException-looking
+    // stack while all passes succeeded: FileStreamSink.hasMetadata
+    // stats the LITERAL glob string of any globbed read (it was
+    // Xlsx.read's "<dir>/*.xlsx") and logs the FileNotFoundException
+    // at WARN with the caller stack. Root-caused and fixed at the
+    // source (Xlsx.read now loads the parent dir + pathGlobFilter);
+    // the logger is ALSO capped so no future globbed read can push
+    // the summary line out of the driver's bounded tail capture.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     // Absorb one-time JVM/codegen/scheduler warmup outside the timed
     // loop. The flagship query warms the relational paths; the heavy
     // LSH/shingle/window machinery JITs separately and costs whichever

@@ -37,8 +37,24 @@ object Xlsx {
     * contract).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path)
-      .select("path", "content")
+    // A glob in the leaf segment is rewritten to pathGlobFilter over
+    // the parent directory: loading the raw glob string makes
+    // FileStreamSink.hasMetadata stat the LITERAL "<dir>/*.xlsx" path,
+    // whose FileNotFoundException Spark logs at WARN with a full
+    // stitched caller stack (the ERROR-looking trace that polluted
+    // BENCH_r14's captured tail) even though the load then succeeds.
+    // Same file set either way: the parent listing skips hidden/_
+    // paths (_temporary, _SUCCESS) and the filter matches the leaf.
+    val p = new org.apache.hadoop.fs.Path(path)
+    def hasGlob(s: String) = s.exists("*?[{".contains(_))
+    val reader = spark.read.format("binaryFile")
+    val loaded =
+      if (hasGlob(p.getName) && p.getParent != null &&
+          !hasGlob(p.getParent.toString))
+        reader.option("pathGlobFilter", p.getName)
+          .load(p.getParent.toString)
+      else reader.load(path)
+    val bin = loaded.select("path", "content")
     val first = bin.orderBy("path").select("content").head()
       .getAs[Array[Byte]](0)
     val header = parseSheet(first).headOption.getOrElse(
