@@ -615,15 +615,8 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val (meta, coarse, cents) = load(spark, dir)
     // tombstones are authoritative on BOTH sides: the home side via
-    // codesTable, the probe/verify side here (the corpus argument may
-    // be a snapshot that still contains deleted ids)
-    val nAll = corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("v"),
-        Similarity.l2norm(corpus, col(vecCol)).as("nrm"))
-    val n = (if (!hfs(spark, dir).exists(hpath(dir, "deletes"))) nAll
-      else nAll.join(spark.read.parquet(s"$dir/deletes"),
-        Seq("id"), "left_anti"))
-      .localCheckpoint(false)
+    // codesTable, the probe/verify side via normalized()
+    val n = normalized(corpus, idCol, vecCol, dir)
     // the probe frame feeds a self-join (two consumers): the flat
     // assignment recomputes cheaply from the checkpointed n, but the
     // hierarchical one would redo its join + window — materialize it
@@ -657,16 +650,9 @@ object AnnIndex {
       probes: Int, superProbes: Int): DataFrame = {
     val spark = n.sparkSession
     if (superProbes <= 0) {
-      // flat top-`probes` cells, map-side: rank (dot DESC, cell ASC)
-      // via an ascending struct sort on (-dot, cell)
-      val sorted = array_sort(array(coarse.zipWithIndex.map {
-        case (c, j) =>
-          val cl = array(c.map(x => lit(x.toDouble)): _*)
-          struct((-Similarity.dot(n, col("v"), cl)).as("d"),
-            lit(j).as("c"))
-      }: _*))
-      val pcells = transform(slice(sorted, 1, probes), s => s("c"))
-      n.select(col("id"), explode(pcells).as("cell"))
+      n.select(col("id"),
+        explode(flatProbeCellsCol(n, col("v"), coarse, probes))
+          .as("cell"))
     } else {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -701,6 +687,64 @@ object AnnIndex {
         .filter(col("__rn") <= probes)
         .select(col("id"), col("cell"))
     }
+  }
+
+  /** The flat top-`probes` probe-cell ARRAY as one map-side column:
+    * rank (dot DESC, cell ASC) via an ascending struct sort on
+    * (-dot, cell). Shared by [[probeCells]] (the batch pair-mining
+    * assignment) and `StreamingOps.annGate`'s per-row stream
+    * assignment, so the gate probes exactly the cells batch mining
+    * would — the map-side-signature-sharing discipline of
+    * `nearDupGate`. Pure projection: no shuffle, no state,
+    * streaming-safe.
+    */
+  private[graft] def flatProbeCellsCol(df: DataFrame, vec: Column,
+      coarse: Seq[Seq[Float]], probes: Int): Column = {
+    val sorted = array_sort(array(coarse.zipWithIndex.map {
+      case (c, j) =>
+        val cl = array(c.map(x => lit(x.toDouble)): _*)
+        struct((-Similarity.dot(df, vec, cl)).as("d"),
+          lit(j).as("c"))
+    }: _*))
+    transform(slice(sorted, 1, probes), s => s("c"))
+  }
+
+  /** The committed index's probe-cell corpus table — (cell, id, v,
+    * nrm) with one row per (probed cell, vector), tombstones applied:
+    * the STATIC side of `StreamingOps.annGate` (the `corpusBandBuckets`
+    * role, for embeddings). Derived from the corpus the index was
+    * built over with the index's OWN frozen centroids, so the gate's
+    * candidate rule is exactly [[cosinePairsIndexed]]'s probe×probe
+    * co-occurrence; refresh on the index's rebuild/compaction cadence.
+    * ~`probes`× the corpus vector bytes at rest — bounded replication,
+    * cell-partitionable.
+    */
+  def cellTable(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, probes: Int = 4, superProbes: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val (_, coarse, _) = load(spark, dir)
+    val n = normalized(corpus, idCol, vecCol, dir)
+    probeCells(n, coarse, probes, superProbes)
+      .join(n, "id")
+      .select(col("cell"), col("id"), col("v"), col("nrm"))
+  }
+
+  /** The (id, v, nrm) view of `corpus` with queued tombstones
+    * anti-joined away — tombstones are authoritative on the
+    * probe/verify side too (the corpus argument may be a snapshot
+    * that still contains deleted ids). Shared by
+    * [[cosinePairsIndexed]] and [[cellTable]].
+    */
+  private def normalized(corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val nAll = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        Similarity.l2norm(corpus, col(vecCol)).as("nrm"))
+    (if (!hfs(spark, dir).exists(hpath(dir, "deletes"))) nAll
+     else nAll.join(spark.read.parquet(s"$dir/deletes"),
+       Seq("id"), "left_anti"))
+      .localCheckpoint(false)
   }
 
   /** Super-cell count of the two-level hierarchy: ceil(sqrt(nCells))

@@ -369,6 +369,38 @@ object PipelineQueries {
         "text", dir, 0.7)
     }),
 
+    // INDEX-SERVED dedup groups (round 15): the sign-once chain run
+    // END TO END from the at-rest signatures — banded candidates off
+    // the committed signature table, exact verify on candidate
+    // re-reads only (no estimate gate, so the pair set EQUALS
+    // dedup_groups' mining input by construction), min-label
+    // connected components. Shares dedup_groups' oracle verbatim —
+    // that sharing IS the equality check.
+    "dedup_groups_index" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d)
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, NumHashes, Bands, fp)
+      graft.operators.ConnectedComponents.labels(
+          graft.ext.MinHashIndex.pairsVerified(documents(s, d),
+            "doc_id", "text", dir, JaccardThreshold)
+            .select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+    }),
+
+    // ...and the survivor pick over the index-fed groups — the stage
+    // that PRODUCES the deduplicated corpus, now with the only
+    // corpus-text work being the candidate verify (plus the skinny
+    // (doc_id, len) projection every survivor pick needs). Shares
+    // dedup_survivors' oracle verbatim.
+    "dedup_survivors_index" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d)
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, NumHashes, Bands, fp)
+      survivorPick(documents(s, d),
+        graft.ext.MinHashIndex.pairsVerified(documents(s, d),
+          "doc_id", "text", dir, JaccardThreshold))
+    }),
+
     // Char-5-gram flavor of the per-doc ingest verdicts (round 15 —
     // the word3 leg is dedup_minhash_index_flags): estimate-gated at
     // 0.5 (64 hashes → σ≈0.06, so the gate clears borderline true
@@ -455,27 +487,10 @@ object PipelineQueries {
     // deterministic, oracle-checkable). Group labels reuse the CC
     // pass; the pick is one (group)-partitioned top-1 window over
     // skinny (doc_id, len, group_id) rows.
-    "dedup_survivors" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val groups = graft.operators.ConnectedComponents.labels(
+    "dedup_survivors" -> ((s, d) =>
+      survivorPick(documents(s, d),
         Dedup.minhashPairs(documents(s, d), "doc_id", "text",
-          NumHashes, Bands, JaccardThreshold)
-          .select(col("id_a"), col("id_b")))
-      val labeled = documents(s, d)
-        .select(col("doc_id"), length(col("text")).as("len"))
-        .join(groups.select(col("id").as("doc_id"),
-          col("label")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("len"),
-          coalesce(col("label"), col("doc_id")).as("group_id"))
-      labeled
-        .withColumn("rn", row_number().over(Window
-          .partitionBy("group_id").orderBy(desc("len"), col("doc_id"))))
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy("group_id")))
-        .filter(col("rn") === 1)
-        .select(col("group_id"), col("doc_id").as("survivor_id"),
-          col("n_members"))
-    }),
+          NumHashes, Bands, JaccardThreshold))),
 
     "dedup_embed" -> ((s, d) =>
       Similarity.cosinePairsLsh(embeddings(s, d), "vec_id", "embedding",
@@ -566,6 +581,43 @@ object PipelineQueries {
           superProbes = 3)
         .select(col("id_a"), col("id_b"),
           round(col("cos"), 6).as("cos"))
+    }),
+
+    // Per-vector ingest VERDICTS from the indexed near-dup pairs —
+    // the embedding analog of dedup_minhash_index_flags, and the
+    // batch reference of StreamingOps.annGate (same candidate rule:
+    // probe×probe co-occurrence under the committed index's frozen
+    // centroids; exact cosine on candidates only): each incoming
+    // vector (every 20th) reports whether a DIFFERENT vector sits
+    // above the cosine threshold among its candidates, with the
+    // match count and best cosine. LEFT join from the incoming
+    // universe, so candidate-less vectors still report
+    // near_dup=false.
+    "dedup_embed_ann_flags" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      val pairs = graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
+        "embedding", dir, CosineThreshold, probes = 4)
+      val touched = pairs
+        .select(col("id_a").as("vec_id"), col("cos"))
+        .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
+      emb.filter(col("vec_id") % 20 === 0).select(col("vec_id"))
+        .join(touched.groupBy("vec_id")
+            .agg(count(lit(1)).as("n_matches"),
+              max(col("cos")).as("best_cos")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          col("n_matches").isNotNull.as("near_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          round(coalesce(col("best_cos"), lit(0.0)), 6).as("best_cos"))
     }),
 
     // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
@@ -2874,6 +2926,34 @@ object PipelineQueries {
     * edit in per-query copies would silently split them onto
     * different index dirs).
     */
+  /** Survivor selection over a near-dup pair list (shared by the
+    * mining-leg and index-served flavors): min-label connected
+    * components label the groups, singletons survive as their own
+    * group, and inside a group the LONGEST text wins (ties -> min
+    * doc_id — deterministic, oracle-checkable). The pick is one
+    * (group)-partitioned top-1 window over skinny
+    * (doc_id, len, group_id) rows.
+    */
+  private def survivorPick(docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = graft.operators.ConnectedComponents.labels(
+      pairs.select(col("id_a"), col("id_b")))
+    docs
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .join(groups.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("group_id").orderBy(desc("len"), col("doc_id"))))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("group_id")))
+      .filter(col("rn") === 1)
+      .select(col("group_id"), col("doc_id").as("survivor_id"),
+        col("n_members"))
+  }
+
   private def minhashIndexDir(s: SparkSession, d: String,
       suffix: String = ""): (String, String) = {
     val key = new java.io.File(d).getCanonicalPath
@@ -3028,6 +3108,23 @@ object PipelineQueries {
          JOIN sym s ON reach.id = s.src)
        SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"""
 
+  /** Survivor-pick oracle over [[dedupGroupsOracle]]'s groups (shared
+    * by the mining-leg and index-served flavors): longest text per
+    * group, ties -> min doc_id, singletons survive trivially.
+    */
+  private def dedupSurvivorsOracle: String =
+    s"""WITH g AS (SELECT * FROM ($dedupGroupsOracle)),
+       ag AS (SELECT d.doc_id, length(d.text) AS len,
+              coalesce(g.group_id, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
+       r AS (SELECT group_id, doc_id,
+             row_number() OVER (PARTITION BY group_id
+                                ORDER BY len DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY group_id) AS n_members
+             FROM ag)
+       SELECT group_id, doc_id AS survivor_id, n_members FROM r
+       WHERE rn = 1"""
+
   /** SQL for bits [off, off+w) of the split (sig_hi, sig_lo) signature —
     * the DuckDB mirror of Dedup.sliceBits, generated from the same
     * Dedup.chunkLayout so Spark and the oracle band identically.
@@ -3142,6 +3239,24 @@ object PipelineQueries {
                       JOIN n b ON cand.id_b = b.vec_id)
           WHERE cs >= $CosineThreshold"""
   }
+
+  /** Per-vector verdict oracle over [[embedAnnOracleSql]]'s pair set
+    * (dedup_embed_ann_flags): fold the pairs touching each incoming
+    * vector (both directions), LEFT from the incoming universe.
+    * max-then-round equals round-then-max (round is monotone), so
+    * building on the rounded pair output is exact.
+    */
+  private def embedAnnFlagsOracleSql(probes: Int): String =
+    s"""WITH p AS (${embedAnnOracleSql(probes, 0)}),
+       inc AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+       t AS (SELECT id_a AS vec_id, cos FROM p
+             UNION ALL SELECT id_b, cos FROM p),
+       m AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+             max(cos) AS best_cos FROM t GROUP BY vec_id)
+       SELECT inc.vec_id, m.n_matches IS NOT NULL AS near_dup,
+         coalesce(m.n_matches, 0) AS n_matches,
+         round(coalesce(m.best_cos, 0.0), 6) AS best_cos
+       FROM inc LEFT JOIN m USING (vec_id)"""
 
   /** Generated sim_pq oracle: replays `Similarity.pqTrainedCodebooks`
     * (global int8 scale, subvector codes, `PqIters` unrolled integer
@@ -3504,6 +3619,10 @@ object PipelineQueries {
     "dedup_minhash_index_pairs" -> minhashOracle,
     "dedup_ngram_index_pairs" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),
+    // ...and so must the index-fed groups/survivors chain: same
+    // pairs -> same components -> same survivors
+    "dedup_groups_index" -> dedupGroupsOracle,
+    "dedup_survivors_index" -> dedupSurvivorsOracle,
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),
@@ -3513,18 +3632,7 @@ object PipelineQueries {
     // Survivors: longest text per group (ties -> min doc_id),
     // singletons survive trivially; group labels from the recursive
     // CTE above.
-    "dedup_survivors" ->
-      s"""WITH g AS (SELECT * FROM ($dedupGroupsOracle)),
-         ag AS (SELECT d.doc_id, length(d.text) AS len,
-                coalesce(g.group_id, d.doc_id) AS group_id
-                FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
-         r AS (SELECT group_id, doc_id,
-               row_number() OVER (PARTITION BY group_id
-                                  ORDER BY len DESC, doc_id) AS rn,
-               count(*) OVER (PARTITION BY group_id) AS n_members
-               FROM ag)
-         SELECT group_id, doc_id AS survivor_id, n_members FROM r
-         WHERE rn = 1""",
+    "dedup_survivors" -> dedupSurvivorsOracle,
 
     "dedup_simhash" -> simhashOracle,
 
@@ -3585,6 +3693,7 @@ object PipelineQueries {
       embedAnnOracleSql(probes = 8, superProbes = 0),
     "dedup_embed_ann_2level" ->
       embedAnnOracleSql(probes = 4, superProbes = 3),
+    "dedup_embed_ann_flags" -> embedAnnFlagsOracleSql(probes = 4),
 
     // SemDeDup mirror: cell assignment is the sim_ann_ivf quantizer
     // verbatim (argmax dot, row_number ties to the smaller cell);

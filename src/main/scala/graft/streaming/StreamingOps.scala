@@ -351,6 +351,75 @@ object StreamingOps {
         (col("n_hit") === 0L).as("nd_keep"))
   }
 
+  /** The corpus's at-rest probe-cell table for [[annGate]] — the
+    * `corpusBandBuckets` role, for embeddings: (cell, id, v, nrm)
+    * assigned with the committed ANN index's OWN frozen centroids
+    * (`AnnIndex.cellTable`), refreshed on the index's rebuild/
+    * compaction cadence.
+    */
+  def corpusAnnCells(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, probes: Int = 4): DataFrame =
+    graft.ext.AnnIndex.cellTable(corpus, idCol, vecCol, dir, probes)
+
+  /** Streaming embedding near-dup gate — SemDeDup at ingest: an
+    * incoming vector is flagged when the static corpus holds a
+    * DIFFERENT vector at cosine >= `threshold` among its probe-cell
+    * candidates. The candidate rule is exactly
+    * `AnnIndex.cosinePairsIndexed`'s probe×probe co-occurrence: the
+    * incoming row's top-`probes` cells are assigned MAP-SIDE under
+    * the committed index's frozen centroids (the
+    * `AnnIndex.flatProbeCellsCol` expression — shared with the batch
+    * assignment, so gate and mining can never drift; flat only: the
+    * two-level pick needs a ranking window, which streams don't
+    * support, and gates run at ingest batch sizes where flat wins
+    * anyway), joined stream-static against [[corpusAnnCells]], and
+    * exact-cosine verified inline — approximate by candidate
+    * confinement, exact on every scored pair.
+    *
+    * Shape: map-side cell array → explode → stream-static equi-join
+    * on cell (no state; static side cell-partitionable) → one
+    * watermarked windowed aggregate for the per-doc verdict — the
+    * nearDupGate pattern. Emits (idCol, n_cand, n_hit, best_cos,
+    * ann_keep) per incoming vector; counts are per candidate
+    * CO-OCCURRENCE (a pair sharing several probed cells counts each
+    * — the verdict and best_cos are multiplicity-insensitive);
+    * self-matches (same id in the static corpus) are excluded, so a
+    * corpus member streams through as a dup only if a DIFFERENT
+    * near-identical vector exists. ann_keep = no candidate reached
+    * the threshold.
+    */
+  def annGate(df: DataFrame, idCol: String, vecCol: String,
+      tsCol: String, corpusCells: DataFrame, dir: String,
+      threshold: Double, probes: Int = 4,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val (_, coarse, _) =
+      graft.ext.AnnIndex.load(df.sparkSession, dir)
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    val cos = graft.ext.Similarity.dot(df, col("__v"), col("__cv")) /
+      (col("__nrm") * col("__cnrm"))
+    wm.select(col(idCol), col(tsCol), col(vecCol).as("__v"),
+        graft.ext.Similarity.l2norm(df, col(vecCol)).as("__nrm"))
+      .select(col(idCol), col(tsCol), col("__v"), col("__nrm"),
+        explode(graft.ext.AnnIndex.flatProbeCellsCol(df, col("__v"),
+          coarse, probes)).as("__cell"))
+      .join(corpusCells.select(col("cell").as("__cell"),
+          col("id").as("__cid"), col("v").as("__cv"),
+          col("nrm").as("__cnrm")),
+        Seq("__cell"), "left")
+      .select(col(idCol), col(tsCol),
+        when(col("__cid").isNotNull &&
+          col("__cid") =!= col(idCol).cast("long"), cos).as("__cos"))
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(sum(col("__cos").isNotNull.cast("long")).as("n_cand"),
+        coalesce(sum((col("__cos") >= threshold).cast("long")),
+          lit(0L)).as("n_hit"),
+        max(col("__cos")).as("best_cos"))
+      .select(col(idCol), col("n_cand"), col("n_hit"),
+        col("best_cos"), (col("n_hit") === 0L).as("ann_keep"))
+  }
+
   /** Streaming Bloom ingest gate — the exact-membership front door of
     * `graft.ext.Bloom`, incrementally. Where `nearDupGate` prices a
     * stream-static JOIN plus a watermarked window per micro-batch, the

@@ -586,6 +586,91 @@ class StreamingOpsSpec extends SparkSpec {
       s"map-side signature diverged from batch: $gateHits vs $batchHits")
   }
 
+  test("annGate: stream embedding near-dup verdicts against the " +
+      "committed ANN index equal the batch run; self-matches " +
+      "excluded; novel directions keep") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // one near-dup pair (0/1), the rest orthogonal basis vectors
+    // (ids dense from 0 — the PQ trainer's init requirement)
+    val corpus = Seq(
+      (0L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, v(0.99, 0.1, 0, 0, 0, 0, 0, 0)),
+      (2L, v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (3L, v(0, 0, 0, 1, 0, 0, 0, 0)),
+      (4L, v(0, 0, 0, 0, 1, 0, 0, 0)),
+      (5L, v(0, 0, 0, 0, 0, 1, 0, 0)),
+      (6L, v(0, 0, 0, 0, 0, 0, 1, 0)),
+      (7L, v(0, 0, 0, 0, 0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("anngate")
+      .toString
+    graft.ext.AnnIndex.build(corpus, "vec_id", "embedding", dir,
+      nCells = 2, m = 2, nCentroids = 4, iters = 1)
+    // probes = nCells -> full coverage: the verdict machinery (self
+    // exclusion, threshold, fold) is exercised without confinement
+    // misses muddying the expected truth
+    val cells = StreamingOps.corpusAnnCells(corpus, "vec_id",
+      "embedding", dir, probes = 2).cache()
+    assert(cells.count() == 16, "8 vectors x 2 probed cells")
+    val docs = Seq(
+      // near-dup of corpus 0 (cos ~0.9988) -> flagged
+      (11L, t(0), v(1, 0.05, 0, 0, 0, 0, 0, 0)),
+      // corpus member streaming through: its only >=0.9 candidate is
+      // ITSELF -> self-exclusion keeps it
+      (4L, t(1), v(0, 0, 0, 0, 1, 0, 0, 0)),
+      // novel direction: every candidate at cos 1/sqrt(8) -> keep
+      (13L, t(2), v(1, 1, 1, 1, 1, 1, 1, 1)),
+      (99L, t(95), v(0, 1, 0, 0, 0, 0, 0, 0))) // watermark flush
+    val in = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = StreamingOps.annGate(
+        in.toDF().toDF("vec_id", "ts", "embedding"),
+        "vec_id", "embedding", "ts", cells, dir, threshold = 0.9,
+        probes = 2)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT vec_id, n_cand, n_hit, ann_keep FROM ann_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    q.stop()
+    // batch reference: the SAME operator over the same rows
+    val batch = StreamingOps.annGate(
+        docs.toDF("vec_id", "ts", "embedding"),
+        "vec_id", "embedding", "ts", cells, dir, threshold = 0.9,
+        probes = 2)
+      .select("vec_id", "n_cand", "n_hit", "ann_keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch.filter(_._1 != 99L),
+      s"stream $streamed != batch $batch")
+    val verdicts = streamed.map(x => x._1 -> x._4).toMap
+    assert(verdicts == Map(11L -> false, 4L -> true, 13L -> true),
+      s"near-dup flagged, corpus member self-excluded, novel kept: " +
+        s"$streamed")
+    // full coverage at probes = nCells: every corpus vector is a
+    // candidate co-occurrence twice (both cells), minus self rows
+    val byId = streamed.map(x => x._1 -> x._2).toMap
+    assert(byId(13L) == 16L && byId(4L) == 14L,
+      s"co-occurrence counts: $byId")
+    // the gate's candidate rule IS the mining rule: corpus-side
+    // mining at the same probes finds exactly the 0/1 pair, the
+    // same truth the gate reported on doc 11
+    val mined = graft.ext.AnnIndex.cosinePairsIndexed(corpus,
+        "vec_id", "embedding", dir, 0.9, probes = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == Set((0L, 1L)), s"mined=$mined")
+  }
+
   test("winnowGate: map-side fingerprints == batch winnowFingerprints " +
       "row-for-row; stream verdicts equal batch; SWA guarantee gates") {
     val s = spark
