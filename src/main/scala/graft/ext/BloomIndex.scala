@@ -83,6 +83,11 @@ object BloomIndex {
       val spark = corpus.sparkSession
       import spark.implicits._
       IndexFs.hfs(spark, dir).delete(IndexFs.hpath(dir, Marker), false)
+      // a rebuild retires any streaming segment from the index's
+      // previous life (the MinHash/Ann rebuild discipline) — the next
+      // ingest needs a fresh checkpoint
+      IndexFs.hfs(spark, dir)
+        .delete(IndexFs.hpath(dir, "keys_stream"), true)
       val keyed = Bloom.keyed(corpus, idCol, keyExpr)
         .localCheckpoint(false) // feeds the position pass AND keys/
       val bitmap = Bloom.buildBitmap(
@@ -149,6 +154,99 @@ object BloomIndex {
       : Array[Byte] =
     spark.read.parquet(s"$dir/bitmap").head().getAs[Array[Byte]](0)
 
+  /** Streaming ingest into the committed index: arriving documents'
+    * canonical keys are hashed MAP-SIDE (`Bloom.keyed` — the same
+    * family every batch path uses, so stream and batch can never
+    * drift) and appended exactly-once into a skinny `keys_stream/`
+    * segment through the parquet file sink. The bitmap at rest is NOT
+    * touched by the stream (a byte-wise OR is not an appendable file
+    * op); instead [[gate]] folds the segment in at probe time — work
+    * linear in SEGMENT size, never corpus size — and [[compact]]
+    * seals it into `bitmap/` + `keys/` offline. Holds the maintenance
+    * lease for the query's lifetime (a concurrent build/append/compact
+    * fails fast instead of deleting the segment under a live sink;
+    * released within ~1 s of termination) and stamps a `+ingest`
+    * marker line first, so `ensureBuilt` sees the mutation.
+    */
+  def ingestStream(stream: DataFrame, idCol: String, keyExpr: Column,
+      dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val marker = readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed Bloom index at $dir — build first"))
+    paramsOf(marker, dir) // format check before mutating anything
+    IndexFs.withStreamLease(spark, dir, Lease, "Bloom index") {
+      IndexFs.writeMarker(spark, dir, Marker, marker + "\n+ingest")
+      Bloom.keyed(stream, idCol, keyExpr)
+        .select(col("key"), col("h1"), col("h2"))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/keys_stream")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    }
+  }
+
+  /** The streaming segment's DISTINCT (key, h1, h2) rows, when one
+    * exists — the probe-time fold side of [[gate]] and the seal input
+    * of [[compact]].
+    */
+  private def segment(spark: SparkSession, dir: String)
+      : Option[DataFrame] =
+    if (!IndexFs.hfs(spark, dir)
+        .exists(IndexFs.hpath(dir, "keys_stream"))) None
+    else Some(spark.read.parquet(s"$dir/keys_stream")
+      .select(col("key"), col("h1"), col("h2")).distinct())
+
+  /** Offline maintenance: seal the streaming segment into `bitmap/`
+    * + `keys/` (stop any running [[ingestStream]] first; the next
+    * ingest needs a FRESH checkpoint — its sink log is retired with
+    * the segment). Result-invisible: [[gate]] already folds the
+    * segment at probe time, so verdicts are identical before and
+    * after — compaction just moves the fold from every probe to once.
+    * Marker lifted across the swap (a crash leaves no marker →
+    * ensureBuilt forces a spurious-but-safe rebuild, never a
+    * fresh-looking index missing segment bits).
+    *
+    * @return number of keys at rest after the seal
+    */
+  def compact(spark: SparkSession, dir: String): Long =
+    withLease(spark, dir) {
+      import spark.implicits._
+      val fs = IndexFs.hfs(spark, dir)
+      val marker = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed Bloom index at $dir"))
+      val meta = paramsOf(marker, dir)
+      segment(spark, dir) match {
+        case None => spark.read.parquet(s"$dir/keys").count()
+        case Some(seg0) =>
+          val seg = seg0.localCheckpoint(false)
+          val add = Bloom.buildBitmap(
+            Bloom.positions(seg.withColumn("id", lit(0L)),
+              meta.k, meta.mBits), meta.mBits)
+          val bits = loadBitmap(spark, dir)
+          var i = 0
+          while (i < bits.length) {
+            bits(i) = (bits(i) | add(i)).toByte; i += 1
+          }
+          // EAGER checkpoint: fresh reads keys/ and is then APPENDED
+          // to keys/ — materialize before the write job lists the dir
+          val fresh = seg.select(col("key"))
+            .join(spark.read.parquet(s"$dir/keys"),
+              Seq("key"), "left_anti")
+            .localCheckpoint(true)
+          fs.delete(IndexFs.hpath(dir, Marker), false)
+          Seq(Tuple1(bits)).toDF("bits").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/bitmap")
+          fresh.write.mode("append").parquet(s"$dir/keys")
+          fs.delete(IndexFs.hpath(dir, "keys_stream"), true)
+          IndexFs.writeMarker(spark, dir, Marker, marker)
+          spark.read.parquet(s"$dir/keys").count()
+      }
+    }
+
   /** Gate an incoming batch against the COMMITTED index: (idCol,
     * bloom_hit, exact_dup) — bit-identical to `Bloom.gate` over the
     * corpus the index was built from (same probe arithmetic, same
@@ -164,11 +262,32 @@ object BloomIndex {
         s"no committed Bloom index at $dir"))
     val meta = paramsOf(marker, dir)
     val bitmap = loadBitmap(spark, dir)
+    // an un-compacted streaming segment folds in at probe time: its
+    // partial bitmap ORs into the committed one (the OR of two
+    // bitmaps IS the bitmap of the unioned corpus — probe-identical
+    // to a rebuild over corpus + ingested), its keys union the
+    // exact-verify side; work linear in segment size, retired by
+    // compact()
+    val seg = segment(spark, dir)
+    seg.foreach { sg =>
+      val add = Bloom.buildBitmap(
+        Bloom.positions(sg.withColumn("id", lit(0L)),
+          meta.k, meta.mBits), meta.mBits)
+      var i = 0
+      while (i < bitmap.length) {
+        bitmap(i) = (bitmap(i) | add(i)).toByte; i += 1
+      }
+    }
+    val keys = seg match {
+      case None => spark.read.parquet(s"$dir/keys")
+      case Some(sg) => spark.read.parquet(s"$dir/keys")
+        .unionByName(sg.select(col("key"))).distinct()
+    }
     val kb = Bloom.keyed(batch, idCol, keyExpr)
     kb.withColumn("bloom_hit", BloomContains.bloom_contains(
         bitmap, col("h1"), col("h2"), meta.k, meta.mBits))
-      .join(spark.read.parquet(s"$dir/keys")
-        .withColumn("__in_corpus", lit(true)), Seq("key"), "left")
+      .join(keys.withColumn("__in_corpus", lit(true)),
+        Seq("key"), "left")
       .select(col("id").as(idCol), col("bloom_hit"),
         coalesce(col("__in_corpus"), lit(false)).as("exact_dup"))
   }

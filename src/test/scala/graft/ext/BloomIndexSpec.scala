@@ -93,6 +93,64 @@ class BloomIndexSpec extends SparkSpec {
       "v1"))
   }
 
+  test("ingestStream signs keys map-side into a segment; gate folds " +
+      "it (== Bloom.gate over corpus + ingested, bit for bit); " +
+      "compact seals result-invisibly; rebuild retires the segment") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = corpus()
+    val base = docs.filter(col("doc_id") <= 3)
+    val streamedDocs =
+      docs.filter(col("doc_id") === 4 || col("doc_id") === 5)
+    val dir = tmpDir()
+    BloomIndex.build(base, "doc_id", tsKey, dir, K, M, "v1")
+    val in = MemoryStream[(Long, String)]
+    val q = BloomIndex.ingestStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", tsKey, dir,
+      java.nio.file.Files.createTempDirectory("blck").toString)
+    in.addData((4L, "alpha beta gamma delta epsilon"))
+    q.processAllAvailable()
+    in.addData((5L, "alpha beta gamma delta epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    awaitLeaseRelease(dir)
+    // gate == the corpus-scan gate over base + ingested: same hits,
+    // same false-positive pattern (the folded bitmap IS the rebuild
+    // bitmap — Bloom composes under OR), same exact_dup truth
+    def served() = flags(BloomIndex.gate(docs, "doc_id", tsKey, dir))
+    val want = flags(Bloom.gate(docs, base.unionByName(streamedDocs),
+      "doc_id", tsKey, K, M))
+    assert(served() == want && served().size == 6)
+    // 7 shares 4/5's canonical token set -> now an exact dup
+    assert(served().exists { case (id, hit, exact) =>
+      id == 7L && exact && hit }, served().toString)
+    // a mutated index is STALE to the single-corpus freshness check
+    assert(BloomIndex.ensureBuilt(base, "doc_id", tsKey, dir, K, M,
+      "v1"), "ensureBuilt must see the +ingest mutation and rebuild")
+    // ...and the rebuild retired the segment: ingested keys gone
+    assert(!new java.io.File(s"$dir/keys_stream").exists)
+    assert(!served().exists { case (id, _, exact) => id == 7L && exact })
+    // re-ingest, then COMPACT: verdicts identical before and after,
+    // segment folded into bitmap/ + keys/
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = BloomIndex.ingestStream(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", tsKey, dir,
+      java.nio.file.Files.createTempDirectory("blck2").toString)
+    in2.addData((4L, "alpha beta gamma delta epsilon"))
+    q2.processAllAvailable()
+    q2.stop()
+    awaitLeaseRelease(dir)
+    val before = served()
+    val kept = BloomIndex.compact(s, dir)
+    assert(kept == 4L, s"3 base keys + 1 ingested, got $kept")
+    assert(!new java.io.File(s"$dir/keys_stream").exists)
+    assert(served() == before, "compaction must be result-invisible")
+    // idempotent on a sealed index
+    assert(BloomIndex.compact(s, dir) == 4L)
+  }
+
   test("lifecycle: ensureBuilt idempotence, markerless refusal, " +
       "single-writer lease abort") {
     val docs = corpus()
