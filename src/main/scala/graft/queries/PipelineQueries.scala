@@ -2630,6 +2630,42 @@ object PipelineQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // LEAKAGE-FREE split: pipeline_split hashed per DOCUMENT, so two
+    // near-duplicates can land in train and test — the eval then
+    // scores memorization (the Lee et al. 2022 contamination
+    // mechanism). Here the split key is the near-dup GROUP (min-label
+    // connected components over the minhash pairs; singletons are
+    // their own group), so every group lands whole in one split BY
+    // CONSTRUCTION. n_moved counts the docs whose naive per-doc
+    // bucket disagrees with their group's — the would-have-leaked
+    // volume the op exists to prevent (deterministic, oracle-checked).
+    "pipeline_split_leakfree" -> ((s, d) => {
+      val groups = graft.operators.ConnectedComponents.labels(
+        Dedup.minhashPairs(documents(s, d), "doc_id", "text",
+          NumHashes, Bands, JaccardThreshold)
+          .select(col("id_a"), col("id_b")))
+      def splitOf(b: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        when(b === 15, "test").when(b === 14, "val").otherwise("train")
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .join(groups.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("label"), col("doc_id")).as("group_id"))
+        .select(col("n_chars"), col("group_id"),
+          splitOf(Sampling.hashBucket(col("group_id"), "split", 16))
+            .as("split"),
+          splitOf(Sampling.hashBucket(col("doc_id"), "split", 16))
+            .as("naive"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_id")).as("n_groups"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum((col("naive") =!= col("split")).cast("long"))
+            .as("n_moved"))
+    }),
+
     // Deterministic exact-k evaluation sample per stratum: order each
     // language by an md5 draw (a pure function of doc_id — stable
     // across runs, partitionings, and incremental re-runs) and keep
@@ -5489,6 +5525,28 @@ object PipelineQueries {
            count(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1""",
+
+    "pipeline_split_leakfree" ->
+      s"""WITH g AS (SELECT * FROM ($dedupGroupsOracle)),
+         lb AS (SELECT d.doc_id, d.n_chars,
+                coalesce(g.group_id, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
+         sp AS (SELECT n_chars, group_id,
+           CASE ('0x' || substr(md5('split' ||
+               CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 16
+             WHEN 15 THEN 'test' WHEN 14 THEN 'val'
+             ELSE 'train' END AS split,
+           CASE ('0x' || substr(md5('split' ||
+               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+             WHEN 15 THEN 'test' WHEN 14 THEN 'val'
+             ELSE 'train' END AS naive
+           FROM lb)
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT group_id) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN naive <> split THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_moved
+         FROM sp GROUP BY 1""",
 
     "sample_fixed_k" ->
       """SELECT doc_id, lang, n_chars, rank FROM (

@@ -35,6 +35,39 @@ class InvariantSpec extends SparkSpec {
     assert(small == 0, s"$small released groups below k")
   }
 
+  test("pipeline_split_leakfree: no mined near-dup pair spans " +
+      "splits; population conserved; the naive per-doc split WOULD " +
+      "have leaked (n_moved > 0)") {
+    val out = SparkEntry.queries("pipeline_split_leakfree")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.values.map(_._1).sum == nDocs,
+      "every document lands in exactly one split")
+    assert(out.values.map(_._3).sum > 0,
+      "the op must move SOME docs relative to the naive per-doc " +
+        "hash — otherwise it proves nothing on this corpus")
+    // leak-freedom against the PAIRS (the contamination mechanism):
+    // both sides of every mined near-dup pair get the same split.
+    // Per-doc splits re-derived with the query's own deterministic
+    // pieces (CC labels + md5 bucket of the group id).
+    val groups = graft.operators.ConnectedComponents.labels(
+      graft.ext.Dedup.minhashPairs(Tables.documents(spark, d),
+        "doc_id", "text", 32, 8, 0.6).select("id_a", "id_b"))
+    val b = graft.ext.Sampling.hashBucket(col("label"), "split", 16)
+    val split = groups.select(col("id"),
+      when(b === 15, "test").when(b === 14, "val")
+        .otherwise("train").as("split"))
+    val spanning = graft.ext.Dedup.minhashPairs(
+        Tables.documents(spark, d), "doc_id", "text", 32, 8, 0.6)
+      .join(split.select(col("id").as("id_a"),
+        col("split").as("sa")), "id_a")
+      .join(split.select(col("id").as("id_b"),
+        col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(spanning == 0, s"$spanning near-dup pairs span splits")
+  }
+
   test("join_skew_salted: row-identical to the plain join") {
     val salted = SparkEntry.queries("join_skew_salted")(spark, d)
     val li = Tables.lineitem(spark, d).select(
