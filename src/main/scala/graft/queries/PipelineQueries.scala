@@ -303,25 +303,7 @@ object PipelineQueries {
     // docs with no near-dup (or too short to shingle) still report
     // near_dup=false. This is the per-document admit/reject signal an
     // ingest pipeline acts on.
-    "dedup_minhash_index_flags" -> ((s, d) => {
-      val (dir, fp) = minhashIndexDir(s, d)
-      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
-        "text", dir, NumHashes, Bands, fp)
-      val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
-      val pairs = graft.ext.MinHashIndex.probeVerified(
-          incoming, documents(s, d), "doc_id", "text", dir,
-          threshold = JaccardThreshold, estThreshold = 0.5)
-        .filter(col("id_a") =!= col("id_b"))
-      incoming.select(col("doc_id"))
-        .join(pairs.groupBy(col("id_a").as("doc_id"))
-            .agg(count(lit(1)).as("n_matches"),
-              max(col("jaccard")).as("best_jaccard")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("n_matches").isNotNull.as("near_dup"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
-    }),
+    "dedup_minhash_index_flags" -> ((s, d) => minhashFlags(s, d)),
 
     // Char-5-gram flavor of the persisted index — dedup_ngram's
     // shingle unit (robust to word re-segmentation; the usual unit
@@ -443,6 +425,39 @@ object PipelineQueries {
       graft.ext.BloomIndex.gate(
         documents(s, d).filter(col("doc_id") % 20 === 0),
         "doc_id", tsKey, dir)
+    }),
+
+    // The COMPOSED ingest front door (round 15): one row per incoming
+    // document with all three admission verdicts — exact (committed
+    // Bloom bitmap + key table), text near-dup (persisted MinHash
+    // index, exact-verified), embedding near-dup (persisted ANN
+    // index, exact cosine) — and the admit decision a training-data
+    // pipeline acts on. Every leg serves from an at-rest index (no
+    // corpus scan in any probe plan); the oracle is the three legs'
+    // oracles joined, so the composition itself is hash-verified.
+    "pipeline_ingest_gates" -> ((s, d) => {
+      val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      graft.ext.BloomIndex.ensureBuilt(
+        documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        "doc_id", tsKey, bdir, k = BloomK, mBits = BloomBits,
+        fingerprint = bfp)
+      val bl = graft.ext.BloomIndex.gate(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", tsKey, bdir)
+      val mh = minhashFlags(s, d).select(col("doc_id"),
+        col("near_dup").as("nd_text"), col("best_jaccard"))
+      val em = embedAnnFlags(s, d).select(
+        col("vec_id").as("doc_id"),
+        col("near_dup").as("nd_embed"), col("best_cos"))
+      bl.select(col("doc_id"), col("exact_dup"))
+        .join(mh, "doc_id").join(em, "doc_id")
+        .select(col("doc_id"), col("exact_dup"),
+          col("nd_text"), col("best_jaccard"),
+          col("nd_embed"), col("best_cos"),
+          (!col("exact_dup") && !col("nd_text") && !col("nd_embed"))
+            .as("admit"))
     }),
 
     // Bloom-filter front door of incremental ingest: "seen this exact
@@ -593,32 +608,7 @@ object PipelineQueries {
     // match count and best cosine. LEFT join from the incoming
     // universe, so candidate-less vectors still report
     // near_dup=false.
-    "dedup_embed_ann_flags" -> ((s, d) => {
-      val key = new java.io.File(d).getCanonicalPath
-        .replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = s"target/ann_index/${key}_dedup"
-      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
-        s"$d/embeddings.parquet")
-      val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
-      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
-        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
-        iters = 3, fingerprint = fp)
-      val pairs = graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
-        "embedding", dir, CosineThreshold, probes = 4)
-      val touched = pairs
-        .select(col("id_a").as("vec_id"), col("cos"))
-        .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
-      emb.filter(col("vec_id") % 20 === 0).select(col("vec_id"))
-        .join(touched.groupBy("vec_id")
-            .agg(count(lit(1)).as("n_matches"),
-              max(col("cos")).as("best_cos")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          col("n_matches").isNotNull.as("near_dup"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          round(coalesce(col("best_cos"), lit(0.0)), 6).as("best_cos"))
-    }),
+    "dedup_embed_ann_flags" -> ((s, d) => embedAnnFlags(s, d)),
 
     // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     // prune near-identical members WITHIN each cluster — the
@@ -2962,6 +2952,69 @@ object PipelineQueries {
     * edit in per-query copies would silently split them onto
     * different index dirs).
     */
+  /** dedup_minhash_index_flags' body (shared with
+    * pipeline_ingest_gates): per-doc admit/reject verdicts from the
+    * persisted word-3-gram index — estimate-gated candidates (gate
+    * opened to 0.5 so estimator variance doesn't drop borderline true
+    * pairs) EXACT-verified against re-read text of the candidate docs
+    * only, self-matches excluded, folded LEFT from the batch universe
+    * so no-match docs still report near_dup=false.
+    */
+  private def minhashFlags(s: SparkSession, d: String): DataFrame = {
+    val (dir, fp) = minhashIndexDir(s, d)
+    graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+      "text", dir, NumHashes, Bands, fp)
+    val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
+    val pairs = graft.ext.MinHashIndex.probeVerified(
+        incoming, documents(s, d), "doc_id", "text", dir,
+        threshold = JaccardThreshold, estThreshold = 0.5)
+      .filter(col("id_a") =!= col("id_b"))
+    incoming.select(col("doc_id"))
+      .join(pairs.groupBy(col("id_a").as("doc_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            max(col("jaccard")).as("best_jaccard")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_matches").isNotNull.as("near_dup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }
+
+  /** dedup_embed_ann_flags' body (shared with pipeline_ingest_gates):
+    * per-vector verdicts over the indexed near-dup pair set — the
+    * embedding analog of [[minhashFlags]] and the batch reference of
+    * `StreamingOps.annGate` (same candidate rule: probe×probe
+    * co-occurrence under the committed index's frozen centroids,
+    * exact cosine on candidates only). LEFT from the incoming
+    * universe, so candidate-less vectors still report near_dup=false.
+    */
+  private def embedAnnFlags(s: SparkSession, d: String): DataFrame = {
+    val key = new java.io.File(d).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = s"target/ann_index/${key}_dedup"
+    val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+      s"$d/embeddings.parquet")
+    val emb = embeddings(s, d)
+    val nCells = math.max(16L, emb.count() / 125L).toInt
+    graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+      "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+      iters = 3, fingerprint = fp)
+    val pairs = graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
+      "embedding", dir, CosineThreshold, probes = 4)
+    val touched = pairs
+      .select(col("id_a").as("vec_id"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
+    emb.filter(col("vec_id") % 20 === 0).select(col("vec_id"))
+      .join(touched.groupBy("vec_id")
+          .agg(count(lit(1)).as("n_matches"),
+            max(col("cos")).as("best_cos")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("n_matches").isNotNull.as("near_dup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(coalesce(col("best_cos"), lit(0.0)), 6).as("best_cos"))
+  }
+
   /** Survivor selection over a near-dup pair list (shared by the
     * mining-leg and index-served flavors): min-label connected
     * components label the groups, singletons survive as their own
@@ -3629,6 +3682,20 @@ object PipelineQueries {
     // position set — exactly the bitmap's semantics, false positives
     // included. bool_and over a left join = the all-bits-set test.
     "dedup_bloom" -> bloomGateOracle,
+
+    // the composed front door: the three gate-leg oracles joined —
+    // composition itself hash-verified
+    "pipeline_ingest_gates" ->
+      s"""WITH bl AS (SELECT * FROM ($bloomGateOracle)),
+         mh AS (SELECT * FROM ($minhashIndexFlagsOracle)),
+         em AS (SELECT * FROM (${embedAnnFlagsOracleSql(probes = 4)}))
+         SELECT bl.doc_id, bl.exact_dup,
+           mh.near_dup AS nd_text, mh.best_jaccard,
+           em.near_dup AS nd_embed, em.best_cos,
+           (NOT bl.exact_dup AND NOT mh.near_dup AND NOT em.near_dup)
+             AS admit
+         FROM bl JOIN mh ON bl.doc_id = mh.doc_id
+                 JOIN em ON bl.doc_id = em.vec_id""",
     // the persisted gate serves bit-identical verdicts from the
     // committed bitmap — sharing the oracle verbatim IS the check
     "dedup_bloom_index" -> bloomGateOracle,
