@@ -580,4 +580,140 @@ object MinHashIndex {
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // --- near-dup GROUPS at rest -------------------------------------
+  //
+  // dedup_groups re-mines every pair and re-runs connected components
+  // over the WHOLE corpus on every invocation. The group structure
+  // only changes when the corpus does, and an arriving batch can only
+  // (a) join existing groups, (b) form new ones, or (c) MERGE
+  // existing groups it bridges — all three are decided by the batch's
+  // pairs alone. So groups get the same at-rest treatment as the
+  // signatures: buildGroups commits the full CC labels once;
+  // appendGroups folds a just-appended batch in by running CC over
+  // the SUPER-NODE graph (one node per touched existing group label
+  // or new id — bounded by the batch's reach, never corpus-sized)
+  // and relabeling only members of merged groups (a broadcast-sized
+  // label map). The result is EQUAL to a full re-mine + CC by
+  // construction: existing components stay internally connected, and
+  // the new edges are exactly the pairs a full mine would add
+  // (probeVerified at estThreshold=0 sees every banded candidate of
+  // the batch, batch-internal ones included once the batch is in the
+  // index) — pinned by sharing dedup_groups' oracle and by the
+  // rebuild-equality spec.
+
+  private val GroupsMarker = "GROUPS_READY"
+
+  private def groupsMarkerText(indexMarker: String,
+      threshold: Double): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexMarker.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"format=$FormatVersion threshold=$threshold index[$digest]"
+  }
+
+  /** True iff a committed groups table exists AND matches the CURRENT
+    * index marker (any append/delete/ingest since it was built flips
+    * the digest) at this `threshold`. Compaction preserves the marker
+    * text and is result-invisible, so groups stay fresh across it.
+    */
+  def groupsFresh(spark: SparkSession, dir: String,
+      threshold: Double): Boolean =
+    readMarker(spark, dir).exists { idx =>
+      IndexFs.readMarker(spark, dir, GroupsMarker)
+        .contains(groupsMarkerText(idx, threshold))
+    }
+
+  /** The committed groups table: (id, label) for every document in
+    * some near-dup pair; label = min id of its group. Unpaired docs
+    * are absent (their group is trivially themselves).
+    */
+  def readGroups(spark: SparkSession, dir: String): DataFrame = {
+    require(IndexFs.readMarker(spark, dir, GroupsMarker).nonEmpty,
+      s"no committed groups table at $dir (missing $GroupsMarker)")
+    spark.read.parquet(s"$dir/groups")
+  }
+
+  /** Full connected-components pass over [[pairsVerified]]'s exact
+    * pairs, committed as the at-rest `groups/` table. Marker LAST,
+    * digesting the index marker it was built against.
+    */
+  def buildGroups(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, threshold: Double): Unit =
+    withLease(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      val want = groupsMarkerText(readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed MinHash index at $dir — build first")),
+        threshold)
+      IndexFs.hfs(spark, dir)
+        .delete(IndexFs.hpath(dir, GroupsMarker), false)
+      graft.operators.ConnectedComponents.labels(
+          pairsVerified(corpus, idCol, textCol, dir, threshold)
+            .select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.writeMarker(spark, dir, GroupsMarker, want)
+    }
+
+  /** Fold a JUST-APPENDED batch into the committed groups table
+    * incrementally — no corpus-wide re-mine, no corpus-wide CC.
+    * Preconditions: the batch's signatures are already in the index
+    * ([[append]] or a compacted ingest), `corpus` is the full
+    * post-append corpus (the exact-verify side reads candidate text
+    * from it), and a groups table is committed.
+    *
+    * Work is bounded by the batch's reach: one [[probeVerified]]
+    * (batch-sized probe, candidate-only verify), CC over the
+    * super-node graph (touched group labels + newly-paired ids), and
+    * a relabel join against the label map. Result equals a full
+    * rebuild's labels — the min of a merged component is the min over
+    * its super-node ids, since every member id >= its group's label.
+    */
+  def appendGroups(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, dir: String, threshold: Double): Unit =
+    withLease(batch.sparkSession, dir) {
+      val spark = batch.sparkSession
+      val fs = IndexFs.hfs(spark, dir)
+      val idx = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed MinHash index at $dir — build first"))
+      require(IndexFs.readMarker(spark, dir, GroupsMarker).nonEmpty,
+        s"no committed groups table at $dir — buildGroups first")
+      val g = spark.read.parquet(s"$dir/groups")
+        .localCheckpoint(false)
+      val newPairs = probeVerified(batch, corpus, idCol, textCol,
+          dir, threshold, estThreshold = 0.0)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      // endpoints -> super-nodes (committed label, or the id itself)
+      val superEdges = newPairs
+        .join(g.select(col("id").as("id_a"), col("label").as("__la")),
+          Seq("id_a"), "left")
+        .join(g.select(col("id").as("id_b"), col("label").as("__lb")),
+          Seq("id_b"), "left")
+        .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+          coalesce(col("__lb"), col("id_b")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val comp = graft.operators.ConnectedComponents
+        .labels(superEdges).localCheckpoint(true)
+      // members of touched groups relabel through the (old label ->
+      // final label) map; super-nodes that were never members (batch
+      // ids, previously-unpaired corpus ids) enter as fresh rows
+      val relabeled = g
+        .join(comp.select(col("id").as("label"),
+          col("label").as("__nl")), Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("__nl"), col("label")).as("label"))
+      val freshRows = comp
+        .join(g.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("label"))
+      // EAGER checkpoint: the update reads groups/ and then
+      // overwrites it
+      val updated = relabeled.unionByName(freshRows)
+        .localCheckpoint(true)
+      fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
+      updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.writeMarker(spark, dir, GroupsMarker,
+        groupsMarkerText(idx, threshold))
+    }
 }

@@ -369,6 +369,33 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("label").as("group_id"))
     }),
 
+    // INCREMENTAL group maintenance (round 15): groups as an AT-REST
+    // artifact of the index. Build the index + groups over two thirds
+    // of the corpus, APPEND the rest, then fold the batch into the
+    // committed groups table incrementally — CC runs over the
+    // SUPER-NODE graph (touched group labels + newly-paired ids,
+    // bounded by the batch's reach), members of merged groups relabel
+    // through a broadcast label map, and nothing corpus-wide ever
+    // recomputes. The result EQUALS a full re-mine + CC by
+    // construction — sharing dedup_groups' oracle verbatim IS the
+    // equality check (the _append discipline, one level up).
+    "dedup_groups_incremental" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d, "_grpinc")
+      val docs = documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 =!= 2)
+      val extra = docs.filter(col("doc_id") % 3 === 2)
+      val M = graft.ext.MinHashIndex
+      if (!M.groupsFresh(s, dir, JaccardThreshold)) {
+        M.build(base, "doc_id", "text", dir, NumHashes, Bands, fp)
+        M.buildGroups(base, "doc_id", "text", dir, JaccardThreshold)
+        M.append(extra, "doc_id", "text", dir, fp)
+        M.appendGroups(extra, docs, "doc_id", "text", dir,
+          JaccardThreshold)
+      }
+      M.readGroups(s, dir)
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+    }),
+
     // ...and the survivor pick over the index-fed groups — the stage
     // that PRODUCES the deduplicated corpus, now with the only
     // corpus-text work being the candidate verify (plus the skinny
@@ -3726,6 +3753,9 @@ object PipelineQueries {
     // pairs -> same components -> same survivors
     "dedup_groups_index" -> dedupGroupsOracle,
     "dedup_survivors_index" -> dedupSurvivorsOracle,
+    // ...and the incremental fold: build 2/3 + append 1/3 + super-node
+    // merge must equal the full re-mine + CC
+    "dedup_groups_incremental" -> dedupGroupsOracle,
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),

@@ -372,6 +372,58 @@ class MinHashIndexSpec extends SparkSpec {
       ref.exceptAll(seg).count() == 0)
   }
 
+  test("groups at rest: appendGroups' super-node fold equals a full " +
+      "rebuild — including a batch doc MERGING two existing groups — " +
+      "and the groups marker tracks index mutations and threshold") {
+    val s = spark
+    import s.implicits._
+    def run(ws: Range): String = ws.map(i => s"w$i").mkString(" ")
+    // two disjoint near-dup groups + a singleton (bands = numHashes
+    // -> one-row bands, recall ~1 at any threshold >= 0.4, so the
+    // planted structure pairs deterministically)
+    val g1a = run(1 to 12); val g1b = g1a.replace("w12", "w12x")
+    val g2a = run(101 to 112); val g2b = g2a.replace("w112", "w112x")
+    val base = Seq((1L, g1a), (2L, g1b), (5L, g2a), (6L, g2b),
+      (9L, "totally unrelated singleton content nothing shared ever"))
+      .toDF("doc_id", "text")
+    // 10 BRIDGES both groups (concat: jaccard 10/22 ~ 0.45 with each
+    // group's seed at bar 0.4), 11 joins g1 (exact copy), 13 novel
+    val batch = Seq((10L, g1a + " " + g2a), (11L, g1a),
+      (13L, "another novel direction separate from everything else"))
+      .toDF("doc_id", "text")
+    val all = base.unionByName(batch)
+    val dir = tmpDir()
+    MinHashIndex.build(base, "doc_id", "text", dir,
+      numHashes = 32, bands = 32)
+    MinHashIndex.buildGroups(base, "doc_id", "text", dir, 0.4)
+    assert(MinHashIndex.groupsFresh(s, dir, 0.4))
+    assert(!MinHashIndex.groupsFresh(s, dir, 0.5),
+      "a different threshold is a different groups table")
+    val before = MinHashIndex.readGroups(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+      s"two separate groups before the batch: $before")
+    MinHashIndex.append(batch, "doc_id", "text", dir)
+    assert(!MinHashIndex.groupsFresh(s, dir, 0.4),
+      "an index mutation must flip the groups table stale")
+    MinHashIndex.appendGroups(batch, all, "doc_id", "text", dir, 0.4)
+    assert(MinHashIndex.groupsFresh(s, dir, 0.4))
+    val after = MinHashIndex.readGroups(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 1L, 11L -> 1L),
+      s"bridge merges g1+g2 under label 1, joiner follows, novel and " +
+        s"singleton absent: $after")
+    // THE guarantee: equal to a full rebuild over the final corpus
+    val dirFull = tmpDir()
+    MinHashIndex.build(all, "doc_id", "text", dirFull,
+      numHashes = 32, bands = 32)
+    MinHashIndex.buildGroups(all, "doc_id", "text", dirFull, 0.4)
+    val full = MinHashIndex.readGroups(s, dirFull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == full, s"incremental $after != rebuild $full")
+  }
+
   test("pairsVerified == the corpus-mining legs (word3 AND char5): " +
       "identical banded candidates from the at-rest signatures, " +
       "identical exact-Jaccard bar — pair sets equal including " +
