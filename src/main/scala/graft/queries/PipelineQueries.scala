@@ -396,6 +396,29 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("label").as("group_id"))
     }),
 
+    // ...and the survivor pick SERVED FROM THE AT-REST GROUPS: the
+    // mining and CC work is already committed (same lifecycle as
+    // dedup_groups_incremental — shared dir, so in-battery this costs
+    // one skinny groups read + the (doc_id, len) projection + one
+    // bounded window). Produces the deduplicated corpus from an index
+    // a maintenance loop keeps fresh under append. Shares
+    // dedup_survivors' oracle verbatim.
+    "dedup_survivors_incremental" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d, "_grpinc")
+      val docs = documents(s, d)
+      val M = graft.ext.MinHashIndex
+      if (!M.groupsFresh(s, dir, JaccardThreshold)) {
+        val base = docs.filter(col("doc_id") % 3 =!= 2)
+        val extra = docs.filter(col("doc_id") % 3 === 2)
+        M.build(base, "doc_id", "text", dir, NumHashes, Bands, fp)
+        M.buildGroups(base, "doc_id", "text", dir, JaccardThreshold)
+        M.append(extra, "doc_id", "text", dir, fp)
+        M.appendGroups(extra, docs, "doc_id", "text", dir,
+          JaccardThreshold)
+      }
+      survivorPickFromGroups(docs, M.readGroups(s, dir))
+    }),
+
     // ...and the survivor pick over the index-fed groups — the stage
     // that PRODUCES the deduplicated corpus, now with the only
     // corpus-text work being the candidate verify (plus the skinny
@@ -3051,10 +3074,18 @@ object PipelineQueries {
     * (doc_id, len, group_id) rows.
     */
   private def survivorPick(docs: DataFrame,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    survivorPickFromGroups(docs,
+      graft.operators.ConnectedComponents.labels(
+        pairs.select(col("id_a"), col("id_b"))))
+
+  /** The pick itself, over an already-labeled (id, label) groups
+    * frame — also the serve path of dedup_survivors_incremental,
+    * where the labels come from the index's at-rest groups table.
+    */
+  private def survivorPickFromGroups(docs: DataFrame,
+      groups: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = graft.operators.ConnectedComponents.labels(
-      pairs.select(col("id_a"), col("id_b")))
     docs
       .select(col("doc_id"), length(col("text")).as("len"))
       .join(groups.select(col("id").as("doc_id"), col("label")),
@@ -3754,8 +3785,10 @@ object PipelineQueries {
     "dedup_groups_index" -> dedupGroupsOracle,
     "dedup_survivors_index" -> dedupSurvivorsOracle,
     // ...and the incremental fold: build 2/3 + append 1/3 + super-node
-    // merge must equal the full re-mine + CC
+    // merge must equal the full re-mine + CC — and the survivor pick
+    // over the at-rest groups must equal the mining leg's
     "dedup_groups_incremental" -> dedupGroupsOracle,
+    "dedup_survivors_incremental" -> dedupSurvivorsOracle,
 
     "dedup_ngram" -> minhashOracleFrom(Char5Ctes, 0.7,
       numHashes = 64, nBands = 8),
