@@ -660,6 +660,29 @@ object PipelineQueries {
     // near_dup=false.
     "dedup_embed_ann_flags" -> ((s, d) => embedAnnFlags(s, d)),
 
+    // Semantic-dup GROUPS over the indexed embedding pairs — the
+    // embedding analog of dedup_groups (same min-label CC operator,
+    // edges from cosinePairsIndexed's probe-confined candidates at
+    // the headline threshold). Oracle: the shared CC recursive CTE
+    // over the embed-pair oracle.
+    "dedup_embed_ann_groups" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      graft.operators.ConnectedComponents.labels(
+          graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
+            "embedding", dir, CosineThreshold, probes = 4)
+            .select(col("id_a"), col("id_b")))
+        .select(col("id").as("vec_id"), col("label").as("group_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     // prune near-identical members WITHIN each cluster — the
     // cluster-then-prune shape that makes semantic dedup tractable at
@@ -3242,8 +3265,13 @@ object PipelineQueries {
     * transitive-closure CTE, labeling each doc with the min id of its
     * near-dup group — mirrors graft.operators.ConnectedComponents.
     */
-  private def dedupGroupsOracle: String =
-    s"""WITH RECURSIVE edges AS (SELECT id_a, id_b FROM ($minhashOracle)),
+  /** Connected-components oracle over any (id_a, id_b) pair SQL —
+    * the recursive-CTE replay of `ConnectedComponents.labels`
+    * (min reachable id per node). Shared by the text (minhash) and
+    * embedding (ANN) group families.
+    */
+  private def ccOracle(pairsSql: String, idName: String): String =
+    s"""WITH RECURSIVE edges AS (SELECT id_a, id_b FROM ($pairsSql)),
        nodes AS (SELECT DISTINCT id FROM
          (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
        sym AS (SELECT id_a AS src, id_b AS dst FROM edges
@@ -3253,7 +3281,10 @@ object PipelineQueries {
          UNION
          SELECT s.dst AS id, reach.r FROM reach
          JOIN sym s ON reach.id = s.src)
-       SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"""
+       SELECT id AS $idName, min(r) AS group_id FROM reach GROUP BY id"""
+
+  private def dedupGroupsOracle: String =
+    ccOracle(minhashOracle, "doc_id")
 
   /** Survivor-pick oracle over [[dedupGroupsOracle]]'s groups (shared
     * by the mining-leg and index-served flavors): longest text per
@@ -3860,6 +3891,9 @@ object PipelineQueries {
     "dedup_embed_ann_2level" ->
       embedAnnOracleSql(probes = 4, superProbes = 3),
     "dedup_embed_ann_flags" -> embedAnnFlagsOracleSql(probes = 4),
+    "dedup_embed_ann_groups" ->
+      ccOracle(embedAnnOracleSql(probes = 4, superProbes = 0),
+        "vec_id"),
 
     // SemDeDup mirror: cell assignment is the sim_ann_ivf quantizer
     // verbatim (argmax dot, row_number ties to the smaller cell);

@@ -399,9 +399,21 @@ object StreamingOps {
       else df
     val cos = graft.ext.Similarity.dot(df, col("__v"), col("__cv")) /
       (col("__nrm") * col("__cnrm"))
+    // fail FAST on ids the long cast nulls: a silently-nulled id
+    // would make the self-exclusion comparison null and drop EVERY
+    // candidate for that row — a dup admitted as "keep" (the
+    // MinHashIndex idLong discipline)
+    val idLong = when(col(idCol).try_cast("long").isNull,
+      raise_error(concat(
+        lit("annGate ids must be numeric and non-null; got: "),
+        coalesce(col(idCol).cast("string"), lit("null"))))
+        .cast("long"))
+      .otherwise(col(idCol).try_cast("long"))
     wm.select(col(idCol), col(tsCol), col(vecCol).as("__v"),
-        graft.ext.Similarity.l2norm(df, col(vecCol)).as("__nrm"))
+        graft.ext.Similarity.l2norm(df, col(vecCol)).as("__nrm"),
+        idLong.as("__id"))
       .select(col(idCol), col(tsCol), col("__v"), col("__nrm"),
+        col("__id"),
         explode(graft.ext.AnnIndex.flatProbeCellsCol(df, col("__v"),
           coarse, probes)).as("__cell"))
       .join(corpusCells.select(col("cell").as("__cell"),
@@ -410,7 +422,7 @@ object StreamingOps {
         Seq("__cell"), "left")
       .select(col(idCol), col(tsCol),
         when(col("__cid").isNotNull &&
-          col("__cid") =!= col(idCol).cast("long"), cos).as("__cos"))
+          col("__cid") =!= col("__id"), cos).as("__cos"))
       .groupBy(window(col(tsCol), windowDur), col(idCol))
       .agg(sum(col("__cos").isNotNull.cast("long")).as("n_cand"),
         coalesce(sum((col("__cos") >= threshold).cast("long")),
