@@ -190,14 +190,21 @@ object BloomIndex {
 
   /** The streaming segment's DISTINCT (key, h1, h2) rows, when one
     * exists — the probe-time fold side of [[gate]] and the seal input
-    * of [[compact]].
+    * of [[compact]]. EAGERLY materialized (localCheckpoint): [[gate]]
+    * holds no lease, so a concurrent build/compact may delete
+    * `keys_stream/` between this existence check and a lazy read —
+    * materializing here pins the segment rows the moment they are
+    * listed, like the already-eager bitmap fold, so a serving gate
+    * never crashes mid-flight on maintenance racing it (ADVICE r15).
+    * Bounded by the segment (recent arrivals), never the corpus.
     */
   private def segment(spark: SparkSession, dir: String)
       : Option[DataFrame] =
     if (!IndexFs.hfs(spark, dir)
         .exists(IndexFs.hpath(dir, "keys_stream"))) None
     else Some(spark.read.parquet(s"$dir/keys_stream")
-      .select(col("key"), col("h1"), col("h2")).distinct())
+      .select(col("key"), col("h1"), col("h2")).distinct()
+      .localCheckpoint(true))
 
   /** Offline maintenance: seal the streaming segment into `bitmap/`
     * + `keys/` (stop any running [[ingestStream]] first; the next
@@ -221,8 +228,7 @@ object BloomIndex {
       val meta = paramsOf(marker, dir)
       segment(spark, dir) match {
         case None => spark.read.parquet(s"$dir/keys").count()
-        case Some(seg0) =>
-          val seg = seg0.localCheckpoint(false)
+        case Some(seg) => // already eagerly materialized by segment()
           val add = Bloom.buildBitmap(
             Bloom.positions(seg.withColumn("id", lit(0L)),
               meta.k, meta.mBits), meta.mBits)

@@ -513,6 +513,18 @@ object MinHashIndex {
         val (m, _, c) = bandedCandidates(spark, dir, hotCap, salts)
         (m, c)
       }
+    verifyPairs(corpus, idCol, textCol, meta, cand0, threshold)
+  }
+
+  /** EXACT-verify a candidate pair frame (id_a, id_b) against re-read
+    * text of the candidate documents only — the shared verify leg of
+    * [[pairsVerified]] and [[deleteGroups]]'s confined re-mine. One
+    * semi-join on the candidate id set bounds the re-shingle to
+    * candidates; both pair sides come from the same `corpus`.
+    */
+  private def verifyPairs(corpus: DataFrame, idCol: String,
+      textCol: String, meta: Meta, cand0: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = cand0.select("id_a", "id_b").localCheckpoint(false)
     // ONE candidate-bounded shingle relation serves both pair sides
     // and the set sizes (both sides come from the same corpus)
@@ -612,6 +624,34 @@ object MinHashIndex {
     s"format=$FormatVersion threshold=$threshold index[$digest]"
   }
 
+  /** The incremental-fold precondition: the index marker's trailing
+    * line is exactly the mutation being folded (per `accept`), and the
+    * committed GROUPS_READY digests the marker WITHOUT that line — so
+    * the only staleness between groups and index is this one batch.
+    * Anything else throws; the caller must [[buildGroups]].
+    */
+  private def requireFoldable(spark: SparkSession, dir: String,
+      idx: String, threshold: Double, op: String,
+      accept: String => Boolean, expected: String): Unit = {
+    require(IndexFs.readMarker(spark, dir, GroupsMarker).nonEmpty,
+      s"no committed groups table at $dir — buildGroups first")
+    val lines = idx.linesIterator.toSeq
+    val trailing = lines.last
+    if (lines.size < 2 || !accept(trailing))
+      throw new IllegalStateException(
+        s"$op expects the index marker's trailing line at $dir to be " +
+          s"the batch's own $expected mutation; got '$trailing' — " +
+          "fold mutations in order, or rebuild with buildGroups")
+    val want = groupsMarkerText(lines.dropRight(1).mkString("\n"),
+      threshold)
+    if (!IndexFs.readMarker(spark, dir, GroupsMarker).contains(want))
+      throw new IllegalStateException(
+        s"groups table at $dir is stale relative to the pre-batch " +
+          s"index state (a mutation since buildGroups was never " +
+          s"folded, or the threshold differs) — $op would stamp that " +
+          "staleness fresh; rebuild with buildGroups")
+  }
+
   /** True iff a committed groups table exists AND matches the CURRENT
     * index marker (any append/delete/ingest since it was built flips
     * the digest) at this `threshold`. Compaction preserves the marker
@@ -668,6 +708,16 @@ object MinHashIndex {
     * a relabel join against the label map. Result equals a full
     * rebuild's labels — the min of a merged component is the min over
     * its super-node ids, since every member id >= its group's label.
+    *
+    * STALENESS is checked strictly (ADVICE r15): the committed
+    * GROUPS_READY must digest the current index marker MINUS exactly
+    * this batch's trailing `+append`/`+ingest` line — i.e. the ONLY
+    * un-folded mutation is the batch being folded. Any other
+    * intervening mutation (an earlier un-folded append, a delete
+    * tombstone, a second ingest) throws and directs the caller to
+    * [[buildGroups]]; the old existence-only check would have stamped
+    * the fold's result with the CURRENT marker digest and silently
+    * laundered that staleness into a fresh-looking groups table.
     */
   def appendGroups(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, dir: String, threshold: Double): Unit =
@@ -677,8 +727,9 @@ object MinHashIndex {
       val idx = readMarker(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no committed MinHash index at $dir — build first"))
-      require(IndexFs.readMarker(spark, dir, GroupsMarker).nonEmpty,
-        s"no committed groups table at $dir — buildGroups first")
+      requireFoldable(spark, dir, idx, threshold, "appendGroups",
+        l => l.startsWith("+append[") || l == "+ingest",
+        "+append/+ingest")
       val g = spark.read.parquet(s"$dir/groups")
         .localCheckpoint(false)
       val newPairs = probeVerified(batch, corpus, idCol, textCol,
@@ -710,6 +761,97 @@ object MinHashIndex {
       // EAGER checkpoint: the update reads groups/ and then
       // overwrites it
       val updated = relabeled.unionByName(freshRows)
+        .localCheckpoint(true)
+      fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
+      updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.writeMarker(spark, dir, GroupsMarker,
+        groupsMarkerText(idx, threshold))
+    }
+
+  /** Fold a JUST-QUEUED [[delete]] into the committed groups table
+    * incrementally — the dual of [[appendGroups]]. A delete can SPLIT
+    * a group (removing a bridge doc disconnects its component), which
+    * the append fold's super-node trick cannot express; instead
+    * components are recomputed ONLY over the touched groups' surviving
+    * members — bounded by group reach, never corpus-sized:
+    *
+    *   - touched groups = groups with a tombstoned member; untouched
+    *     groups cannot change (a pair between a touched-group member
+    *     and an untouched-group one would have put them in ONE group
+    *     already — pairwise Jaccard doesn't depend on other docs);
+    *   - the re-mine is the banded self-join + exact verify CONFINED
+    *     to the touched groups' surviving members (their at-rest
+    *     signatures semi-joined, tombstones already anti-joined by
+    *     [[load]]), so its cost is |touched members|, and every pair a
+    *     full rebuild would find among them is found (both endpoints
+    *     are in the confined set — see the untouched argument above);
+    *   - untouched rows carry over verbatim; re-mined components get
+    *     min-id labels (equal to a full rebuild's: each component is a
+    *     subset of the confined set, so its min is unchanged); members
+    *     left unpaired drop out, matching the "unpaired docs are
+    *     absent" contract.
+    *
+    * Preconditions (the [[appendGroups]] strictness, dual): the index
+    * marker's trailing line is this delete's own `+delete[n]` and
+    * GROUPS_READY digests the marker without it — any other un-folded
+    * mutation throws toward [[buildGroups]]. `corpus` is the
+    * post-delete corpus (the verify leg re-reads candidate text from
+    * it; tombstoned docs may be present or absent — they are excluded
+    * by id either way). Result equals a full rebuild (pinned in
+    * MinHashIndexSpec, including a bridge delete that splits a group).
+    */
+  def deleteGroups(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, threshold: Double, hotCap: Int = 4096,
+      salts: Int = 16): Unit =
+    withLease(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      val fs = IndexFs.hfs(spark, dir)
+      val idx = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed MinHash index at $dir — build first"))
+      requireFoldable(spark, dir, idx, threshold, "deleteGroups",
+        l => l.startsWith("+delete["), "+delete[n]")
+      val g = spark.read.parquet(s"$dir/groups")
+        .localCheckpoint(false)
+      val del = spark.read.parquet(s"$dir/deletes").select(col("id"))
+      val touched = g.join(del, Seq("id"), "left_semi")
+        .select(col("label")).distinct()
+      // surviving members of touched groups — the confined re-mine
+      // universe; EAGER: reads groups/, which the fold overwrites
+      val members = g.join(touched, Seq("label"), "left_semi")
+        .join(del, Seq("id"), "left_anti")
+        .select(col("id"))
+        .localCheckpoint(true)
+      val (meta, sigs) = load(spark, dir) // tombstones anti-joined
+      val sigsM = sigs.join(members, Seq("id"), "left_semi")
+        .localCheckpoint(false)
+      val banded = sigsM.select(col("id"),
+        posexplode(
+          Dedup.bandKeys(meta.bands, meta.numHashes / meta.bands))
+          .as(Seq("band", "bk")))
+      val cand = Dedup.bucketPairs(banded, hotCap, salts).distinct()
+      val relabeled = graft.operators.ConnectedComponents.labels(
+          verifyPairs(corpus, idCol, textCol, meta, cand, threshold)
+            .select(col("id_a"), col("id_b")))
+        .localCheckpoint(true)
+      // One join-based relabel over g — NOT a union of the untouched
+      // and re-mined halves (Union over these join-derived children
+      // trips Catalyst's union constraint rewriting even behind
+      // checkpoints — the ConnectedComponents workaround, one level
+      // up): untouched rows keep their label; touched rows take their
+      // re-mined label, or DROP when left unpaired (the "unpaired
+      // docs are absent" contract). Deleted ids are in touched groups
+      // by definition and never in `relabeled`, so they drop here too.
+      // EAGER: reads groups/, which the write below overwrites.
+      val updated = g
+        .join(touched.withColumn("__t", lit(true)), Seq("label"),
+          "left")
+        .join(relabeled.select(col("id"), col("label").as("__nl")),
+          Seq("id"), "left")
+        .filter(col("__t").isNull || col("__nl").isNotNull)
+        .select(col("id"),
+          when(col("__t").isNotNull, col("__nl"))
+            .otherwise(col("label")).as("label"))
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")

@@ -386,7 +386,8 @@ object StreamingOps {
     * self-matches (same id in the static corpus) are excluded, so a
     * corpus member streams through as a dup only if a DIFFERENT
     * near-identical vector exists. ann_keep = no candidate reached
-    * the threshold.
+    * the threshold; a candidate-less row reports best_cos = 0.0
+    * (matching the batch reference's coalesce), never NULL.
     */
   def annGate(df: DataFrame, idCol: String, vecCol: String,
       tsCol: String, corpusCells: DataFrame, dir: String,
@@ -427,7 +428,11 @@ object StreamingOps {
       .agg(sum(col("__cos").isNotNull.cast("long")).as("n_cand"),
         coalesce(sum((col("__cos") >= threshold).cast("long")),
           lit(0L)).as("n_hit"),
-        max(col("__cos")).as("best_cos"))
+        // candidate-less rows report 0.0, not NULL — the batch
+        // reference (dedup_embed_ann_flags / embedAnnFlags) coalesces
+        // best_cos the same way, so diffing the two surfaces is
+        // field-identical (ADVICE r15)
+        coalesce(max(col("__cos")), lit(0.0)).as("best_cos"))
       .select(col(idCol), col("n_cand"), col("n_hit"),
         col("best_cos"), (col("n_hit") === 0L).as("ann_keep"))
   }

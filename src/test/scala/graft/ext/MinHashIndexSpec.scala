@@ -424,6 +424,66 @@ class MinHashIndexSpec extends SparkSpec {
     assert(after == full, s"incremental $after != rebuild $full")
   }
 
+  test("deleteGroups: deleting a bridge doc SPLITS its group — the " +
+      "confined re-mine equals a full rebuild over the post-delete " +
+      "corpus; fold preconditions are strict on BOTH folds") {
+    val s = spark
+    import s.implicits._
+    def run(ws: Range): String = ws.map(i => s"w$i").mkString(" ")
+    val g1a = run(1 to 12); val g1b = g1a.replace("w12", "w12x")
+    val g2a = run(101 to 112); val g2b = g2a.replace("w112", "w112x")
+    // 10 bridges the two near-dup groups; 11 joins g1 (exact copy)
+    val all = Seq((1L, g1a), (2L, g1b), (5L, g2a), (6L, g2b),
+      (9L, "totally unrelated singleton content nothing shared ever"),
+      (10L, g1a + " " + g2a), (11L, g1a))
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    MinHashIndex.build(all, "doc_id", "text", dir,
+      numHashes = 32, bands = 32)
+    MinHashIndex.buildGroups(all, "doc_id", "text", dir, 0.4)
+    val before = MinHashIndex.readGroups(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 1L, 11L -> 1L), s"one bridged group before: $before")
+    // strict: no trailing +delete line yet -> refuse the fold
+    intercept[IllegalStateException] {
+      MinHashIndex.deleteGroups(all, "doc_id", "text", dir, 0.4)
+    }
+    MinHashIndex.delete(s, dir, Seq(10L))
+    assert(!MinHashIndex.groupsFresh(s, dir, 0.4),
+      "a delete must flip the groups table stale")
+    // appendGroups must refuse to fold a delete — its super-node
+    // trick can only merge, never split (ADVICE r15 strictness)
+    intercept[IllegalStateException] {
+      MinHashIndex.appendGroups(all.limit(0), all, "doc_id", "text",
+        dir, 0.4)
+    }
+    val post = all.filter(col("doc_id") =!= 10L)
+    MinHashIndex.deleteGroups(post, "doc_id", "text", dir, 0.4)
+    assert(MinHashIndex.groupsFresh(s, dir, 0.4))
+    val after = MinHashIndex.readGroups(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 11L -> 1L, 5L -> 5L,
+      6L -> 5L), s"bridge removed -> the group SPLITS: $after")
+    // THE guarantee: equal to a full rebuild over the final corpus
+    val dirFull = tmpDir()
+    MinHashIndex.build(post, "doc_id", "text", dirFull,
+      numHashes = 32, bands = 32)
+    MinHashIndex.buildGroups(post, "doc_id", "text", dirFull, 0.4)
+    val full = MinHashIndex.readGroups(s, dirFull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == full, s"incremental $after != rebuild $full")
+    // a SECOND un-folded mutation between buildGroups and the fold is
+    // refused — the staleness-laundering seam (ADVICE r15): folding
+    // only the trailing delete would stamp the current marker digest
+    // over a table missing the first delete's split
+    MinHashIndex.delete(s, dirFull, Seq(11L))
+    MinHashIndex.delete(s, dirFull, Seq(2L))
+    intercept[IllegalStateException] {
+      MinHashIndex.deleteGroups(post, "doc_id", "text", dirFull, 0.4)
+    }
+  }
+
   test("pairsVerified == the corpus-mining legs (word3 AND char5): " +
       "identical banded candidates from the at-rest signatures, " +
       "identical exact-Jaccard bar — pair sets equal including " +

@@ -669,6 +669,18 @@ class StreamingOpsSpec extends SparkSpec {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mined == Set((0L, 1L)), s"mined=$mined")
+    // candidate-less rows report best_cos = 0.0, never NULL — the
+    // batch reference (embedAnnFlags) coalesces the same way, so
+    // diffing stream vs batch surfaces is field-identical (ADVICE r15)
+    val lone = StreamingOps.annGate(
+        docs.toDF("vec_id", "ts", "embedding"),
+        "vec_id", "embedding", "ts", cells.limit(0), dir,
+        threshold = 0.9, probes = 2)
+      .select("vec_id", "n_cand", "best_cos", "ann_keep").collect()
+    assert(lone.length == docs.length && lone.forall(r =>
+      r.getLong(1) == 0L && !r.isNullAt(2) && r.getDouble(2) == 0.0 &&
+        r.getBoolean(3)),
+      s"candidate-less contract: ${lone.mkString(", ")}")
   }
 
   test("winnowGate: map-side fingerprints == batch winnowFingerprints " +
