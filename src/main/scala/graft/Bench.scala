@@ -8,10 +8,23 @@ object Bench {
     * BenchSummarySpec pins the length so that regression cannot
     * return silently.
     */
+  /** Per-sweep totals and the interleaved calib probes ride in the
+    * summary (VERDICT r15 #10): the r14 drift diagnosis needed
+    * per-sweep numbers recovered after the fact — with them inline, a
+    * host-noise burst is self-diagnosing from BENCH_rN.json alone
+    * (one inflated sweep + a matching calib spike = burst; uniform
+    * inflation at flat calibs = real regression). Bounded: 3 sweeps +
+    * 4 probes ≈ 60 chars, still far inside the driver's tail window.
+    */
   def summaryLine(total: Double, calib: Double, calib2: Double,
       calibIo: Double, calibIo2: Double, nQueries: Int, nFailed: Int,
-      sfDir: String): String =
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sf":"$sfDir"}"""
+      sfDir: String, sweepTotals: Seq[Double] = Nil,
+      sweepCpu: Seq[Double] = Nil, sweepIo: Seq[Double] = Nil)
+      : String = {
+    def arr(xs: Seq[Double]) =
+      xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sweep_totals":${arr(sweepTotals)},"sweep_cpu":${arr(sweepCpu)},"sweep_io":${arr(sweepIo)},"sf":"$sfDir"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -236,8 +249,16 @@ object Bench {
       System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
     }
     val nFailed = results.count(_._2 < 0)
+    // per-sweep totals over queries that succeeded in EVERY sweep, so
+    // the sweep numbers compare like-for-like when a query flakes
+    val stable = results.collect {
+      case (name, best, _) if best >= 0 => name
+    }.toSet
+    val sweepTotals = sweeps.map(
+      _.collect { case (n, t) if stable(n) && t >= 0 => t }.sum)
     val summary = summaryLine(total, calib, calib2, calibIo, calibIo2,
-      results.size, nFailed, sfDir)
+      results.size, nFailed, sfDir, sweepTotals, cpuProbes.toSeq,
+      ioProbes.toSeq)
     // Calibration history survives driver-artifact truncation: append
     // each run's scalars to a repo-tracked JSONL so round-over-round
     // host-drift normalization can always be reconstructed from git.

@@ -319,26 +319,13 @@ object AnnIndex {
   private[graft] def hierCellCol(df: DataFrame, vec: Column,
       coarse: Seq[Seq[Float]], sp: Int): Column = {
     val nSuper = superCount(coarse.size)
-    val supers = coarse.take(nSuper)
-    def sdot(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).foldLeft(0.0)((acc, p) =>
-        acc + p._1.toDouble * p._2.toDouble)
-    // child -> super: max-dot super per centroid, ties to the smaller
-    // super id — EXACTLY probeCells' driver-side rule, so a probe-side
-    // hierarchy and an encode-side hierarchy agree on the tree
+    // child -> super via childAssignments — EXACTLY probeCells'
+    // driver-side rule, so a probe-side hierarchy and an encode-side
+    // hierarchy agree on the tree
     val childrenBySuper: Map[Int, Seq[Int]] =
-      coarse.zipWithIndex.map { case (cv, c) =>
-        val sup = supers.zipWithIndex
-          .map { case (sv, s) => (sdot(cv, sv), s) }
-          .sortBy { case (d, s) => (-d, s) }.head._2
-        (sup, c)
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val ssorted = array_sort(array(supers.zipWithIndex.map {
-      case (sv, s) =>
-        val sl = array(sv.map(x => lit(x.toDouble)): _*)
-        struct((-Similarity.dot(df, vec, sl)).as("d"), lit(s).as("s"))
-    }: _*))
-    val chosen = transform(slice(ssorted, 1, sp), x => x("s"))
+      childAssignments(coarse).groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+    val chosen = topSupersCol(df, vec, coarse, sp)
     val childType = "array<struct<c:int,cv:array<double>>>"
     val childrenLit = array((0 until nSuper).map { s =>
       val kids = childrenBySuper.getOrElse(s, Nil)
@@ -639,9 +626,12 @@ object AnnIndex {
       .filter(col("cos") >= threshold)
   }
 
-  /** The (id, cell) probe assignment of [[cosinePairsIndexed]] over a
-    * frame with columns (id, v): flat top-`probes` ranking when
-    * `superProbes` <= 0, the two-level hierarchy otherwise.
+  /** The (id, cell, v) probe assignment of [[cosinePairsIndexed]] over
+    * a frame with columns (id, v): flat top-`probes` ranking when
+    * `superProbes` <= 0, the two-level hierarchy otherwise. Carries
+    * the row's vector through (free — the hierarchical window already
+    * shuffles it), so [[searchBatchDist]]'s hierarchical probe path
+    * can reuse THIS code verbatim rather than re-derive it.
     * Package-visible so AnnIndexSpec can pin confinement (hierarchical
     * probes never leave the chosen supers' children) and the
     * flat == hierarchical equality at the battery operating point.
@@ -652,41 +642,61 @@ object AnnIndex {
     if (superProbes <= 0) {
       n.select(col("id"),
         explode(flatProbeCellsCol(n, col("v"), coarse, probes))
-          .as("cell"))
+          .as("cell"), col("v"))
     } else {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
-      val supers = coarse.take(superCount(coarse.size))
       // child -> super: max-dot super per centroid, ties to the
       // smaller super id; driver-side over the bounded centroid list
       // (the same left fold as the SQL replay — bit-identical doubles)
-      def sdot(a: Seq[Float], b: Seq[Float]): Double =
-        a.zip(b).foldLeft(0.0)((acc, p) =>
-          acc + p._1.toDouble * p._2.toDouble)
-      val childDf = coarse.zipWithIndex.map { case (cv, c) =>
-        val sup = supers.zipWithIndex
-          .map { case (sv, s) => (sdot(cv, sv), s) }
-          .sortBy { case (d, s) => (-d, s) }.head._2
-        (sup, c, cv.map(_.toDouble))
-      }.toDF("__sup", "cell", "__cv")
+      val childDf = childAssignments(coarse).toDF("__sup", "cell", "__cv")
       // top-`superProbes` supers per row: a √nCells-wide struct sort
-      val ssorted = array_sort(array(supers.zipWithIndex.map {
-        case (sv, s) =>
-          val sl = array(sv.map(x => lit(x.toDouble)): _*)
-          struct((-Similarity.dot(n, col("v"), sl)).as("d"),
-            lit(s).as("s"))
-      }: _*))
-      val psup = transform(slice(ssorted, 1, superProbes), x => x("s"))
+      val psup = topSupersCol(n, col("v"), coarse, superProbes)
       val byId = Window.partitionBy("id")
         .orderBy(desc("__d"), col("cell"))
       n.select(col("id"), col("v"), explode(psup).as("__sup"))
         .join(broadcast(childDf), "__sup")
-        .select(col("id"), col("cell"),
+        .select(col("id"), col("cell"), col("v"),
           Similarity.dot(n, col("v"), col("__cv")).as("__d"))
         .withColumn("__rn", row_number().over(byId))
         .filter(col("__rn") <= probes)
-        .select(col("id"), col("cell"))
+        .select(col("id"), col("cell"), col("v"))
     }
+  }
+
+  /** Driver-side child→super assignment of the two-level hierarchy:
+    * one (super, cell, centroid-as-doubles) row per trained centroid,
+    * max-dot super per centroid with ties to the smaller super id —
+    * the ONE tree every hierarchical path (encode, pair-mining probe,
+    * distributed batch serve) derives from.
+    */
+  private def childAssignments(coarse: Seq[Seq[Float]])
+      : Seq[(Int, Int, Seq[Double])] = {
+    val supers = coarse.take(superCount(coarse.size))
+    def sdot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) =>
+        acc + p._1.toDouble * p._2.toDouble)
+    coarse.zipWithIndex.map { case (cv, c) =>
+      val sup = supers.zipWithIndex
+        .map { case (sv, s) => (sdot(cv, sv), s) }
+        .sortBy { case (d, s) => (-d, s) }.head._2
+      (sup, c, cv.map(_.toDouble))
+    }
+  }
+
+  /** The row's top-`sp` super-cells as one map-side column — the
+    * √nCells-wide struct sort shared by every hierarchical ranking
+    * (same dot arithmetic and (dot DESC, super ASC) tie-break).
+    */
+  private def topSupersCol(df: DataFrame, vec: Column,
+      coarse: Seq[Seq[Float]], sp: Int): Column = {
+    val supers = coarse.take(superCount(coarse.size))
+    val ssorted = array_sort(array(supers.zipWithIndex.map {
+      case (sv, s) =>
+        val sl = array(sv.map(x => lit(x.toDouble)): _*)
+        struct((-Similarity.dot(df, vec, sl)).as("d"), lit(s).as("s"))
+    }: _*))
+    transform(slice(ssorted, 1, sp), x => x("s"))
   }
 
   /** The flat top-`probes` probe-cell ARRAY as one map-side column:
@@ -725,6 +735,7 @@ object AnnIndex {
     val (_, coarse, _) = load(spark, dir)
     val n = normalized(corpus, idCol, vecCol, dir)
     probeCells(n, coarse, probes, superProbes)
+      .select(col("id"), col("cell"))
       .join(n, "id")
       .select(col("cell"), col("id"), col("v"), col("nrm"))
   }
@@ -916,11 +927,19 @@ object AnnIndex {
     * a distributed scan end to end (pinned in AnnIndexSpec: the
     * executed plan reads the queries source, no collect):
     *
-    *   - probe cells per query: the bounded coarse table (nCells
-    *     rows) is BROADCAST and cross-joined to the queries; a
-    *     qid-keyed window keeps the top-`probes` cells by
-    *     (dot DESC, cell ASC) — the same rank [[search]] computes on
-    *     the driver, now as a plan;
+    *   - probe cells per query: on a FLAT index (meta.hier = 0) the
+    *     bounded coarse table (nCells rows) is BROADCAST and
+    *     cross-joined to the queries; a qid-keyed window keeps the
+    *     top-`probes` cells by (dot DESC, cell ASC) — the same rank
+    *     [[search]] computes on the driver, now as a plan. On a
+    *     hier>0 index the selection routes through [[probeCells]]'
+    *     super→children hierarchy instead (sp = meta.hier):
+    *     O(hier·√nCells) candidate rows per query in place of the
+    *     nCells-row cross product — the scale shape for the
+    *     nCells ∝ N regime, equal to flat when hier >= nSuper and the
+    *     cosinePairsIndexed superProbes recall knob below it (the
+    *     driver-bounded [[search]]/[[searchBatch]] keep the exact
+    *     flat rank: their nCells work is driver-side and bounded);
     *   - the codes scan is semi-joined on the DISTINCT probed-cell
     *     set (≤ nCells values, whatever |Q|) — dynamic pruning of the
     *     cell-partitioned table replaces [[searchBatch]]'s static
@@ -975,17 +994,36 @@ object AnnIndex {
               raise_error(concat(lit(s"query dim != index dim $dim: "),
                 col("__qid").cast("string"))))
               .otherwise(col("__qv"))).as("__qv"))
-    val coarseDf = coarse.zipWithIndex
-      .map { case (v, j) => (j, v.map(_.toDouble)) }
-      .toDF("cell", "__cv")
+    // Probe-cell selection follows the MARKER-RECORDED hierarchy
+    // (r16, closing the r15 flat-assignment seam): a flat index ranks
+    // ALL nCells per query row (crossJoin + window — exact, but the
+    // measured super-linear shape past ~1k cells, TwoLevelBench),
+    // while a hier>0 index routes through probeCells' super→children
+    // path VERBATIM — O(hier·√nCells) candidate rows per query, the
+    // same tree build/append/ingest encode with, so probe cells at
+    // probes=1 equal the encode cell (the encode-spec consistency).
+    // Equal to the flat ranking by construction when hier >= nSuper;
+    // below that it is the same approximate-by-design recall knob as
+    // cosinePairsIndexed's superProbes (pinned in LayoutSpec).
     val byQd = Window.partitionBy("__qid")
       .orderBy(desc("__d"), col("cell"))
-    val probeQ = q0.crossJoin(broadcast(coarseDf))
-      .select(col("__qid"), col("__qv"), col("cell"),
-        Similarity.dot(corpus, col("__qv"), col("__cv")).as("__d"))
-      .withColumn("__rn", row_number().over(byQd))
-      .filter(col("__rn") <= probes)
-      .select(col("__qid"), col("__qv"), col("cell"))
+    val probeQ =
+      if (meta.hier <= 0) {
+        val coarseDf = coarse.zipWithIndex
+          .map { case (v, j) => (j, v.map(_.toDouble)) }
+          .toDF("cell", "__cv")
+        q0.crossJoin(broadcast(coarseDf))
+          .select(col("__qid"), col("__qv"), col("cell"),
+            Similarity.dot(corpus, col("__qv"), col("__cv")).as("__d"))
+          .withColumn("__rn", row_number().over(byQd))
+          .filter(col("__rn") <= probes)
+          .select(col("__qid"), col("__qv"), col("cell"))
+      } else
+        probeCells(
+            q0.select(col("__qid").as("id"), col("__qv").as("v")),
+            coarse, probes, meta.hier)
+          .select(col("id").as("__qid"), col("v").as("__qv"),
+            col("cell"))
     // dynamic pruning: the ≤ nCells distinct probed cells semi-join
     // the partition column of the codes scan
     val codes = codesTable(spark, dir)
@@ -1029,4 +1067,151 @@ object AnnIndex {
       .filter(col("__rn") <= k)
       .select(col("__qid").as("qid"), col(idCol), col("score"))
   }
+
+  // --- semantic-dup GROUPS at rest (r16) ----------------------------
+  //
+  // dedup_embed_ann_groups re-mines cosinePairsIndexed's pairs and
+  // re-runs connected components over the whole corpus on every
+  // invocation; the group structure only changes when the index does.
+  // Same at-rest treatment MinHashIndex's groups got in r15:
+  // buildGroups commits the full CC labels once (GROUPS_READY digests
+  // the index marker it was built against, plus the mining params);
+  // appendGroups folds a just-appended batch in through the shared
+  // super-node CC (ConnectedComponents.foldIncrement), bounded by the
+  // batch's reach plus one shuffle-free map pass assigning corpus
+  // probe cells (the one per-corpus cost a probe-side candidate rule
+  // cannot avoid without persisting the probe-cell table — documented
+  // trade; the expensive legs, pair verify and CC, stay batch-bounded).
+
+  private val GroupsMarker = "GROUPS_READY"
+
+  private def groupsMarkerText(indexMarker: String, threshold: Double,
+      probes: Int, superProbes: Int): String =
+    s"format=$FormatVersion threshold=$threshold probes=$probes " +
+      s"superProbes=$superProbes " +
+      s"index[${IndexFs.markerDigest(indexMarker)}]"
+
+  /** True iff a committed groups table exists AND matches the CURRENT
+    * index marker at these mining params. Any append/delete/ingest
+    * since it was built flips the digest; compaction preserves the
+    * marker text and is result-invisible, so groups stay fresh
+    * across it.
+    */
+  def groupsFresh(spark: SparkSession, dir: String, threshold: Double,
+      probes: Int = 4, superProbes: Int = 0): Boolean =
+    readMarker(spark, dir).exists { idx =>
+      IndexFs.readMarker(spark, dir, GroupsMarker).contains(
+        groupsMarkerText(idx, threshold, probes, superProbes))
+    }
+
+  /** The committed groups marker and whether it digests the CURRENT
+    * index marker — the ops-CLI staleness view (None = no groups
+    * table committed).
+    */
+  def groupsStatus(spark: SparkSession, dir: String)
+      : Option[(String, Boolean)] =
+    IndexFs.readMarker(spark, dir, GroupsMarker).map { gm =>
+      val cur = readMarker(spark, dir).map(IndexFs.markerDigest)
+      (gm, cur.exists(d => gm.contains(s"index[$d]")))
+    }
+
+  /** The committed groups table: (id, label) for every vector in some
+    * near-dup pair; label = min id of its group. Unpaired vectors are
+    * absent (their group is trivially themselves).
+    */
+  def readGroups(spark: SparkSession, dir: String): DataFrame = {
+    require(IndexFs.readMarker(spark, dir, GroupsMarker).nonEmpty,
+      s"no committed groups table at $dir (missing $GroupsMarker)")
+    spark.read.parquet(s"$dir/groups")
+  }
+
+  /** Full connected-components pass over [[cosinePairsIndexed]]'s
+    * probe-confined pairs, committed as the at-rest `groups/` table.
+    * Marker LAST, digesting the index marker + mining params it was
+    * built against.
+    */
+  def buildGroups(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, threshold: Double, probes: Int = 4,
+      superProbes: Int = 0): Unit =
+    withLease(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      val want = groupsMarkerText(readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed ANN index at $dir — build first")),
+        threshold, probes, superProbes)
+      hfs(spark, dir).delete(hpath(dir, GroupsMarker), false)
+      graft.operators.ConnectedComponents.labels(
+          cosinePairsIndexed(corpus, idCol, vecCol, dir, threshold,
+            probes, superProbes)
+            .select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.writeMarker(spark, dir, GroupsMarker, want)
+    }
+
+  /** Fold a JUST-APPENDED batch into the committed groups table
+    * incrementally. Preconditions mirror `MinHashIndex.appendGroups`
+    * (strict foldability: the index marker's trailing line must be
+    * this batch's own `+append`/`+ingest` — see
+    * [[IndexFs.requireFoldable]]); `corpus` is the full post-append
+    * corpus and must contain the batch ids.
+    *
+    * New pairs = the batch's probe cells joined against the corpus
+    * probe-cell assignment under the index's OWN frozen centroids —
+    * exactly [[cosinePairsIndexed]]'s probe×probe co-occurrence rule
+    * restricted to pairs touching the batch (every pair a full
+    * re-mine would add has a batch endpoint; batch-internal pairs are
+    * included since the corpus side contains the batch) — exact
+    * cosine on candidates only, then the shared super-node CC fold.
+    * Result equals a full rebuild (pinned in AnnIndexSpec).
+    */
+  def appendGroups(batch: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String, threshold: Double, probes: Int = 4,
+      superProbes: Int = 0): Unit =
+    withLease(batch.sparkSession, dir) {
+      val spark = batch.sparkSession
+      val fs = hfs(spark, dir)
+      val idx = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed ANN index at $dir — build first"))
+      IndexFs.requireFoldable(spark, dir, GroupsMarker, idx,
+        "appendGroups",
+        l => l.startsWith("+append[") || l == "+ingest",
+        "+append/+ingest",
+        prev => groupsMarkerText(prev, threshold, probes, superProbes))
+      val (_, coarse, _) = load(spark, dir)
+      val n = normalized(corpus, idCol, vecCol, dir)
+      val bN = n.join(
+        batch.select(col(idCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      val bProbe = probeCells(bN, coarse, probes, superProbes)
+        .select(col("id").as("id_a"), col("cell"))
+        .localCheckpoint(false)
+      // corpus-side probe assignment: one shuffle-free map pass,
+      // pruned to the batch's probed cells before the candidate join
+      val cProbe = probeCells(n, coarse, probes, superProbes)
+        .select(col("id").as("id_b"), col("cell"))
+        .join(bProbe.select("cell").distinct(), Seq("cell"),
+          "left_semi")
+      val cand = bProbe.join(cProbe, "cell")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val newPairs = cand
+        .join(n.select(col("id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), "id_a")
+        .join(n.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (Similarity.dot(corpus, col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+      // EAGER checkpoint: the update reads groups/, then overwrites it
+      val updated = graft.operators.ConnectedComponents
+        .foldIncrement(spark.read.parquet(s"$dir/groups"), newPairs)
+        .localCheckpoint(true)
+      fs.delete(hpath(dir, GroupsMarker), false)
+      updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.writeMarker(spark, dir, GroupsMarker,
+        groupsMarkerText(idx, threshold, probes, superProbes))
+    }
 }

@@ -63,23 +63,47 @@ private[ext] object IndexFs {
     * filesystem failures (permissions, quota, network) are RETHROWN —
     * mapping them to "lease held" would send operators chasing a lease
     * file that does not exist (ADVICE r14).
+    *
+    * On LOCAL filesystems the Hadoop `create(overwrite = false)` is
+    * CHECK-then-act (RawLocalFileSystem stats, then opens) — the r16
+    * lease-torture spec raced 4 writers through it and got 3
+    * "winners". Local schemes therefore go through NIO's
+    * `Files.createFile` (O_EXCL — one winner per path, kernel-
+    * enforced); HDFS keeps the Hadoop create, whose namenode-side
+    * create IS atomic, and object stores need a strong-create store
+    * exactly as the [[withLease]] scaladoc documents.
     */
   private def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, what: String): Boolean =
-    try {
-      val out = fs.create(p, false)
-      try out.write(ownerLine(what)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      // RawLocalFileSystem (and some stores) signal an existing file
-      // with a plain IOException — disambiguate via exists() and let
-      // a genuine I/O failure propagate as itself
-      case e: java.io.IOException => if (fs.exists(p)) false else throw e
-    }
+      p: org.apache.hadoop.fs.Path, what: String): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        val local = java.nio.file.Paths.get(
+          fs.makeQualified(p).toUri.getPath)
+        java.nio.file.Files.createFile(local) // atomic O_EXCL
+        java.nio.file.Files.write(local, ownerLine(what)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case _ =>
+      try {
+        val out = fs.create(p, false)
+        try out.write(ownerLine(what)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // some stores signal an existing file with a plain
+        // IOException — disambiguate via exists() and let a genuine
+        // I/O failure propagate as itself
+        case e: java.io.IOException =>
+          if (fs.exists(p)) false else throw e
+      }
+  }
 
   /** Single-writer guard for index MAINTENANCE (build/append/delete/
     * compact): an exclusive lease file created atomically
@@ -218,6 +242,47 @@ private[ext] object IndexFs {
     t.setDaemon(true)
     t.start()
     q
+  }
+
+  /** md5 hex digest of a marker text — the groups-marker fingerprint
+    * of the index state a groups table was built against.
+    */
+  def markerDigest(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Strict incremental-fold precondition shared by the groups
+    * lifecycles (ADVICE r15): a committed groups marker must exist,
+    * the index marker's trailing line must be the batch's own
+    * mutation (per `accept`), and the groups marker must equal
+    * `wantFor(index marker minus that trailing line)` — so the ONLY
+    * staleness between groups and index is the batch being folded.
+    * Anything else throws toward buildGroups; an existence-only check
+    * would stamp the fold's result with the CURRENT marker digest and
+    * silently launder intervening mutations into a fresh-looking
+    * groups table.
+    */
+  def requireFoldable(spark: SparkSession, dir: String,
+      groupsMarker: String, idx: String, op: String,
+      accept: String => Boolean, expected: String,
+      wantFor: String => String): Unit = {
+    require(readMarker(spark, dir, groupsMarker).nonEmpty,
+      s"no committed groups table at $dir — buildGroups first")
+    val lines = idx.linesIterator.toSeq
+    val trailing = lines.last
+    if (lines.size < 2 || !accept(trailing))
+      throw new IllegalStateException(
+        s"$op expects the index marker's trailing line at $dir to be " +
+          s"the batch's own $expected mutation; got '$trailing' — " +
+          "fold mutations in order, or rebuild with buildGroups")
+    val want = wantFor(lines.dropRight(1).mkString("\n"))
+    if (!readMarker(spark, dir, groupsMarker).contains(want))
+      throw new IllegalStateException(
+        s"groups table at $dir is stale relative to the pre-batch " +
+          "index state (a mutation since buildGroups was never " +
+          s"folded, or the parameters differ) — $op would stamp that " +
+          "staleness fresh; rebuild with buildGroups")
   }
 
   /** Write the marker via tmp + rename: a crashed write leaves either

@@ -617,40 +617,32 @@ object MinHashIndex {
   private val GroupsMarker = "GROUPS_READY"
 
   private def groupsMarkerText(indexMarker: String,
-      threshold: Double): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(indexMarker.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    s"format=$FormatVersion threshold=$threshold index[$digest]"
-  }
+      threshold: Double): String =
+    s"format=$FormatVersion threshold=$threshold " +
+      s"index[${IndexFs.markerDigest(indexMarker)}]"
 
-  /** The incremental-fold precondition: the index marker's trailing
-    * line is exactly the mutation being folded (per `accept`), and the
-    * committed GROUPS_READY digests the marker WITHOUT that line — so
-    * the only staleness between groups and index is this one batch.
-    * Anything else throws; the caller must [[buildGroups]].
+  /** The incremental-fold precondition — see [[IndexFs.requireFoldable]]:
+    * the index marker's trailing line is exactly the mutation being
+    * folded, and the committed GROUPS_READY digests the marker WITHOUT
+    * that line — so the only staleness between groups and index is
+    * this one batch.
     */
   private def requireFoldable(spark: SparkSession, dir: String,
       idx: String, threshold: Double, op: String,
-      accept: String => Boolean, expected: String): Unit = {
-    require(IndexFs.readMarker(spark, dir, GroupsMarker).nonEmpty,
-      s"no committed groups table at $dir — buildGroups first")
-    val lines = idx.linesIterator.toSeq
-    val trailing = lines.last
-    if (lines.size < 2 || !accept(trailing))
-      throw new IllegalStateException(
-        s"$op expects the index marker's trailing line at $dir to be " +
-          s"the batch's own $expected mutation; got '$trailing' — " +
-          "fold mutations in order, or rebuild with buildGroups")
-    val want = groupsMarkerText(lines.dropRight(1).mkString("\n"),
-      threshold)
-    if (!IndexFs.readMarker(spark, dir, GroupsMarker).contains(want))
-      throw new IllegalStateException(
-        s"groups table at $dir is stale relative to the pre-batch " +
-          s"index state (a mutation since buildGroups was never " +
-          s"folded, or the threshold differs) — $op would stamp that " +
-          "staleness fresh; rebuild with buildGroups")
-  }
+      accept: String => Boolean, expected: String): Unit =
+    IndexFs.requireFoldable(spark, dir, GroupsMarker, idx, op, accept,
+      expected, prev => groupsMarkerText(prev, threshold))
+
+  /** The committed groups marker and whether it digests the CURRENT
+    * index marker — the ops-CLI staleness view (None = no groups
+    * table committed).
+    */
+  def groupsStatus(spark: SparkSession, dir: String)
+      : Option[(String, Boolean)] =
+    IndexFs.readMarker(spark, dir, GroupsMarker).map { gm =>
+      val cur = readMarker(spark, dir).map(IndexFs.markerDigest)
+      (gm, cur.exists(d => gm.contains(s"index[$d]")))
+    }
 
   /** True iff a committed groups table exists AND matches the CURRENT
     * index marker (any append/delete/ingest since it was built flips
@@ -730,37 +722,13 @@ object MinHashIndex {
       requireFoldable(spark, dir, idx, threshold, "appendGroups",
         l => l.startsWith("+append[") || l == "+ingest",
         "+append/+ingest")
-      val g = spark.read.parquet(s"$dir/groups")
-        .localCheckpoint(false)
       val newPairs = probeVerified(batch, corpus, idCol, textCol,
           dir, threshold, estThreshold = 0.0)
-        .filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"))
-      // endpoints -> super-nodes (committed label, or the id itself)
-      val superEdges = newPairs
-        .join(g.select(col("id").as("id_a"), col("label").as("__la")),
-          Seq("id_a"), "left")
-        .join(g.select(col("id").as("id_b"), col("label").as("__lb")),
-          Seq("id_b"), "left")
-        .select(coalesce(col("__la"), col("id_a")).as("id_a"),
-          coalesce(col("__lb"), col("id_b")).as("id_b"))
-        .filter(col("id_a") =!= col("id_b"))
-      val comp = graft.operators.ConnectedComponents
-        .labels(superEdges).localCheckpoint(true)
-      // members of touched groups relabel through the (old label ->
-      // final label) map; super-nodes that were never members (batch
-      // ids, previously-unpaired corpus ids) enter as fresh rows
-      val relabeled = g
-        .join(comp.select(col("id").as("label"),
-          col("label").as("__nl")), Seq("label"), "left")
-        .select(col("id"),
-          coalesce(col("__nl"), col("label")).as("label"))
-      val freshRows = comp
-        .join(g.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), col("label"))
-      // EAGER checkpoint: the update reads groups/ and then
-      // overwrites it
-      val updated = relabeled.unionByName(freshRows)
+      // super-node CC fold + relabel (shared with AnnIndex.appendGroups);
+      // EAGER checkpoint: the update reads groups/ and then overwrites it
+      val updated = graft.operators.ConnectedComponents
+        .foldIncrement(spark.read.parquet(s"$dir/groups"), newPairs)
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")

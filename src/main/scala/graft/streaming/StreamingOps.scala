@@ -317,11 +317,22 @@ object StreamingOps {
     * with ≥ 1 shingle; nd_keep = no band hit an occupied corpus
     * bucket. Docs too short to shingle emit nothing (callers admit
     * them unconditionally, as batch mining never pairs them either).
+    *
+    * GENERATION semantics: when `corpusBuckets` is served from a
+    * persisted index (`MinHashIndex.bandBuckets`), pass that index
+    * dir as `guardIndexDir` — the gate then FAILS the next
+    * micro-batch fast if the index mutates mid-stream
+    * ([[withGenerationGuard]]: append/delete/ingest/rebuild change
+    * the marker; compaction preserves it and keeps serving), instead
+    * of silently re-reading a mutated bucket table under the frozen
+    * hash family. Without a dir the static side's refresh discipline
+    * is the caller's (the batch-derived `corpusBandBuckets` role).
     */
   def nearDupGate(df: DataFrame, idCol: String, textCol: String,
       tsCol: String, corpusBuckets: DataFrame, numHashes: Int = 32,
       bands: Int = 8, watermark: String = "10 minutes",
-      windowDur: String = "10 minutes"): DataFrame = {
+      windowDur: String = "10 minutes",
+      guardIndexDir: Option[String] = None): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes,
       s"numHashes $numHashes must divide into $bands bands")
@@ -336,7 +347,8 @@ object StreamingOps {
     }: _*)
     val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
       else df
-    wm.select(col(idCol), col(tsCol), hs.as("__hs"))
+    val base = wm.select(col(idCol), col(tsCol), hs.as("__hs"))
+    guardIndexDir.fold(base)(withGenerationGuard(base, _))
       .filter(size(col("__hs")) > 0)
       .select(col(idCol), col(tsCol),
         posexplode(bks).as(Seq("__band", "__bk")))
@@ -349,6 +361,55 @@ object StreamingOps {
         sum(col("__cbk").isNotNull.cast("long")).as("n_hit"))
       .select(col(idCol), col("n_bands"), col("n_hit"),
         (col("n_hit") === 0L).as("nd_keep"))
+  }
+
+  /** GENERATION GUARD for index-backed gates (r16, VERDICT r15 #5):
+    * a running gate freezes its quantizer/bucket derivation at
+    * plan-build time, but its STATIC side is re-executed per
+    * micro-batch — a concurrent rebuild/append/ingest would silently
+    * serve a mix of index generations (frozen probe columns over a
+    * mutated static table). This guard pins the committed marker's
+    * bytes at gate build and re-verifies them on EVERY micro-batch
+    * IN-PLAN: the marker file rides a 1-row binaryFile relation
+    * (static sides are re-read each micro-batch, so the file's
+    * CURRENT bytes are seen), md5-compared against the frozen
+    * fingerprint, and the comparison is the equi-JOIN KEY itself —
+    * raise_error on mismatch, and un-prunable by column pruning. A
+    * replaced-but-truncated or deleted marker fails the file read:
+    * every mutation path fails CLOSED. Compaction rewrites the marker
+    * with IDENTICAL text (result-invisible by contract), so gates
+    * keep serving across it; append/delete/ingest/rebuild change the
+    * text and trip the guard on the next micro-batch. Cost: one
+    * 1-row file read + broadcast equi-join per batch.
+    */
+  def withGenerationGuard(df: DataFrame, indexDir: String,
+      marker: String = "INDEX_READY"): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$marker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no committed index marker at $indexDir/$marker — build first")
+    val bytes = {
+      val in = fs.open(p)
+      try {
+        val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(b); b
+      } finally in.close()
+    }
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    val guard = spark.read.format("binaryFile")
+      .load(s"$indexDir/$marker")
+      .select(when(md5(col("content")) === lit(expect), lit(1))
+        .otherwise(raise_error(lit(
+          s"index at $indexDir mutated under a running gate " +
+            s"($marker changed since the gate was built) — restart " +
+            "the gate against the new index generation"))
+          .cast("int")).as("__gen"))
+    val cols = df.columns.toIndexedSeq.map(col)
+    df.withColumn("__gen", lit(1))
+      .join(guard, "__gen")
+      .select(cols: _*)
   }
 
   /** The corpus's at-rest probe-cell table for [[annGate]] — the
@@ -388,6 +449,15 @@ object StreamingOps {
     * near-identical vector exists. ann_keep = no candidate reached
     * the threshold; a candidate-less row reports best_cos = 0.0
     * (matching the batch reference's coalesce), never NULL.
+    *
+    * GENERATION semantics ([[withGenerationGuard]]): the quantizer is
+    * frozen at gate build; a concurrent append/delete/ingest/rebuild
+    * of the index FAILS the next micro-batch fast (the in-plan marker
+    * guard) rather than silently mixing the frozen probe columns with
+    * a mutated static side — restart the gate (with a refreshed
+    * `corpusCells`) to pick up the new generation. Compaction is
+    * result-invisible and preserves the marker text, so a running
+    * gate serves across it.
     */
   def annGate(df: DataFrame, idCol: String, vecCol: String,
       tsCol: String, corpusCells: DataFrame, dir: String,
@@ -410,9 +480,10 @@ object StreamingOps {
         coalesce(col(idCol).cast("string"), lit("null"))))
         .cast("long"))
       .otherwise(col(idCol).try_cast("long"))
-    wm.select(col(idCol), col(tsCol), col(vecCol).as("__v"),
+    withGenerationGuard(
+      wm.select(col(idCol), col(tsCol), col(vecCol).as("__v"),
         graft.ext.Similarity.l2norm(df, col(vecCol)).as("__nrm"),
-        idLong.as("__id"))
+        idLong.as("__id")), dir)
       .select(col(idCol), col(tsCol), col("__v"), col("__nrm"),
         col("__id"),
         explode(graft.ext.AnnIndex.flatProbeCellsCol(df, col("__v"),
@@ -453,6 +524,14 @@ object StreamingOps {
     * routes hits to the expensive verify leg (`nearDupGate`, or a
     * keyed lookup against the corpus). The bitmap refreshes on the
     * corpus's compaction cadence, like `corpusBandBuckets`.
+    *
+    * GENERATION semantics: the bitmap is ONE artifact captured inside
+    * the codegen'd expression at gate build — frozen-at-start by
+    * construction, so no mid-stream index mutation can produce a
+    * generation MIX (unlike the two-artifact gates, which carry
+    * [[withGenerationGuard]]). A rebuilt bitmap is picked up by
+    * restarting the gate; until then the gate deterministically
+    * serves the build-time generation.
     */
   def bloomGate(df: DataFrame, idCol: String, keyExpr: Column,
       bitmap: Array[Byte], k: Int, mBits: Int): DataFrame = {

@@ -13,24 +13,35 @@ import graft.ext.{AnnIndex, BloomIndex, MinHashIndex}
   * (whole-sheet rescan per run, `main.gs:51-52`); these lifecycles
   * are the driver-mandated 100 TB posture.
   *
-  * Usage (kind = ann | minhash | bloom):
-  *   runMain graft.tools.IndexMaintCli status     <dir>
-  *   runMain graft.tools.IndexMaintCli compact    <kind> <dir>
+  * Usage (kind = ann | minhash | bloom; gkind = ann | minhash):
+  *   runMain graft.tools.IndexMaintCli status      <dir>
+  *   runMain graft.tools.IndexMaintCli compact     <kind> <dir>
   *   runMain graft.tools.IndexMaintCli break-lease <kind> <dir> [staleMillis]
+  *   runMain graft.tools.IndexMaintCli groups      <gkind> <dir>
+  *   runMain graft.tools.IndexMaintCli groups-build <gkind> <dir> \
+  *     <corpusParquet> <idCol> <contentCol> <threshold>
+  *   runMain graft.tools.IndexMaintCli groups-append <gkind> <dir> \
+  *     <batchParquet> <corpusParquet> <idCol> <contentCol> <threshold>
+  *   runMain graft.tools.IndexMaintCli groups-delete minhash <dir> \
+  *     <corpusParquet> <idCol> <contentCol> <threshold>
   *
   * `status` prints the committed marker (params + every +append/
-  * +delete/+ingest mutation line), lease presence, and which side
-  * tables / segments / tombstone queues exist. `compact` runs the
-  * family's seal (AnnIndex: fold the streaming segment + tombstones
-  * into codes/; MinHash: sigs; Bloom: bitmap+keys). `break-lease`
-  * refuses while the holder's heartbeat is fresh — see
-  * `IndexFs.breakLease`.
+  * +delete/+ingest mutation line), the GROUPS_READY marker and its
+  * staleness vs the current index marker, lease presence, and which
+  * side tables / segments / tombstone queues exist. `compact` runs
+  * the family's seal (AnnIndex: fold the streaming segment +
+  * tombstones into codes/; MinHash: sigs; Bloom: bitmap+keys).
+  * `break-lease` refuses while the holder's heartbeat is fresh — see
+  * `IndexFs.breakLease`. The `groups*` subcommands drive the at-rest
+  * groups lifecycle (`buildGroups` / `appendGroups` / `deleteGroups`
+  * — the fold ops refuse out-of-order mutations, see
+  * `IndexFs.requireFoldable`); `groups` alone reports freshness.
   */
 object IndexMaintCli {
 
   private val SideDirs = Seq("codes", "codes_stream", "sigs",
     "sigs_stream", "bitmap", "keys", "keys_stream", "deletes",
-    "coarse", "codebooks", "meta")
+    "coarse", "codebooks", "meta", "groups")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -68,10 +79,67 @@ object IndexMaintCli {
         breakLease(spark, kind, dir, None)
       case Seq("break-lease", kind, dir, stale) =>
         breakLease(spark, kind, dir, Some(stale.toLong))
+      case Seq("groups", kind, dir) =>
+        groupsReport(spark, kind, dir)
+      case Seq("groups-build", kind, dir, corpus, idCol, cCol, thr) =>
+        kind match {
+          case "minhash" => MinHashIndex.buildGroups(
+            spark.read.parquet(corpus), idCol, cCol, dir, thr.toDouble)
+          case "ann" => AnnIndex.buildGroups(
+            spark.read.parquet(corpus), idCol, cCol, dir, thr.toDouble)
+          case other => sys.error(s"unknown groups kind '$other' " +
+            "(ann | minhash)")
+        }
+        println(s"[index-maint] groups built for $kind index at $dir")
+      case Seq("groups-append", kind, dir, batch, corpus, idCol, cCol,
+          thr) =>
+        kind match {
+          case "minhash" => MinHashIndex.appendGroups(
+            spark.read.parquet(batch), spark.read.parquet(corpus),
+            idCol, cCol, dir, thr.toDouble)
+          case "ann" => AnnIndex.appendGroups(
+            spark.read.parquet(batch), spark.read.parquet(corpus),
+            idCol, cCol, dir, thr.toDouble)
+          case other => sys.error(s"unknown groups kind '$other' " +
+            "(ann | minhash)")
+        }
+        println(s"[index-maint] batch folded into $kind groups at $dir")
+      case Seq("groups-delete", "minhash", dir, corpus, idCol, cCol,
+          thr) =>
+        MinHashIndex.deleteGroups(spark.read.parquet(corpus), idCol,
+          cCol, dir, thr.toDouble)
+        println(s"[index-maint] tombstones folded into minhash " +
+          s"groups at $dir")
       case _ =>
         sys.error("usage: status <dir> | compact <kind> <dir> | " +
-          "break-lease <kind> <dir> [staleMillis]")
+          "break-lease <kind> <dir> [staleMillis] | " +
+          "groups <kind> <dir> | " +
+          "groups-build <kind> <dir> <corpus> <idCol> <contentCol> <thr> | " +
+          "groups-append <kind> <dir> <batch> <corpus> <idCol> <contentCol> <thr> | " +
+          "groups-delete minhash <dir> <corpus> <idCol> <contentCol> <thr>")
     }
+
+  private def groupsReport(spark: SparkSession, kind: String,
+      dir: String): Unit = {
+    val st = kind match {
+      case "minhash" => MinHashIndex.groupsStatus(spark, dir)
+      case "ann" => AnnIndex.groupsStatus(spark, dir)
+      case other => sys.error(s"unknown groups kind '$other' " +
+        "(ann | minhash)")
+    }
+    st match {
+      case Some((marker, fresh)) =>
+        println(s"[index-maint] $dir groups: GROUPS_READY " +
+          (if (fresh) "(FRESH vs current index marker)"
+           else "(STALE — index mutated since; fold the trailing " +
+             "mutation with groups-append/groups-delete, or " +
+             "groups-build)"))
+        println(s"    $marker")
+      case None =>
+        println(s"[index-maint] $dir groups: ABSENT (groups-build " +
+          "to create)")
+    }
+  }
 
   private def breakLease(spark: SparkSession, kind: String,
       dir: String, staleMillis: Option[Long]): Unit = {
@@ -114,6 +182,28 @@ object IndexMaintCli {
     } else
       println("  marker: ABSENT (no committed index — build " +
         "running, crashed, or never ran)")
+    val gmarker = new Path(dir, "GROUPS_READY")
+    if (fs.exists(gmarker)) {
+      // staleness = the digest recorded at build time vs the digest
+      // of the current index marker (the groupsStatus rule, kindless)
+      val gin = fs.open(gmarker)
+      val gtext =
+        try scala.io.Source.fromInputStream(gin, "UTF-8").mkString
+        finally gin.close()
+      val fresh = fs.exists(marker) && {
+        val in2 = fs.open(marker)
+        val itext =
+          try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+          finally in2.close()
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(itext.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        gtext.contains(s"index[$digest]")
+      }
+      println("  groups marker: GROUPS_READY " +
+        (if (fresh) "(FRESH)" else "(STALE vs current index marker)"))
+      gtext.linesIterator.foreach(l => println(s"    $l"))
+    } else println("  groups marker: ABSENT")
     val lease = new Path(dir, ".MAINT_LEASE")
     if (fs.exists(lease)) {
       val st = fs.getFileStatus(lease)

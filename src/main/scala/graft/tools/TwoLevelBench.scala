@@ -22,14 +22,26 @@ import graft.ext.{AnnIndex, Similarity}
   * map-side and only the chosen supers' children after one skinny
   * id-keyed exchange — O(sp*sqrt(nCells))/row at any nCells.
   *
+  * A second leg (r16) measures the DISTRIBUTED BATCH SERVE both ways:
+  * `searchBatchDist` on a flat-marker index ranks all nCells per
+  * query row (crossJoin + window — the r15 seam), on a hier-marker
+  * index it routes through the recorded hierarchy; the sweep pins
+  * where the flat serve goes super-linear and the hier serve does
+  * not, on committed indexes at production-shaped nCells.
+  *
   * Usage: runMain graft.tools.TwoLevelBench [nRows] [dim] [passes]
-  * Output: one JSON line per (nCells, path) with min-of-passes secs.
+  *          [legs]
+  * `legs` is a comma list of assign|pairs|serve (default: all).
+  * Output: one JSON line per (leg, nCells, path) with min-of-passes
+  * secs.
   */
 object TwoLevelBench {
   def main(args: Array[String]): Unit = {
     val nRows = if (args.length > 0) args(0).toLong else 200000L
     val dim = if (args.length > 1) args(1).toInt else 64
     val passes = if (args.length > 2) args(2).toInt else 3
+    val legs = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("assign", "pairs", "serve"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,7 +78,7 @@ object TwoLevelBench {
       .map(_.getSeq[Float](0).toSeq).toSeq
 
     for (nCells <- Seq(160, 512, 1024, 2048, 4096)
-         if nCells <= allVecs.size) {
+         if legs("assign") && nCells <= allVecs.size) {
       val coarse = allVecs.take(nCells)
       // the flat projection's width grows with nCells (nCells*dim
       // literal doubles in ONE expression) — a failure here IS the
@@ -87,6 +99,76 @@ object TwoLevelBench {
           AnnIndex.probeCells(n, coarse, probes = 4, superProbes = sp)
             .count())
         println(s"""{"leg":"assign","nCells":$nCells,"path":"hier_sp$sp","sec":${f"$hier%.2f"},"rows":$nRows}""")
+      }
+    }
+
+    val m = if (dim % 8 == 0) 8 else 4
+
+    // corpus-wide PAIRS leg (r16, VERDICT #9's decade): the
+    // dedup_embed_ann production posture — capacity-bounded cells
+    // (nCells = N/125), probes=8 — measured at the sf1.0-equivalent
+    // and sf10-equivalent corpus sizes on the same synthetic vectors,
+    // pinning the linear-in-N claim one decade past the derived-sf1.0
+    // measurement without a second text derivation (stacked caesar
+    // shifts collide past 26 replicas and would plant exact dups —
+    // see DeriveSf's scaladoc). Candidate work is probes²·cellSize·N
+    // with cellSize held at ~125 by construction, so the expected
+    // shape is time ∝ N; the measured ratio IS the result. Cells in
+    // the thousands → the hierarchy (sp=3) carries the assignment,
+    // exactly as a production index at this nCells would.
+    for (nPair <- Seq(60000L, 600000L)
+         if legs("pairs") && nPair <= nRows) {
+      val pEmb = emb.filter(col("vec_id") < nPair).localCheckpoint(true)
+      pEmb.count()
+      val nCells = math.max(16L, nPair / 125L).toInt
+      val sp = if (nCells > 1000) 3 else 0
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"tlbp_$nPair").toString + "/idx"
+      val tb0 = System.nanoTime()
+      AnnIndex.build(pEmb, "vec_id", "embedding", dir,
+        nCells = nCells, m = m, nCentroids = 16, iters = 1, hier = 3)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val sec = time(
+        AnnIndex.cosinePairsIndexed(pEmb, "vec_id", "embedding", dir,
+          threshold = 0.45, probes = 8, superProbes = sp).count() + 1)
+      println(s"""{"leg":"pairs","rows":$nPair,"nCells":$nCells,"sp":$sp,"sec":${f"$sec%.2f"},"buildSec":${f"$buildSec%.2f"}}""")
+    }
+
+    // batch-SERVE leg (r16): searchBatchDist flat vs hier on a
+    // COMMITTED index at each nCells — build outside the timed body
+    // (build is the amortized offline step), serve a 20k-query batch.
+    // The flat build/serve at large nCells may hit the codegen
+    // ceiling or the measured super-linear window; either outcome IS
+    // the measurement.
+    val serveRows = math.min(nRows, 100000L)
+    val sEmb = emb.filter(col("vec_id") < serveRows)
+      .localCheckpoint(true)
+    sEmb.count()
+    val nQ = math.min(serveRows, 20000L)
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    queries.count()
+    for (nCells <- Seq(1024, 2048, 4096)
+         if legs("serve") && nCells <= serveRows;
+         (hier, label) <- Seq((0, "flat"), (3, "hier_sp3"))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"tlb_${nCells}_$hier").toString + "/idx"
+      try {
+        val tb0 = System.nanoTime()
+        AnnIndex.build(sEmb, "vec_id", "embedding", dir,
+          nCells = nCells, m = m, nCentroids = 16, iters = 1,
+          hier = hier)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val sec = time(
+          AnnIndex.searchBatchDist(sEmb, "vec_id", "embedding", dir,
+            queries, "vec_id", "embedding", probes = 4, k = 5,
+            nCand = 40).count())
+        println(s"""{"leg":"serve","nCells":$nCells,"path":"$label","sec":${f"$sec%.2f"},"buildSec":${f"$buildSec%.2f"},"rows":$serveRows,"queries":$nQ}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"leg":"serve","nCells":$nCells,"path":"$label","failed":"${
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\n]", " ").take(120)}"}""")
       }
     }
     spark.stop()

@@ -11,17 +11,21 @@ class BenchSummarySpec extends AnyFunSuite {
   private def line = Bench.summaryLine(
     total = 12345.678, calib = 100.123, calib2 = 100.456,
     calibIo = 50.789, calibIo2 = 50.012, nQueries = 9999,
-    nFailed = 9999, sfDir = "/root/testdata/sf0.1")
+    nFailed = 9999, sfDir = "/root/testdata/sf0.1",
+    sweepTotals = Seq(4123.4, 4111.1, 4111.2),
+    sweepCpu = Seq(100.123, 100.456, 100.2, 100.3),
+    sweepIo = Seq(50.789, 50.012, 50.1, 50.2))
 
   test("summary stays far inside the driver's stdout tail window") {
-    assert(line.length < 300, s"summary grew to ${line.length} chars")
+    assert(line.length < 400, s"summary grew to ${line.length} chars")
   }
 
   test("summary is one line of valid JSON with the driver's keys") {
     assert(!line.contains("\n"))
     for (key <- Seq("\"metric\"", "\"value\"", "\"unit\"", "\"calib\"",
         "\"calib2\"", "\"calib_io\"", "\"calib_io2\"", "\"n_queries\"",
-        "\"n_failed\"", "\"sf\""))
+        "\"n_failed\"", "\"sweep_totals\"", "\"sweep_cpu\"",
+        "\"sweep_io\"", "\"sf\""))
       assert(line.contains(key), s"missing $key")
     // cheap structural JSON check: balanced braces, no trailing comma
     assert(line.head == '{' && line.last == '}')

@@ -484,6 +484,97 @@ class MinHashIndexSpec extends SparkSpec {
     }
   }
 
+  test("lease torture (r16): N latch-synchronized racing acquirers " +
+      "have exactly ONE winner and loud losers; a live heartbeat " +
+      "refuses break with the index untouched; a stale break fences " +
+      "every decision through the post-break marker re-read") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir()
+    MinHashIndex.build(docs, "doc_id", "text", dir,
+      fingerprint = "gen1")
+    val markerV1 = IndexFs.readMarker(s, dir, "INDEX_READY").get
+
+    // (a) acquire race — deterministic interleaving via latches: the
+    // winner HOLDS the lease until EVERY thread's acquire attempt has
+    // resolved (each thread counts the latch down the moment its own
+    // attempt completes, win or lose), so no release can happen while
+    // an attempt is still outstanding and a second winner is
+    // impossible by construction
+    val n = 4
+    val start = new java.util.concurrent.CyclicBarrier(n)
+    val winners = new java.util.concurrent.atomic.AtomicInteger
+    val losers = new java.util.concurrent.atomic.AtomicInteger
+    val errs = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val attempted = new java.util.concurrent.CountDownLatch(n)
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => {
+        start.await()
+        try IndexFs.withLease(s, dir, ".MAINT_LEASE", "torture spec") {
+          winners.incrementAndGet()
+          attempted.countDown() // my own attempt resolved (won)
+          attempted.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        } catch {
+          case e: IllegalStateException =>
+            errs.add(e.getMessage); losers.incrementAndGet()
+            attempted.countDown()
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(60000))
+    assert(winners.get == 1 && losers.get == n - 1,
+      s"winners=${winners.get} losers=${losers.get}")
+    // identical messages collapse in the set — content matters, not
+    // cardinality (the loser COUNT is asserted above)
+    assert(!errs.isEmpty &&
+      errs.stream.allMatch(m => m.contains("lease held")),
+      s"losers must abort loudly: $errs")
+    val leaseFile = new java.io.File(dir, ".MAINT_LEASE")
+    assert(!leaseFile.exists, "winner must release on exit")
+
+    // (b) a LIVE heartbeat (fresh mtime) refuses the break, and the
+    // index is untouched by the refused breaker
+    assert(leaseFile.createNewFile())
+    val sigsBefore = s.read.parquet(s"$dir/sigs").count()
+    val alive = intercept[IllegalStateException] {
+      MinHashIndex.breakLease(s, dir)
+    }
+    assert(alive.getMessage.contains("ALIVE"), alive.getMessage)
+    assert(leaseFile.exists &&
+      s.read.parquet(s"$dir/sigs").count() == sigsBefore,
+      "a refused break must not touch lease or tables")
+
+    // (c) stale break + FENCING: age the heartbeat deterministically
+    // (setLastModified, no sleeps); breaker A wins, rebuilds under a
+    // fresh lease (marker gen2); breaker B's own break is then a
+    // no-op and its post-fence marker re-read returns GEN2 — B must
+    // decide from that, not from its pre-crash memory of gen1
+    assert(leaseFile.setLastModified(
+      System.currentTimeMillis() - 600000L))
+    val mA = MinHashIndex.breakLease(s, dir)
+    assert(mA.contains(markerV1), s"A sees the committed marker: $mA")
+    MinHashIndex.build(docs, "doc_id", "text", dir,
+      fingerprint = "gen2") // A's rebuild re-acquires cleanly
+    val mB = MinHashIndex.breakLease(s, dir)
+    assert(mB.exists(_.contains("gen2")) && !mB.contains(markerV1),
+      s"B's post-fence re-read must surface A's rebuild: $mB")
+
+    // (d) pre-commit crash: orphaned stale lease, NO committed marker
+    // -> break returns None = rebuild before serving
+    val dir2 = tmpDir()
+    new java.io.File(dir2).mkdirs()
+    val lease2 = new java.io.File(dir2, ".MAINT_LEASE")
+    assert(lease2.createNewFile() &&
+      lease2.setLastModified(System.currentTimeMillis() - 600000L))
+    assert(MinHashIndex.breakLease(s, dir2).isEmpty,
+      "a pre-commit crash must report: no marker, rebuild")
+  }
+
   test("pairsVerified == the corpus-mining legs (word3 AND char5): " +
       "identical banded candidates from the at-rest signatures, " +
       "identical exact-Jaccard bar — pair sets equal including " +

@@ -892,6 +892,115 @@ class AnnIndexSpec extends SparkSpec {
     assert(served == brute, s"served=$served brute=$brute")
   }
 
+  test("searchBatchDist on a hier-marker index (r16): probe-cell " +
+      "selection routes through the RECORDED hierarchy — " +
+      "row-identical to the flat rank when hier >= nSuper (by " +
+      "construction), the nCells cross product gone from the plan, " +
+      "and probes=1 serves from the query's own encode cell") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    val qdf = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    // nCells=16 -> nSuper=4: hier=4 ranks every super's children ==
+    // the flat ranking by construction, so the hier CODE PATH must be
+    // row-identical to searchBatch's exact flat driver rank on the
+    // same index
+    val dirEq = Files.createTempDirectory("annhierserve1").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dirEq, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1, hier = 4)
+    val hierServe = AnnIndex.searchBatchDist(emb, "vec_id",
+      "embedding", dirEq, qdf, "vec_id", "embedding", probes = 2,
+      k = 10, nCand = 80)
+    val flatRank = AnnIndex.searchBatch(emb, "vec_id", "embedding",
+      dirEq, qdf, "vec_id", "embedding", probes = 2, k = 10,
+      nCand = 80)
+    assert(norm(hierServe) == norm(flatRank) &&
+      norm(hierServe).nonEmpty)
+    // the branch genuinely fired: the flat serve's |Q| x nCells
+    // cross product (BroadcastNestedLoopJoin) is replaced by the
+    // broadcast child-table equi-join
+    val plan = hierServe.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"hier serve must not cross-join the coarse table:\n${
+        plan.take(1500)}")
+    // probes=1 on a hier<nSuper index probes EXACTLY the query's
+    // encode cell (probeCells@1 == hierCellCol, the encode-spec
+    // consistency) — every corpus-member query must find a perfect
+    // cosine-1.0 match (itself, or an identical twin in the same
+    // cell) at rank 1
+    val dirH2 = Files.createTempDirectory("annhierserve2").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dirH2, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1, hier = 2)
+    val self1 = AnnIndex.searchBatchDist(emb, "vec_id", "embedding",
+        dirH2, qdf, "vec_id", "embedding", probes = 1, k = 1,
+        nCand = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(self1.length == qdf.count() &&
+      self1.forall { case (_, sc) => math.abs(sc - 1.0) < 1e-9 },
+      s"probes=1 must serve the encode cell: ${
+        self1.filter(t => math.abs(t._2 - 1.0) >= 1e-9).take(5)
+          .mkString(", ")}")
+  }
+
+  test("groups at rest for the EMBEDDING family (r16): appendGroups' " +
+      "super-node fold equals a full buildGroups over the SAME index " +
+      "state; markers track index mutations, params, and strict " +
+      "foldability") {
+    val s = spark
+    val emb = s.read.parquet(embPath)
+    // base keeps vec_id < 64 dense (the PQ trainer's init requirement)
+    val split = col("vec_id") % 3 === 2 && col("vec_id") >= 64
+    val base = emb.filter(!split)
+    val batch = emb.filter(split)
+    def groupsOf(dir: String): Map[Long, Long] =
+      AnnIndex.readGroups(s, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirInc = Files.createTempDirectory("anngrp1").toString
+    AnnIndex.build(base, "vec_id", "embedding", dirInc, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    // fold without a committed groups table -> refused
+    intercept[Exception] {
+      AnnIndex.appendGroups(batch, emb, "vec_id", "embedding",
+        dirInc, 0.45)
+    }
+    AnnIndex.buildGroups(base, "vec_id", "embedding", dirInc, 0.45)
+    assert(AnnIndex.groupsFresh(s, dirInc, 0.45))
+    assert(!AnnIndex.groupsFresh(s, dirInc, 0.5),
+      "a different threshold is a different groups table")
+    assert(AnnIndex.groupsStatus(s, dirInc).exists(_._2))
+    // fold with NO un-folded trailing mutation -> refused (strict)
+    intercept[IllegalStateException] {
+      AnnIndex.appendGroups(batch, emb, "vec_id", "embedding",
+        dirInc, 0.45)
+    }
+    AnnIndex.append(batch, "vec_id", "embedding", dirInc)
+    assert(!AnnIndex.groupsFresh(s, dirInc, 0.45),
+      "an index mutation must flip the groups table stale")
+    assert(AnnIndex.groupsStatus(s, dirInc).exists(!_._2))
+    AnnIndex.appendGroups(batch, emb, "vec_id", "embedding", dirInc,
+      0.45)
+    assert(AnnIndex.groupsFresh(s, dirInc, 0.45))
+    // THE guarantee: the fold equals a full re-mine + CC over the
+    // SAME index state (same frozen quantizer: base-trained + append;
+    // a from-scratch full-corpus rebuild would train a different
+    // quantizer — the append contract freezes it deliberately)
+    val dirFull = Files.createTempDirectory("anngrp2").toString
+    AnnIndex.build(base, "vec_id", "embedding", dirFull, nCells = 16,
+      m = 32, nCentroids = 64, iters = 1)
+    AnnIndex.append(batch, "vec_id", "embedding", dirFull)
+    AnnIndex.buildGroups(emb, "vec_id", "embedding", dirFull, 0.45)
+    val inc = groupsOf(dirInc)
+    val full = groupsOf(dirFull)
+    assert(inc.nonEmpty, "spec corpus must have near-dup groups")
+    assert(inc == full, s"incremental ${inc.size} rows != rebuild ${
+      full.size}: ${(inc.toSet diff full.toSet).take(5)} / ${
+      (full.toSet diff inc.toSet).take(5)}")
+  }
+
   test("searchBatchDist salted fan-out (r15): salts>0 joins codes to " +
       "probes on (cell, salt) — plan carries the salt key — with " +
       "results ROW-IDENTICAL to the unsalted path") {

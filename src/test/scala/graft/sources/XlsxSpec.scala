@@ -41,6 +41,35 @@ class XlsxSpec extends SparkSpec {
       == (1 to 100).map(i => (s"k$i", i.toString)).toSet)
   }
 
+  test("write scale guard (r16): above maxBulkRows the bulk write " +
+      "routes to the sharded executor-side sink automatically — " +
+      "part files that round-trip through read — while small sheets " +
+      "keep the faithful single-workbook path") {
+    val s = spark
+    import s.implicits._
+    val big = (1 to 50).map(i => (s"k$i", i.toString))
+      .toDF("K", "V").repartition(5)
+    val dir = java.nio.file.Files.createTempDirectory("xlsxguard")
+      .resolve("out").toString
+    Xlsx.write(big, dir, maxBulkRows = 10)
+    assert(new java.io.File(dir).isDirectory,
+      "above the threshold the path must become a sharded directory")
+    assert(new java.io.File(dir, "_SUCCESS").exists)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".xlsx"))
+    assert(parts.length > 1, "expected a multi-part write")
+    val back = Xlsx.read(spark, s"$dir/*.xlsx")
+    assert(back.count() == 50 &&
+      back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        == (1 to 50).map(i => (s"k$i", i.toString)).toSet)
+    // below the threshold: one plain workbook FILE, as before
+    val small = java.nio.file.Files.createTempDirectory("xlsxguard2")
+      .resolve("t.xlsx").toString
+    Xlsx.write(big.limit(3), small, maxBulkRows = 10)
+    assert(new java.io.File(small).isFile,
+      "small sheets keep the single-workbook bulk path")
+  }
+
   test("writeSharded re-export overwrites: no stale parts survive") {
     val s = spark
     import s.implicits._

@@ -683,6 +683,80 @@ class StreamingOpsSpec extends SparkSpec {
       s"candidate-less contract: ${lone.mkString(", ")}")
   }
 
+  test("gate generation guard (r16): an index mutation mid-stream " +
+      "fails the NEXT micro-batch fast; marker-preserving compaction " +
+      "keeps serving") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (0L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, v(0.99, 0.1, 0, 0, 0, 0, 0, 0)),
+      (2L, v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (3L, v(0, 0, 0, 1, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("anngateg")
+      .toString
+    graft.ext.AnnIndex.build(corpus, "vec_id", "embedding", dir,
+      nCells = 2, m = 2, nCentroids = 4, iters = 1)
+    val cells = StreamingOps.corpusAnnCells(corpus, "vec_id",
+      "embedding", dir, probes = 2).localCheckpoint(true)
+    val in = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = StreamingOps.annGate(
+        in.toDF().toDF("vec_id", "ts", "embedding"),
+        "vec_id", "embedding", "ts", cells, dir, threshold = 0.9,
+        probes = 2)
+      .writeStream.format("memory").queryName("ann_guard")
+      .outputMode("append").start()
+    in.addData((11L, t(0), v(1, 0.05, 0, 0, 0, 0, 0, 0)))
+    q.processAllAvailable() // build-time generation serves fine
+    // mutate the index under the running gate -> next batch fails
+    graft.ext.AnnIndex.append(
+      Seq((99L, v(0, 1, 0, 0, 0, 0, 0, 0)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    in.addData((12L, t(1), v(0, 0, 1, 0, 0, 0, 0, 0)))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("mutated under a running gate")),
+      msgs(e).mkString(" | "))
+    q.stop()
+
+    // nearDupGate with guardIndexDir: compact() rewrites tables but
+    // preserves the marker TEXT (result-invisible by contract), so a
+    // running gate keeps serving; a delete() trips the guard
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "mm nn oo pp qq rr ss tt"))
+      .toDF("doc_id", "text")
+    val mdir = java.nio.file.Files.createTempDirectory("mhgateg")
+      .toString + "/idx"
+    graft.ext.MinHashIndex.build(docs, "doc_id", "text", mdir)
+    val buckets = graft.ext.MinHashIndex.bandBuckets(s, mdir)
+      .localCheckpoint(true)
+    val in2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = StreamingOps.nearDupGate(
+        in2.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", buckets,
+        guardIndexDir = Some(mdir))
+      .writeStream.format("memory").queryName("nd_guard")
+      .outputMode("append").start()
+    in2.addData((10L, t(0), "aa bb cc dd ee ff gg hh"))
+    q2.processAllAvailable()
+    graft.ext.MinHashIndex.compact(s, mdir) // marker text preserved
+    in2.addData((11L, t(1), "mm nn oo pp qq rr ss tt"))
+    q2.processAllAvailable() // still serving across compaction
+    graft.ext.MinHashIndex.delete(s, mdir, Seq(2L)) // marker changed
+    in2.addData((12L, t(2), "aa bb cc dd ee ff gg hh"))
+    val e2 = intercept[Exception] { q2.processAllAvailable() }
+    assert(msgs(e2).exists(_.contains("mutated under a running gate")),
+      msgs(e2).mkString(" | "))
+    q2.stop()
+  }
+
   test("winnowGate: map-side fingerprints == batch winnowFingerprints " +
       "row-for-row; stream verdicts equal batch; SWA guarantee gates") {
     val s = spark
