@@ -531,9 +531,16 @@ object PipelineQueries {
         documents(s, d).filter(col("doc_id") % 20 =!= 0),
         "doc_id", tsKey, bdir, k = BloomK, mBits = BloomBits,
         fingerprint = bfp)
+      // the verdict universe matches the referee's inner joins: docs
+      // that also have an embedding row (at some SFs documents
+      // outnumber embeddings) — a skinny id semi-join, not a probe
+      val emUniverse = embeddings(s, d)
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("doc_id"))
       val bl = graft.ext.BloomIndex.gate(
           documents(s, d).filter(col("doc_id") % 20 === 0),
           "doc_id", tsKey, bdir)
+        .join(emUniverse, Seq("doc_id"), "left_semi")
         .localCheckpoint(false)
       val keep = bl.filter(!col("exact_dup")).select(col("doc_id"))
       val mh = minhashFlags(s, d, Some(keep)).select(col("doc_id"),
