@@ -1214,4 +1214,77 @@ object AnnIndex {
       IndexFs.writeMarker(spark, dir, GroupsMarker,
         groupsMarkerText(idx, threshold, probes, superProbes))
     }
+
+  /** Fold a JUST-QUEUED [[delete]] into the committed groups table
+    * incrementally — `MinHashIndex.deleteGroups`' embedding dual. A
+    * delete can SPLIT a group (bridge removal), which the append
+    * fold's super-node trick cannot express, so components are
+    * recomputed ONLY over the touched groups' surviving members:
+    * their probe cells re-assigned under the frozen quantizer
+    * (deterministic per vector, so the confined candidate set equals
+    * a full re-mine's pairs among them — a touched-member ↔
+    * untouched-doc pair would have put both in ONE group already),
+    * exact cosine on candidates only, CC over the confined pairs, and
+    * the shared delete-fold relabel. Work is bounded by the touched
+    * groups' member count, never corpus-sized. Preconditions: the
+    * marker's trailing line is this delete's own `+delete[n]` and
+    * GROUPS_READY digests the marker without it
+    * ([[IndexFs.requireFoldable]]). Result equals a full
+    * [[buildGroups]] over the same index state (pinned in
+    * AnnIndexSpec).
+    */
+  def deleteGroups(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, threshold: Double, probes: Int = 4,
+      superProbes: Int = 0): Unit =
+    withLease(corpus.sparkSession, dir) {
+      val spark = corpus.sparkSession
+      val fs = hfs(spark, dir)
+      val idx = readMarker(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed ANN index at $dir — build first"))
+      IndexFs.requireFoldable(spark, dir, GroupsMarker, idx,
+        "deleteGroups", l => l.startsWith("+delete["), "+delete[n]",
+        prev => groupsMarkerText(prev, threshold, probes, superProbes))
+      val g = spark.read.parquet(s"$dir/groups")
+        .localCheckpoint(false)
+      val del = spark.read.parquet(s"$dir/deletes").select(col("id"))
+      val touched = g.join(del, Seq("id"), "left_semi")
+        .select(col("label")).distinct()
+      // surviving members of touched groups — the confined re-mine
+      // universe; EAGER: reads groups/, which the fold overwrites
+      val members = g.join(touched, Seq("label"), "left_semi")
+        .join(del, Seq("id"), "left_anti")
+        .select(col("id")).localCheckpoint(true)
+      val (_, coarse, _) = load(spark, dir)
+      val n = normalized(corpus, idCol, vecCol, dir) // tombstones out
+      val mN = n.join(members, Seq("id"), "left_semi")
+        .localCheckpoint(false)
+      val probe0 = probeCells(mN, coarse, probes, superProbes)
+        .select(col("id"), col("cell"))
+      val probe =
+        if (superProbes <= 0) probe0 else probe0.localCheckpoint(false)
+      val cand = probe
+        .join(probe.select(col("id").as("id2"), col("cell")), "cell")
+        .filter(col("id") < col("id2"))
+        .select(col("id").as("id_a"), col("id2").as("id_b"))
+        .distinct()
+      val pairs = cand
+        .join(mN.select(col("id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), "id_a")
+        .join(mN.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (Similarity.dot(corpus, col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+      val relabeled = graft.operators.ConnectedComponents
+        .labels(pairs).localCheckpoint(true)
+      val updated = graft.operators.ConnectedComponents
+        .foldDelete(g, touched, relabeled).localCheckpoint(true)
+      fs.delete(hpath(dir, GroupsMarker), false)
+      updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.writeMarker(spark, dir, GroupsMarker,
+        groupsMarkerText(idx, threshold, probes, superProbes))
+    }
 }

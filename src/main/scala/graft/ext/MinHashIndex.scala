@@ -802,24 +802,10 @@ object MinHashIndex {
           verifyPairs(corpus, idCol, textCol, meta, cand, threshold)
             .select(col("id_a"), col("id_b")))
         .localCheckpoint(true)
-      // One join-based relabel over g — NOT a union of the untouched
-      // and re-mined halves (Union over these join-derived children
-      // trips Catalyst's union constraint rewriting even behind
-      // checkpoints — the ConnectedComponents workaround, one level
-      // up): untouched rows keep their label; touched rows take their
-      // re-mined label, or DROP when left unpaired (the "unpaired
-      // docs are absent" contract). Deleted ids are in touched groups
-      // by definition and never in `relabeled`, so they drop here too.
-      // EAGER: reads groups/, which the write below overwrites.
-      val updated = g
-        .join(touched.withColumn("__t", lit(true)), Seq("label"),
-          "left")
-        .join(relabeled.select(col("id"), col("label").as("__nl")),
-          Seq("id"), "left")
-        .filter(col("__t").isNull || col("__nl").isNotNull)
-        .select(col("id"),
-          when(col("__t").isNotNull, col("__nl"))
-            .otherwise(col("label")).as("label"))
+      // shared delete-fold relabel (with AnnIndex.deleteGroups);
+      // EAGER: reads groups/, which the write below overwrites
+      val updated = graft.operators.ConnectedComponents
+        .foldDelete(g, touched, relabeled)
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")

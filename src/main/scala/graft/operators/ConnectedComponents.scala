@@ -140,4 +140,29 @@ object ConnectedComponents {
       .select(col("id"), col("label"))
     relabeled.unionByName(freshRows)
   }
+
+  /** The delete-fold relabel shared by the groups lifecycles: given
+    * the committed (id, label) groups, the TOUCHED group labels (those
+    * that lost a member), and the freshly recomputed (id, label)
+    * components over the touched groups' survivors, produce the
+    * updated groups — untouched rows keep their label, touched rows
+    * take their re-mined label or DROP when left unpaired (the
+    * "unpaired docs are absent" contract; deleted ids are touched and
+    * never re-mined, so they drop too). One join-based relabel over
+    * `groups` — NOT a union of the untouched and re-mined halves
+    * (Union over those join-derived children trips Catalyst's union
+    * constraint rewriting even behind checkpoints). Lazily planned —
+    * callers materialize before overwriting the groups table.
+    */
+  def foldDelete(groups: DataFrame, touchedLabels: DataFrame,
+      relabeled: DataFrame): DataFrame =
+    groups
+      .join(touchedLabels.select(col("label"))
+        .withColumn("__t", lit(true)), Seq("label"), "left")
+      .join(relabeled.select(col("id"), col("label").as("__nl")),
+        Seq("id"), "left")
+      .filter(col("__t").isNull || col("__nl").isNotNull)
+      .select(col("id"),
+        when(col("__t").isNotNull, col("__nl"))
+          .otherwise(col("label")).as("label"))
 }

@@ -22,7 +22,7 @@ import graft.ext.{AnnIndex, BloomIndex, MinHashIndex}
   *     <corpusParquet> <idCol> <contentCol> <threshold>
   *   runMain graft.tools.IndexMaintCli groups-append <gkind> <dir> \
   *     <batchParquet> <corpusParquet> <idCol> <contentCol> <threshold>
-  *   runMain graft.tools.IndexMaintCli groups-delete minhash <dir> \
+  *   runMain graft.tools.IndexMaintCli groups-delete <gkind> <dir> \
   *     <corpusParquet> <idCol> <contentCol> <threshold>
   *
   * `status` prints the committed marker (params + every +append/
@@ -104,11 +104,17 @@ object IndexMaintCli {
             "(ann | minhash)")
         }
         println(s"[index-maint] batch folded into $kind groups at $dir")
-      case Seq("groups-delete", "minhash", dir, corpus, idCol, cCol,
+      case Seq("groups-delete", kind, dir, corpus, idCol, cCol,
           thr) =>
-        MinHashIndex.deleteGroups(spark.read.parquet(corpus), idCol,
-          cCol, dir, thr.toDouble)
-        println(s"[index-maint] tombstones folded into minhash " +
+        kind match {
+          case "minhash" => MinHashIndex.deleteGroups(
+            spark.read.parquet(corpus), idCol, cCol, dir, thr.toDouble)
+          case "ann" => AnnIndex.deleteGroups(
+            spark.read.parquet(corpus), idCol, cCol, dir, thr.toDouble)
+          case other => sys.error(s"unknown groups kind '$other' " +
+            "(ann | minhash)")
+        }
+        println(s"[index-maint] tombstones folded into $kind " +
           s"groups at $dir")
       case _ =>
         sys.error("usage: status <dir> | compact <kind> <dir> | " +
@@ -116,7 +122,7 @@ object IndexMaintCli {
           "groups <kind> <dir> | " +
           "groups-build <kind> <dir> <corpus> <idCol> <contentCol> <thr> | " +
           "groups-append <kind> <dir> <batch> <corpus> <idCol> <contentCol> <thr> | " +
-          "groups-delete minhash <dir> <corpus> <idCol> <contentCol> <thr>")
+          "groups-delete <kind> <dir> <corpus> <idCol> <contentCol> <thr>")
     }
 
   private def groupsReport(spark: SparkSession, kind: String,

@@ -999,6 +999,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(inc == full, s"incremental ${inc.size} rows != rebuild ${
       full.size}: ${(inc.toSet diff full.toSet).take(5)} / ${
       (full.toSet diff inc.toSet).take(5)}")
+    // DELETE fold (the MinHash deleteGroups dual): tombstone a
+    // grouped vector, fold confined to the touched groups' survivors,
+    // result equals a full buildGroups over the same index state
+    val victim = inc.keys.min
+    AnnIndex.delete(s, dirInc, Seq(victim))
+    assert(!AnnIndex.groupsFresh(s, dirInc, 0.45))
+    // appendGroups must refuse to fold a delete
+    intercept[IllegalStateException] {
+      AnnIndex.appendGroups(batch.limit(0), emb, "vec_id",
+        "embedding", dirInc, 0.45)
+    }
+    val post = emb.filter(col("vec_id") =!= victim)
+    AnnIndex.deleteGroups(post, "vec_id", "embedding", dirInc, 0.45)
+    assert(AnnIndex.groupsFresh(s, dirInc, 0.45))
+    AnnIndex.delete(s, dirFull, Seq(victim))
+    AnnIndex.buildGroups(post, "vec_id", "embedding", dirFull, 0.45)
+    val incD = groupsOf(dirInc)
+    val fullD = groupsOf(dirFull)
+    assert(!incD.contains(victim) && incD == fullD,
+      s"delete fold ${incD.size} != rebuild ${fullD.size}: ${
+        (incD.toSet diff fullD.toSet).take(5)} / ${
+        (fullD.toSet diff incD.toSet).take(5)}")
   }
 
   test("searchBatchDist salted fan-out (r15): salts>0 joins codes to " +
