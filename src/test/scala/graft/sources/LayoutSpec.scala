@@ -944,6 +944,22 @@ class AnnIndexSpec extends SparkSpec {
       s"probes=1 must serve the encode cell: ${
         self1.filter(t => math.abs(t._2 - 1.0) >= 1e-9).take(5)
           .mkString(", ")}")
+    // serve-time override (ADVICE r16): recall is a knob per CALL,
+    // not frozen at build — superProbes=0 on the hier index forces
+    // the EXACT flat distributed rank (== searchBatch's driver rank),
+    // and superProbes = nSuper equals flat by construction through
+    // the hier code path
+    val flatH2 = norm(AnnIndex.searchBatch(emb, "vec_id", "embedding",
+      dirH2, qdf, "vec_id", "embedding", probes = 2, k = 10,
+      nCand = 80))
+    val forcedFlat = AnnIndex.searchBatchDist(emb, "vec_id",
+      "embedding", dirH2, qdf, "vec_id", "embedding", probes = 2,
+      k = 10, nCand = 80, superProbes = 0)
+    assert(norm(forcedFlat) == flatH2 && flatH2.nonEmpty)
+    val widened = AnnIndex.searchBatchDist(emb, "vec_id",
+      "embedding", dirH2, qdf, "vec_id", "embedding", probes = 2,
+      k = 10, nCand = 80, superProbes = 4)
+    assert(norm(widened) == flatH2)
   }
 
   test("groups at rest for the EMBEDDING family (r16): appendGroups' " +

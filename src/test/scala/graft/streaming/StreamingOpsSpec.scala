@@ -913,6 +913,62 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed(1L) && streamed(2L), "corpus members must hit")
   }
 
+  test("bloomGate generation-guard parity (r17): with guardIndexDir a " +
+      "mid-stream index mutation fails the NEXT micro-batch fast; " +
+      "without it the frozen build-time bitmap keeps serving " +
+      "(documented)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val corpus = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val (k, m) = (7, 1 << 14)
+    val dir = java.nio.file.Files.createTempDirectory("bloomgateg")
+      .toString + "/idx"
+    graft.ext.BloomIndex.build(corpus, "doc_id", col("text"), dir,
+      k = k, mBits = m)
+    val bitmap = graft.ext.Bloom.buildBitmap(
+      graft.ext.Bloom.positions(
+        graft.ext.Bloom.keyed(corpus, "doc_id", col("text")), k, m), m)
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    // GUARDED: an append under the running gate trips the next batch
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.bloomGate(in.toDF().toDF("doc_id", "text"),
+        "doc_id", col("text"), bitmap, k, m,
+        guardIndexDir = Some(dir))
+      .writeStream.format("memory").queryName("bloom_guarded")
+      .outputMode("append").start()
+    in.addData((1L, "alpha beta gamma"))
+    q.processAllAvailable() // build-time generation serves fine
+    graft.ext.BloomIndex.append(
+      Seq((200L, "late arrival body")).toDF("doc_id", "text"),
+      "doc_id", col("text"), dir)
+    in.addData((2L, "late arrival body"))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(msgs(e).exists(_.contains("mutated under a running gate")),
+      msgs(e).mkString(" | "))
+    q.stop()
+    // UNGUARDED: same mutation — the gate keeps serving the FROZEN
+    // build-time bitmap (a doc only in the appended batch reports
+    // no-hit), the documented frozen-by-construction semantics
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.bloomGate(in2.toDF().toDF("doc_id", "text"),
+        "doc_id", col("text"), bitmap, k, m)
+      .writeStream.format("memory").queryName("bloom_unguarded")
+      .outputMode("append").start()
+    in2.addData((1L, "alpha beta gamma"), (2L, "late arrival body"))
+    q2.processAllAvailable()
+    val served = s.sql("SELECT doc_id, bloom_hit FROM bloom_unguarded")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q2.stop()
+    assert(served(1L), "build-time corpus member must hit")
+    assert(!served(2L),
+      "unguarded gate must serve the FROZEN bitmap (appended doc " +
+        "invisible until restart)")
+  }
+
   test("cusumStream: keyed-state running CUSUM across micro-batches " +
       "equals the batch computation; in-batch bursts replay in day " +
       "order") {
