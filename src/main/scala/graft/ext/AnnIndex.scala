@@ -1166,10 +1166,12 @@ object AnnIndex {
 
   /** Fold a JUST-APPENDED batch into the committed groups table
     * incrementally. Preconditions mirror `MinHashIndex.appendGroups`
-    * (strict foldability: the index marker's trailing line must be
-    * this batch's own `+append`/`+ingest` — see
-    * [[IndexFs.requireFoldable]]); `corpus` is the full post-append
-    * corpus and must contain the batch ids.
+    * (the r17 suffix walk: GROUPS_READY digests a prefix of the index
+    * marker and the NEXT un-folded line must be this batch's
+    * `+append`/`+ingest` — a multi-mutation suffix folds as bounded
+    * calls in marker order; see [[IndexFs.requireFoldable]]);
+    * `corpus` is the full post-append corpus and must contain the
+    * batch ids.
     *
     * New pairs = the batch's probe cells joined against the corpus
     * probe-cell assignment under the index's OWN frozen centroids —
@@ -1189,8 +1191,8 @@ object AnnIndex {
       val idx = readMarker(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no committed ANN index at $dir — build first"))
-      IndexFs.requireFoldable(spark, dir, GroupsMarker, idx,
-        "appendGroups",
+      val stamp = IndexFs.requireFoldable(spark, dir, GroupsMarker,
+        idx, "appendGroups",
         l => l.startsWith("+append[") || l == "+ingest",
         "+append/+ingest",
         prev => groupsMarkerText(prev, threshold, probes, superProbes))
@@ -1227,8 +1229,7 @@ object AnnIndex {
         .localCheckpoint(true)
       fs.delete(hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")
-      IndexFs.writeMarker(spark, dir, GroupsMarker,
-        groupsMarkerText(idx, threshold, probes, superProbes))
+      IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 
   /** Fold a JUST-QUEUED [[delete]] into the committed groups table
@@ -1243,9 +1244,12 @@ object AnnIndex {
     * exact cosine on candidates only, CC over the confined pairs, and
     * the shared delete-fold relabel. Work is bounded by the touched
     * groups' member count, never corpus-sized. Preconditions: the
-    * marker's trailing line is this delete's own `+delete[n]` and
-    * GROUPS_READY digests the marker without it
-    * ([[IndexFs.requireFoldable]]). Result equals a full
+    * next un-folded marker line after the prefix GROUPS_READY digests
+    * must be a `+delete[n]` (the r17 suffix walk —
+    * [[IndexFs.requireFoldable]]; tombstones are applied IN FULL at
+    * every fold, so with several deletes queued an earlier fold may
+    * clean a later delete's groups early — the later fold then
+    * no-ops for them). The drained sequence equals a full
     * [[buildGroups]] over the same index state (pinned in
     * AnnIndexSpec).
     */
@@ -1258,8 +1262,9 @@ object AnnIndex {
       val idx = readMarker(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no committed ANN index at $dir — build first"))
-      IndexFs.requireFoldable(spark, dir, GroupsMarker, idx,
-        "deleteGroups", l => l.startsWith("+delete["), "+delete[n]",
+      val stamp = IndexFs.requireFoldable(spark, dir, GroupsMarker,
+        idx, "deleteGroups", l => l.startsWith("+delete["),
+        "+delete[n]",
         prev => groupsMarkerText(prev, threshold, probes, superProbes))
       val g = spark.read.parquet(s"$dir/groups")
         .localCheckpoint(false)
@@ -1300,7 +1305,6 @@ object AnnIndex {
         .foldDelete(g, touched, relabeled).localCheckpoint(true)
       fs.delete(hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")
-      IndexFs.writeMarker(spark, dir, GroupsMarker,
-        groupsMarkerText(idx, threshold, probes, superProbes))
+      IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 }

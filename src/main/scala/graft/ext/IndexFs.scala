@@ -269,37 +269,57 @@ private[ext] object IndexFs {
       .digest(text.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Strict incremental-fold precondition shared by the groups
-    * lifecycles (ADVICE r15): a committed groups marker must exist,
-    * the index marker's trailing line must be the batch's own
-    * mutation (per `accept`), and the groups marker must equal
-    * `wantFor(index marker minus that trailing line)` — so the ONLY
-    * staleness between groups and index is the batch being folded.
-    * Anything else throws toward buildGroups; an existence-only check
-    * would stamp the fold's result with the CURRENT marker digest and
-    * silently launder intervening mutations into a fresh-looking
-    * groups table.
+  /** Incremental-fold precondition shared by the groups lifecycles
+    * (ADVICE r15, relaxed to MUTATION SUFFIXES in r17 — VERDICT r16
+    * #4): a committed groups marker must digest some PREFIX of the
+    * index marker's lines, and the NEXT un-folded line must be the
+    * mutation kind `op` folds (per `accept`). A multi-mutation marker
+    * (append, append, delete since the last fold) is then folded as a
+    * SEQUENCE of bounded folds IN MARKER ORDER — the strict
+    * one-trailing-line rule made any second mutation throw toward a
+    * corpus-sized buildGroups, which at a production ingest cadence
+    * meant frequent full rebuilds. Folding out of order (asking for a
+    * delete fold while the next un-folded line is an append, or vice
+    * versa) still throws, as does a groups marker digesting NO prefix
+    * (parameters differ, or folds were skipped) — an existence-only
+    * check would stamp the fold's result with the CURRENT marker
+    * digest and silently launder intervening mutations into a
+    * fresh-looking groups table.
+    *
+    * @return the groups-marker text to STAMP after this fold —
+    *         `wantFor(folded prefix + the one line being folded)`, so
+    *         the digest advances exactly one mutation per fold and
+    *         reaches the full-marker digest (== `groupsFresh`) when
+    *         the suffix is drained
     */
   def requireFoldable(spark: SparkSession, dir: String,
       groupsMarker: String, idx: String, op: String,
       accept: String => Boolean, expected: String,
-      wantFor: String => String): Unit = {
-    require(readMarker(spark, dir, groupsMarker).nonEmpty,
-      s"no committed groups table at $dir — buildGroups first")
+      wantFor: String => String): String = {
+    val gm = readMarker(spark, dir, groupsMarker).getOrElse(
+      throw new IllegalStateException(
+        s"no committed groups table at $dir — buildGroups first"))
     val lines = idx.linesIterator.toSeq
-    val trailing = lines.last
-    if (lines.size < 2 || !accept(trailing))
+    if (gm == wantFor(idx))
       throw new IllegalStateException(
-        s"$op expects the index marker's trailing line at $dir to be " +
-          s"the batch's own $expected mutation; got '$trailing' — " +
-          "fold mutations in order, or rebuild with buildGroups")
-    val want = wantFor(lines.dropRight(1).mkString("\n"))
-    if (!readMarker(spark, dir, groupsMarker).contains(want))
+        s"groups table at $dir is already fresh — nothing to fold")
+    // the folded prefix: the longest (== only, digests are unique per
+    // prefix) prefix of marker lines the committed groups marker
+    // digests; everything after it is the un-folded mutation suffix
+    val foldedTo = (1 until lines.size)
+      .find(k => gm == wantFor(lines.take(k).mkString("\n")))
+      .getOrElse(throw new IllegalStateException(
+        s"groups table at $dir digests no prefix of the index marker " +
+          "(the parameters differ, or it predates a rebuild) — " +
+          s"$op cannot fold; rebuild with buildGroups"))
+    val next = lines(foldedTo)
+    if (!accept(next))
       throw new IllegalStateException(
-        s"groups table at $dir is stale relative to the pre-batch " +
-          "index state (a mutation since buildGroups was never " +
-          s"folded, or the parameters differ) — $op would stamp that " +
-          "staleness fresh; rebuild with buildGroups")
+        s"the next un-folded mutation at $dir is '$next', not the " +
+          s"$expected this $op folds — fold mutations in marker " +
+          "order (run the matching groups fold first), or rebuild " +
+          "with buildGroups")
+    wantFor(lines.take(foldedTo + 1).mkString("\n"))
   }
 
   /** Write the marker via tmp + rename: a crashed write leaves either

@@ -622,14 +622,15 @@ object MinHashIndex {
       s"index[${IndexFs.markerDigest(indexMarker)}]"
 
   /** The incremental-fold precondition — see [[IndexFs.requireFoldable]]:
-    * the index marker's trailing line is exactly the mutation being
-    * folded, and the committed GROUPS_READY digests the marker WITHOUT
-    * that line — so the only staleness between groups and index is
-    * this one batch.
+    * the committed GROUPS_READY digests a PREFIX of the index marker
+    * and the next un-folded line is the mutation kind being folded, so
+    * a multi-mutation suffix folds as a sequence of bounded folds in
+    * marker order (r17). Returns the groups-marker text this fold
+    * stamps — the digest advanced by exactly the one folded line.
     */
   private def requireFoldable(spark: SparkSession, dir: String,
       idx: String, threshold: Double, op: String,
-      accept: String => Boolean, expected: String): Unit =
+      accept: String => Boolean, expected: String): String =
     IndexFs.requireFoldable(spark, dir, GroupsMarker, idx, op, accept,
       expected, prev => groupsMarkerText(prev, threshold))
 
@@ -701,15 +702,26 @@ object MinHashIndex {
     * rebuild's labels — the min of a merged component is the min over
     * its super-node ids, since every member id >= its group's label.
     *
-    * STALENESS is checked strictly (ADVICE r15): the committed
-    * GROUPS_READY must digest the current index marker MINUS exactly
-    * this batch's trailing `+append`/`+ingest` line — i.e. the ONLY
-    * un-folded mutation is the batch being folded. Any other
-    * intervening mutation (an earlier un-folded append, a delete
-    * tombstone, a second ingest) throws and directs the caller to
-    * [[buildGroups]]; the old existence-only check would have stamped
-    * the fold's result with the CURRENT marker digest and silently
-    * laundered that staleness into a fresh-looking groups table.
+    * STALENESS is checked against the fold ORDER (ADVICE r15,
+    * relaxed to mutation suffixes in r17 — VERDICT r16 #4): the
+    * committed GROUPS_READY must digest a prefix of the index marker
+    * whose NEXT line is an `+append`/`+ingest` — the batch being
+    * folded. A multi-mutation suffix (append, append, delete) folds
+    * as a sequence of bounded calls in marker order, each advancing
+    * the groups digest by one line; folding out of order (the next
+    * un-folded line is a `+delete`) throws toward [[deleteGroups]] /
+    * [[buildGroups]]. The caller passes the batch MATCHING the next
+    * un-folded line — the fold machinery verifies order and kind, the
+    * batch contents are the caller's contract (as before).
+    *
+    * With later mutations still queued, note the probe side reads the
+    * index AS IT IS — later-appended signatures participate as
+    * candidate partners and queued tombstones are anti-joined
+    * ([[load]]) even before their own folds run. Every pair that adds
+    * is one the final rebuild has, and the remaining folds add the
+    * rest, so the DRAINED sequence equals a full [[buildGroups]]
+    * (spec-pinned); intermediate states are valid conservative
+    * approximations of their prefix.
     */
   def appendGroups(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, dir: String, threshold: Double): Unit =
@@ -719,7 +731,8 @@ object MinHashIndex {
       val idx = readMarker(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no committed MinHash index at $dir — build first"))
-      requireFoldable(spark, dir, idx, threshold, "appendGroups",
+      val stamp = requireFoldable(spark, dir, idx, threshold,
+        "appendGroups",
         l => l.startsWith("+append[") || l == "+ingest",
         "+append/+ingest")
       val newPairs = probeVerified(batch, corpus, idCol, textCol,
@@ -732,8 +745,7 @@ object MinHashIndex {
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")
-      IndexFs.writeMarker(spark, dir, GroupsMarker,
-        groupsMarkerText(idx, threshold))
+      IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 
   /** Fold a JUST-QUEUED [[delete]] into the committed groups table
@@ -759,14 +771,20 @@ object MinHashIndex {
     *     left unpaired drop out, matching the "unpaired docs are
     *     absent" contract.
     *
-    * Preconditions (the [[appendGroups]] strictness, dual): the index
-    * marker's trailing line is this delete's own `+delete[n]` and
-    * GROUPS_READY digests the marker without it — any other un-folded
-    * mutation throws toward [[buildGroups]]. `corpus` is the
-    * post-delete corpus (the verify leg re-reads candidate text from
-    * it; tombstoned docs may be present or absent — they are excluded
-    * by id either way). Result equals a full rebuild (pinned in
-    * MinHashIndexSpec, including a bridge delete that splits a group).
+    * Preconditions (the [[appendGroups]] suffix-walk, dual): the
+    * next un-folded marker line after the prefix GROUPS_READY digests
+    * must be a `+delete[n]` — out-of-order folds throw toward the
+    * matching fold / [[buildGroups]]. `corpus` is the post-delete
+    * corpus (the verify leg re-reads candidate text from it;
+    * tombstoned docs may be present or absent — they are excluded by
+    * id either way). The `deletes/` queue is applied IN FULL at every
+    * fold (tombstones are authoritative), so with several deletes
+    * queued an earlier delete's fold may re-mine a later delete's
+    * touched groups early — that later fold then finds its groups
+    * already clean and no-ops for them; the drained sequence equals a
+    * full rebuild (pinned in MinHashIndexSpec, including a bridge
+    * delete that splits a group and a 3-mutation
+    * append/append/delete sequence).
     */
   def deleteGroups(corpus: DataFrame, idCol: String, textCol: String,
       dir: String, threshold: Double, hotCap: Int = 4096,
@@ -777,8 +795,8 @@ object MinHashIndex {
       val idx = readMarker(spark, dir).getOrElse(
         throw new IllegalStateException(
           s"no committed MinHash index at $dir — build first"))
-      requireFoldable(spark, dir, idx, threshold, "deleteGroups",
-        l => l.startsWith("+delete["), "+delete[n]")
+      val stamp = requireFoldable(spark, dir, idx, threshold,
+        "deleteGroups", l => l.startsWith("+delete["), "+delete[n]")
       val g = spark.read.parquet(s"$dir/groups")
         .localCheckpoint(false)
       val del = spark.read.parquet(s"$dir/deletes").select(col("id"))
@@ -809,7 +827,6 @@ object MinHashIndex {
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
       updated.write.mode("overwrite").parquet(s"$dir/groups")
-      IndexFs.writeMarker(spark, dir, GroupsMarker,
-        groupsMarkerText(idx, threshold))
+      IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 }

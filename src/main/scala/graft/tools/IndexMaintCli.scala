@@ -33,9 +33,12 @@ import graft.ext.{AnnIndex, BloomIndex, MinHashIndex}
   * tombstones into codes/; MinHash: sigs; Bloom: bitmap+keys).
   * `break-lease` refuses while the holder's heartbeat is fresh — see
   * `IndexFs.breakLease`. The `groups*` subcommands drive the at-rest
-  * groups lifecycle (`buildGroups` / `appendGroups` / `deleteGroups`
-  * — the fold ops refuse out-of-order mutations, see
-  * `IndexFs.requireFoldable`); `groups` alone reports freshness.
+  * groups lifecycle (`buildGroups` / `appendGroups` / `deleteGroups`).
+  * A MULTI-mutation marker folds as a sequence of `groups-append` /
+  * `groups-delete` calls IN MARKER ORDER, one bounded fold per
+  * mutation line (r17 — `IndexFs.requireFoldable` walks the suffix);
+  * a fold whose kind does not match the next un-folded line refuses
+  * loudly. `groups` alone reports freshness.
   */
 object IndexMaintCli {
 

@@ -473,15 +473,87 @@ class MinHashIndexSpec extends SparkSpec {
     val full = MinHashIndex.readGroups(s, dirFull).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after == full, s"incremental $after != rebuild $full")
-    // a SECOND un-folded mutation between buildGroups and the fold is
-    // refused — the staleness-laundering seam (ADVICE r15): folding
-    // only the trailing delete would stamp the current marker digest
-    // over a table missing the first delete's split
+    // TWO queued deletes (r17 — VERDICT r16 #4): the suffix fold
+    // walks the marker's mutation lines in order, one bounded fold
+    // per line. The first fold must NOT claim freshness (its stamp
+    // digests the prefix + one line, not the full marker); the second
+    // drains the suffix, and the result equals a rebuild over the
+    // fully-deleted corpus. No staleness laundering: each stamp is
+    // exactly the state folded so far.
     MinHashIndex.delete(s, dirFull, Seq(11L))
     MinHashIndex.delete(s, dirFull, Seq(2L))
+    val post2 = post.filter(!col("doc_id").isin(11L, 2L))
+    MinHashIndex.deleteGroups(post2, "doc_id", "text", dirFull, 0.4)
+    assert(!MinHashIndex.groupsFresh(s, dirFull, 0.4),
+      "one fold of a two-mutation suffix must not claim freshness")
+    MinHashIndex.deleteGroups(post2, "doc_id", "text", dirFull, 0.4)
+    assert(MinHashIndex.groupsFresh(s, dirFull, 0.4))
+    val afterBoth = MinHashIndex.readGroups(s, dirFull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs left: 1 (now unpaired -> absent), 5, 6, 9 (singleton)
+    assert(afterBoth == Map(5L -> 5L, 6L -> 5L),
+      s"both deletes folded -> only g2 remains: $afterBoth")
+    // ...and a drained suffix refuses a further fold loudly
     intercept[IllegalStateException] {
-      MinHashIndex.deleteGroups(post, "doc_id", "text", dirFull, 0.4)
+      MinHashIndex.deleteGroups(post2, "doc_id", "text", dirFull, 0.4)
     }
+  }
+
+  test("multi-mutation fold (r17): an append,append,delete suffix " +
+      "folds as three bounded calls in MARKER ORDER, equals a full " +
+      "rebuild; out-of-order folds refuse with the next un-folded " +
+      "mutation named") {
+    val s = spark
+    import s.implicits._
+    def run(ws: Range): String = ws.map(i => s"w$i").mkString(" ")
+    val g1a = run(1 to 12); val g1b = g1a.replace("w12", "w12x")
+    val g2a = run(101 to 112); val g2b = g2a.replace("w112", "w112x")
+    val base = Seq((1L, g1a), (2L, g1b),
+      (9L, "totally unrelated singleton content nothing shared ever"))
+      .toDF("doc_id", "text")
+    // batchA joins g1 and seeds g2; batchB completes g2 — the two
+    // batches PAIR ACROSS the fold boundary (5-6), exercising the
+    // index-as-it-is candidate side of an in-order fold
+    val batchA = Seq((11L, g1a), (5L, g2a)).toDF("doc_id", "text")
+    val batchB = Seq((6L, g2b)).toDF("doc_id", "text")
+    val all = base.unionByName(batchA).unionByName(batchB)
+    val dir = tmpDir()
+    MinHashIndex.build(base, "doc_id", "text", dir,
+      numHashes = 32, bands = 32)
+    MinHashIndex.buildGroups(base, "doc_id", "text", dir, 0.4)
+    // queue THREE mutations before any fold
+    MinHashIndex.append(batchA, "doc_id", "text", dir)
+    MinHashIndex.append(batchB, "doc_id", "text", dir)
+    MinHashIndex.delete(s, dir, Seq(2L))
+    val post = all.filter(col("doc_id") =!= 2L)
+    // out of order: the next un-folded line is an APPEND
+    val e = intercept[IllegalStateException] {
+      MinHashIndex.deleteGroups(post, "doc_id", "text", dir, 0.4)
+    }
+    assert(e.getMessage.contains("marker order"), e.getMessage)
+    MinHashIndex.appendGroups(batchA, post, "doc_id", "text", dir, 0.4)
+    assert(!MinHashIndex.groupsFresh(s, dir, 0.4))
+    // still out of order: batchB's append precedes the delete
+    intercept[IllegalStateException] {
+      MinHashIndex.deleteGroups(post, "doc_id", "text", dir, 0.4)
+    }
+    MinHashIndex.appendGroups(batchB, post, "doc_id", "text", dir, 0.4)
+    assert(!MinHashIndex.groupsFresh(s, dir, 0.4))
+    MinHashIndex.deleteGroups(post, "doc_id", "text", dir, 0.4)
+    assert(MinHashIndex.groupsFresh(s, dir, 0.4),
+      "draining the three-mutation suffix reaches freshness")
+    val inc = MinHashIndex.readGroups(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // THE guarantee: equal to a full rebuild over the final corpus
+    val dirFull = tmpDir()
+    MinHashIndex.build(post, "doc_id", "text", dirFull,
+      numHashes = 32, bands = 32)
+    MinHashIndex.buildGroups(post, "doc_id", "text", dirFull, 0.4)
+    val full = MinHashIndex.readGroups(s, dirFull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full && inc == Map(1L -> 1L, 11L -> 1L,
+      5L -> 5L, 6L -> 5L),
+      s"incremental $inc != rebuild $full")
   }
 
   test("lease torture (r16): N latch-synchronized racing acquirers " +
