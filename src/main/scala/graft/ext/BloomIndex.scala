@@ -263,17 +263,32 @@ object BloomIndex {
   def gate(batch: DataFrame, idCol: String, keyExpr: Column,
       dir: String): DataFrame = {
     val spark = batch.sparkSession
+    val (meta, bitmap, keys) = gateParts(spark, dir)
+    val kb = Bloom.keyed(batch, idCol, keyExpr)
+    kb.withColumn("bloom_hit", BloomContains.bloom_contains(
+        bitmap, col("h1"), col("h2"), meta.k, meta.mBits))
+      .join(keys.withColumn("__in_corpus", lit(true)),
+        Seq("key"), "left")
+      .select(col("id").as(idCol), col("bloom_hit"),
+        coalesce(col("__in_corpus"), lit(false)).as("exact_dup"))
+  }
+
+  /** The committed gate state — (meta, bitmap, keys) with any
+    * un-compacted streaming segment folded in at read time: the
+    * segment's partial bitmap ORs into the committed one (the OR of
+    * two bitmaps IS the bitmap of the unioned corpus — probe-identical
+    * to a rebuild over corpus + ingested), its keys union the
+    * exact-verify side; work linear in segment size, retired by
+    * [[compact]]. Shared by [[gate]] and `StreamingOps.ingestGates`'
+    * exact leg, so the two front doors cannot drift.
+    */
+  def gateParts(spark: SparkSession, dir: String)
+      : (Meta, Array[Byte], DataFrame) = {
     val marker = readMarker(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no committed Bloom index at $dir"))
     val meta = paramsOf(marker, dir)
     val bitmap = loadBitmap(spark, dir)
-    // an un-compacted streaming segment folds in at probe time: its
-    // partial bitmap ORs into the committed one (the OR of two
-    // bitmaps IS the bitmap of the unioned corpus — probe-identical
-    // to a rebuild over corpus + ingested), its keys union the
-    // exact-verify side; work linear in segment size, retired by
-    // compact()
     val seg = segment(spark, dir)
     seg.foreach { sg =>
       val add = Bloom.buildBitmap(
@@ -289,13 +304,7 @@ object BloomIndex {
       case Some(sg) => spark.read.parquet(s"$dir/keys")
         .unionByName(sg.select(col("key"))).distinct()
     }
-    val kb = Bloom.keyed(batch, idCol, keyExpr)
-    kb.withColumn("bloom_hit", BloomContains.bloom_contains(
-        bitmap, col("h1"), col("h2"), meta.k, meta.mBits))
-      .join(keys.withColumn("__in_corpus", lit(true)),
-        Seq("key"), "left")
-      .select(col("id").as(idCol), col("bloom_hit"),
-        coalesce(col("__in_corpus"), lit(false)).as("exact_dup"))
+    (meta, bitmap, keys)
   }
 
   /** Force-break a CRASHED writer's orphaned maintenance lease — see

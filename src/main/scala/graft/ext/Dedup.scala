@@ -241,14 +241,26 @@ object Dedup {
     * (StreamingOpsSpec pins the gate verdicts; MinHashIndexSpec pins
     * full signature equality through `minhashComponent`).
     */
-  def shingleHashesCol(text: Column): Column = {
+  def shingleHashesCol(text: Column): Column =
+    gramHashStructs(shingleStringsCol(text))
+
+  /** DISTINCT word-3-gram shingle STRING array of a text column — the
+    * per-row form of [[shingleRows]]' (id, shingle) relation
+    * (zip-shift; same tokenizer, same concat, so the string SETS are
+    * identical — differentially pinned through [[shingleHashesCol]]'s
+    * signature equality). Feeds the hash encode above and
+    * `StreamingOps.ingestGates`' in-stream exact verify, where
+    * Jaccard over two of these arrays equals the relational
+    * (id, shingle)-row count verify bit for bit (same integer set
+    * sizes → same double division).
+    */
+  def shingleStringsCol(text: Column): Column = {
     val tk = tokens(text)
     val n = greatest(size(tk) - 2, lit(0))
-    val sh = array_distinct(zip_with(
+    array_distinct(zip_with(
       zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
         (a, b) => concat_ws(" ", a, b)),
       slice(tk, lit(3), n), (ab, c) => concat_ws(" ", ab, c)))
-    gramHashStructs(sh)
   }
 
   /** One (h1, h2) md5 hash-pair struct per gram — the element form of
@@ -268,14 +280,21 @@ object Dedup {
     * filter (and keeps the sequence ascending); too-short docs yield
     * an empty array.
     */
-  def charGramHashesCol(text: Column, n: Int = 5): Column = {
+  def charGramHashesCol(text: Column, n: Int = 5): Column =
+    gramHashStructs(charGramStringsCol(text, n))
+
+  /** DISTINCT char n-gram STRING array — the per-row form of
+    * [[charGramRows]] (the `when` guard mirrors its length filter;
+    * too-short docs yield an empty array). The char-unit sibling of
+    * [[shingleStringsCol]].
+    */
+  def charGramStringsCol(text: Column, n: Int = 5): Column = {
     val nt = TextAnalysis.normalized(text)
-    val grams = when(length(nt) >= n,
+    when(length(nt) >= n,
       array_distinct(transform(
         sequence(lit(1), length(nt) - (n - 1)),
         p => nt.substr(p, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    gramHashStructs(grams)
   }
 
   /** Component i of the MinHash signature over a [[shingleHashesCol]]

@@ -391,12 +391,22 @@ object MinHashIndex {
     * numHashes-longs-per-doc scan, no corpus text pass, so the
     * streaming ingest gate refreshes whenever the index does.
     */
-  def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def bandBuckets(spark: SparkSession, dir: String): DataFrame =
+    bandedSignatures(spark, dir).select("band", "bk").distinct()
+
+  /** The committed signature table exploded to its LSH band buckets
+    * WITH document ids — (id, band, bk), the static candidate side of
+    * `StreamingOps.ingestGates`' exact-verified text leg
+    * ([[bandBuckets]] distinct-s the ids away for `nearDupGate`'s
+    * coarser bucket-hit verdict). Tombstones anti-joined, streaming
+    * segment unioned ([[load]]); numHashes longs per doc of corpus
+    * scan, no text pass.
+    */
+  def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
     val (meta, sigs) = load(spark, dir)
-    sigs.select(posexplode(
-        Dedup.bandKeys(meta.bands, meta.numHashes / meta.bands))
-        .as(Seq("band", "bk")))
-      .distinct()
+    sigs.select(col("id"), posexplode(
+      Dedup.bandKeys(meta.bands, meta.numHashes / meta.bands))
+      .as(Seq("band", "bk")))
   }
 
   /** All (batch doc, indexed doc) pairs whose ESTIMATED Jaccard —

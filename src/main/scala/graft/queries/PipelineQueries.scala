@@ -559,6 +559,56 @@ object PipelineQueries {
             .as("admit"))
     }),
 
+    // The composed front door AS ONE OPERATOR (round 17 — VERDICT
+    // r16 #1): StreamingOps.ingestGates chains the three gates on a
+    // single frame with the _fast short-circuit fold-through and
+    // generation guards on all three index dirs. Batch and stream
+    // share the one definition (the gates' watermark skips on a
+    // bounded frame); this query runs it in BATCH mode over the
+    // referee's universe and SHARES pipeline_ingest_gates_fast's
+    // oracle verbatim — the composition, the in-stream exact verify
+    // (shingle-array Jaccard == the relational count verify), and
+    // the fold-through NULLs are all hash-checked against the same
+    // replay. IngestGatesSpec pins stream == batch across
+    // micro-batches and a restart.
+    "pipeline_ingest_gates_composed" -> ((s, d) => {
+      val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      graft.ext.BloomIndex.ensureBuilt(
+        documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        "doc_id", tsKey, bdir, k = BloomK, mBits = BloomBits,
+        fingerprint = bfp)
+      val (mdir, mfp) = minhashIndexDir(s, d)
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", mdir, NumHashes, Bands, mfp)
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val adir = s"target/ann_index/${key}_dedup"
+      val afp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id", "embedding",
+        adir, nCells = nCells, m = 32, nCentroids = 64, iters = 3,
+        fingerprint = afp)
+      val cells = graft.ext.AnnIndex.cellTable(emb, "vec_id",
+        "embedding", adir, probes = 4)
+      // the referee's row universe: incoming docs with an embedding
+      // row, each carrying BOTH text and vector
+      val incoming = documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .join(emb.filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id")
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      graft.streaming.StreamingOps.ingestGates(incoming, "doc_id",
+        "text", "embedding", "ts", documents(s, d), bdir, tsKey,
+        mdir, jaccardThreshold = JaccardThreshold,
+        estThreshold = 0.5, annDir = adir, corpusCells = cells,
+        cosineThreshold = CosineThreshold, probes = 4)
+    }),
+
     // Bloom-filter front door of incremental ingest: "seen this exact
     // (token-set-canonical) document before?" answered with ONE
     // map-side probe per batch row against a fixed-size bitmap — no
@@ -3930,6 +3980,26 @@ object PipelineQueries {
     // referee legs' (per-doc independence), skipped legs NULL — the
     // referee oracles CASE-NULLed on exact_dup replay it exactly
     "pipeline_ingest_gates_fast" ->
+      s"""WITH bl AS (SELECT * FROM ($bloomGateOracle)),
+         mh AS (SELECT * FROM ($minhashIndexFlagsOracle)),
+         em AS (SELECT * FROM (${embedAnnFlagsOracleSql(probes = 4)}))
+         SELECT bl.doc_id, bl.exact_dup,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE mh.near_dup END AS nd_text,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE mh.best_jaccard END AS best_jaccard,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE em.near_dup END AS nd_embed,
+           CASE WHEN bl.exact_dup THEN NULL
+                ELSE em.best_cos END AS best_cos,
+           (NOT bl.exact_dup AND NOT mh.near_dup AND NOT em.near_dup)
+             AS admit
+         FROM bl JOIN mh ON bl.doc_id = mh.doc_id
+                 JOIN em ON bl.doc_id = em.vec_id""",
+    // the ONE-OPERATOR composition (StreamingOps.ingestGates, batch
+    // face) must equal the _fast referee field for field — sharing
+    // its oracle verbatim IS the check
+    "pipeline_ingest_gates_composed" ->
       s"""WITH bl AS (SELECT * FROM ($bloomGateOracle)),
          mh AS (SELECT * FROM ($minhashIndexFlagsOracle)),
          em AS (SELECT * FROM (${embedAnnFlagsOracleSql(probes = 4)}))

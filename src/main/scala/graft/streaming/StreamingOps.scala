@@ -683,6 +683,231 @@ object StreamingOps {
         (col("n_hit") === 0L).as("cdc_keep"))
   }
 
+  /** The COMPOSED streaming ingest front door (VERDICT r16 #1) — the
+    * three admission gates chained on ONE stream, with
+    * `pipeline_ingest_gates_fast`'s exact-dup short-circuit
+    * fold-through and all three index families generation-guarded.
+    * One row per arriving document with the verdict columns the batch
+    * front door emits — (idCol, exact_dup, nd_text, best_jaccard,
+    * nd_embed, best_cos, admit) — field-identical to the batch
+    * referee on the same rows (spec-pinned, streamed and batch):
+    *
+    *   1. EXACT leg, map-side + one skinny stream-static join: the
+    *      canonical key md5 probes the committed Bloom bitmap inside
+    *      the codegen'd `bloom_contains` (`BloomIndex.gateParts` —
+    *      the bitmap and keys with any un-compacted ingest segment
+    *      folded in, shared with the batch gate so the two front
+    *      doors cannot drift), and only BLOOM HITS probe the key
+    *      table (no false negatives: a bloom miss is definitely new,
+    *      so the join condition short-circuits the definite-new rows
+    *      past the key probe entirely).
+    *   2. SHORT-CIRCUIT: an exact dup is rejected regardless of the
+    *      near-dup verdicts, so its rows emit NO probe units at all —
+    *      the MinHash candidate join, the exact-verify text re-read,
+    *      and the ANN candidate join all shrink to the surviving
+    *      docs (the `_fast` fold-through; skipped legs report NULL).
+    *   3. TEXT near-dup leg, exact-verified IN-STREAM: the map-side
+    *      signature (`Dedup.shingleHashesCol`/`charGramHashesCol` +
+    *      `minhashComponent` — bit-compatible with the index's batch
+    *      encode by the nearDupGate discipline) derives band keys,
+    *      a stream-static join against the index's at-rest
+    *      (id, band, bk) table (`MinHashIndex.bandedSignatures`)
+    *      yields candidates, the signature-agreement estimate gates
+    *      them (same `agree/numHashes >= estThreshold` double compare
+    *      as `MinHashIndex.probe`), and survivors are EXACT-verified
+    *      against candidate text re-read from `corpusDocs` — Jaccard
+    *      over the two distinct-shingle-string arrays
+    *      (`Dedup.shingleStringsCol`), integer-for-integer the
+    *      relational verify's counts, so the verdict equals
+    *      `probeVerified`'s bit for bit. Self-matches excluded by id.
+    *      A candidate pair sharing several bands re-verifies once per
+    *      shared band (per-doc bounded; the batch path dedups
+    *      instead) — max/existence aggregation is
+    *      multiplicity-insensitive, so the VERDICT is unaffected.
+    *   4. EMBEDDING near-dup leg: the row's top-`probes` cells under
+    *      the committed ANN index's frozen centroids
+    *      (`AnnIndex.flatProbeCellsCol` — the annGate/batch-shared
+    *      assignment), stream-static joined against `corpusCells`
+    *      (`AnnIndex.cellTable`), exact cosine on candidates only —
+    *      `embedAnnFlags`' candidate rule verbatim.
+    *   5. One watermarked windowed aggregate assembles the per-doc
+    *      verdicts — the ONLY stateful operator in the plan; state is
+    *      bounded by in-flight docs within the watermark horizon.
+    *
+    * GENERATION semantics: all three index dirs ride
+    * [[withGenerationGuard]] — any append/delete/ingest/rebuild of
+    * any family fails the next micro-batch fast instead of mixing
+    * generations (restart the gate, with a refreshed `corpusCells`,
+    * to adopt the new state); compaction preserves marker texts and
+    * keeps serving. The static tables derived from the index dirs
+    * (band table, signature table, Bloom keys) re-read per
+    * micro-batch under that guard; `corpusDocs` and `corpusCells`
+    * are the caller's frozen snapshots, same contract as [[annGate]].
+    *
+    * Universe contract: emit rows for documents the caller wants
+    * verdicts on — each input row carries text AND embedding (the
+    * batch referee's bloom ∩ embedding universe is the caller's
+    * join). Ids must be numeric and non-null (fail-fast in-plan, the
+    * index families' idLong discipline).
+    *
+    * 100 TB shape: everything except step 5 is stateless map-side
+    * work plus equi-joins against at-rest index tables (band keys,
+    * skinny signatures, one md5 per unique doc, probes× cell rows);
+    * the corpus text is touched ONLY for estimate-gate survivors via
+    * the id-equi join on `corpusDocs`. No corpus-wide mining, no
+    * all-pairs path, no state beyond the per-doc window.
+    */
+  def ingestGates(df: DataFrame, idCol: String, textCol: String,
+      vecCol: String, tsCol: String, corpusDocs: DataFrame,
+      bloomDir: String, bloomKey: Column, minhashDir: String,
+      jaccardThreshold: Double, estThreshold: Double, annDir: String,
+      corpusCells: DataFrame, cosineThreshold: Double, probes: Int = 4,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val spark = df.sparkSession
+    val D = graft.ext.Dedup
+    // committed state of the three families, frozen at gate build
+    val (bMeta, bitmap, bKeys) =
+      graft.ext.BloomIndex.gateParts(spark, bloomDir)
+    val (mMeta, sigsTable) =
+      graft.ext.MinHashIndex.load(spark, minhashDir)
+    val (_, coarse, _) = graft.ext.AnnIndex.load(spark, annDir)
+    val numHashes = mMeta.numHashes
+    val rowsPerBand = numHashes / mMeta.bands
+    val hsOf: Column => Column = mMeta.grams match {
+      case "word3" => D.shingleHashesCol
+      case "char5" => t => D.charGramHashesCol(t, 5)
+      case other => throw new IllegalStateException(
+        s"index at $minhashDir has unknown shingle unit '$other'")
+    }
+    val strsOf: Column => Column = mMeta.grams match {
+      case "word3" => D.shingleStringsCol
+      case _ => t => D.charGramStringsCol(t, 5)
+    }
+    val idLong = when(col(idCol).try_cast("long").isNull,
+      raise_error(concat(
+        lit("ingestGates ids must be numeric and non-null; got: "),
+        coalesce(col(idCol).cast("string"), lit("null"))))
+        .cast("long"))
+      .otherwise(col(idCol).try_cast("long"))
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      else df
+    val guarded = withGenerationGuard(withGenerationGuard(
+      withGenerationGuard(wm, bloomDir), minhashDir), annDir)
+    // exact leg: map-side bloom probe; only HITS reach the key join
+    val base = guarded.select(col(idCol), col(tsCol),
+      idLong.as("__id"), md5(bloomKey).as("__key"),
+      hsOf(col(textCol)).as("__hs"),
+      strsOf(col(textCol)).as("__strs"),
+      col(vecCol).as("__v"),
+      graft.ext.Similarity.l2norm(df, col(vecCol)).as("__nrm"))
+    val bloomHit = graft.functions.BloomContains.bloom_contains(bitmap,
+      conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+      conv(substring(col("__key"), 9, 8), 16, 10).cast("long"),
+      bMeta.k, bMeta.mBits)
+    val exact = base.withColumn("__bhit", bloomHit)
+      .join(bKeys.select(col("key").as("__ck")),
+        col("__key") === col("__ck") && col("__bhit"), "left")
+      .withColumn("__exact", col("__ck").isNotNull)
+      .drop("__ck", "__key", "__bhit")
+    // the map-side signature once per doc; band keys derive from it
+    val sigArr = array((0 until numHashes).map(i =>
+      D.minhashComponent(col("__hs"), i)): _*)
+    val withSig = exact.withColumn("__sig",
+      when(size(col("__hs")) > 0, sigArr)).drop("__hs")
+    // probe units: bands for the text leg, cells for the embed leg —
+    // NONE for exact dups (the structural short-circuit)
+    val unitType = "array<struct<b:int,bk:string,cell:int>>"
+    val mhUnits = array((0 until mMeta.bands).map { j =>
+      struct(lit(j).as("b"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), j * rowsPerBand + r + 1)): _*)
+          .as("bk"),
+        lit(null).cast("int").as("cell"))
+    }: _*)
+    val annUnits = transform(
+      graft.ext.AnnIndex.flatProbeCellsCol(df, col("__v"), coarse,
+        probes),
+      c => struct(lit(null).cast("int").as("b"),
+        lit(null).cast("string").as("bk"), c.cast("int").as("cell")))
+    val units = when(col("__exact"), array().cast(unitType))
+      .otherwise(concat(
+        when(col("__sig").isNotNull, mhUnits)
+          .otherwise(array().cast(unitType)),
+        annUnits))
+    val exploded = withSig
+      .select(col(idCol), col(tsCol), col("__id"), col("__exact"),
+        col("__sig"), col("__strs"), col("__v"), col("__nrm"),
+        explode_outer(units).as("__u"))
+      .select(col(idCol), col(tsCol), col("__id"), col("__exact"),
+        col("__sig"), col("__strs"), col("__v"), col("__nrm"),
+        col("__u.b").as("__band"), col("__u.bk").as("__bk"),
+        col("__u.cell").as("__cell"))
+    // text candidates: at-rest band table -> estimate gate -> exact
+    // verify against candidate text only
+    val banded = graft.ext.MinHashIndex
+      .bandedSignatures(spark, minhashDir)
+      .select(col("band").as("__mband"), col("bk").as("__mbk"),
+        col("id").as("__mid"))
+    val sigsWide = sigsTable.select(col("id").as("__msid") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"__bm$i")): _*)
+    val est = (0 until numHashes).map(i =>
+        when(element_at(col("__sig"), i + 1) === col(s"__bm$i"), 1)
+          .otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val docs = corpusDocs.select(
+      col(idCol).cast("long").as("__did"),
+      col(textCol).as("__dtext"))
+    val withText = exploded
+      .join(banded,
+        col("__band") === col("__mband") && col("__bk") === col("__mbk"),
+        "left")
+      .drop("__mband", "__mbk")
+      .join(sigsWide, col("__mid") === col("__msid"), "left")
+      .drop("__msid")
+      .join(docs,
+        col("__mid") === col("__did") && col("__mid") =!= col("__id") &&
+          est >= lit(estThreshold), "left")
+      .drop((0 until numHashes).map(i => s"__bm$i"): _*)
+      .withColumn("__cstrs", strsOf(col("__dtext")))
+    val interI = size(array_intersect(col("__strs"), col("__cstrs")))
+    val jacc = interI.cast("double") /
+      (size(col("__strs")) + size(col("__cstrs")) - interI)
+    val withMh = withText.withColumn("__mhit",
+        when(col("__dtext").isNotNull &&
+          jacc >= lit(jaccardThreshold), jacc))
+      .drop("__dtext", "__cstrs", "__strs", "__sig", "__mid")
+    // embed candidates: probe cells x the corpus cell table, exact
+    // cosine inline (embedAnnFlags' rule)
+    val cells = corpusCells.select(col("cell").as("__ccell"),
+      col("id").as("__cid"), col("v").as("__cv"),
+      col("nrm").as("__cnrm"))
+    val cos = graft.ext.Similarity.dot(df, col("__v"), col("__cv")) /
+      (col("__nrm") * col("__cnrm"))
+    val withAnn = withMh
+      .join(cells, col("__cell") === col("__ccell"), "left")
+      .withColumn("__ahit",
+        when(col("__cid").isNotNull && col("__cid") =!= col("__id") &&
+          cos >= lit(cosineThreshold), cos))
+      .drop("__ccell", "__cid", "__cv", "__cnrm", "__v", "__nrm")
+    // the one stateful operator: per-doc verdict assembly
+    withAnn
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(max(col("__exact").cast("int")).as("__ex"),
+        max(col("__mhit")).as("__bj"),
+        max(col("__ahit")).as("__bc"))
+      .select(col(idCol),
+        (col("__ex") === 1).as("exact_dup"),
+        when(col("__ex") === 0, col("__bj").isNotNull).as("nd_text"),
+        when(col("__ex") === 0, coalesce(col("__bj"), lit(0.0)))
+          .as("best_jaccard"),
+        when(col("__ex") === 0, col("__bc").isNotNull).as("nd_embed"),
+        when(col("__ex") === 0,
+          round(coalesce(col("__bc"), lit(0.0)), 6)).as("best_cos"),
+        (col("__ex") === 0 && col("__bj").isNull && col("__bc").isNull)
+          .as("admit"))
+  }
+
   /** File paths recorded by a checkpoint's FileStreamSource log
     * (`sources/0/<batchId>`, one JSON entry per seen file). Empty when
     * the stream never committed a batch — nothing to verify then.
