@@ -431,6 +431,20 @@ object AnnIndex {
     val hasSeg = fs.exists(segPath)
     val hasDel = fs.exists(delPath)
     if (!hasSeg && !hasDel) return 0L
+    val marker = readMarker(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed ANN index at $dir"))
+    // Marker LIFTED across the WHOLE fold (r17 fault sweep): the
+    // segment fold is an APPEND to codes/ plus a segment delete — a
+    // crash between the two used to leave the folded rows in BOTH
+    // places, and load()'s segment union would serve them twice under
+    // a still-valid marker. Markerless, every crash window inside the
+    // fold reads as "no committed index" (load refuses, ensureBuilt
+    // rebuilds) — the family's fail-closed discipline; the marker
+    // text is rewritten VERBATIM at the end, so generation guards
+    // observe the same digest across a completed compaction.
+    fs.delete(hpath(dir, Marker), false)
+    IndexFs.fail("ann.compact.unmarked")
     val segN = if (!hasSeg) 0L else {
       val seg = spark.read.parquet(s"$dir/codes_stream")
         .select("id", "naa", "bc", "cell")
@@ -439,27 +453,25 @@ object AnnIndex {
         .localCheckpoint(true)
       val n = seg.count()
       seg.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      IndexFs.fail("ann.compact.segfolded")
       fs.delete(segPath, true)
       n
     }
     if (hasDel) {
-      val marker = readMarker(spark, dir).getOrElse(
-        throw new IllegalStateException(
-          s"no committed ANN index at $dir"))
       val kept = spark.read.parquet(s"$dir/codes")
         .join(spark.read.parquet(s"$dir/deletes"), Seq("id"),
           "left_anti")
       kept.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/codes_tmp")
-      // unreadable during the swap: marker off → load() refuses
-      fs.delete(hpath(dir, Marker), false)
+      IndexFs.fail("ann.compact.staged")
       fs.delete(hpath(dir, "codes"), true)
       if (!fs.rename(hpath(dir, "codes_tmp"), hpath(dir, "codes")))
         throw new java.io.IOException(
           s"could not swap compacted codes table at $dir")
       fs.delete(delPath, true)
-      writeMarker(spark, dir, marker)
     }
+    IndexFs.fail("ann.compact.swapped")
+    writeMarker(spark, dir, marker)
     segN
   }
 
@@ -1228,7 +1240,9 @@ object AnnIndex {
         .foldIncrement(spark.read.parquet(s"$dir/groups"), newPairs)
         .localCheckpoint(true)
       fs.delete(hpath(dir, GroupsMarker), false)
+      IndexFs.fail("ann.groups.unmarked")
       updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.fail("ann.groups.written")
       IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 
@@ -1304,7 +1318,9 @@ object AnnIndex {
       val updated = graft.operators.ConnectedComponents
         .foldDelete(g, touched, relabeled).localCheckpoint(true)
       fs.delete(hpath(dir, GroupsMarker), false)
+      IndexFs.fail("ann.groups.unmarked")
       updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.fail("ann.groups.written")
       IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 }

@@ -244,10 +244,13 @@ object BloomIndex {
               Seq("key"), "left_anti")
             .localCheckpoint(true)
           fs.delete(IndexFs.hpath(dir, Marker), false)
+          IndexFs.fail("bloom.compact.unmarked")
           Seq(Tuple1(bits)).toDF("bits").coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/bitmap")
+          IndexFs.fail("bloom.compact.bitmap")
           fresh.write.mode("append").parquet(s"$dir/keys")
           fs.delete(IndexFs.hpath(dir, "keys_stream"), true)
+          IndexFs.fail("bloom.compact.sealed")
           IndexFs.writeMarker(spark, dir, Marker, marker)
           spark.read.parquet(s"$dir/keys").count()
       }

@@ -372,7 +372,9 @@ object MinHashIndex {
       // guarantee can't drift from the serve path
       val kept = load(spark, dir)._2
       kept.write.mode("overwrite").parquet(s"$dir/sigs_tmp")
+      IndexFs.fail("minhash.compact.staged")
       fs.delete(IndexFs.hpath(dir, Marker), false)
+      IndexFs.fail("minhash.compact.unmarked")
       fs.delete(IndexFs.hpath(dir, "sigs"), true)
       if (!fs.rename(IndexFs.hpath(dir, "sigs_tmp"),
           IndexFs.hpath(dir, "sigs")))
@@ -380,6 +382,7 @@ object MinHashIndex {
           s"could not swap compacted sigs table at $dir")
       if (hasSeg) fs.delete(segPath, true)
       if (hasDel) fs.delete(delPath, true)
+      IndexFs.fail("minhash.compact.swapped")
       IndexFs.writeMarker(spark, dir, Marker, marker)
       spark.read.parquet(s"$dir/sigs").count()
     }
@@ -754,7 +757,9 @@ object MinHashIndex {
         .foldIncrement(spark.read.parquet(s"$dir/groups"), newPairs)
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
+      IndexFs.fail("minhash.groups.unmarked")
       updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.fail("minhash.groups.written")
       IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 
@@ -836,7 +841,9 @@ object MinHashIndex {
         .foldDelete(g, touched, relabeled)
         .localCheckpoint(true)
       fs.delete(IndexFs.hpath(dir, GroupsMarker), false)
+      IndexFs.fail("minhash.groups.unmarked")
       updated.write.mode("overwrite").parquet(s"$dir/groups")
+      IndexFs.fail("minhash.groups.written")
       IndexFs.writeMarker(spark, dir, GroupsMarker, stamp)
     }
 }
