@@ -16,14 +16,26 @@ object Bench {
     * inflation at flat calibs = real regression). Bounded: 3 sweeps +
     * 4 probes ≈ 60 chars, still far inside the driver's tail window.
     */
+  /** Fixed cross-round normalization anchor (VERDICT r16 #8): the
+    * CPU-calib median the r15 battery recorded (bench_calib.jsonl,
+    * sf0.1 line). `value_normalized` = total × (this / calib) — the
+    * same arithmetic the r15/r16 drift diagnoses did by hand over the
+    * summary, now self-reported: flat normalized totals at swinging
+    * raw totals = host drift; a normalized jump = a real regression.
+    */
+  val ReferenceCalib = 0.301
+
   def summaryLine(total: Double, calib: Double, calib2: Double,
       calibIo: Double, calibIo2: Double, nQueries: Int, nFailed: Int,
       sfDir: String, sweepTotals: Seq[Double] = Nil,
-      sweepCpu: Seq[Double] = Nil, sweepIo: Seq[Double] = Nil)
-      : String = {
+      sweepCpu: Seq[Double] = Nil, sweepIo: Seq[Double] = Nil,
+      scalePathTotal: Double = -1.0): String = {
     def arr(xs: Seq[Double]) =
       xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sweep_totals":${arr(sweepTotals)},"sweep_cpu":${arr(sweepCpu)},"sweep_io":${arr(sweepIo)},"sf":"$sfDir"}"""
+    val normalized =
+      if (calib > 0) total * ReferenceCalib / calib else total
+    val scale = if (scalePathTotal >= 0) scalePathTotal else total
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_normalized":${f"$normalized%.3f"},"value_scale_path":${f"$scale%.3f"},"calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sweep_totals":${arr(sweepTotals)},"sweep_cpu":${arr(sweepCpu)},"sweep_io":${arr(sweepIo)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -249,6 +261,15 @@ object Bench {
       System.err.println(s"[bench] raw passes not written: ${e.getMessage}")
     }
     val nFailed = results.count(_._2 < 0)
+    // scale-path total (VERDICT r16 #7): the battery minus the
+    // documented equality REFEREES (SparkEntry.refereeQueries — the
+    // from-scratch re-mine legs whose index-served replacements share
+    // their oracles). No query is removed; the summary just reports
+    // what the production plan set costs alongside the full total.
+    val scalePathTotal = results.collect {
+      case (name, t, _)
+        if t >= 0 && !SparkEntry.refereeQueries(name) => t
+    }.sum
     // per-sweep totals over queries that succeeded in EVERY sweep, so
     // the sweep numbers compare like-for-like when a query flakes
     val stable = results.collect {
@@ -258,7 +279,7 @@ object Bench {
       _.collect { case (n, t) if stable(n) && t >= 0 => t }.sum)
     val summary = summaryLine(total, calib, calib2, calibIo, calibIo2,
       results.size, nFailed, sfDir, sweepTotals, cpuProbes.toSeq,
-      ioProbes.toSeq)
+      ioProbes.toSeq, scalePathTotal)
     // Calibration history survives driver-artifact truncation: append
     // each run's scalars to a repo-tracked JSONL so round-over-round
     // host-drift normalization can always be reconstructed from git.

@@ -14,15 +14,17 @@ class BenchSummarySpec extends AnyFunSuite {
     nFailed = 9999, sfDir = "/root/testdata/sf0.1",
     sweepTotals = Seq(4123.4, 4111.1, 4111.2),
     sweepCpu = Seq(100.123, 100.456, 100.2, 100.3),
-    sweepIo = Seq(50.789, 50.012, 50.1, 50.2))
+    sweepIo = Seq(50.789, 50.012, 50.1, 50.2),
+    scalePathTotal = 11111.1)
 
   test("summary stays far inside the driver's stdout tail window") {
-    assert(line.length < 400, s"summary grew to ${line.length} chars")
+    assert(line.length < 450, s"summary grew to ${line.length} chars")
   }
 
   test("summary is one line of valid JSON with the driver's keys") {
     assert(!line.contains("\n"))
-    for (key <- Seq("\"metric\"", "\"value\"", "\"unit\"", "\"calib\"",
+    for (key <- Seq("\"metric\"", "\"value\"", "\"unit\"",
+        "\"value_normalized\"", "\"value_scale_path\"", "\"calib\"",
         "\"calib2\"", "\"calib_io\"", "\"calib_io2\"", "\"n_queries\"",
         "\"n_failed\"", "\"sweep_totals\"", "\"sweep_cpu\"",
         "\"sweep_io\"", "\"sf\""))
@@ -30,5 +32,28 @@ class BenchSummarySpec extends AnyFunSuite {
     // cheap structural JSON check: balanced braces, no trailing comma
     assert(line.head == '{' && line.last == '}')
     assert(!line.contains(",}"))
+  }
+
+  test("normalization divides out host drift against the recorded " +
+      "anchor; the scale-path total rides alongside, defaulting to " +
+      "the full total") {
+    // calib = 2x the anchor -> normalized total halves
+    val drifted = Bench.summaryLine(total = 100.0,
+      calib = Bench.ReferenceCalib * 2, calib2 = 0.7, calibIo = 1.0,
+      calibIo2 = 1.0, nQueries = 1, nFailed = 0, sfDir = "sf")
+    assert(drifted.contains("\"value_normalized\":50.000"), drifted)
+    assert(drifted.contains("\"value_scale_path\":100.000"), drifted)
+    // every referee names a shipped replacement still in the battery
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.refereeQueries.subsetOf(qs),
+      SparkEntry.refereeQueries.diff(qs).toString)
+    for (rep <- Seq("dedup_minhash_index_pairs",
+        "dedup_ngram_index_pairs", "dedup_minhash_index",
+        "dedup_groups_incremental", "dedup_survivors_incremental",
+        "dedup_embed_ann", "dedup_embed_ann_groups_index",
+        "dedup_bloom_index", "pipeline_ingest_gates_fast",
+        "pipeline_ingest_gates_composed"))
+      assert(qs.contains(rep) && !SparkEntry.refereeQueries(rep),
+        s"replacement $rep must be a battery scale-path query")
   }
 }
