@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * face) on the same batch.
   *
   * Usage: runMain graft.tools.FrontDoorBench [sfDir] [fracs] [passes]
+  * [mod]. `mod` selects the incoming batch (doc_id % mod == 0, the
+  * battery's 20 by default) — at small SFs the %20 batch is fixed-
+  * cost-dominated (100 docs at sf0.1), so the at-scale measurement
+  * runs sf1.0 with mod=2 (a 10k-doc batch against a 25k-doc corpus).
   * Prints one JSON line per fraction; record in BENCH_SF1.md.
   */
 object FrontDoorBench {
@@ -38,16 +42,18 @@ object FrontDoorBench {
     val fracs = args.lift(1).getOrElse("0.0,0.3,0.7")
       .split(",").map(_.toDouble).toSeq
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
+    val mod = args.lift(3).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", java.nio.file.Files
         .createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, fracs, passes)
+    try run(spark, sfDir, fracs, passes, mod)
     finally spark.stop()
   }
 
@@ -61,18 +67,21 @@ object FrontDoorBench {
   private val BloomBits = 1 << 22
 
   private def run(spark: SparkSession, sfDir: String,
-      fracs: Seq[Double], passes: Int): Unit = {
+      fracs: Seq[Double], passes: Int, mod: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val key = new java.io.File(sfDir).getCanonicalPath
+    val key0 = new java.io.File(sfDir).getCanonicalPath
       .replaceAll("[^A-Za-z0-9.]+", "_")
+    // the battery mod (20) reuses the battery's index dirs; any other
+    // mod gets its own (same file fingerprint, different corpus split)
+    val key = if (mod == 20) key0 else s"${key0}_m$mod"
     val tsKey = concat_ws(" ",
       array_sort(array_distinct(graft.ext.Dedup.tokens(col("text")))))
     val bdir = s"target/minhash_index/${key}_bloom"
     val bfp = graft.ext.AnnIndex.parquetFingerprint(spark,
       s"$sfDir/documents.parquet")
     graft.ext.BloomIndex.ensureBuilt(
-      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", tsKey, bdir,
+      docs.filter(col("doc_id") % mod =!= 0), "doc_id", tsKey, bdir,
       k = BloomK, mBits = BloomBits, fingerprint = bfp)
     val mdir = s"target/minhash_index/$key"
     graft.ext.MinHashIndex.ensureBuilt(docs, "doc_id", "text", mdir,
@@ -88,7 +97,7 @@ object FrontDoorBench {
       "embedding", adir, probes = 4).localCheckpoint(true)
 
     // 128 corpus texts to plant from, keyed by a stable slot
-    val plantPool = docs.filter(col("doc_id") % 20 =!= 0)
+    val plantPool = docs.filter(col("doc_id") % mod =!= 0)
       .select(col("text")).limit(128).collect().map(_.getString(0))
     val poolDf = {
       import spark.implicits._
@@ -98,8 +107,8 @@ object FrontDoorBench {
     for (f <- fracs) {
       // plant: slot = hash(doc_id) mod 1000; texts replaced where the
       // slot falls under f*1000 — deterministic, embedding untouched
-      val incoming = docs.filter(col("doc_id") % 20 === 0)
-        .join(emb.filter(col("vec_id") % 20 === 0)
+      val incoming = docs.filter(col("doc_id") % mod === 0)
+        .join(emb.filter(col("vec_id") % mod === 0)
             .select(col("vec_id").as("doc_id"), col("embedding")),
           "doc_id")
         .withColumn("__slot",
@@ -111,7 +120,7 @@ object FrontDoorBench {
         .drop("__slot", "__ptext")
         .localCheckpoint(true) // the planted batch, fixed across runs
       val nDup = incoming.join(
-          docs.filter(col("doc_id") % 20 =!= 0)
+          docs.filter(col("doc_id") % mod =!= 0)
             .select(tsKey.as("__k")).distinct(),
           tsKey === col("__k"), "left_semi").count()
       val nAll = incoming.count()
