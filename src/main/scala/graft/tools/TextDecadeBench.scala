@@ -33,15 +33,17 @@ import org.apache.spark.sql.functions._
   * the batch-bounded legs scale with their BATCH (probe) / batch
   * reach (fold), not the corpus.
   *
-  * Usage: runMain graft.tools.TextDecadeBench [N] [passes]
+  * Usage: runMain graft.tools.TextDecadeBench [N] [passes] [scales]
   * (default N=50000 ≈ the sf1.0 documents row count; the decade run
-  * is 10N). Prints one JSON line per scale; record in BENCH_SF1.md.
+  * is 10N; scales=one runs only N — for re-measuring a single point).
+  * Prints one JSON line per scale; record in BENCH_SF1.md.
   */
 object TextDecadeBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(50000L)
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val scalesOne = args.lift(2).contains("one")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,7 +55,8 @@ object TextDecadeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      for (scale <- Seq(n, n * 10)) run(spark, scale, passes)
+      val scales = if (scalesOne) Seq(n) else Seq(n, n * 10)
+      for (scale <- scales) run(spark, scale, passes)
     } finally spark.stop()
   }
 
