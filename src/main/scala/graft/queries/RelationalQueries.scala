@@ -525,6 +525,28 @@ object RelationalQueries {
       graft.sources.Xlsx.read(s, s"$tmp/*.xlsx")
     }),
 
+    // JSONL source/sink ROUNDTRIP — line-delimited JSON is the
+    // interchange format training-data pipelines actually exchange
+    // (crawl dumps, HF datasets, eval sets), so the engine must
+    // round-trip it losslessly: documents is exported as gzip'd
+    // JSONL sharded across files (each file = one read task — the
+    // scan-parallelism unit, since gzip'd text is not splittable)
+    // and read back with an EXPLICIT schema (schema inference is a
+    // second full pass over 100 TB; production always passes the
+    // schema). Full-row hash equality against the original parquet
+    // is the fidelity proof — quotes, newlines and unicode in `text`
+    // survive JSON string escaping verbatim.
+    "source_jsonl_roundtrip" -> ((s, d) => {
+      val tmp = s"$scratchDir/jsonl_roundtrip"
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      docs.repartition(4)
+        .write.mode("overwrite").option("compression", "gzip")
+        .json(tmp)
+      s.read.schema(docs.schema).json(tmp)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+    }),
+
     // Bucketed-layout write + CO-LOCATED join read-back: both sides
     // land bucketed by the join key into the same bucket count, so
     // the sort-merge join needs NO shuffle exchange on either side —
@@ -1671,6 +1693,12 @@ object RelationalQueries {
            n_name,
            CAST(n_regionkey AS VARCHAR) AS n_regionkey
          FROM nation""",
+
+    // format-independent replay: the JSONL export/import must return
+    // the original rows verbatim
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents""",
 
     // layout-independent replay: the bucketed round-trip must not
     // change a single row
