@@ -574,13 +574,28 @@ object MinHashIndex {
   def probeVerified(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, dir: String, threshold: Double,
       estThreshold: Double, hotCap: Int = 4096,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16): DataFrame =
+    verifyPairs(probe(incoming, idCol, textCol, dir, estThreshold,
+      hotCap, salts), incoming, corpus, idCol, textCol, dir, threshold)
+
+  /** EXACT-verify an EXTERNALLY-SUPPLIED candidate pair set —
+    * (id_a = batch id, id_b = indexed id) from any candidate
+    * generator sharing the index's hash family (the stateful gate's
+    * `StatefulGates.nearDupCandidatesStateful`, a salted probe, a
+    * re-played probe) — with [[probeVerified]]'s exact verify step
+    * VERBATIM: re-read text for candidate documents only (semi-join
+    * bounded), shingle under the index's recorded unit, keep pairs
+    * at exact Jaccard >= `threshold`. Factored out so alternative
+    * candidate paths verify through the SAME code and cannot drift.
+    */
+  def verifyPairs(cand0: DataFrame, incoming: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String, dir: String,
+      threshold: Double): DataFrame = {
     val spark = incoming.sparkSession
     val meta = paramsOf(readMarker(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no committed MinHash index at $dir")), dir)
-    val cand = probe(incoming, idCol, textCol, dir, estThreshold,
-      hotCap, salts).select("id_a", "id_b").localCheckpoint(false)
+    val cand = cand0.select("id_a", "id_b").localCheckpoint(false)
     val shNew = shingles(
       incoming.join(cand.select(col("id_a").as(idCol)).distinct(),
         Seq(idCol), "left_semi"), idCol, textCol, meta)

@@ -477,6 +477,107 @@ object PipelineQueries {
         "doc_id", tsKey, dir)
     }),
 
+    // STATE-STORE exact-dup gate, batch face (round 17): the corpus
+    // key set lives in keyed state (loaded once from the committed
+    // Bloom index's key table via transformWithState initial state)
+    // and each incoming doc costs ONE point lookup — no per-batch
+    // corpus scan, the shape that survives a 100 TB corpus where the
+    // join gates' static-side re-scan does not. selfMaintain admits
+    // each first occurrence into the state, so the intra-batch twin
+    // of an admitted doc is flagged too (deterministic: lower id
+    // admits) — semantics the frozen static side cannot express; the
+    // oracle replays both memberships (corpus keys + the min-id
+    // window over the batch).
+    "dedup_exact_stateful" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d, "_bloom")
+      val tsKey = concat_ws(" ",
+        array_sort(array_distinct(Dedup.tokens(col("text")))))
+      graft.ext.BloomIndex.ensureBuilt(
+        documents(s, d).filter(col("doc_id") % 20 =!= 0),
+        "doc_id", tsKey, dir, k = BloomK, mBits = BloomBits,
+        fingerprint = fp)
+      graft.streaming.StatefulGates.exactGateStateful(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", tsKey, dir)
+    }),
+
+    // STATE-STORE text near-dup flags, batch face (round 17): the
+    // committed MinHash signatures live in band-bucket-keyed state;
+    // candidates come from state POINT LOOKUPS (the stateful face of
+    // MinHashIndex.probe — StatefulGatesSpec pins candidate-set
+    // equality), then the SAME exact-verify code path
+    // (MinHashIndex.verifyPairs, factored from probeVerified) and
+    // the same per-doc fold as dedup_minhash_index_flags — whose
+    // oracle this query SHARES VERBATIM, making the whole stateful
+    // candidate route hash-verified against the join route.
+    "dedup_minhash_stateful" -> ((s, d) => {
+      val (dir, fp) = minhashIndexDir(s, d)
+      graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
+        "text", dir, NumHashes, Bands, fp)
+      val incoming = documents(s, d).filter(col("doc_id") % 20 === 0)
+      val cand = graft.streaming.StatefulGates
+        .nearDupCandidatesStateful(
+          incoming.withColumn("ts",
+            lit("2026-01-01 00:00:00").cast("timestamp")),
+          "doc_id", "text", "ts", dir, estThreshold = 0.5)
+        .filter(col("cand_id").isNotNull)
+        .select(col("doc_id").as("id_a"), col("cand_id").as("id_b"))
+        .distinct()
+      val pairs = graft.ext.MinHashIndex.verifyPairs(cand, incoming,
+          documents(s, d), "doc_id", "text", dir,
+          threshold = JaccardThreshold)
+        .filter(col("id_a") =!= col("id_b"))
+      incoming.select(col("doc_id"))
+        .join(pairs.groupBy(col("id_a").as("doc_id"))
+            .agg(count(lit(1)).as("n_matches"),
+              max(col("jaccard")).as("best_jaccard")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_matches").isNotNull.as("near_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+    }),
+
+    // STATE-STORE embedding near-dup flags, batch face (round 17):
+    // the committed ANN index's probe-cell table lives in cell-keyed
+    // state (AnnState = id, vector, norm — capacity-bounded at
+    // ~corpus/nCells rows per cell by the index's own sizing rule);
+    // candidates come from state lookups under the frozen centroids
+    // (cosinePairsIndexed's probe×probe co-occurrence — the spec
+    // pins gate equality vs annGate), exact cosine on every scored
+    // pair, folded per vector exactly like dedup_embed_ann_flags —
+    // whose oracle this query SHARES VERBATIM.
+    "dedup_embed_ann_stateful" -> ((s, d) => {
+      val key = new java.io.File(d).getCanonicalPath
+        .replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"target/ann_index/${key}_dedup"
+      val fp = graft.ext.AnnIndex.parquetFingerprint(s,
+        s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
+      val nCells = math.max(16L, emb.count() / 125L).toInt
+      graft.ext.AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
+        nCells = nCells, m = 32, nCentroids = 64, iters = 3,
+        fingerprint = fp)
+      val incoming = emb.filter(col("vec_id") % 20 === 0)
+      val cand = graft.streaming.StatefulGates.annCandidatesStateful(
+          incoming.withColumn("ts",
+            lit("2026-01-01 00:00:00").cast("timestamp")),
+          "vec_id", "embedding", "ts", emb, "vec_id", "embedding",
+          dir, probes = 4)
+        .filter(col("cand_id").isNotNull &&
+          col("cos") >= CosineThreshold)
+        .select(col("vec_id"), col("cand_id"), col("cos")).distinct()
+      incoming.select(col("vec_id"))
+        .join(cand.groupBy(col("vec_id"))
+            .agg(count(lit(1)).as("n_matches"),
+              max(col("cos")).as("best_cos")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          col("n_matches").isNotNull.as("near_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          round(coalesce(col("best_cos"), lit(0.0)), 6).as("best_cos"))
+    }),
+
     // The COMPOSED ingest front door (round 15): one row per incoming
     // document with all three admission verdicts — exact (committed
     // Bloom bitmap + key table), text near-dup (persisted MinHash
@@ -4019,6 +4120,25 @@ object PipelineQueries {
     // the persisted gate serves bit-identical verdicts from the
     // committed bitmap — sharing the oracle verbatim IS the check
     "dedup_bloom_index" -> bloomGateOracle,
+
+    // stateful exact gate: corpus-key membership OR a same-key batch
+    // row with a smaller id (the selfMaintain first-occurrence rule)
+    "dedup_exact_stateful" ->
+      s"""WITH keyed AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct($Toks)),
+                       ' ')) AS key
+            FROM documents)
+          SELECT doc_id,
+                 key IN (SELECT key FROM keyed WHERE doc_id % 20 <> 0)
+                   OR doc_id > min(doc_id) OVER (PARTITION BY key)
+                   AS exact_dup
+          FROM keyed WHERE doc_id % 20 = 0""",
+
+    // the stateful candidate route is hash-verified against the join
+    // route: both flags queries share ONE oracle verbatim
+    "dedup_minhash_stateful" -> minhashIndexFlagsOracle,
+    "dedup_embed_ann_stateful" -> embedAnnFlagsOracleSql(probes = 4),
 
     // Two-sided variant: the incoming batch (doc_id % 20 = 0) vs the
     // full corpus; every (batch, corpus) band co-occurrence kept (no

@@ -1,0 +1,402 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** STATE-STORE-RESIDENT ingest gates — the corpus lives in the
+  * streaming state store, probed by POINT LOOKUP instead of a
+  * per-micro-batch corpus scan.
+  *
+  * Why this family exists: every `StreamingOps` gate keeps the corpus
+  * side as a STATIC DataFrame in a stream-static join, and Spark
+  * re-executes the static side on every micro-batch. That is the
+  * right shape when the corpus side is small enough to broadcast or
+  * cache, but at 100 TB the per-batch re-scan IS the cost — the r17
+  * front-door measurement (BENCH_SF1.md) showed the corpus-side
+  * index scans dominating warm gate cost at every planted dup
+  * fraction, and they grow with the corpus, not the batch. The gates
+  * here invert the shape with Spark 4's `transformWithState`:
+  *
+  *   - the committed at-rest index (BloomIndex keys / MinHashIndex
+  *     signatures / AnnIndex probe-cell table) is loaded ONCE into
+  *     keyed state (`StatefulProcessorWithInitialState` — a one-time
+  *     shuffle of the index table into RocksDB, sharded across
+  *     executors by key);
+  *   - each micro-batch then costs O(batch) state POINT LOOKUPS —
+  *     bucket/cell-keyed rows shuffle the BATCH side only (bounded
+  *     per-doc fanout: 1 key for exact, `bands` band buckets for
+  *     text, `probes` cells for embeddings), and the corpus is never
+  *     re-read;
+  *   - the query CHECKPOINT carries the state: a restart resumes
+  *     without re-reading the index (initial state is applied only on
+  *     a fresh checkpoint), and `selfMaintain = true` makes the gate
+  *     SELF-UPDATING — admitted documents join the in-state corpus
+  *     and gate every later arrival, the semantics a frozen static
+  *     side cannot express at all.
+  *
+  * Generation semantics become trivial by construction: the state is
+  * a self-contained snapshot taken at first start, so a concurrent
+  * index mutation cannot produce a generation MIX (the failure mode
+  * `withGenerationGuard` exists to catch on the join gates) — it is
+  * simply not reflected until a fresh-checkpoint restart, which is
+  * the documented refresh path.
+  *
+  * Requirements: streaming `transformWithState` needs the RocksDB
+  * state store provider
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * ...state.RocksDBStateStoreProvider`, runtime-settable); the BATCH
+  * face of each gate (used by the oracle-checked queries) runs under
+  * any provider. State size ∝ the index, not the stream: one boolean
+  * per distinct corpus key (exact), `bands` signature rows per doc
+  * (text), `probes` (id, vector, norm) rows per vector (embeddings).
+  *
+  * Bit-compatibility is load-bearing exactly as for the join gates:
+  * the stream side derives signatures/cells with the SAME expression
+  * family the index build used (`Dedup.shingleHashesCol` /
+  * `charGramHashesCol` / `minhashComponent`, `AnnIndex
+  * .flatProbeCellsCol`), with geometry read from the index marker, so
+  * gate and index can never drift; the specs pin stateful == join
+  * gate == index probe verdicts on the same data.
+  */
+object StatefulGates {
+
+  // ---------- typed rows (encoders are product-derived)
+
+  private[streaming] case class ExactIn(key: String, id: Long)
+  private[streaming] case class ExactVerdict(id: Long,
+      exact_dup: Boolean)
+
+  private[streaming] case class NdIn(bucket: String, id: Long,
+      ts: Timestamp, sig: Array[Long])
+  private[streaming] case class SigEntry(id: Long, sig: Array[Long])
+  private[streaming] case class NdEmit(id: Long, ts: Timestamp,
+      cand_id: Option[Long], est: Double)
+
+  private[streaming] case class AnnIn(cell: Int, id: Long,
+      ts: Timestamp, v: Array[Float], nrm: Double)
+  private[streaming] case class AnnState(id: Long, v: Array[Float],
+      nrm: Double)
+  private[streaming] case class AnnEmit(id: Long, ts: Timestamp,
+      cand_id: Option[Long], cos: Double)
+
+  // ---------- processors
+
+  /** Exact-membership state: one boolean per corpus key. Rows within
+    * a group are processed in (id) order so intra-batch
+    * first-occurrence verdicts are deterministic.
+    */
+  private[streaming] class ExactSeenProc(selfMaintain: Boolean)
+      extends StatefulProcessorWithInitialState[
+        String, ExactIn, ExactVerdict, Boolean] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(out: OutputMode, tm: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInitialState(key: String, s: Boolean,
+        tv: TimerValues): Unit = seen.update(true)
+    override def handleInputRows(key: String, rows: Iterator[ExactIn],
+        tv: TimerValues): Iterator[ExactVerdict] =
+      rows.toSeq.sortBy(_.id).iterator.map { r =>
+        val dup = Option(seen.get()).getOrElse(false)
+        if (!dup && selfMaintain) seen.update(true)
+        ExactVerdict(r.id, dup)
+      }
+  }
+
+  /** Band-bucket signature state: the corpus signatures that landed
+    * in this bucket. An incoming row scores MinHash AGREEMENT against
+    * each entry (self excluded) and emits candidates at
+    * `estThreshold`+ — plus one null-candidate sentinel per
+    * (doc, bucket) row so candidate-less docs still reach the verdict
+    * aggregate. Rows process in (ts, id) order; with `selfMaintain`
+    * each row joins the bucket AFTER probing, so later arrivals (same
+    * batch or later batches) gate against it.
+    */
+  private[streaming] class BucketSigProc(numHashes: Int,
+      estThreshold: Double, selfMaintain: Boolean)
+      extends StatefulProcessorWithInitialState[
+        String, NdIn, NdEmit, SigEntry] {
+    @transient private var cands: ListState[SigEntry] = _
+    override def init(out: OutputMode, tm: TimeMode): Unit =
+      cands = getHandle.getListState[SigEntry](
+        "cands", Encoders.product[SigEntry], TTLConfig.NONE)
+    override def handleInitialState(key: String, s: SigEntry,
+        tv: TimerValues): Unit = cands.appendValue(s)
+    override def handleInputRows(key: String, rows: Iterator[NdIn],
+        tv: TimerValues): Iterator[NdEmit] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+      val out = Seq.newBuilder[NdEmit]
+      for (r <- sorted) {
+        for (c <- cands.get() if c.id != r.id) {
+          var agree = 0
+          var i = 0
+          while (i < numHashes) {
+            if (r.sig(i) == c.sig(i)) agree += 1
+            i += 1
+          }
+          val est = agree.toDouble / numHashes
+          if (est >= estThreshold)
+            out += NdEmit(r.id, r.ts, Some(c.id), est)
+        }
+        out += NdEmit(r.id, r.ts, None, -1.0)
+        if (selfMaintain) cands.appendValue(SigEntry(r.id, r.sig))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Probe-cell vector state: the corpus vectors assigned to this
+    * cell (the `AnnIndex.cellTable` rows). An incoming vector scores
+    * EXACT cosine against each entry (self excluded) — approximate by
+    * candidate confinement, exact on every scored pair, the
+    * `cosinePairsIndexed` rule — and emits every comparison plus one
+    * null-candidate sentinel per (doc, cell) row.
+    */
+  private[streaming] class CellVecProc(selfMaintain: Boolean)
+      extends StatefulProcessorWithInitialState[
+        Int, AnnIn, AnnEmit, AnnState] {
+    @transient private var cands: ListState[AnnState] = _
+    override def init(out: OutputMode, tm: TimeMode): Unit =
+      cands = getHandle.getListState[AnnState](
+        "cands", Encoders.product[AnnState], TTLConfig.NONE)
+    override def handleInitialState(key: Int, s: AnnState,
+        tv: TimerValues): Unit = cands.appendValue(s)
+    override def handleInputRows(key: Int, rows: Iterator[AnnIn],
+        tv: TimerValues): Iterator[AnnEmit] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+      val out = Seq.newBuilder[AnnEmit]
+      for (r <- sorted) {
+        for (c <- cands.get() if c.id != r.id) {
+          var dot = 0.0
+          var i = 0
+          val n = math.min(r.v.length, c.v.length)
+          while (i < n) { dot += r.v(i).toDouble * c.v(i); i += 1 }
+          out += AnnEmit(r.id, r.ts, Some(c.id), dot / (r.nrm * c.nrm))
+        }
+        out += AnnEmit(r.id, r.ts, None, -1.0)
+        if (selfMaintain)
+          cands.appendValue(AnnState(r.id, r.v, r.nrm))
+      }
+      out.result().iterator
+    }
+  }
+
+  // ---------- shared boundary cast (the annGate/MinHashIndex idLong
+  // discipline: a silently-nulled id would break self-exclusion)
+
+  private def idLong(c: Column, what: String): Column =
+    when(c.try_cast("long").isNull,
+      raise_error(concat(
+        lit(s"$what ids must be numeric and non-null; got: "),
+        coalesce(c.cast("string"), lit("null")))).cast("long"))
+      .otherwise(c.try_cast("long"))
+
+  // ---------- exact gate
+
+  /** Exact-duplicate gate with the corpus key set IN STATE — the
+    * stateful face of `BloomIndex.gate`'s `exact_dup` leg. Initial
+    * state is the committed Bloom index's distinct canonical keys
+    * (un-compacted streaming segment folded in, exactly like the
+    * batch gate); per micro-batch the only work is one md5 per row
+    * and one state lookup per distinct key. Output: (idCol,
+    * exact_dup).
+    *
+    * `selfMaintain = true` (default) admits each first occurrence
+    * into the state: a later arrival with the same key — in the same
+    * micro-batch (ties broken by ascending id) or any later one — is
+    * flagged as the duplicate, the streaming-dedup semantics
+    * `dropDuplicates` gives but with a verdict column, a
+    * corpus-primed start, and no unbounded text retention (state is
+    * one boolean per key). With `false` the state is the frozen
+    * corpus snapshot and the batch face equals `BloomIndex.gate`'s
+    * exact_dup column exactly.
+    */
+  def exactGateStateful(df: DataFrame, idCol: String, keyExpr: Column,
+      indexDir: String, selfMaintain: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, _, keys) = graft.ext.BloomIndex.gateParts(spark, indexDir)
+    val init = keys.select(col("key")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    df.select(md5(keyExpr).as("key"),
+        idLong(col(idCol), "exactGateStateful").as("id"))
+      .as[ExactIn]
+      .groupByKey(_.key)
+      .transformWithState(new ExactSeenProc(selfMaintain),
+        TimeMode.None(), OutputMode.Append(), init,
+        Encoders.product[ExactVerdict], Encoders.scalaBoolean)
+      .toDF(idCol, "exact_dup")
+  }
+
+  // ---------- text near-dup gate
+
+  /** Candidate emissions of the stateful text near-dup gate: one row
+    * per (incoming doc, in-state corpus doc) sharing an LSH band
+    * bucket with MinHash agreement >= `estThreshold` (est_jaccard,
+    * exact binary fractions at power-of-two numHashes — the
+    * `MinHashIndex.probe` estimator), plus one null-candidate
+    * sentinel per (doc, band) row. Geometry and shingle unit come
+    * from the index MARKER; the map-side signature is the
+    * `ingestStream`/`nearDupGate` expression family, so stream
+    * encode == index encode by construction. Docs too short to
+    * shingle emit nothing (the nearDupGate contract). Candidates
+    * repeat once per SHARED BUCKET — `distinct` the (id, cand_id)
+    * projection for set semantics (the batch faces do).
+    *
+    * Output: (idCol, tsCol, cand_id, est).
+    */
+  def nearDupCandidatesStateful(df: DataFrame, idCol: String,
+      textCol: String, tsCol: String, indexDir: String,
+      estThreshold: Double = 0.5, selfMaintain: Boolean = false)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (meta, sigs) = graft.ext.MinHashIndex.load(spark, indexDir)
+    val rows = meta.numHashes / meta.bands
+    // ONE bucket-key derivation used on both sides, built from the
+    // signature VALUES (band index + that band's components), so the
+    // state side and the map side cannot disagree on encoding
+    def bandKeyOf(j: Int, comp: Int => Column): Column =
+      concat_ws("|", (lit(j) +:
+        (0 until rows).map(r => comp(j * rows + r)))
+        .map(_.cast("string")): _*)
+    val init = sigs.select(col("id"),
+        array((0 until meta.numHashes).map(i => col(s"m$i")): _*)
+          .as("sig"),
+        array((0 until meta.bands).map(j =>
+          bandKeyOf(j, i => col(s"m$i"))): _*).as("bks"))
+      .select(col("id"), col("sig"), explode(col("bks")).as("bucket"))
+      .as[(Long, Array[Long], String)]
+      .groupByKey(_._3)
+      .mapValues(r => SigEntry(r._1, r._2))
+    val hs = meta.grams match {
+      case "word3" => graft.ext.Dedup.shingleHashesCol(col(textCol))
+      case "char5" =>
+        graft.ext.Dedup.charGramHashesCol(col(textCol), n = 5)
+      case other => throw new IllegalStateException(
+        s"index at $indexDir has unknown shingle unit '$other'")
+    }
+    val mi = (i: Int) =>
+      graft.ext.Dedup.minhashComponent(col("__hs"), i)
+    df.select(idLong(col(idCol), "nearDupCandidatesStateful")
+          .as("id"),
+        col(tsCol).cast("timestamp").as("ts"), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("id"), col("ts"),
+        array((0 until meta.numHashes).map(mi): _*).as("sig"),
+        array((0 until meta.bands).map(j => bandKeyOf(j, mi)): _*)
+          .as("bks"))
+      .select(col("id"), col("ts"), col("sig"),
+        explode(col("bks")).as("bucket"))
+      .select(col("bucket"), col("id"), col("ts"), col("sig"))
+      .as[NdIn]
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new BucketSigProc(meta.numHashes, estThreshold, selfMaintain),
+        TimeMode.None(), OutputMode.Append(), init,
+        Encoders.product[NdEmit], Encoders.product[SigEntry])
+      .toDF(idCol, tsCol, "cand_id", "est")
+  }
+
+  /** Per-doc verdicts over [[nearDupCandidatesStateful]] — the
+    * stateful face of the text ingest gate: one watermarked windowed
+    * aggregate (the nearDupGate pattern) folds the candidate
+    * emissions into (idCol, n_cand, n_hit, best_est, nd_keep).
+    * n_cand counts estimate-gated candidate CO-OCCURRENCES
+    * (multiplicity across shared buckets — the verdict and best_est
+    * are multiplicity-insensitive, the annGate convention); n_hit
+    * counts those at est >= `threshold`; nd_keep = n_hit == 0;
+    * candidate-less docs report best_est = 0.0, never NULL.
+    */
+  def nearDupGateStateful(df: DataFrame, idCol: String,
+      textCol: String, tsCol: String, indexDir: String,
+      threshold: Double, estThreshold: Double = 0.5,
+      selfMaintain: Boolean = false, watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    nearDupCandidatesStateful(df, idCol, textCol, tsCol, indexDir,
+      estThreshold, selfMaintain)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(col("cand_id")).as("n_cand"),
+        coalesce(sum((col("cand_id").isNotNull &&
+          col("est") >= threshold).cast("long")), lit(0L))
+          .as("n_hit"),
+        coalesce(max(when(col("cand_id").isNotNull, col("est"))),
+          lit(0.0)).as("best_est"))
+      .select(col(idCol), col("n_cand"), col("n_hit"),
+        col("best_est"), (col("n_hit") === 0L).as("nd_keep"))
+
+  // ---------- embedding near-dup gate
+
+  /** Candidate emissions of the stateful embedding gate: one row per
+    * (incoming vector, in-state corpus vector) sharing a probe cell
+    * — `AnnIndex.cosinePairsIndexed`'s probe×probe co-occurrence
+    * rule, with the corpus side being the committed index's
+    * `cellTable` held in state — scored by EXACT cosine, plus one
+    * null-candidate sentinel per (doc, cell) row. The incoming
+    * vector's cells are assigned map-side under the index's frozen
+    * centroids (`flatProbeCellsCol` — shared with batch mining).
+    * Candidates repeat once per shared cell.
+    *
+    * Output: (idCol, tsCol, cand_id, cos).
+    */
+  def annCandidatesStateful(df: DataFrame, idCol: String,
+      vecCol: String, tsCol: String, corpus: DataFrame,
+      corpusIdCol: String, corpusVecCol: String, indexDir: String,
+      probes: Int = 4, selfMaintain: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, coarse, _) = graft.ext.AnnIndex.load(spark, indexDir)
+    val init = graft.ext.AnnIndex.cellTable(corpus, corpusIdCol,
+        corpusVecCol, indexDir, probes)
+      .select(col("cell").cast("int"), col("id"), col("v"),
+        col("nrm"))
+      .as[(Int, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .mapValues(r => AnnState(r._2, r._3, r._4))
+    df.select(idLong(col(idCol), "annCandidatesStateful").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(vecCol).as("__v"),
+        graft.ext.Similarity.l2norm(df, col(vecCol)).as("__nrm"))
+      .select(col("id"), col("ts"), col("__v"), col("__nrm"),
+        explode(graft.ext.AnnIndex.flatProbeCellsCol(df, col("__v"),
+          coarse, probes)).as("cell"))
+      .select(col("cell").cast("int"), col("id"), col("ts"),
+        col("__v").as("v"), col("__nrm").as("nrm"))
+      .as[AnnIn]
+      .groupByKey(_.cell)
+      .transformWithState(new CellVecProc(selfMaintain),
+        TimeMode.None(), OutputMode.Append(), init,
+        Encoders.product[AnnEmit], Encoders.product[AnnState])
+      .toDF(idCol, tsCol, "cand_id", "cos")
+  }
+
+  /** Per-vector verdicts over [[annCandidatesStateful]] — the
+    * stateful face of `StreamingOps.annGate`, field-for-field: one
+    * watermarked windowed aggregate emits (idCol, n_cand, n_hit,
+    * best_cos, ann_keep) with annGate's exact conventions (counts
+    * per candidate co-occurrence, self-matches excluded,
+    * candidate-less rows report best_cos = 0.0).
+    */
+  def annGateStateful(df: DataFrame, idCol: String, vecCol: String,
+      tsCol: String, corpus: DataFrame, corpusIdCol: String,
+      corpusVecCol: String, indexDir: String, threshold: Double,
+      probes: Int = 4, selfMaintain: Boolean = false,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    annCandidatesStateful(df, idCol, vecCol, tsCol, corpus,
+      corpusIdCol, corpusVecCol, indexDir, probes, selfMaintain)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(col("cand_id")).as("n_cand"),
+        coalesce(sum((col("cand_id").isNotNull &&
+          col("cos") >= threshold).cast("long")), lit(0L))
+          .as("n_hit"),
+        coalesce(max(when(col("cand_id").isNotNull, col("cos"))),
+          lit(0.0)).as("best_cos"))
+      .select(col(idCol), col("n_cand"), col("n_hit"),
+        col("best_cos"), (col("n_hit") === 0L).as("ann_keep"))
+}
