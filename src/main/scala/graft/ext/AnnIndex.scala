@@ -622,10 +622,24 @@ object AnnIndex {
     val probe0 = probeCells(n, coarse, probes, superProbes)
     val probe =
       if (superProbes <= 0) probe0 else probe0.localCheckpoint(false)
-    val cand = probe
+    // pin the probe x probe co-occurrence join at work width: its
+    // input is skinny (id, cell) rows — byte-based AQE coalescing
+    // collapses it to one task — but the join fans out the quadratic
+    // candidate generation (measured 1.1 s single-task at sf0.1)
+    // pin the probe x probe co-occurrence join AND the following
+    // pair-dedup at work width: both exchanges carry skinny rows —
+    // byte-based AQE coalescing collapses each to one task — but the
+    // join fans out quadratic candidate generation and the distinct
+    // then de-duplicates ~probes²·cellSize·N raw pairs (measured
+    // 1.1 s + 1.25 s single-task at sf0.1, the whole warm cost of
+    // dedup_embed_ann_2level)
+    val wp = ScanSpread.workParts(probe)
+    val cand = probe.select(col("id"), col("cell"))
+      .repartition(wp, col("cell"))
       .join(probe.select(col("id").as("id2"), col("cell")), "cell")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .repartition(wp, col("id_a"), col("id_b"))
       .distinct()
     cand
       .join(n.select(col("id").as("id_a"), col("v").as("va"),
@@ -666,10 +680,17 @@ object AnnIndex {
       val psup = topSupersCol(n, col("v"), coarse, superProbes)
       val byId = Window.partitionBy("id")
         .orderBy(desc("__d"), col("cell"))
+      // pin the rank window's exchange at work width (guide §2.5 via
+      // ScanSpread.workParts): its input is skinny (id, cell, dot)
+      // rows that AQE's byte-based coalescing collapses to ONE task,
+      // but upstream sits a per-row superProbes x children dot fan-out
+      // and downstream the probe x probe candidate join — measured
+      // 1.17 s single-task for dedup_embed_ann_2level at sf0.1
       n.select(col("id"), col("v"), explode(psup).as("__sup"))
         .join(broadcast(childDf), "__sup")
         .select(col("id"), col("cell"), col("v"),
           Similarity.dot(n, col("v"), col("__cv")).as("__d"))
+        .repartition(ScanSpread.workParts(n), col("id"))
         .withColumn("__rn", row_number().over(byId))
         .filter(col("__rn") <= probes)
         .select(col("id"), col("cell"), col("v"))
@@ -761,9 +782,13 @@ object AnnIndex {
   private def normalized(corpus: DataFrame, idCol: String,
       vecCol: String, dir: String): DataFrame = {
     val spark = corpus.sparkSession
-    val nAll = corpus.select(col(idCol).cast("long").as("id"),
+    // spread before the norm projection AND the checkpoint: the
+    // checkpoint pins the partitioning, so a 1-split scan otherwise
+    // single-tasks every downstream probe/verify leg (ScanSpread)
+    val csp = ScanSpread.spread(corpus)
+    val nAll = csp.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"),
-        Similarity.l2norm(corpus, col(vecCol)).as("nrm"))
+        Similarity.l2norm(csp, col(vecCol)).as("nrm"))
     (if (!hfs(spark, dir).exists(hpath(dir, "deletes"))) nAll
      else nAll.join(spark.read.parquet(s"$dir/deletes"),
        Seq("id"), "left_anti"))

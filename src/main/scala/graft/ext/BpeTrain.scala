@@ -187,6 +187,14 @@ object BpeTrain {
       .orderBy(desc("f"), asc("word")).limit(topWords)
       .localCheckpoint(false)
     graft.functions.BpeReplay.register(docs.sparkSession)
+    // materialize the corpus pass under the session's normal AQE,
+    // then run the vocab-bounded merge rounds (one 1-row argmax
+    // action per round over the checkpointed topWords-row table)
+    // under the loop conf — fewer query-stage jobs per round, loop
+    // partitions derived from the vocab size (IterConf scaladoc)
+    freq.count()
+    graft.operators.IterConf.withLoopConf(
+        docs.sparkSession, topWords.toLong) {
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var flat = Seq.empty[String]
     var r = 1
@@ -217,6 +225,7 @@ object BpeTrain {
       .select(col("word"), col("f"),
         (col("p0") + 1).cast("int").as("pos"), col("sym"))
     (merges.result(), tok)
+    } // IterConf.withLoopConf
   }
 
   /** DuckDB re-derivation of the merge table: one CTE block per round

@@ -73,17 +73,25 @@ object Coreset {
          .withColumn("md", least(col("md"), d2)))
         .localCheckpoint(false)
     }
-    var md: DataFrame = fold(null, 1L)
-    for (r <- 2L to k.toLong) {
-      val pick = md
-        .filter(!col("id").isin(picked.map(_._2).toSeq: _*))
-        .orderBy(col("md").desc, col("id"))
-        .limit(1).select(col("id"), col("v"), col("md")).head()
-      picked += ((r, pick.getLong(0), round6(pick.getDouble(2))))
-      centerVec = pick.getSeq[Float](1)
-      md = fold(md, r)
+    // base is materialized by the seed head() under normal AQE; the
+    // k-1 fixed-shape pick rounds (one TakeOrdered action per round
+    // over the checkpointed distance frame) run under the loop conf —
+    // see IterConf (state = one skinny row per vector)
+    val baseRows = base.count()
+    graft.operators.IterConf.withLoopConf(
+        vecs.sparkSession, baseRows) {
+      var md: DataFrame = fold(null, 1L)
+      for (r <- 2L to k.toLong) {
+        val pick = md
+          .filter(!col("id").isin(picked.map(_._2).toSeq: _*))
+          .orderBy(col("md").desc, col("id"))
+          .limit(1).select(col("id"), col("v"), col("md")).head()
+        picked += ((r, pick.getLong(0), round6(pick.getDouble(2))))
+        centerVec = pick.getSeq[Float](1)
+        md = fold(md, r)
+      }
+      (picked.toSeq, md)
     }
-    (picked.toSeq, md)
   }
 
   /** @param vecs (idCol, vecCol: array<float>) — ids unique

@@ -90,7 +90,8 @@ object Dedup {
     // map-side work, and the first real shuffle is the window's
     // hash-partition by doc id — shipping the corpus once more
     // beforehand buys nothing at scale.
-    val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val tok = ScanSpread.spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
       .select(col("id"), posexplode(tokens(col("txt"))).as(Seq("pos", "w")))
     val w = Window.partitionBy("id").orderBy("pos")
     tok
@@ -222,7 +223,10 @@ object Dedup {
     */
   def charGramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    df.select(col(idCol).as("id"),
+    // spread BEFORE the ~len-x gram explode + per-gram md5: a
+    // single-split scan otherwise runs the whole amplification in one
+    // task (measured 2.3 s of dedup_ngram's 4.8 s — see ScanSpread)
+    ScanSpread.spread(df).select(col(idCol).as("id"),
         TextAnalysis.normalized(col(textCol)).as("nt"))
       .filter(length(col("nt")) >= n)
       .select(col("id"), col("nt"),
@@ -349,8 +353,11 @@ object Dedup {
     // lazy executor-local checkpoint, computed on first use — instead
     // of re-running the explode/distinct/aggregate per leg.
     val shd = shingles.localCheckpoint(false)
-    val banded = minhashSignatures(shd, numHashes)
-      .localCheckpoint(false).select(col("id"),
+    // widen the signature checkpoint (same reason as simhashPairs':
+    // the AQE-coalesced aggregate output otherwise pins 1 partition
+    // on every downstream band/verify leg at small SFs)
+    val banded = ScanSpread.spread(minhashSignatures(shd, numHashes)
+      .localCheckpoint(false)).select(col("id"),
       posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
     val cand = bucketPairs(banded, hotCap, salts)
       .distinct() // a pair may collide in several bands
@@ -427,7 +434,8 @@ object Dedup {
     val shNew = shingleRows(incoming, idCol, textCol).localCheckpoint(false)
     val shCor = shingleRows(corpus, idCol, textCol).localCheckpoint(false)
     def banded(sh: DataFrame, as: String) =
-      minhashSignatures(sh, numHashes).localCheckpoint(false)
+      ScanSpread.spread(
+          minhashSignatures(sh, numHashes).localCheckpoint(false))
         .select(col("id").as(as),
           posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
     val cand = bucketJoinPairs(banded(shNew, "id_a"),
@@ -484,7 +492,8 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val tok = ScanSpread.spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
       .select(col("id"), explode(tokens(col("txt"))).as("t"))
     val hashed = tok.select(col("id"),
       h32(col("t"), 1).as("hi"), h32(col("t"), 9).as("lo"))
@@ -565,7 +574,14 @@ object Dedup {
       maxHamming: Int = 3, hotCap: Int = 4096,
       salts: Int = 16): DataFrame = {
     // sig feeds 4 plan legs (self-join sides + hamming backjoins).
-    val sig = simhashSignatures(df, idCol, textCol).localCheckpoint(false)
+    // WIDEN before the checkpoint (ScanSpread.spread): the signature
+    // aggregate's AQE-coalesced output is 1 partition at small SFs,
+    // and the checkpoint pins that for every consumer — the banded
+    // self-join broadcasts one side, so the whole quadratic
+    // candidate+hamming stage then runs in THIS frame's single task
+    // (measured 792 ms of dedup_simhash's 2.2 s).
+    val sig = ScanSpread.spread(
+      simhashSignatures(df, idCol, textCol).localCheckpoint(false))
     val numChunks =
       if (maxHamming <= 4) maxHamming + 1 else (maxHamming + 2) / 2
     val exact = sig.select(col("id"),
@@ -640,7 +656,7 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k=$k, w=$w must be >= 1")
-    val tok = df.select(col(idCol).as("id"),
+    val tok = ScanSpread.spread(df).select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
     val byPos = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until k).map(i => lead("w0", i).over(byPos).as(s"w$i"))
@@ -723,12 +739,13 @@ object Dedup {
     require(window >= 2 && maskMod >= 2,
       s"cdcChunks: window=$window maskMod=$maskMod")
     graft.functions.CdcCuts.register(df.sparkSession)
+    val dfs = ScanSpread.spread(df)
     // one codegen'd rolling pass emits the chunk strings directly
     // (functions/CdcChunks) — assembling them from cdc_cuts with
     // builtin HOFs re-inlined the O(len) pass per chunk element
     // after projection collapse (measured 7.2 s -> sub-second for
     // dedup_cdc at sf0.1)
-    df.select(col(idCol).as("id") +: carry.map(col) :+
+    dfs.select(col(idCol).as("id") +: carry.map(col) :+
         posexplode(graft.functions.CdcCuts.cdc_chunks(
           graft.ext.TextAnalysis.normalized(col(textCol)),
           window, maskMod)).as(Seq("chunk_idx", "chunk")): _*)

@@ -51,7 +51,7 @@ object Dsir {
     */
   def featureTable(docs: DataFrame, isTarget: Column,
       buckets: Int, textCol: String = "text"): DataFrame =
-    docs
+    ScanSpread.spread(docs)
       .select(isTarget.as("tgt"),
         explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("tgt"),
@@ -82,7 +82,7 @@ object Dsir {
     // Corpus token totals from the bounded table — no second pass.
     val totals = ft.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val perTok = lit(buckets)
-    docs
+    ScanSpread.spread(docs)
       .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
         explode(Dedup.tokens(col(textCol))).as("t"))
       .select(col("doc_id"), col("tgt"),

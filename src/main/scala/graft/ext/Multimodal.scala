@@ -197,7 +197,8 @@ object Multimodal {
     require(maxDim >= 1, s"maxDim must be positive, got $maxDim")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    ScanSpread.spread(df)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeImageDims(Option(bytes).getOrElse(Array.emptyByteArray))
@@ -464,7 +465,8 @@ object Multimodal {
     require(maxDim >= 1, s"maxDim must be positive, got $maxDim")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    ScanSpread.spread(df)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeRaster(Option(bytes).getOrElse(Array.emptyByteArray))
@@ -519,7 +521,8 @@ object Multimodal {
       s"dHash grid ${gw}x$gh must fit 63 bits")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    ScanSpread.spread(df)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeRaster(Option(bytes).getOrElse(Array.emptyByteArray))
@@ -560,7 +563,8 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    ScanSpread.spread(df)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         codec(id, Option(bytes).getOrElse(Array.emptyByteArray))

@@ -39,7 +39,9 @@ object Rake {
       stopwords: Seq[String] = TextAnalysis.Stopwords): DataFrame = {
     require(k >= 1, s"rake: k=$k")
     val stops = array(stopwords.map(lit): _*)
-    val tok = df.select(col(idCol).as("id"),
+    // spread before the token explode (ScanSpread): the per-token
+    // stopword probe + segment windows amplify a 1-split scan
+    val tok = ScanSpread.spread(df).select(col(idCol).as("id"),
         posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
       .withColumn("is_stop", array_contains(stops, col("w")))
     // segment id = running stopword count at <= pos: constant within

@@ -31,18 +31,23 @@ object Bfs {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false)
-    var dists = und.sparkSession.range(1)
-      .select(lit(source).as("id"), lit(0L).as("dist"))
-    for (i <- 1 to maxDepth) {
-      val relaxed = und
-        .join(dists, col("src") === col("id"))
-        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
-      val next = dists.union(relaxed)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
-      dists = if (i % 5 == 0 || i == maxDepth)
-        next.localCheckpoint(false)
-      else next
+    // edge materialization under normal AQE; the fixed-shape
+    // relaxation loop runs + materializes under IterConf (scaladoc)
+    val edgeRows = und.count()
+    IterConf.materializeLoop(und.sparkSession, edgeRows) {
+      var dists = und.sparkSession.range(1)
+        .select(lit(source).as("id"), lit(0L).as("dist"))
+      for (i <- 1 to maxDepth) {
+        val relaxed = und
+          .join(dists, col("src") === col("id"))
+          .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+        val next = dists.union(relaxed)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+        dists = if (i % 5 == 0 || i == maxDepth)
+          next.localCheckpoint(false)
+        else next
+      }
+      dists
     }
-    dists
   }
 }

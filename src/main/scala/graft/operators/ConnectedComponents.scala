@@ -44,12 +44,37 @@ object ConnectedComponents {
     val bidir = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The edge-producing plan (often corpus-sized pair MINING) runs
+    // under this eager checkpoint with the session's normal AQE; the
+    // fixed-shape loop below runs under IterConf (AQE off — one job
+    // per round instead of one per exchange, see IterConf's scaladoc).
     val sym = bidir
       .union(bidir.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // Cached-block count (sym is materialized) — the loop-state size
+    // that drives the loop partition count; edges >= nodes (self-loops
+    // included), so it upper-bounds every in-loop relation.
+    val edgeRows = sym.count()
+    IterConf.withLoopConf(edges.sparkSession, edgeRows) {
+      labelLoop(sym, maxIter)
+    }
+  }
+
+  private def labelLoop(sym: DataFrame, maxIter: Int): DataFrame = {
+    // FUSED one-hop seed (r17): with identity initial labels, round
+    // 1's propagation is exactly min(src) grouped by dst — so seed
+    // with that aggregate directly (one exchange, no join) instead of
+    // an identity-label distinct plus a full first round. Same
+    // fixpoint: seed labels sit between identity and the component
+    // min (label(v) = min(N(v) ∪ {v}) — self-loops put every node in
+    // its own neighborhood), min-propagation is monotone
+    // non-increasing and preserves label(v) ∈ v's component, and the
+    // component-min node m keeps label m (its neighbors' ids all
+    // exceed its component min = m). Shallow near-dup graphs now
+    // converge one Σ-checked round earlier.
+    var labels = sym.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("label"))
       .localCheckpoint(false)
     // Convergence detection piggybacks on the checkpoint job: per-node
     // labels are monotonically non-increasing (min-propagation with

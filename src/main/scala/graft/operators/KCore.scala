@@ -42,22 +42,34 @@ object KCore {
   def core(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"kcore: k=$k rounds=$rounds")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    var deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    for (_ <- 2 to rounds) {
-      val surv = deg.filter(col("deg") >= k)
+    // materialize the edge plan with the session's normal AQE, then
+    // run the fixed-shape peel under IterConf (see its scaladoc) and
+    // return it materialized from inside the scope
+    val edgeRows = e.count()
+    IterConf.materializeLoop(e.sparkSession, edgeRows) {
+      var deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      for (_ <- 2 to rounds) {
+        val surv = deg.filter(col("deg") >= k)
+          .select(col("src").as("id")).localCheckpoint(false)
+        val active = e
+          .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        deg = active.groupBy("src").agg(count(lit(1)).as("deg"))
+      }
+      val members = deg.filter(col("deg") >= k)
         .select(col("src").as("id")).localCheckpoint(false)
-      val active = e
-        .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      deg = active.groupBy("src").agg(count(lit(1)).as("deg"))
+      val inCore = e
+        .join(members.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(members.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      val out = members
+        .join(inCore, members("id") === inCore("src"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      // pre-r17 the final join was served lazily (plan visible to
+      // PlanShapeSpec via the loop.aqe opt-out); the materialized
+      // path checkpoints it so materializeLoop's count() caches it
+      if (IterConf.lazyLoop(e.sparkSession)) out
+      else out.localCheckpoint(false)
     }
-    val members = deg.filter(col("deg") >= k)
-      .select(col("src").as("id")).localCheckpoint(false)
-    val inCore = e
-      .join(members.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(members.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .groupBy("src").agg(count(lit(1)).as("deg"))
-    members.join(inCore, members("id") === inCore("src"), "left")
-      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
   }
 }

@@ -32,23 +32,28 @@ object LabelPropagation {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false)
-    var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(false)
-    val byFreqThenMin = Window.partitionBy("nid")
-      .orderBy(col("cnt").desc, col("label").asc)
-    for (i <- 1 to iterations) {
-      val next = und
-        .join(labels, col("dst") === col("id"))
-        .groupBy(col("src").as("nid"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(byFreqThenMin))
-        .filter(col("rn") === 1)
-        .select(col("nid").as("id"), col("label"))
-      labels = if (i % 5 == 0 || i == iterations)
-        next.localCheckpoint(false)
-      else next
+    // edge materialization under normal AQE; the fixed-shape rounds
+    // run + materialize under IterConf (see its scaladoc)
+    val edgeRows = und.count()
+    IterConf.materializeLoop(und.sparkSession, edgeRows) {
+      var labels = und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(false)
+      val byFreqThenMin = Window.partitionBy("nid")
+        .orderBy(col("cnt").desc, col("label").asc)
+      for (i <- 1 to iterations) {
+        val next = und
+          .join(labels, col("dst") === col("id"))
+          .groupBy(col("src").as("nid"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(byFreqThenMin))
+          .filter(col("rn") === 1)
+          .select(col("nid").as("id"), col("label"))
+        labels = if (i % 5 == 0 || i == iterations)
+          next.localCheckpoint(false)
+        else next
+      }
+      labels
     }
-    labels
   }
 }

@@ -32,32 +32,41 @@ object PageRank {
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(false)
     val nNodes = nodes.count() // also materializes e + nodes
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) is iteration-invariant: computed once on first
-    // use (lazy checkpoint — no standalone materialization job).
-    val links = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(false)
-    val base = (1.0 - damping) / nNodes
-    var ranks = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
-    for (i <- 1 to iterations) {
-      val contrib = links.join(ranks, col("src") === col("id"))
-        .select(col("dst"), (col("rank") / col("deg")).as("c"))
-      val summed = contrib
-        .groupBy("dst")
-        .agg(sum(col("c").cast(DecimalType(38, 18))).cast("double")
-          .as("mass"))
-      val next = nodes.join(summed, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0)))
-            .as("rank"))
-      // Lazily checkpoint every fifth round: lineage depth stays
-      // bounded (≤5 join+agg layers) without standalone
-      // materialization jobs — each checkpoint computes as part of
-      // the next consuming job.
-      ranks = if (i % 5 == 0 || i == iterations) next.localCheckpoint(false)
+    val edgeRows = e.count() // cached-block count — loop-state sizing
+    // The whole fixed-shape iteration materializes INSIDE the
+    // IterConf scope (final eager checkpoint): under AQE each of the
+    // loop's ~3 exchanges x iterations becomes its own query-stage
+    // job with per-stage driver replanning — measured 38 serial jobs
+    // for this operator's consumers at sf0.1. See IterConf.
+    IterConf.materializeLoop(e.sparkSession, edgeRows) {
+      val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg) is iteration-invariant: computed once on first
+      // use (lazy checkpoint — no standalone materialization job).
+      val links = e.join(outDeg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(false)
+      val base = (1.0 - damping) / nNodes
+      var ranks = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
+      for (i <- 1 to iterations) {
+        val contrib = links.join(ranks, col("src") === col("id"))
+          .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        val summed = contrib
+          .groupBy("dst")
+          .agg(sum(col("c").cast(DecimalType(38, 18))).cast("double")
+            .as("mass"))
+        val next = nodes.join(summed, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0)))
+              .as("rank"))
+        // Lazily checkpoint every fifth round: lineage depth stays
+        // bounded (≤5 join+agg layers) without standalone
+        // materialization jobs — each checkpoint computes as part of
+        // the next consuming job.
+        ranks = if (i % 5 == 0 || i == iterations)
+          next.localCheckpoint(false)
         else next
+      }
+      ranks // materializeLoop executes the lazy checkpoint in-scope
     }
-    ranks
   }
 }

@@ -2413,8 +2413,9 @@ object PipelineQueries {
     // row-order bug goes hash-red.
     "mm_resample" -> ((s, d) =>
       Multimodal.resampleNearest(
-          documents(s, d).select(col("doc_id"),
-            syntheticGray8Payload.as("payload")),
+          graft.ext.ScanSpread.spread(documents(s, d))
+            .select(col("doc_id"),
+              syntheticGray8Payload.as("payload")),
           "doc_id", "payload", maxDim = 8)
         .toDF()),
 
@@ -2429,8 +2430,9 @@ object PipelineQueries {
     // integer SQL.
     "mm_dedup_phash" -> ((s, d) => {
       val ph = Multimodal.dHash(
-        documents(s, d).select(col("doc_id"),
-          syntheticGray8Payload.as("payload")),
+        graft.ext.ScanSpread.spread(documents(s, d))
+          .select(col("doc_id"),
+            syntheticGray8Payload.as("payload")),
         "doc_id", "payload").toDF()
       val g = ph.groupBy("phash")
         .agg(min(col("doc_id")).as("canonical_doc"),
@@ -2476,8 +2478,9 @@ object PipelineQueries {
     // group_b row blowups).
     "mm_dedup_phash_near" -> ((s, d) => {
       val hs = Multimodal.dHash(
-          documents(s, d).select(col("doc_id"),
-            syntheticGray8Payload.as("payload")),
+          graft.ext.ScanSpread.spread(documents(s, d))
+            .select(col("doc_id"),
+              syntheticGray8Payload.as("payload")),
           "doc_id", "payload").toDF()
         .groupBy("phash").agg(count(lit(1)).as("nd"))
         .select(col("phash").as("id"), col("nd"))

@@ -29,11 +29,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("graph_kcore: per-round peels are semi joins + partial-agg " +
       "degree counts; no cartesian, no window anywhere") {
-    val p = plan("graph_kcore")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("LeftSemi"),
-      "survivor filtering must be semi joins:\n" + p)
-    assert(!p.contains("WindowExec"), "no window belongs here:\n" + p)
+    // r17: the peel loop materializes inside IterConf.materializeLoop,
+    // so the served plan is a cached-RDD scan; spark.graft.loop.aqe
+    // = true is the documented opt-out that returns the LAZY loop
+    // plan — pin the loop's shape through it.
+    spark.conf.set("spark.graft.loop.aqe", "true")
+    try {
+      val p = plan("graph_kcore")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("LeftSemi"),
+        "survivor filtering must be semi joins:\n" + p)
+      assert(!p.contains("WindowExec"), "no window belongs here:\n" + p)
+    } finally spark.conf.unset("spark.graft.loop.aqe")
   }
 
   test("graph_link_predict: top-k runs as TakeOrderedAndProject " +
@@ -163,13 +170,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ts_a") && !p.contains("ts_b"))
   }
 
-  test("dedup pipelines: no round-robin reshuffle of the raw corpus") {
-    // the only shuffles should be keyed (window/agg/join) — a
-    // RoundRobinPartitioning exchange would mean the corpus text is
-    // shipped once wholesale before any size reduction
-    for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
-        "dedup_incremental", "dedup_survivors"))
-      assert(!plan(q).contains("RoundRobinPartitioning"), q)
+  test("dedup pipelines: no round-robin reshuffle of the raw corpus " +
+      "beyond the layout-conditional ScanSpread") {
+    // the only shuffles should be keyed (window/agg/join) — an
+    // UNCONDITIONAL RoundRobinPartitioning exchange would mean the
+    // corpus text is shipped once wholesale before any size
+    // reduction. r17: ScanSpread adds a CONDITIONAL round-robin that
+    // fires only when the planned scan has fewer partitions than the
+    // cluster's parallelism (identity at production scale —
+    // ScanSpreadSpec pins that); with it opted out, the operators
+    // themselves must still add none.
+    spark.conf.set("spark.graft.scan.spread", "false")
+    try
+      for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
+          "dedup_incremental", "dedup_survivors"))
+        assert(!plan(q).contains("RoundRobinPartitioning"), q)
+    finally spark.conf.unset("spark.graft.scan.spread")
   }
 
   test("dedup_incremental: two-sided bucket join, no cartesian") {
@@ -492,11 +508,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dedup_containment: candidates via band buckets — no " +
-      "cartesian, no round-robin corpus reshuffle") {
-    val p = plan("dedup_containment")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("RoundRobinPartitioning"))
+      "cartesian, no round-robin corpus reshuffle (ScanSpread " +
+      "opted out — see the dedup-pipelines test)") {
+    spark.conf.set("spark.graft.scan.spread", "false")
+    try {
+      val p = plan("dedup_containment")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+      assert(!p.contains("RoundRobinPartitioning"))
+    } finally spark.conf.unset("spark.graft.scan.spread")
   }
 
   private def scansOf(p: String, table: String): Int =
