@@ -90,8 +90,7 @@ object Dedup {
     // map-side work, and the first real shuffle is the window's
     // hash-partition by doc id — shipping the corpus once more
     // beforehand buys nothing at scale.
-    val tok = ScanSpread.spread(df)
-      .select(col(idCol).as("id"), col(textCol).as("txt"))
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
       .select(col("id"), posexplode(tokens(col("txt"))).as(Seq("pos", "w")))
     val w = Window.partitionBy("id").orderBy("pos")
     tok
@@ -353,11 +352,8 @@ object Dedup {
     // lazy executor-local checkpoint, computed on first use — instead
     // of re-running the explode/distinct/aggregate per leg.
     val shd = shingles.localCheckpoint(false)
-    // widen the signature checkpoint (same reason as simhashPairs':
-    // the AQE-coalesced aggregate output otherwise pins 1 partition
-    // on every downstream band/verify leg at small SFs)
-    val banded = ScanSpread.spread(minhashSignatures(shd, numHashes)
-      .localCheckpoint(false)).select(col("id"),
+    val banded = minhashSignatures(shd, numHashes)
+      .localCheckpoint(false).select(col("id"),
       posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
     val cand = bucketPairs(banded, hotCap, salts)
       .distinct() // a pair may collide in several bands
@@ -434,8 +430,7 @@ object Dedup {
     val shNew = shingleRows(incoming, idCol, textCol).localCheckpoint(false)
     val shCor = shingleRows(corpus, idCol, textCol).localCheckpoint(false)
     def banded(sh: DataFrame, as: String) =
-      ScanSpread.spread(
-          minhashSignatures(sh, numHashes).localCheckpoint(false))
+      minhashSignatures(sh, numHashes).localCheckpoint(false)
         .select(col("id").as(as),
           posexplode(bandKeys(bands, rowsPerBand)).as(Seq("band", "bk")))
     val cand = bucketJoinPairs(banded(shNew, "id_a"),
@@ -492,8 +487,7 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tok = ScanSpread.spread(df)
-      .select(col(idCol).as("id"), col(textCol).as("txt"))
+    val tok = df.select(col(idCol).as("id"), col(textCol).as("txt"))
       .select(col("id"), explode(tokens(col("txt"))).as("t"))
     val hashed = tok.select(col("id"),
       h32(col("t"), 1).as("hi"), h32(col("t"), 9).as("lo"))
@@ -574,14 +568,7 @@ object Dedup {
       maxHamming: Int = 3, hotCap: Int = 4096,
       salts: Int = 16): DataFrame = {
     // sig feeds 4 plan legs (self-join sides + hamming backjoins).
-    // WIDEN before the checkpoint (ScanSpread.spread): the signature
-    // aggregate's AQE-coalesced output is 1 partition at small SFs,
-    // and the checkpoint pins that for every consumer — the banded
-    // self-join broadcasts one side, so the whole quadratic
-    // candidate+hamming stage then runs in THIS frame's single task
-    // (measured 792 ms of dedup_simhash's 2.2 s).
-    val sig = ScanSpread.spread(
-      simhashSignatures(df, idCol, textCol).localCheckpoint(false))
+    val sig = simhashSignatures(df, idCol, textCol).localCheckpoint(false)
     val numChunks =
       if (maxHamming <= 4) maxHamming + 1 else (maxHamming + 2) / 2
     val exact = sig.select(col("id"),
@@ -739,13 +726,12 @@ object Dedup {
     require(window >= 2 && maskMod >= 2,
       s"cdcChunks: window=$window maskMod=$maskMod")
     graft.functions.CdcCuts.register(df.sparkSession)
-    val dfs = ScanSpread.spread(df)
     // one codegen'd rolling pass emits the chunk strings directly
     // (functions/CdcChunks) — assembling them from cdc_cuts with
     // builtin HOFs re-inlined the O(len) pass per chunk element
     // after projection collapse (measured 7.2 s -> sub-second for
     // dedup_cdc at sf0.1)
-    dfs.select(col(idCol).as("id") +: carry.map(col) :+
+    df.select(col(idCol).as("id") +: carry.map(col) :+
         posexplode(graft.functions.CdcCuts.cdc_chunks(
           graft.ext.TextAnalysis.normalized(col(textCol)),
           window, maskMod)).as(Seq("chunk_idx", "chunk")): _*)

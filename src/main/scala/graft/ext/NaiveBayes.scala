@@ -65,7 +65,7 @@ object NaiveBayes {
   def trainWeights(docs: DataFrame, labelCol: String,
       buckets: Int): DataFrame = {
     requireText(docs, "trainWeights", Seq("text"))
-    ScanSpread.spread(docs)
+    docs
       .select(col(labelCol).as("wl"),
         explode(Dedup.tokens(col("text"))).as("t"))
       .select(col("wl"),

@@ -237,11 +237,8 @@ object Similarity {
       threshold: Double, bands: Int = 24, rowsPerBand: Int = 6,
       hotCap: Int = 4096, salts: Int = 16): DataFrame = {
     val planes = lshPlanes(df, idCol, vecCol, bands * rowsPerBand)
-    // spread BEFORE the bands*rowsPerBand-dot sign projection: a
-    // single-split vector scan otherwise runs it one-task (ScanSpread)
-    val dfs = ScanSpread.spread(df)
-    val n = dfs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      l2norm(dfs, col(vecCol)).as("nrm"))
+    val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(df, col(vecCol)).as("nrm"))
     val keys = signBandKeys(df.sparkSession, col("v"), planes, bands,
       rowsPerBand)
     // checkpoint: the band projection feeds several bucketPairs legs
@@ -306,14 +303,11 @@ object Similarity {
       guaranteeK: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = lshPlanes(corpus, idCol, vecCol, bands * rowsPerBand)
-    // spread both sides before the banding projection (ScanSpread)
-    val qs = ScanSpread.spread(queries)
-    val cs = ScanSpread.spread(corpus)
-    val qn = qs.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        l2norm(qs, col(vecCol)).as("qnrm"))
+    val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        l2norm(queries, col(vecCol)).as("qnrm"))
       .localCheckpoint(false) // feeds the band leg AND the verify join
-    val cn = cs.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        l2norm(cs, col(vecCol)).as("cnrm"))
+    val cn = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        l2norm(corpus, col(vecCol)).as("cnrm"))
       .localCheckpoint(false)
     val qBanded = qn.select(col("qid").as("id_a"),
       posexplode(signBandKeys(queries.sparkSession, col("qv"), planes,
@@ -395,15 +389,10 @@ object Similarity {
     * cross-engine.
     */
   private[ext] def fullCodes(df: DataFrame, idCol: String, vecCol: String,
-      s: Double): DataFrame = {
-    // spread before the per-element quantize: callers checkpoint this
-    // frame and run the m x nCentroids Lloyd/encode projections over
-    // it, so a 1-split scan would pin ALL of that single-task
-    val dfs = ScanSpread.spread(df)
-    dfs.select(col(idCol).cast("long").as("id"),
+      s: Double): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * 127.0 / s).cast("int")).as("a"))
-  }
 
   /** Best-centroid-per-subspace column for the `a` code column against
     * a codebook snapshot: one [[graft.functions.PqBestCodes]] call —

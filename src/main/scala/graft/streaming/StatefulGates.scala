@@ -221,8 +221,7 @@ object StatefulGates {
     val (_, _, keys) = graft.ext.BloomIndex.gateParts(spark, indexDir)
     val init = keys.select(col("key")).as[String]
       .groupByKey(identity).mapValues(_ => true)
-    graft.ext.ScanSpread.spread(df)
-      .select(md5(keyExpr).as("key"),
+    df.select(md5(keyExpr).as("key"),
         idLong(col(idCol), "exactGateStateful").as("id"))
       .as[ExactIn]
       .groupByKey(_.key)
@@ -282,8 +281,7 @@ object StatefulGates {
     }
     val mi = (i: Int) =>
       graft.ext.Dedup.minhashComponent(col("__hs"), i)
-    graft.ext.ScanSpread.spread(df)
-      .select(idLong(col(idCol), "nearDupCandidatesStateful")
+    df.select(idLong(col(idCol), "nearDupCandidatesStateful")
           .as("id"),
         col(tsCol).cast("timestamp").as("ts"), hs.as("__hs"))
       .filter(size(col("__hs")) > 0)
