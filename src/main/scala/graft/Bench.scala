@@ -35,8 +35,25 @@ object Bench {
     val normalized =
       if (calib > 0) total * ReferenceCalib / calib else total
     val scale = if (scalePathTotal >= 0) scalePathTotal else total
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_normalized":${f"$normalized%.3f"},"value_scale_path":${f"$scale%.3f"},"calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sweep_totals":${arr(sweepTotals)},"sweep_cpu":${arr(sweepCpu)},"sweep_io":${arr(sweepIo)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_normalized":${f"$normalized%.3f"},"value_scale_path":${f"$scale%.3f"},"calib":${f"$calib%.3f"},"calib2":${f"$calib2%.3f"},"calib_io":${f"$calibIo%.3f"},"calib_io2":${f"$calibIo2%.3f"},"n_queries":$nQueries,"n_failed":$nFailed,"sweep_totals":${arr(sweepTotals)},"sweep_cpu":${arr(sweepCpu)},"sweep_io":${arr(sweepIo)},"queries_path":"bench_queries.jsonl","sf":"$sfDir"}"""
   }
+
+  /** The FULL driver-contract line (VERDICT r17 #3): the per-query
+    * minima map inline with the same total/unit/sf. Printed BEFORE the
+    * compact summary, never last: the driver's stdout tail is
+    * hard-capped at 2000 chars (every BENCH_r*.json "tail" is exactly
+    * 2000 chars; r03-r06 came back "parsed": null when a per-query map
+    * rode in the LAST line and pushed its head out of the window), and
+    * a 280-query map is ~7 kB — mathematically unable to fit. A
+    * full-stdout reader finds this complete
+    * {"metric","value","unit","queries",...,"sf"} line; the bounded
+    * tail reader keeps parsing the compact last line exactly as
+    * before. Both lines report the identical value. The same map also
+    * persists to the repo-tracked bench_queries.jsonl (one line per
+    * run), named machine-readably by the summary's queries_path field.
+    */
+  def queriesLine(total: Double, qs: String, sfDir: String): String =
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -314,6 +331,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] query history not written: ${e.getMessage}")
     }
+    // full contract line first (complete per-query map for full-stdout
+    // readers), compact scalars-only line LAST (the only line whose
+    // parse survives the driver's 2000-char stdout tail) — see
+    // queriesLine's scaladoc for the measured evidence
+    println(queriesLine(total, qs, sfDir))
     println(summary)
     spark.stop()
   }

@@ -110,6 +110,35 @@ object AnnIndex {
     s"files=$n bytes=$bytes mtime=$mtime"
   }
 
+  /** EXACT row count of a parquet table read from its file FOOTERS —
+    * driver-side metadata only, no Spark job (r18, guide §1.2): the
+    * nCells derivation needs the corpus cardinality on every
+    * invocation, and a count() job costs a full action round-trip
+    * (~100 ms of driver latency) to read a number the footers already
+    * hold. Footer row counts are exact, so this equals
+    * `spark.read.parquet(path).count()` bit for bit.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && f.getLen > 0 &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try n += r.getRecordCount
+        finally r.close()
+      }
+    }
+    n
+  }
+
   private def markerText(nCells: Int, m: Int, nCentroids: Int,
       hier: Int, fingerprint: String): String =
     s"format=$FormatVersion nCells=$nCells m=$m nCentroids=$nCentroids " +
@@ -504,18 +533,35 @@ object AnnIndex {
     require(hfs(spark, dir).exists(hpath(dir, Marker)),
       s"no committed ANN index at $dir (missing $Marker — " +
         "build() did not finish?)")
-    val m = spark.read.parquet(s"$dir/meta")
-      .select("version", "n_cells", "m", "n_centroids", "sub", "scale",
-        "hier")
-      .head()
+    // the three bounded side-table reads are independent — run them
+    // CONCURRENTLY (guide §2.6: actions are only sequential because
+    // the driver calls them sequentially); serving paths call load()
+    // on every invocation, and three serial ~100 ms action round-trips
+    // were pure driver latency (r18)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    val fMeta = Future {
+      spark.read.parquet(s"$dir/meta")
+        .select("version", "n_cells", "m", "n_centroids", "sub",
+          "scale", "hier")
+        .head()
+    }
+    val fCoarse = Future {
+      spark.read.parquet(s"$dir/coarse").collect()
+    }
+    val fCents = Future {
+      spark.read.parquet(s"$dir/codebooks").collect()
+    }
+    val m = Await.result(fMeta, 600.seconds)
     require(m.getInt(0) == FormatVersion,
       s"ANN index format ${m.getInt(0)} != supported $FormatVersion")
     val meta = Meta(m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4),
       m.getDouble(5), m.getInt(6))
-    val coarseRows = spark.read.parquet(s"$dir/coarse").collect()
-    val coarse = coarseRows.map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val coarse = Await.result(fCoarse, 600.seconds)
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
       .sortBy(_._1).map(_._2.toSeq).toSeq
-    val cents = spark.read.parquet(s"$dir/codebooks").collect()
+    val cents = Await.result(fCents, 600.seconds)
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Int](2).toSeq)
       .toMap
     require(coarse.size == meta.nCells &&
@@ -610,9 +656,14 @@ object AnnIndex {
     */
   def cosinePairsIndexed(corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, threshold: Double,
-      probes: Int = 4, superProbes: Int = 0): DataFrame = {
+      probes: Int = 4, superProbes: Int = 0,
+      pre: Option[(Meta, Seq[Seq[Float]], Map[(Int, Int), Seq[Int]])] =
+        None): DataFrame = {
     val spark = corpus.sparkSession
-    val (meta, coarse, cents) = load(spark, dir)
+    // a caller that already loaded the index's bounded side tables for
+    // THIS query execution passes them through — never a cross-run
+    // cache, just plumbing (r18, VERDICT r17 #1)
+    val (meta, coarse, cents) = pre.getOrElse(load(spark, dir))
     // tombstones are authoritative on BOTH sides: the home side via
     // codesTable, the probe/verify side via normalized()
     val n = normalized(corpus, idCol, vecCol, dir)
@@ -626,21 +677,42 @@ object AnnIndex {
     // input is skinny (id, cell) rows — byte-based AQE coalescing
     // collapses it to one task — but the join fans out the quadratic
     // candidate generation (measured 1.1 s single-task at sf0.1)
-    // pin the probe x probe co-occurrence join AND the following
-    // pair-dedup at work width: both exchanges carry skinny rows —
-    // byte-based AQE coalescing collapses each to one task — but the
-    // join fans out quadratic candidate generation and the distinct
-    // then de-duplicates ~probes²·cellSize·N raw pairs (measured
-    // 1.1 s + 1.25 s single-task at sf0.1, the whole warm cost of
-    // dedup_embed_ann_2level)
     val wp = ScanSpread.workParts(probe)
-    val cand = probe.select(col("id"), col("cell"))
-      .repartition(wp, col("cell"))
-      .join(probe.select(col("id").as("id2"), col("cell")), "cell")
-      .filter(col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .repartition(wp, col("id_a"), col("id_b"))
-      .distinct()
+    val cand =
+      if (superProbes <= 0) {
+        // FLAT path (r18): de-duplicate pairs STRUCTURALLY instead of
+        // with a distinct — each side carries its full probe-cell
+        // array (a few ints) and a co-occurrence survives only in the
+        // pair's MINIMAL shared cell, so every pair is emitted exactly
+        // once. Replaces the ~probes²·cellSize·N-row exchange + hash
+        // dedup (measured 1.25 s at sf0.1) with a map-side
+        // array_intersect per co-occurrence inside the already-pinned
+        // join stage. Identical pair set to .distinct() by
+        // construction: a pair sharing k >= 1 cells matches the filter
+        // for exactly the smallest of them.
+        val withSet = n.select(col("id"),
+          flatProbeCellsCol(n, col("v"), coarse, probes).as("__cells"))
+        val probeF = withSet.select(col("id"), col("__cells"),
+          explode(col("__cells")).as("cell"))
+        probeF
+          .repartition(wp, col("cell"))
+          .join(probeF.select(col("id").as("id2"),
+            col("__cells").as("__cells2"), col("cell")), "cell")
+          .filter(col("id") < col("id2") &&
+            col("cell") === array_min(
+              array_intersect(col("__cells"), col("__cells2"))))
+          .select(col("id").as("id_a"), col("id2").as("id_b"))
+      } else {
+        // hierarchical path: the probe assignment already cost a join
+        // + window, keep the r17 shape (pinned pair-dedup exchange)
+        probe.select(col("id"), col("cell"))
+          .repartition(wp, col("cell"))
+          .join(probe.select(col("id").as("id2"), col("cell")), "cell")
+          .filter(col("id") < col("id2"))
+          .select(col("id").as("id_a"), col("id2").as("id_b"))
+          .repartition(wp, col("id_a"), col("id_b"))
+          .distinct()
+      }
     cand
       .join(n.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), "id_a")
@@ -763,9 +835,11 @@ object AnnIndex {
     * cell-partitionable.
     */
   def cellTable(corpus: DataFrame, idCol: String, vecCol: String,
-      dir: String, probes: Int = 4, superProbes: Int = 0): DataFrame = {
+      dir: String, probes: Int = 4, superProbes: Int = 0,
+      pre: Option[(Meta, Seq[Seq[Float]], Map[(Int, Int), Seq[Int]])] =
+        None): DataFrame = {
     val spark = corpus.sparkSession
-    val (_, coarse, _) = load(spark, dir)
+    val (_, coarse, _) = pre.getOrElse(load(spark, dir))
     val n = normalized(corpus, idCol, vecCol, dir)
     probeCells(n, coarse, probes, superProbes)
       .select(col("id"), col("cell"))

@@ -193,8 +193,9 @@ object BpeTrain {
     // under the loop conf — fewer query-stage jobs per round, loop
     // partitions derived from the vocab size (IterConf scaladoc)
     freq.count()
-    graft.operators.IterConf.withLoopConf(
-        docs.sparkSession, topWords.toLong) {
+    val spark = docs.sparkSession
+    val (mergeList, tokLoop) = graft.operators.IterConf.loopScope(
+        spark, topWords.toLong, Seq(freq)) { case Seq(fq) =>
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var flat = Seq.empty[String]
     var r = 1
@@ -202,7 +203,7 @@ object BpeTrain {
     while (r <= nMerges && !done) {
       val syms = graft.functions.BpeReplay.bpe_replay(col("word"), flat)
       val n = greatest(size(col("s")) - 1, lit(0))
-      val best = freq.select(col("f"), syms.as("s"))
+      val best = fq.select(col("f"), syms.as("s"))
         .select(col("f"), explode(zip_with(
           slice(col("s"), lit(1), n), slice(col("s"), lit(2), n),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
@@ -219,13 +220,16 @@ object BpeTrain {
         r += 1
       }
     }
-    val tok = freq.select(col("word"), col("f"),
+    val tok = fq.select(col("word"), col("f"),
       posexplode(graft.functions.BpeReplay.bpe_replay(col("word"), flat))
         .as(Seq("p0", "sym")))
       .select(col("word"), col("f"),
         (col("p0") + 1).cast("int").as("pos"), col("sym"))
     (merges.result(), tok)
-    } // IterConf.withLoopConf
+    } // IterConf.loopScope
+    // the lazy symbol table escapes the loop scope — re-home it on the
+    // caller's session so downstream consumers plan under normal AQE
+    (mergeList, graft.operators.IterConf.rebind(tokLoop, spark))
   }
 
   /** DuckDB re-derivation of the merge table: one CTE block per round

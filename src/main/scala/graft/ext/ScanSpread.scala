@@ -45,6 +45,30 @@ object ScanSpread {
       spark.conf.get("spark.sql.shuffle.partitions", "1").toInt)
   }
 
+  /** Frames whose `.rdd` peek cannot run a job: a leaf relation under
+    * projections/filters (and non-shuffle coalesce) only — no Exchange
+    * anywhere, so there is no AQE query stage to materialize. Anything
+    * else (joins, aggregates, shuffle repartitions, generators) is NOT
+    * probed: under AQE, `.rdd` on an exchange-bearing frame finalizes
+    * the adaptive plan and EXECUTES the upstream shuffle stages as
+    * real jobs (ADVICE r17) — a silent double execution of the
+    * caller's own work.
+    */
+  private def scanShaped(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = p match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+    case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      scanShaped(pr.child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      scanShaped(f.child)
+    // coalesce (shuffle = false) narrows partitions without an
+    // exchange; a shuffle repartition does not match (r.shuffle)
+    case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if !r.shuffle => scanShaped(r.child)
+    case _ => false
+  }
+
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     // documented opt-out (spark.graft.scan.spread=false): restores
@@ -56,11 +80,20 @@ object ScanSpread {
         .exists(_.equalsIgnoreCase("false"))) return df
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism
+    // r18 guard (ADVICE r17 / VERDICT r17 #7): only probe PURE SCAN
+    // shapes, where planning the RDD runs no job; derived frames pass
+    // through untouched (the pre-r17 plan) instead of risking an eager
+    // upstream execution just to read a partition count. Catches are
+    // NonFatal so a genuine VM error propagates.
+    val plan =
+      try df.queryExecution.optimizedPlan
+      catch { case scala.util.control.NonFatal(_) => return df }
+    if (!scanShaped(plan)) return df
     // .rdd on a scan-shaped frame plans the scan without running a
     // job (no exchange => no AQE stage materialization); partition
     // count == what the query's own scan stage would get.
-    val have = try df.rdd.getNumPartitions catch { case _: Throwable =>
-      return df }
+    val have = try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => return df }
     if (have < target) df.repartition(target) else df
   }
 }

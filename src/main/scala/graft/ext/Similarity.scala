@@ -383,6 +383,47 @@ object Similarity {
     s
   }
 
+  /** The PQ/IVF head statistics folded into ONE action (r18, guide
+    * §2.4 / VERDICT r17 #4 — the train head used to spend 3+ serial
+    * driver actions before any parallel work): the corpus dimension,
+    * the global i8 scale (the [[i8Scale]] aggregate verbatim), and the
+    * raw vectors of every id < `nFirst` (superset of the PQ init ids,
+    * the IVF coarse centroids, AND the battery's query vector id 0).
+    * `first` is keyed by id; callers that need the LOWEST-n ids
+    * (ivfCentroids semantics) must check density 0..n-1 and fall back
+    * to the ordered fetch when ids are not dense — on dense 0-based
+    * ids the two reads are identical.
+    */
+  final case class PqHead(dim: Int, scale: Double,
+      first: Map[Long, Seq[Float]])
+
+  def pqHead(df: DataFrame, idCol: String, vecCol: String,
+      nFirst: Int): PqHead = {
+    val v = col(vecCol).cast("array<double>")
+    val row = df.agg(
+      max(greatest(array_max(v), lit(0.0) - array_min(v))).as("s"),
+      max(size(col(vecCol))).as("dim"),
+      collect_list(when(col(idCol).cast("long") < nFirst,
+        struct(col(idCol).cast("long").as("id"),
+          col(vecCol).as("v")))).as("init"))
+      .head()
+    val s = row.getDouble(0)
+    require(s > 0, "i8Scale: corpus is all-zero")
+    val first = row.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    PqHead(row.getInt(1), s, first)
+  }
+
+  /** Driver-side replay of the code expression
+    * `round(x * 127.0 / s).cast("int")` — scala.math.BigDecimal's
+    * decimal-text construction + HALF_UP is exactly Spark's Round
+    * evaluation on doubles, so init centroids derived here are
+    * bit-identical to collecting the [[fullCodes]] rows.
+    */
+  private def i8Code(x: Double, s: Double): Int =
+    BigDecimal(x * 127.0 / s)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toInt
+
   /** (id, a) rows: the full vector quantized to int8 codes under the
     * global scale S — code = round(x·127/S), Spark's HALF_UP-on-double
     * round == DuckDB's ties-away round, so codes are integer-exact
@@ -454,20 +495,24 @@ object Similarity {
     * generated code stays linear in m·nc·sub.
     */
   private[ext] def pqTrainCore(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, nCentroids: Int, iters: Int)
+      m: Int, nCentroids: Int, iters: Int,
+      head: Option[PqHead] = None)
       : (Double, DataFrame, Map[(Int, Int), Seq[Int]]) = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // dim + scale + init vectors in ONE action (or a caller-shared
+    // one); init centroids are the first-nCentroids rows' codes,
+    // derived driver-side with the bit-identical i8Code replay
+    val h = head.getOrElse(pqHead(df, idCol, vecCol, nCentroids))
+    val dim = h.dim
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
-    val s = i8Scale(df, vecCol)
+    val s = h.scale
     val codes = fullCodes(df, idCol, vecCol, s).localCheckpoint(false)
     var cents: Map[(Int, Int), Seq[Int]] =
-      codes.filter(col("id") < nCentroids).collect()
-        .flatMap { r =>
-          val full = r.getSeq[Int](1)
-          (0 until m).map(sm => ((sm, r.getLong(0).toInt),
-            full.slice(sm * sub, (sm + 1) * sub).toSeq))
-        }.toMap
+      h.first.collect { case (id, v) if id < nCentroids =>
+        val full = v.map(x => i8Code(x.toDouble, s))
+        (0 until m).map(sm => ((sm, id.toInt),
+          full.slice(sm * sub, (sm + 1) * sub).toSeq))
+      }.flatten.toMap
     require(cents.size == m * nCentroids,
       s"pq init needs dense ids 0..${nCentroids - 1}; got ${cents.size}" +
         s" of ${m * nCentroids} subvectors")
@@ -527,12 +572,13 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,
       k: Int = 10, iters: Int = 3,
-      restrictTo: Option[DataFrame] = None): DataFrame = {
+      restrictTo: Option[DataFrame] = None,
+      head: Option[PqHead] = None): DataFrame = {
     val dim = query.length
     val sub = dim / m
     require(m * sub == dim, s"dim $dim must divide into $m subspaces")
     val (_, allCodes, cents) = pqTrainCore(df, idCol, vecCol, m,
-      nCentroids, iters)
+      nCentroids, iters, head)
     // training stays global (every vector contributes to the
     // codebooks); only the ADC SCAN is restricted — the IVF-PQ
     // composition's cell pruning enters here as a semi-join on ids
@@ -587,9 +633,10 @@ object Similarity {
   def pqTopKRescored(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], m: Int = 8, nCentroids: Int = 16,
       k: Int = 10, nCand: Int = 80,
-      restrictTo: Option[DataFrame] = None): DataFrame = {
+      restrictTo: Option[DataFrame] = None,
+      head: Option[PqHead] = None): DataFrame = {
     val cand = pqTopK(df, idCol, vecCol, query, m, nCentroids, nCand,
-        restrictTo = restrictTo)
+        restrictTo = restrictTo, head = head)
       .select(col(idCol))
     val q = array(query.map(x => lit(x.toDouble)): _*)
     df.join(broadcast(cand), idCol)
@@ -619,8 +666,14 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], nCells: Int = 16, probes: Int = 2,
       m: Int = 8, nCentroids: Int = 16, k: Int = 10,
-      nCand: Int = 80): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, nCells)
+      nCand: Int = 80, head: Option[PqHead] = None): DataFrame = {
+    // the coarse centroids are the LOWEST-nCells ids — served from the
+    // shared head when those ids are dense 0..nCells-1 (the battery
+    // corpus), fetched with the ordered scan otherwise
+    val cents = head
+      .filter(h => (0 until nCells).forall(c => h.first.contains(c.toLong)))
+      .map(h => (0 until nCells).map(c => h.first(c.toLong)))
+      .getOrElse(ivfCentroids(df, idCol, vecCol, nCells))
     val qd = query.map(_.toDouble)
     def sdot(c: Seq[Float]): Double =
       qd.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2.toDouble)
@@ -633,6 +686,6 @@ object Similarity {
       .filter(col("__cell").isin(probeCells: _*))
       .select("id")
     pqTopKRescored(df, idCol, vecCol, query, m, nCentroids, k, nCand,
-      restrictTo = Some(member))
+      restrictTo = Some(member), head = head)
   }
 }

@@ -14,10 +14,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object Registration {
 
+  /** Every builder ever registered through [[registerOnce]], so an
+    * ISOLATED loop session (IterConf) can mirror the runtime-registered
+    * expressions a caller's session carries — extension-injected
+    * functions cross `newSession()` on their own, but ad-hoc
+    * `X.register(spark)` registrations are session-local.
+    */
+  private val known = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Expression] => Expression]()
+
   def registerOnce(spark: SparkSession, name: String)(
-      builder: Seq[Expression] => Expression): Unit =
+      builder: Seq[Expression] => Expression): Unit = {
+    known.putIfAbsent(name, builder)
     if (!spark.sessionState.functionRegistry.functionExists(
         FunctionIdentifier(name)))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
+  }
+
+  /** Register every known graft expression on `spark` (idempotent). */
+  def mirror(spark: SparkSession): Unit =
+    known.forEach((name, builder) => registerOnce(spark, name)(builder))
 }

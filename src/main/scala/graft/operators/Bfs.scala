@@ -34,11 +34,12 @@ object Bfs {
     // edge materialization under normal AQE; the fixed-shape
     // relaxation loop runs + materializes under IterConf (scaladoc)
     val edgeRows = und.count()
-    IterConf.materializeLoop(und.sparkSession, edgeRows) {
-      var dists = und.sparkSession.range(1)
+    IterConf.materializeLoop(und.sparkSession, edgeRows,
+        Seq(und)) { case Seq(u) =>
+      var dists = u.sparkSession.range(1)
         .select(lit(source).as("id"), lit(0L).as("dist"))
       for (i <- 1 to maxDepth) {
-        val relaxed = und
+        val relaxed = u
           .join(dists, col("src") === col("id"))
           .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
         val next = dists.union(relaxed)

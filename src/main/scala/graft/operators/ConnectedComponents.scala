@@ -56,9 +56,13 @@ object ConnectedComponents {
     // that drives the loop partition count; edges >= nodes (self-loops
     // included), so it upper-bounds every in-loop relation.
     val edgeRows = sym.count()
-    IterConf.withLoopConf(edges.sparkSession, edgeRows) {
-      labelLoop(sym, maxIter)
-    }
+    // the loop runs on IterConf's ISOLATED loop session (r18 — the
+    // caller's session is never reconfigured); the materialized label
+    // frame is re-homed onto the caller's session on the way out
+    IterConf.rebind(
+      IterConf.loopScope(edges.sparkSession, edgeRows, Seq(sym)) {
+        case Seq(s) => labelLoop(s, maxIter)
+      }, edges.sparkSession)
   }
 
   private def labelLoop(sym: DataFrame, maxIter: Int): DataFrame = {

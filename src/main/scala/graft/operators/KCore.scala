@@ -46,19 +46,20 @@ object KCore {
     // run the fixed-shape peel under IterConf (see its scaladoc) and
     // return it materialized from inside the scope
     val edgeRows = e.count()
-    IterConf.materializeLoop(e.sparkSession, edgeRows) {
-      var deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    IterConf.materializeLoop(e.sparkSession, edgeRows,
+        Seq(e)) { case Seq(el) =>
+      var deg = el.groupBy("src").agg(count(lit(1)).as("deg"))
       for (_ <- 2 to rounds) {
         val surv = deg.filter(col("deg") >= k)
           .select(col("src").as("id")).localCheckpoint(false)
-        val active = e
+        val active = el
           .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
         deg = active.groupBy("src").agg(count(lit(1)).as("deg"))
       }
       val members = deg.filter(col("deg") >= k)
         .select(col("src").as("id")).localCheckpoint(false)
-      val inCore = e
+      val inCore = el
         .join(members.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(members.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("deg"))

@@ -35,14 +35,15 @@ object LabelPropagation {
     // edge materialization under normal AQE; the fixed-shape rounds
     // run + materialize under IterConf (see its scaladoc)
     val edgeRows = und.count()
-    IterConf.materializeLoop(und.sparkSession, edgeRows) {
-      var labels = und.select(col("src").as("id")).distinct()
+    IterConf.materializeLoop(und.sparkSession, edgeRows,
+        Seq(und)) { case Seq(u) =>
+      var labels = u.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
         .localCheckpoint(false)
       val byFreqThenMin = Window.partitionBy("nid")
         .orderBy(col("cnt").desc, col("label").asc)
       for (i <- 1 to iterations) {
-        val next = und
+        val next = u
           .join(labels, col("dst") === col("id"))
           .groupBy(col("src").as("nid"), col("label"))
           .agg(count(lit(1)).as("cnt"))

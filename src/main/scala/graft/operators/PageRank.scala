@@ -38,15 +38,16 @@ object PageRank {
     // loop's ~3 exchanges x iterations becomes its own query-stage
     // job with per-stage driver replanning — measured 38 serial jobs
     // for this operator's consumers at sf0.1. See IterConf.
-    IterConf.materializeLoop(e.sparkSession, edgeRows) {
-      val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    IterConf.materializeLoop(e.sparkSession, edgeRows,
+        Seq(e, nodes)) { case Seq(el, nl) =>
+      val outDeg = el.groupBy("src").agg(count(lit(1)).as("deg"))
       // (src, dst, deg) is iteration-invariant: computed once on first
       // use (lazy checkpoint — no standalone materialization job).
-      val links = e.join(outDeg, "src")
+      val links = el.join(outDeg, "src")
         .select(col("src"), col("dst"), col("deg"))
         .localCheckpoint(false)
       val base = (1.0 - damping) / nNodes
-      var ranks = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
+      var ranks = nl.select(col("id"), lit(1.0 / nNodes).as("rank"))
       for (i <- 1 to iterations) {
         val contrib = links.join(ranks, col("src") === col("id"))
           .select(col("dst"), (col("rank") / col("deg")).as("c"))
@@ -54,7 +55,7 @@ object PageRank {
           .groupBy("dst")
           .agg(sum(col("c").cast(DecimalType(38, 18))).cast("double")
             .as("mass"))
-        val next = nodes.join(summed, col("id") === col("dst"), "left")
+        val next = nl.join(summed, col("id") === col("dst"), "left")
           .select(col("id"),
             (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0)))
               .as("rank"))

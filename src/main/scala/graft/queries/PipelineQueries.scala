@@ -56,6 +56,62 @@ object PipelineQueries {
   private val EmbedBands = 24
   private val EmbedRowsPerBand = 6
 
+  /** Scoped-serve state bound for the ingest-gate / stateful-gate
+    * queries: the corpus cardinality (documents + embeddings × probes —
+    * the largest index-side table any leg holds) read from parquet
+    * FOOTERS, no Spark job. Drives IterConf's derived partition count
+    * exactly like loop-state rows drive the iteration loops.
+    */
+  private def gateStateRows(s: SparkSession, d: String): Long = {
+    val docs = graft.ext.AnnIndex.parquetRowCount(s,
+      s"$d/documents.parquet")
+    val emb = graft.ext.AnnIndex.parquetRowCount(s,
+      s"$d/embeddings.parquet")
+    docs + emb * 4
+  }
+
+  /** Serve a BATCH gate query under IterConf's isolated scoped session
+    * (r18, guide §1.2/§2.2 — see IterConf.scopedSession): under AQE,
+    * every lazy localCheckpoint in these probe plans compiles `toRdd`
+    * at construction time and EXECUTES its upstream exchanges as
+    * serial ~1-task query-stage jobs (measured: 49 jobs for
+    * pipeline_ingest_gates_fast at a ~100 ms/job driver floor — almost
+    * the whole query). Constructed under the scoped conf (AQE off,
+    * partitions derived from the index/batch cardinality), the same
+    * plan compiles lazily and the single count() below runs the whole
+    * checkpoint cascade as a handful of pipelined jobs. The scoped
+    * width derives from data (gateStateRows), never a local constant;
+    * heavy per-row work inside keeps its explicit workParts pins or a
+    * bounded-batch broadcast. Opt out with
+    * spark.graft.gate.scope=false — the pre-r18 adaptive construction,
+    * which PlanShapeSpec-style pins can still observe.
+    */
+  private def servedScoped(s: SparkSession, stateRows: Long,
+      minParts: Long = 1L)
+      (body: SparkSession => DataFrame): DataFrame =
+    if (s.conf.getOption("spark.graft.gate.scope")
+        .exists(_.equalsIgnoreCase("false"))) body(s)
+    else graft.operators.IterConf.rebind(
+      graft.operators.IterConf.scopedSession(s, stateRows,
+        minParts) { child =>
+        val df = body(child).localCheckpoint(false)
+        df.count()
+        df
+      }, s)
+
+  /** Width floor for scoped serves whose per-bucket work is QUADRATIC
+    * (the stateful near-dup gates score each arrival against every
+    * in-state bucket mate): the cluster's work width — the
+    * ScanSpread.workParts rationale. Measured r18: scoping
+    * dedup_minhash_stateful at the byte-derived 1 partition serialized
+    * the whole bucket scoring into one 9.5 s task; at the work width
+    * it keeps the pre-r18 state sharding while the scoped construction
+    * still cuts the driver chatter.
+    */
+  private def workWidth(s: SparkSession): Long =
+    math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "1").toInt).toLong
+
   /** The corpus is synthetic word soup with no natural PII, so the PII
     * query plants deterministic PII derived from doc_id (same
     * construction in the oracle), then detects and redacts it — the
@@ -488,7 +544,13 @@ object PipelineQueries {
     // admits) — semantics the frozen static side cannot express; the
     // oracle replays both memberships (corpus keys + the min-id
     // window over the batch).
-    "dedup_exact_stateful" -> ((s, d) => {
+    // r18: the batch face serves under servedScoped — the state
+    // partition count (== shuffle.partitions at plan time) now derives
+    // from the corpus cardinality instead of the session default
+    // (VERDICT r17 #5: 32 state stores rebuilt per run at sf0.1 where
+    // the state is a few hundred keys).
+    "dedup_exact_stateful" -> ((s0, d) =>
+      servedScoped(s0, gateStateRows(s0, d)) { s =>
       val (dir, fp) = minhashIndexDir(s, d, "_bloom")
       val tsKey = concat_ws(" ",
         array_sort(array_distinct(Dedup.tokens(col("text")))))
@@ -510,7 +572,8 @@ object PipelineQueries {
     // the same per-doc fold as dedup_minhash_index_flags — whose
     // oracle this query SHARES VERBATIM, making the whole stateful
     // candidate route hash-verified against the join route.
-    "dedup_minhash_stateful" -> ((s, d) => {
+    "dedup_minhash_stateful" -> ((s0, d) =>
+      servedScoped(s0, gateStateRows(s0, d), workWidth(s0)) { s =>
       val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
         "text", dir, NumHashes, Bands, fp)
@@ -547,14 +610,16 @@ object PipelineQueries {
     // pins gate equality vs annGate), exact cosine on every scored
     // pair, folded per vector exactly like dedup_embed_ann_flags —
     // whose oracle this query SHARES VERBATIM.
-    "dedup_embed_ann_stateful" -> ((s, d) => {
+    "dedup_embed_ann_stateful" -> ((s0, d) =>
+      servedScoped(s0, gateStateRows(s0, d), workWidth(s0)) { s =>
       val key = new java.io.File(d).getCanonicalPath
         .replaceAll("[^A-Za-z0-9.]+", "_")
       val dir = s"target/ann_index/${key}_dedup"
       val fp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id", "embedding", dir,
         nCells = nCells, m = 32, nCentroids = 64, iters = 3,
         fingerprint = fp)
@@ -624,7 +689,11 @@ object PipelineQueries {
     // independence, which the oracle (the referee legs CASE-NULLed on
     // exact_dup) hash-checks. pipeline_ingest_gates stays the
     // all-legs referee.
-    "pipeline_ingest_gates_fast" -> ((s, d) => {
+    // r18: the whole serve (construction + one materializing action)
+    // runs under servedScoped — see its scaladoc for the measured
+    // lazy-checkpoint-compilation chatter it removes.
+    "pipeline_ingest_gates_fast" -> ((s0, d) =>
+      servedScoped(s0, gateStateRows(s0, d)) { s =>
       val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
       val tsKey = concat_ws(" ",
         array_sort(array_distinct(Dedup.tokens(col("text")))))
@@ -672,7 +741,8 @@ object PipelineQueries {
     // the fold-through NULLs are all hash-checked against the same
     // replay. IngestGatesSpec pins stream == batch across
     // micro-batches and a restart.
-    "pipeline_ingest_gates_composed" -> ((s, d) => {
+    "pipeline_ingest_gates_composed" -> ((s0, d) =>
+      servedScoped(s0, gateStateRows(s0, d)) { s =>
       val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
       val tsKey = concat_ws(" ",
         array_sort(array_distinct(Dedup.tokens(col("text")))))
@@ -689,12 +759,18 @@ object PipelineQueries {
       val afp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      // corpus cardinality from parquet footers — equals emb.count()
+      // exactly, with no action round-trip (r18)
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id", "embedding",
         adir, nCells = nCells, m = 32, nCentroids = 64, iters = 3,
         fingerprint = afp)
+      // ONE side-table load serves the cell table AND the gate's probe
+      // assignment (plumbed, never cached across runs)
+      val loaded = graft.ext.AnnIndex.load(s, adir)
       val cells = graft.ext.AnnIndex.cellTable(emb, "vec_id",
-        "embedding", adir, probes = 4)
+        "embedding", adir, probes = 4, pre = Some(loaded))
       // the referee's row universe: incoming docs with an embedding
       // row, each carrying BOTH text and vector
       val incoming = documents(s, d)
@@ -707,7 +783,8 @@ object PipelineQueries {
         "text", "embedding", "ts", documents(s, d), bdir, tsKey,
         mdir, jaccardThreshold = JaccardThreshold,
         estThreshold = 0.5, annDir = adir, corpusCells = cells,
-        cosineThreshold = CosineThreshold, probes = 4)
+        cosineThreshold = CosineThreshold, probes = 4,
+        preAnn = Some(loaded))
     }),
 
     // Bloom-filter front door of incremental ingest: "seen this exact
@@ -784,7 +861,8 @@ object PipelineQueries {
       val fp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
@@ -806,7 +884,8 @@ object PipelineQueries {
       val fp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
@@ -837,7 +916,8 @@ object PipelineQueries {
       val fp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
@@ -872,7 +952,8 @@ object PipelineQueries {
       val fp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
@@ -898,7 +979,8 @@ object PipelineQueries {
       val fp = graft.ext.AnnIndex.parquetFingerprint(s,
         s"$d/embeddings.parquet")
       val emb = embeddings(s, d)
-      val nCells = math.max(16L, emb.count() / 125L).toInt
+      val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
       graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
         "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
         iters = 3, fingerprint = fp)
@@ -1147,10 +1229,16 @@ object PipelineQueries {
     // trained centroids reach 8/10 raw at ~10x compression — pinned
     // in SimilaritySpec.
     "sim_pq" -> ((s, d) => {
-      val q = embeddings(s, d).filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      Similarity.pqTopKRescored(embeddings(s, d), "vec_id", "embedding",
-          q, m = 32, nCentroids = 64, k = 10, nCand = 80)
+      val emb = embeddings(s, d)
+      // ONE head action (dim + i8 scale + first-64 vectors) also
+      // serves the query vector (id 0) — was 3 serial actions before
+      // any parallel work (r18, VERDICT r17 #4)
+      val h = Similarity.pqHead(emb, "vec_id", "embedding", 64)
+      val q = h.first.getOrElse(0L, emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0))
+      Similarity.pqTopKRescored(emb, "vec_id", "embedding",
+          q, m = 32, nCentroids = 64, k = 10, nCand = 80,
+          head = Some(h))
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -1161,11 +1249,15 @@ object PipelineQueries {
     // quantizers as sim_ann_ivf + sim_pq → the generated oracle
     // replays train-prune-scan-rescore end to end.
     "sim_ann_ivfpq" -> ((s, d) => {
-      val q = embeddings(s, d).filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding", q,
+      val emb = embeddings(s, d)
+      // shared head: coarse centroids (first 16), PQ init (first 64),
+      // scale, dim, and the query vector — one action (r18)
+      val h = Similarity.pqHead(emb, "vec_id", "embedding", 64)
+      val q = h.first.getOrElse(0L, emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q,
           nCells = 16, probes = 2, m = 32, nCentroids = 64, k = 10,
-          nCand = 80)
+          nCand = 80, head = Some(h))
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -3304,7 +3396,8 @@ object PipelineQueries {
     val fp = graft.ext.AnnIndex.parquetFingerprint(s,
       s"$d/embeddings.parquet")
     val emb = embeddings(s, d)
-    val nCells = math.max(16L, emb.count() / 125L).toInt
+    val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
     graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
       "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
       iters = 3, fingerprint = fp)
@@ -3347,11 +3440,14 @@ object PipelineQueries {
     val fp = graft.ext.AnnIndex.parquetFingerprint(s,
       s"$d/embeddings.parquet")
     val emb = embeddings(s, d)
-    val nCells = math.max(16L, emb.count() / 125L).toInt
+    val nCells = math.max(16L, graft.ext.AnnIndex.parquetRowCount(s,
+        s"$d/embeddings.parquet") / 125L).toInt
     graft.ext.AnnIndex.ensureBuilt(emb, "vec_id",
       "embedding", dir, nCells = nCells, m = 32, nCentroids = 64,
       iters = 3, fingerprint = fp)
-    val (_, coarse, _) = graft.ext.AnnIndex.load(s, dir)
+    // ONE side-table load for the probe assignment AND the cell table
+    val loaded = graft.ext.AnnIndex.load(s, dir)
+    val (_, coarse, _) = loaded
     val incoming = emb.filter(col("vec_id") % 20 === 0)
       .join(keep, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"),
@@ -3362,8 +3458,12 @@ object PipelineQueries {
       explode(graft.ext.AnnIndex.flatProbeCellsCol(emb,
         col("embedding"), coarse, probes = 4)).as("cell"))
     val corpusCells = graft.ext.AnnIndex.cellTable(emb, "vec_id",
-      "embedding", dir, probes = 4)
-    val cand = probed
+      "embedding", dir, probes = 4, pre = Some(loaded))
+    // the probe side is BATCH-BOUNDED (incoming docs × probes) at any
+    // corpus size — broadcast it so the corpus cell table is never
+    // shuffled for this join (guide §3.1) and the candidate cosine
+    // work runs in the cell table's own scan/spread partitioning
+    val cand = broadcast(probed)
       .join(corpusCells.select(col("cell"), col("id").as("__cid"),
         col("v").as("__cv"), col("nrm").as("__cnrm")), Seq("cell"))
       .filter(col("vec_id") =!= col("__cid"))

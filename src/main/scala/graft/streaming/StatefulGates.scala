@@ -349,9 +349,12 @@ object StatefulGates {
       probes: Int = 4, selfMaintain: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (_, coarse, _) = graft.ext.AnnIndex.load(spark, indexDir)
+    // ONE load serves both the probe assignment and the cell table —
+    // plumbed through, never cached across runs (r18)
+    val loaded = graft.ext.AnnIndex.load(spark, indexDir)
+    val (_, coarse, _) = loaded
     val init = graft.ext.AnnIndex.cellTable(corpus, corpusIdCol,
-        corpusVecCol, indexDir, probes)
+        corpusVecCol, indexDir, probes, pre = Some(loaded))
       .select(col("cell").cast("int"), col("id"), col("v"),
         col("nrm"))
       .as[(Int, Long, Array[Float], Double)]

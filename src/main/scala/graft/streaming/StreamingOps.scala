@@ -763,15 +763,20 @@ object StreamingOps {
       jaccardThreshold: Double, estThreshold: Double, annDir: String,
       corpusCells: DataFrame, cosineThreshold: Double, probes: Int = 4,
       watermark: String = "10 minutes",
-      windowDur: String = "10 minutes"): DataFrame = {
+      windowDur: String = "10 minutes",
+      preAnn: Option[(graft.ext.AnnIndex.Meta, Seq[Seq[Float]],
+        Map[(Int, Int), Seq[Int]])] = None): DataFrame = {
     val spark = df.sparkSession
     val D = graft.ext.Dedup
     // committed state of the three families, frozen at gate build
+    // (a caller that already loaded the ANN side tables for THIS query
+    // execution passes them via preAnn — plumbing, never a cache)
     val (bMeta, bitmap, bKeys) =
       graft.ext.BloomIndex.gateParts(spark, bloomDir)
     val (mMeta, sigsTable) =
       graft.ext.MinHashIndex.load(spark, minhashDir)
-    val (_, coarse, _) = graft.ext.AnnIndex.load(spark, annDir)
+    val (_, coarse, _) =
+      preAnn.getOrElse(graft.ext.AnnIndex.load(spark, annDir))
     val numHashes = mMeta.numHashes
     val rowsPerBand = numHashes / mMeta.bands
     val hsOf: Column => Column = mMeta.grams match {

@@ -27,6 +27,11 @@ object JobTrace {
     case class J(id: Int, t0: Long, var t1: Long = 0L,
       var tasks: Int = 0, var site: String = "")
     val jobs = mutable.LinkedHashMap[Int, J]()
+    // stageId -> owning jobId, recorded at job START (ADVICE r17: the
+    // old "most recently started job" heuristic misattributed tasks
+    // whenever jobs overlap or a stage completes after a later job
+    // starts)
+    val stageOwner = mutable.HashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
@@ -35,13 +40,16 @@ object JobTrace {
             .flatMap(p => Option(p.getProperty("callSite.short")))
             .getOrElse("?")
           jobs(e.jobId) = j
+          e.stageIds.foreach(sid => stageOwner(sid) = e.jobId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          // attribute tasks to the job containing this stage
-          jobs.values.lastOption.foreach(_.tasks += e.stageInfo.numTasks)
+          // attribute tasks to the job that SUBMITTED this stage
+          stageOwner.get(e.stageInfo.stageId)
+            .flatMap(jobs.get)
+            .foreach(_.tasks += e.stageInfo.numTasks)
           val si = e.stageInfo
           val dur = (for (a <- si.submissionTime; b <- si.completionTime)
             yield b - a).getOrElse(0L)
@@ -63,7 +71,7 @@ object JobTrace {
     for (p <- 1 to passes) {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageOwner.clear() }
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9

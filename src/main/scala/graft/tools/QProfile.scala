@@ -77,10 +77,19 @@ object QProfile {
         Thread.sleep(150)
         (dt, jobs.get(), stages.get(), tasks.get(), n, serMs.get())
       }
-      val best = times.minBy(_._1)
-      println(f"[qprof] $q%-34s min=${best._1}%6.2fs jobs=${best._2}%3d " +
-        f"stages=${best._3}%3d tasks=${best._4}%5d ser=${best._6}%5dms " +
-        f"rows=${best._5}")
+      // a failed pass (rows = -1) must not win the min (ADVICE r17: a
+      // fast-failing pass used to be reported as the best warm time)
+      val ok = times.filter(_._5 >= 0)
+      if (ok.isEmpty)
+        println(f"[qprof] $q%-34s FAILED all $passes passes")
+      else {
+        val best = ok.minBy(_._1)
+        println(f"[qprof] $q%-34s min=${best._1}%6.2fs jobs=${best._2}%3d " +
+          f"stages=${best._3}%3d tasks=${best._4}%5d ser=${best._6}%5dms " +
+          f"rows=${best._5}" +
+          (if (ok.size < times.size)
+            s" (${times.size - ok.size} failed passes excluded)" else ""))
+      }
       if (plansDir != "NONE") {
         try {
           val df = fn(spark, sfDir)

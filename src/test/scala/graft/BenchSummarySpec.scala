@@ -21,6 +21,25 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(line.length < 450, s"summary grew to ${line.length} chars")
   }
 
+  test("full per-query contract line (r18): complete JSON with the " +
+      "driver's keys incl. queries, and NEVER the summary (the tail " +
+      "window would truncate it)") {
+    val ql = Bench.queriesLine(12345.678,
+      """{"q_a":1.25,"q_b":-1.0}""", "/root/testdata/sf0.1")
+    for (key <- Seq("\"metric\"", "\"value\"", "\"unit\"",
+        "\"queries\"", "\"sf\""))
+      assert(ql.contains(key), s"missing $key")
+    assert(!ql.contains("\n"))
+    assert(ql.head == '{' && ql.last == '}')
+    assert(ql.contains("\"value\":12345.678"))
+    assert(ql.contains("\"queries\":{\"q_a\":1.25,\"q_b\":-1.0}"))
+    // the compact LAST line points at the per-query sidecar
+    assert(line.contains("\"queries_path\":\"bench_queries.jsonl\""))
+    // and does NOT inline the map itself — that is what broke
+    // BENCH_r03..r06 parsing
+    assert(!line.contains("\"queries\":{"))
+  }
+
   test("summary is one line of valid JSON with the driver's keys") {
     assert(!line.contains("\n"))
     for (key <- Seq("\"metric\"", "\"value\"", "\"unit\"",

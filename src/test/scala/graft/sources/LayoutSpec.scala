@@ -595,9 +595,14 @@ class AnnIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("annidx6").toString
     AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
       m = 32, nCentroids = 64, iters = 1)
-    val pairs = AnnIndex.cosinePairsIndexed(emb, "vec_id", "embedding",
-        dir, 0.45, probes = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairRows = AnnIndex.cosinePairsIndexed(emb, "vec_id",
+        "embedding", dir, 0.45, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // r18 structural dedup (min-common-cell emission) must emit every
+    // pair exactly ONCE — a multi-cell co-occurrence may not repeat
+    assert(pairRows.size == pairRows.toSet.size,
+      "duplicate pair emissions from the min-common-cell dedup")
+    val pairs = pairRows.toSet
     // brute-force truth: every pair at cosine >= threshold
     val n = emb.select(col("vec_id"), col("embedding").as("v"),
       Similarity.l2norm(emb, col("embedding")).as("nrm"))
