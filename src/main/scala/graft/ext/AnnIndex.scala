@@ -678,8 +678,13 @@ object AnnIndex {
     // collapses it to one task — but the join fans out the quadratic
     // candidate generation (measured 1.1 s single-task at sf0.1)
     val wp = ScanSpread.workParts(probe)
+    // documented opt-out (spark.graft.ann.minCellDedup=false) restores
+    // the r17 repartition+distinct pair dedup for A/B and plan pinning
+    val minCell = !spark.conf
+      .getOption("spark.graft.ann.minCellDedup")
+      .exists(_.equalsIgnoreCase("false"))
     val cand =
-      if (superProbes <= 0) {
+      if (superProbes <= 0 && minCell) {
         // FLAT path (r18): de-duplicate pairs STRUCTURALLY instead of
         // with a distinct — each side carries its full probe-cell
         // array (a few ints) and a co-occurrence survives only in the

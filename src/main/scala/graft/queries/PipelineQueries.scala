@@ -56,61 +56,24 @@ object PipelineQueries {
   private val EmbedBands = 24
   private val EmbedRowsPerBand = 6
 
-  /** Scoped-serve state bound for the ingest-gate / stateful-gate
-    * queries: the corpus cardinality (documents + embeddings × probes —
-    * the largest index-side table any leg holds) read from parquet
-    * FOOTERS, no Spark job. Drives IterConf's derived partition count
-    * exactly like loop-state rows drive the iteration loops.
-    */
-  private def gateStateRows(s: SparkSession, d: String): Long = {
-    val docs = graft.ext.AnnIndex.parquetRowCount(s,
-      s"$d/documents.parquet")
-    val emb = graft.ext.AnnIndex.parquetRowCount(s,
-      s"$d/embeddings.parquet")
-    docs + emb * 4
-  }
-
-  /** Serve a BATCH gate query under IterConf's isolated scoped session
-    * (r18, guide §1.2/§2.2 — see IterConf.scopedSession): under AQE,
-    * every lazy localCheckpoint in these probe plans compiles `toRdd`
-    * at construction time and EXECUTES its upstream exchanges as
-    * serial ~1-task query-stage jobs (measured: 49 jobs for
-    * pipeline_ingest_gates_fast at a ~100 ms/job driver floor — almost
-    * the whole query). Constructed under the scoped conf (AQE off,
-    * partitions derived from the index/batch cardinality), the same
-    * plan compiles lazily and the single count() below runs the whole
-    * checkpoint cascade as a handful of pipelined jobs. The scoped
-    * width derives from data (gateStateRows), never a local constant;
-    * heavy per-row work inside keeps its explicit workParts pins or a
-    * bounded-batch broadcast. Opt out with
-    * spark.graft.gate.scope=false — the pre-r18 adaptive construction,
-    * which PlanShapeSpec-style pins can still observe.
-    */
-  private def servedScoped(s: SparkSession, stateRows: Long,
-      minParts: Long = 1L)
-      (body: SparkSession => DataFrame): DataFrame =
-    if (s.conf.getOption("spark.graft.gate.scope")
-        .exists(_.equalsIgnoreCase("false"))) body(s)
-    else graft.operators.IterConf.rebind(
-      graft.operators.IterConf.scopedSession(s, stateRows,
-        minParts) { child =>
-        val df = body(child).localCheckpoint(false)
-        df.count()
-        df
-      }, s)
-
-  /** Width floor for scoped serves whose per-bucket work is QUADRATIC
-    * (the stateful near-dup gates score each arrival against every
-    * in-state bucket mate): the cluster's work width — the
-    * ScanSpread.workParts rationale. Measured r18: scoping
-    * dedup_minhash_stateful at the byte-derived 1 partition serialized
-    * the whole bucket scoring into one 9.5 s task; at the work width
-    * it keeps the pre-r18 state sharding while the scoped construction
-    * still cuts the driver chatter.
-    */
-  private def workWidth(s: SparkSession): Long =
-    math.max(s.sparkContext.defaultParallelism,
-      s.conf.get("spark.sql.shuffle.partitions", "1").toInt).toLong
+  // NOTE (r18 negative result, recorded so later rounds do not retry):
+  // a "servedScoped" mechanism — construct + materialize a gate query
+  // on IterConf's isolated session with AQE off and footer-derived
+  // partitions, to stop lazy localCheckpoints from compiling/executing
+  // their exchanges as serial ~1-task jobs during query construction —
+  // was built, measured, and REVERTED for every query it was tried on
+  // (pipeline_ingest_gates_fast/_composed, dedup_exact_stateful,
+  // dedup_minhash_stateful, dedup_embed_ann_stateful,
+  // dedup_groups_index, dedup_survivors_index). It won only in
+  // cold-JVM profiling (e.g. _fast 11.9→4.9 s, where each action costs
+  // ~150 ms of driver/codegen warmup); under WARM bench conditions the
+  // adaptive plans' runtime broadcasts/coalescing beat the chatter
+  // savings on every shape (same-window control-normalized A/Bs via
+  // the opt-out conf, plus a calib-adjusted full-bench pair). The
+  // scoring stateful gates were the worst case: the byte-derived width
+  // serialized the bucket scoring into one 9.5 s task.
+  // IterConf.scopedSession itself stays — the fixed-shape iteration
+  // loops (loopScope/materializeLoop) are where AQE-off genuinely wins.
 
   /** The corpus is synthetic word soup with no natural PII, so the PII
     * query plants deterministic PII derived from doc_id (same
@@ -414,6 +377,10 @@ object PipelineQueries {
     // dedup_groups' mining input by construction), min-label
     // connected components. Shares dedup_groups' oracle verbatim —
     // that sharing IS the equality check.
+    // r18: servedScoped wrapping TRIED and REVERTED here — measured
+    // 2.3 s adaptive vs 5.5 s scoped (same-window A/B): the CC labels
+    // inside run their own eager actions either way, and the mining
+    // joins lose AQE's runtime broadcasts under the static scoped plan
     "dedup_groups_index" -> ((s, d) => {
       val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
@@ -480,6 +447,8 @@ object PipelineQueries {
     // corpus-text work being the candidate verify (plus the skinny
     // (doc_id, len) projection every survivor pick needs). Shares
     // dedup_survivors' oracle verbatim.
+    // r18: servedScoped tried and REVERTED (same A/B as
+    // dedup_groups_index: 3.1 s adaptive vs 5.0 s scoped)
     "dedup_survivors_index" -> ((s, d) => {
       val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
@@ -544,13 +513,13 @@ object PipelineQueries {
     // admits) — semantics the frozen static side cannot express; the
     // oracle replays both memberships (corpus keys + the min-id
     // window over the batch).
-    // r18: the batch face serves under servedScoped — the state
-    // partition count (== shuffle.partitions at plan time) now derives
-    // from the corpus cardinality instead of the session default
-    // (VERDICT r17 #5: 32 state stores rebuilt per run at sf0.1 where
-    // the state is a few hundred keys).
-    "dedup_exact_stateful" -> ((s0, d) =>
-      servedScoped(s0, gateStateRows(s0, d)) { s =>
+    // r18: a scoped serve (state partitions derived from corpus size,
+    // VERDICT r17 #5) was TRIED and REVERTED like the other gates —
+    // cold profiling said 1.18→0.75 s, but the warm same-window A/B
+    // measured scoped 1.10 vs adaptive 0.92 s (control-normalized) and
+    // the full bench agreed. The 32-store rebuild is NOT the dominant
+    // cost of this face; the adaptive plan is.
+    "dedup_exact_stateful" -> ((s, d) => {
       val (dir, fp) = minhashIndexDir(s, d, "_bloom")
       val tsKey = concat_ws(" ",
         array_sort(array_distinct(Dedup.tokens(col("text")))))
@@ -572,8 +541,13 @@ object PipelineQueries {
     // the same per-doc fold as dedup_minhash_index_flags — whose
     // oracle this query SHARES VERBATIM, making the whole stateful
     // candidate route hash-verified against the join route.
-    "dedup_minhash_stateful" -> ((s0, d) =>
-      servedScoped(s0, gateStateRows(s0, d), workWidth(s0)) { s =>
+    // r18: scoping this serve was TRIED and REVERTED — measured
+    // in-profile 1.43 s (adaptive) → 13.3 s at the byte-derived width
+    // (one 9.5 s task: the whole bucket scoring serialized) and still
+    // ~3x over baseline at the work-width floor (AQE's runtime
+    // coalescing/broadcasts genuinely pay here). Only the exact gate
+    // keeps the scoped serve.
+    "dedup_minhash_stateful" -> ((s, d) => {
       val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
         "text", dir, NumHashes, Bands, fp)
@@ -610,8 +584,9 @@ object PipelineQueries {
     // pins gate equality vs annGate), exact cosine on every scored
     // pair, folded per vector exactly like dedup_embed_ann_flags —
     // whose oracle this query SHARES VERBATIM.
-    "dedup_embed_ann_stateful" -> ((s0, d) =>
-      servedScoped(s0, gateStateRows(s0, d), workWidth(s0)) { s =>
+    // r18: scoped serve tried and REVERTED (same measurement as
+    // dedup_minhash_stateful — the adaptive path wins on this shape)
+    "dedup_embed_ann_stateful" -> ((s, d) => {
       val key = new java.io.File(d).getCanonicalPath
         .replaceAll("[^A-Za-z0-9.]+", "_")
       val dir = s"target/ann_index/${key}_dedup"
@@ -689,11 +664,15 @@ object PipelineQueries {
     // independence, which the oracle (the referee legs CASE-NULLed on
     // exact_dup) hash-checks. pipeline_ingest_gates stays the
     // all-legs referee.
-    // r18: the whole serve (construction + one materializing action)
-    // runs under servedScoped — see its scaladoc for the measured
-    // lazy-checkpoint-compilation chatter it removes.
-    "pipeline_ingest_gates_fast" -> ((s0, d) =>
-      servedScoped(s0, gateStateRows(s0, d)) { s =>
+    // r18: a servedScoped (AQE-off isolated-session) serve was TRIED
+    // and REVERTED — it won only in cold-JVM profiling (11.9→4.9 s);
+    // in warm bench conditions the adaptive plan's runtime broadcasts
+    // beat the chatter savings (same-window control-normalized A/B:
+    // scoped ~3.8 s vs adaptive 3.5 s; the full-bench calib-adjusted
+    // pair agreed). The kept wins here are the parallel AnnIndex.load,
+    // the footer-derived nCells, and the broadcast probe side in
+    // embedAnnFlagsBounded.
+    "pipeline_ingest_gates_fast" -> ((s, d) => {
       val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
       val tsKey = concat_ws(" ",
         array_sort(array_distinct(Dedup.tokens(col("text")))))
@@ -741,8 +720,8 @@ object PipelineQueries {
     // the fold-through NULLs are all hash-checked against the same
     // replay. IngestGatesSpec pins stream == batch across
     // micro-batches and a restart.
-    "pipeline_ingest_gates_composed" -> ((s0, d) =>
-      servedScoped(s0, gateStateRows(s0, d)) { s =>
+    // (same r18 scoped-serve revert as pipeline_ingest_gates_fast)
+    "pipeline_ingest_gates_composed" -> ((s, d) => {
       val (bdir, bfp) = minhashIndexDir(s, d, "_bloom")
       val tsKey = concat_ws(" ",
         array_sort(array_distinct(Dedup.tokens(col("text")))))
