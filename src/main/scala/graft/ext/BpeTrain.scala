@@ -193,9 +193,12 @@ object BpeTrain {
     // under the loop conf — fewer query-stage jobs per round, loop
     // partitions derived from the vocab size (IterConf scaladoc)
     freq.count()
-    val spark = docs.sparkSession
-    val (mergeList, tokLoop) = graft.operators.IterConf.loopScope(
-        spark, topWords.toLong, Seq(freq)) { case Seq(fq) =>
+    // r18: the merge loop runs on the caller's session under normal
+    // AQE — the r17 loop-conf scope was re-measured after the
+    // isolation rewrite and reverted (one 1-row argmax ACTION per
+    // round either way; measured flat, and the vocab-bounded rounds
+    // never shuffle enough bytes for the conf to matter)
+    val fq = freq
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var flat = Seq.empty[String]
     var r = 1
@@ -226,10 +229,6 @@ object BpeTrain {
       .select(col("word"), col("f"),
         (col("p0") + 1).cast("int").as("pos"), col("sym"))
     (merges.result(), tok)
-    } // IterConf.loopScope
-    // the lazy symbol table escapes the loop scope — re-home it on the
-    // caller's session so downstream consumers plan under normal AQE
-    (mergeList, graft.operators.IterConf.rebind(tokLoop, spark))
   }
 
   /** DuckDB re-derivation of the merge table: one CTE block per round

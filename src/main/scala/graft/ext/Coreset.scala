@@ -58,44 +58,37 @@ object Coreset {
     val picked = scala.collection.mutable.ArrayBuffer(
       (1L, seed.getLong(0), 0.0))
     var centerVec: Seq[Float] = seed.getSeq[Float](1)
-    // base is materialized by the seed head() under normal AQE; the
-    // k-1 fixed-shape pick rounds (one TakeOrdered action per round
-    // over the checkpointed distance frame) run on IterConf's isolated
-    // loop session (state = one skinny row per vector); the final
-    // lazy distance frame is re-homed on the caller's session
-    val baseRows = base.count()
-    val (pickedOut, mdOut) = graft.operators.IterConf.loopScope(
-        vecs.sparkSession, baseRows, Seq(base)) { case Seq(b) =>
-      // fold center r's distances into (md, bc); r covers 1..k so the
-      // final frame reflects ALL selected centers; ⟨c,c⟩ as the same
-      // strict left fold DotDouble runs
-      def foldOn(md: DataFrame, r: Long): DataFrame = {
-        var yy = 0.0
-        centerVec.foreach(f => yy += f.toDouble * f.toDouble)
-        val cLit = array(centerVec.map(f => lit(f.toDouble)): _*)
-        val d2 = (col("xx") + lit(yy)) - (lit(2.0) * dot(col("v"), cLit))
-        (if (md == null)
-           b.withColumn("md", d2).withColumn("bc", lit(1L))
-         else md
-           .withColumn("bc",
-             when(d2 < col("md"), lit(r)).otherwise(col("bc")))
-           .withColumn("md", least(col("md"), d2)))
-          .localCheckpoint(false)
-      }
-      var md: DataFrame = foldOn(null, 1L)
-      for (r <- 2L to k.toLong) {
-        val pick = md
-          .filter(!col("id").isin(picked.map(_._2).toSeq: _*))
-          .orderBy(col("md").desc, col("id"))
-          .limit(1).select(col("id"), col("v"), col("md")).head()
-        picked += ((r, pick.getLong(0), round6(pick.getDouble(2))))
-        centerVec = pick.getSeq[Float](1)
-        md = foldOn(md, r)
-      }
-      (picked.toSeq, md)
+    // r18: the pick loop runs on the caller's session under normal AQE
+    // — the r17 loop-conf scope was re-measured after the isolation
+    // rewrite and reverted here (one TakeOrdered ACTION per round
+    // either way, so the scope saves no jobs; same finding as the CC
+    // loop). fold center r's distances into (md, bc); r covers 1..k so
+    // the final frame reflects ALL selected centers; ⟨c,c⟩ as the same
+    // strict left fold DotDouble runs.
+    def foldOn(md: DataFrame, r: Long): DataFrame = {
+      var yy = 0.0
+      centerVec.foreach(f => yy += f.toDouble * f.toDouble)
+      val cLit = array(centerVec.map(f => lit(f.toDouble)): _*)
+      val d2 = (col("xx") + lit(yy)) - (lit(2.0) * dot(col("v"), cLit))
+      (if (md == null)
+         base.withColumn("md", d2).withColumn("bc", lit(1L))
+       else md
+         .withColumn("bc",
+           when(d2 < col("md"), lit(r)).otherwise(col("bc")))
+         .withColumn("md", least(col("md"), d2)))
+        .localCheckpoint(false)
     }
-    (pickedOut,
-      graft.operators.IterConf.rebind(mdOut, vecs.sparkSession))
+    var md: DataFrame = foldOn(null, 1L)
+    for (r <- 2L to k.toLong) {
+      val pick = md
+        .filter(!col("id").isin(picked.map(_._2).toSeq: _*))
+        .orderBy(col("md").desc, col("id"))
+        .limit(1).select(col("id"), col("v"), col("md")).head()
+      picked += ((r, pick.getLong(0), round6(pick.getDouble(2))))
+      centerVec = pick.getSeq[Float](1)
+      md = foldOn(md, r)
+    }
+    (picked.toSeq, md)
   }
 
   /** @param vecs (idCol, vecCol: array<float>) — ids unique

@@ -45,24 +45,25 @@ object ConnectedComponents {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     // The edge-producing plan (often corpus-sized pair MINING) runs
-    // under this eager checkpoint with the session's normal AQE; the
-    // fixed-shape loop below runs under IterConf (AQE off — one job
-    // per round instead of one per exchange, see IterConf's scaladoc).
+    // under this eager checkpoint with the session's normal AQE.
     val sym = bidir
       .union(bidir.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    // Cached-block count (sym is materialized) — the loop-state size
-    // that drives the loop partition count; edges >= nodes (self-loops
-    // included), so it upper-bounds every in-loop relation.
-    val edgeRows = sym.count()
-    // the loop runs on IterConf's ISOLATED loop session (r18 — the
-    // caller's session is never reconfigured); the materialized label
-    // frame is re-homed onto the caller's session on the way out
-    IterConf.rebind(
-      IterConf.loopScope(edges.sparkSession, edgeRows, Seq(sym)) {
-        case Seq(s) => labelLoop(s, maxIter)
-      }, edges.sparkSession)
+    // r18: the label loop runs on the CALLER'S session under normal
+    // AQE. The r17 loop-conf scope (AQE off + derived partitions) was
+    // re-measured with same-window A/Bs after the r18 isolation
+    // rewrite and REVERTED for this loop: unlike the pipelined graph
+    // loops (PageRank/BFS/k-core/label-prop, which materialize many
+    // rounds under ONE action and keep IterConf), the CC loop runs a
+    // convergence ACTION every round either way, so the scope saves no
+    // jobs — and the adaptive per-round plans (runtime broadcasts of
+    // the skinny label relation) measured consistently faster:
+    // dedup_groups 2.5 vs 3.2 s, dedup_embed_ann_groups 1.9 vs 3.7 s,
+    // dedup_survivors 2.9 vs 3.4 s, pipeline_split_leakfree 2.6 vs
+    // 3.5 s (warm min-of-3, control-normalized). Also one action fewer
+    // (the loop-sizing count is gone).
+    labelLoop(sym, maxIter)
   }
 
   private def labelLoop(sym: DataFrame, maxIter: Int): DataFrame = {
