@@ -545,8 +545,8 @@ object PipelineQueries {
     // in-profile 1.43 s (adaptive) → 13.3 s at the byte-derived width
     // (one 9.5 s task: the whole bucket scoring serialized) and still
     // ~3x over baseline at the work-width floor (AQE's runtime
-    // coalescing/broadcasts genuinely pay here). Only the exact gate
-    // keeps the scoped serve.
+    // coalescing/broadcasts genuinely pay here); the exact gate's
+    // scoped serve was later reverted too (see the module-level note).
     "dedup_minhash_stateful" -> ((s, d) => {
       val (dir, fp) = minhashIndexDir(s, d)
       graft.ext.MinHashIndex.ensureBuilt(documents(s, d), "doc_id",
